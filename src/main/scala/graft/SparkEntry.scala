@@ -1,13 +1,51 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Analytics
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (plus the scale-oriented
+  * extensions) is exposed as a named query over the driver's parquet
+  * test tables, with an equivalent DuckDB oracle SQL where the
+  * semantics are ANSI-SQL-expressible.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"   -> (Analytics.q1PricingSummary _),
+    "q3_shipping_priority" -> (Analytics.q3ShippingPriority _),
+    "q4_order_priority"    -> (Analytics.q4OrderPriority _),
+    "q5_revenue_by_nation" -> (Analytics.q5RevenueByNation _),
+    "q6_forecast_revenue"  -> (Analytics.q6ForecastRevenue _),
+    "q7_monthly_orders"    -> (Analytics.q7MonthlyOrders _),
+    "q8_top_customers"     -> (Analytics.q8TopCustomers _),
+    "q9_customers_no_orders" -> (Analytics.q9CustomersNoOrders _),
+    "q10_event_stats"      -> (Analytics.q10EventStats _),
+    "q11_user_running"     -> (Analytics.q11UserRunning _),
+    "q12_brand_except"     -> (Analytics.q12BrandExcept _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary"   -> Analytics.q1Sql,
+    "q3_shipping_priority" -> Analytics.q3Sql,
+    "q4_order_priority"    -> Analytics.q4Sql,
+    "q5_revenue_by_nation" -> Analytics.q5Sql,
+    "q6_forecast_revenue"  -> Analytics.q6Sql,
+    "q7_monthly_orders"    -> Analytics.q7Sql,
+    "q8_top_customers"     -> Analytics.q8Sql,
+    "q9_customers_no_orders" -> Analytics.q9Sql,
+    "q10_event_stats"      -> Analytics.q10Sql,
+    "q11_user_running"     -> Analytics.q11Sql,
+    "q12_brand_except"     -> Analytics.q12Sql,
+  )
 }

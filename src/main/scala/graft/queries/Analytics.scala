@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core analytics operators over the TPC-H-ish tables: scan, filter,
+  * projection, hash/broadcast joins, semi/anti joins, aggregation,
+  * windowing, sort/limit. Declarative DataFrame plans throughout so
+  * Catalyst performs pushdown, pruning, join selection and AQE.
+  *
+  * Scale notes (100 TB): every join below either broadcasts a
+  * dimension table (nation/region/supplier/part/customer are orders of
+  * magnitude smaller than the fact tables) or shuffles on the join key
+  * that the downstream aggregation also groups on, so the exchange is
+  * reused; aggregates are all partial-aggregatable (map-side combine).
+  */
+object Analytics {
+
+  private def ts(s: String): Column = to_timestamp(lit(s))
+
+  /** TPC-H Q1-style pricing summary: full-scan partial aggregation. */
+  def q1PricingSummary(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(l_extendedprice) AS sum_base_price,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+      |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+      |  avg(l_quantity) AS avg_qty,
+      |  avg(l_extendedprice) AS avg_price,
+      |  avg(l_discount) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6-style: tight range filter + global aggregate. The filter
+    * is pushed to the parquet scan (row-group skipping on l_shipdate).
+    */
+  def q6ForecastRevenue(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") < ts("1997-01-01") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  val q6Sql: String =
+    """SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: 3-way join, aggregate, top-N.
+    * customer is broadcast (small dim); orders⋈lineitem shuffles on
+    * orderkey, which the groupBy reuses.
+    */
+  def q3ShippingPriority(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, d).filter(col("o_orderdate") < ts("1995-03-15"))
+    val l = Tables.lineitem(spark, d).filter(col("l_shipdate") > ts("1995-03-15"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q4-style: EXISTS as a left-semi join, then aggregate. */
+  def q4OrderPriority(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val l = Tables.lineitem(spark, d).filter(col("l_discount") > 0.05)
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(l, Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5-style revenue by nation: fact table joined to broadcast
+    * dimension chain supplier→nation→region.
+    */
+  def q5RevenueByNation(spark: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(spark, d)
+    val s = Tables.supplier(spark, d)
+    val n = Tables.nation(spark, d)
+    val r = Tables.region(spark, d)
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5Sql: String =
+    """SELECT r_name, n_name,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem, supplier, nation, region
+      |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Calendar aggregation: orders per month (date_trunc rollup). */
+  def q7MonthlyOrders(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum("o_totalprice").as("total_price"))
+      .orderBy("order_month")
+
+  val q7Sql: String =
+    """SELECT date_trunc('month', o_orderdate) AS order_month,
+      |  count(*) AS n_orders, sum(o_totalprice) AS total_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY order_month""".stripMargin
+
+  /** Window functions: top-3 customers by balance per market segment
+    * (rank over partition, deterministic tie-break on key).
+    */
+  def q8TopCustomers(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+      .orderBy("c_mktsegment", "rk")
+  }
+
+  val q8Sql: String =
+    """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      |  FROM customer) t
+      |WHERE rk <= 3
+      |ORDER BY c_mktsegment, rk""".stripMargin
+
+  /** Anti join: customers with no orders in the first year, counted by
+    * segment (NOT EXISTS as a left-anti join).
+    */
+  def q9CustomersNoOrders(spark: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(spark, d)
+    val o = Tables.orders(spark, d)
+      .filter(col("o_orderdate") < ts("1996-01-01"))
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q9Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate < TIMESTAMP '1996-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Event-stream rollup: per event type stats over the events table. */
+  def q10EventStats(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"),
+           // decimal sum: exact, summation-order-independent (a double
+           // sum differs at the 1e-10 level between engines)
+           sum(col("value").cast("decimal(24,6)")).as("sum_value"),
+           min("value").as("min_value"),
+           max("value").as("max_value"))
+      .orderBy("event_type")
+
+  val q10Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  sum(CAST(value AS DECIMAL(24,6))) AS sum_value,
+      |  min(value) AS min_value,
+      |  max(value) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Running windows over a time-ordered stream: per-user cumulative
+    * event value plus lag delta (time-series style window frame).
+    */
+  def q11UserRunning(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, d)
+      .withColumn("running_value",
+        sum(col("value").cast("decimal(24,6)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("value"),
+              col("running_value"), col("prev_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q11Sql: String =
+    """SELECT event_id, user_id, value,
+      |  sum(CAST(value AS DECIMAL(24,6)))
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Set operation: (brand, size) pairs in the small-size range not
+    * mirrored (shifted by 30) in the large-size range (EXCEPT = set
+    * difference with dedup).
+    */
+  def q12BrandExcept(spark: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(spark, d)
+    p.filter(col("p_size") <= 10).select(col("p_brand"), col("p_size"))
+      .except(p.filter(col("p_size") >= 40)
+        .select(col("p_brand"), (col("p_size") - 30).as("p_size")))
+      .orderBy("p_brand", "p_size")
+  }
+
+  val q12Sql: String =
+    """SELECT p_brand, p_size FROM part WHERE p_size <= 10
+      |EXCEPT
+      |SELECT p_brand, p_size - 30 AS p_size FROM part WHERE p_size >= 40
+      |ORDER BY p_brand, p_size""".stripMargin
+}
