@@ -1,0 +1,138 @@
+package graft.vintage
+
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.JsonDSL._
+
+/** Transaction-log actions for a vintage table.
+  *
+  * A vintage table is a directory of Parquet data files plus an ordered
+  * commit log `_vintage_log/<version>.json`, one JSON action per line —
+  * the Spark-native re-expression of the versioned-table behavior the
+  * reference gets from Delta Lake (/root/reference/README.md:304-319
+  * shows the observable history shape this log must reproduce).
+  */
+sealed trait Action
+
+/** A data file that becomes part of the table snapshot.
+  *
+  * @param dataChange false for rewrites that do not alter the logical
+  *        row set (compaction), so time travel and incremental readers
+  *        can skip them (/root/reference/README.md:403-412).
+  * @param stats optional per-column min/max/null-count used for file
+  *        skipping at scan and merge touched-file discovery.
+  */
+case class AddFile(
+    path: String,
+    size: Long,
+    modificationTime: Long,
+    dataChange: Boolean,
+    numRecords: Option[Long] = None,
+    stats: Map[String, ColStats] = Map.empty) extends Action
+
+case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
+
+/** Logical removal of a file from the snapshot (the physical file stays
+  * until vacuum so past versions remain readable).
+  */
+case class RemoveFile(
+    path: String,
+    deletionTimestamp: Long,
+    dataChange: Boolean) extends Action
+
+/** Table schema + properties as of a commit; latest wins on replay.
+  * Schema is kept per-version so time travel reads pre-evolution
+  * snapshots with their own schema (README.md:327-388).
+  */
+case class Metadata(
+    schemaJson: String,
+    properties: Map[String, String] = Map.empty,
+    partitionColumns: Seq[String] = Nil) extends Action {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+/** Operation descriptor surfaced by `history()`; field names mirror the
+  * history rows shown at /root/reference/README.md:307-319.
+  */
+case class CommitInfo(
+    version: Long,
+    timestamp: Long,
+    operation: String,
+    operationParameters: Map[String, String] = Map.empty) extends Action
+
+object Action {
+  private implicit val formats: Formats = DefaultFormats
+
+  def toJsonLine(a: Action): String = {
+    val j: JObject = a match {
+      case f: AddFile =>
+        "add" -> (
+          ("path" -> f.path) ~ ("size" -> f.size) ~
+          ("modificationTime" -> f.modificationTime) ~
+          ("dataChange" -> f.dataChange) ~
+          ("numRecords" -> f.numRecords) ~
+          ("stats" -> f.stats.map { case (c, s) =>
+            c -> (("min" -> s.min) ~ ("max" -> s.max) ~ ("nullCount" -> s.nullCount))
+          }))
+      case f: RemoveFile =>
+        "remove" -> (
+          ("path" -> f.path) ~ ("deletionTimestamp" -> f.deletionTimestamp) ~
+          ("dataChange" -> f.dataChange))
+      case m: Metadata =>
+        "metaData" -> (
+          ("schemaJson" -> m.schemaJson) ~ ("properties" -> m.properties) ~
+          ("partitionColumns" -> m.partitionColumns))
+      case c: CommitInfo =>
+        "commitInfo" -> (
+          ("version" -> c.version) ~ ("timestamp" -> c.timestamp) ~
+          ("operation" -> c.operation) ~
+          ("operationParameters" -> c.operationParameters))
+    }
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  def fromJsonLine(line: String): Action = {
+    val j = JsonMethods.parse(line)
+    (j \ "add", j \ "remove", j \ "metaData", j \ "commitInfo") match {
+      case (a: JObject, _, _, _) =>
+        AddFile(
+          path = (a \ "path").extract[String],
+          size = (a \ "size").extract[Long],
+          modificationTime = (a \ "modificationTime").extract[Long],
+          dataChange = (a \ "dataChange").extract[Boolean],
+          numRecords = (a \ "numRecords").extractOpt[Long],
+          stats = (a \ "stats") match {
+            case o: JObject => o.obj.map { case (c, s) =>
+              c -> ColStats((s \ "min").extractOpt[String],
+                            (s \ "max").extractOpt[String],
+                            (s \ "nullCount").extractOpt[Long])
+            }.toMap
+            case _ => Map.empty
+          })
+      case (_, r: JObject, _, _) =>
+        RemoveFile(
+          path = (r \ "path").extract[String],
+          deletionTimestamp = (r \ "deletionTimestamp").extract[Long],
+          dataChange = (r \ "dataChange").extract[Boolean])
+      case (_, _, m: JObject, _) =>
+        Metadata(
+          schemaJson = (m \ "schemaJson").extract[String],
+          properties = (m \ "properties") match {
+            case o: JObject => o.obj.map { case (k, v) => k -> v.extract[String] }.toMap
+            case _ => Map.empty
+          },
+          partitionColumns = (m \ "partitionColumns").extract[Seq[String]])
+      case (_, _, _, c: JObject) =>
+        CommitInfo(
+          version = (c \ "version").extract[Long],
+          timestamp = (c \ "timestamp").extract[Long],
+          operation = (c \ "operation").extract[String],
+          operationParameters = (c \ "operationParameters") match {
+            case o: JObject => o.obj.map { case (k, v) => k -> v.extract[String] }.toMap
+            case _ => Map.empty
+          })
+      case _ => throw new IllegalArgumentException(s"unrecognized log line: $line")
+    }
+  }
+}
