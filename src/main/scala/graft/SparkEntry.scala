@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"   -> (Analytics.q1PricingSummary _),
+    "q2_part_rollup"       -> (Analytics.q2PartRollup _),
     "q3_shipping_priority" -> (Analytics.q3ShippingPriority _),
     "q4_order_priority"    -> (Analytics.q4OrderPriority _),
     "q5_revenue_by_nation" -> (Analytics.q5RevenueByNation _),
@@ -37,6 +38,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary"   -> Analytics.q1Sql,
+    "q2_part_rollup"       -> Analytics.q2Sql,
     "q3_shipping_priority" -> Analytics.q3Sql,
     "q4_order_priority"    -> Analytics.q4Sql,
     "q5_revenue_by_nation" -> Analytics.q5Sql,

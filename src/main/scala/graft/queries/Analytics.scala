@@ -52,6 +52,25 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Hierarchical rollup: part counts and retail value by brand and
+    * type with subtotal rows (GROUPING SETS / ROLLUP). Partial
+    * aggregation applies at every grouping level — scale-safe.
+    */
+  def q2PartRollup(spark: SparkSession, d: String): DataFrame =
+    Tables.part(spark, d)
+      .rollup(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_parts"),
+           sum(col("p_retailprice").cast("decimal(24,2)"))
+             .cast("decimal(38,2)").as("retail_value"))
+      .orderBy(asc_nulls_first("p_brand"), asc_nulls_first("p_type"))
+
+  val q2Sql: String =
+    """SELECT p_brand, p_type, count(*) AS n_parts,
+      |  sum(CAST(p_retailprice AS DECIMAL(24,2))) AS retail_value
+      |FROM part
+      |GROUP BY ROLLUP (p_brand, p_type)
+      |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin
+
   /** TPC-H Q6-style: tight range filter + global aggregate. The filter
     * is pushed to the parquet scan (row-group skipping on l_shipdate).
     */
@@ -73,15 +92,18 @@ object Analytics {
       |  AND l_quantity < 24""".stripMargin
 
   /** TPC-H Q3-style shipping priority: 3-way join, aggregate, top-N.
-    * customer is broadcast (small dim); orders⋈lineitem shuffles on
-    * orderkey, which the groupBy reuses.
+    * orders⋈lineitem shuffles on orderkey, which the groupBy reuses;
+    * join strategy for customer is left to AQE (broadcast at small SF,
+    * shuffle-hash beyond the broadcast threshold).
     */
   def q3ShippingPriority(spark: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, d).filter(col("o_orderdate") < ts("1995-03-15"))
     val l = Tables.lineitem(spark, d).filter(col("l_shipdate") > ts("1995-03-15"))
+    // no broadcast hint on customer: it grows with SF, so let AQE pick
+    // broadcast only when the filtered side is actually small
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -122,15 +144,18 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
-  /** TPC-H Q5-style revenue by nation: fact table joined to broadcast
-    * dimension chain supplier→nation→region.
+  /** TPC-H Q5-style revenue by nation: fact table joined to the
+    * dimension chain supplier→nation→region; fixed-size dims are
+    * broadcast, supplier's strategy is AQE-chosen.
     */
   def q5RevenueByNation(spark: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(spark, d)
     val s = Tables.supplier(spark, d)
     val n = Tables.nation(spark, d)
     val r = Tables.region(spark, d)
-    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    // supplier grows with SF — no forced broadcast (AQE decides);
+    // nation (25) and region (5) are fixed-size, always broadcastable
+    l.join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -215,8 +240,10 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_users"),
            // decimal sum: exact, summation-order-independent (a double
-           // sum differs at the 1e-10 level between engines)
-           sum(col("value").cast("decimal(24,6)")).as("sum_value"),
+           // sum differs at the 1e-10 level between engines); widened to
+           // DuckDB's sum result width so the dumped parquet encodes
+           // identically on both sides
+           sum(col("value").cast("decimal(24,6)")).cast("decimal(38,6)").as("sum_value"),
            min("value").as("min_value"),
            max("value").as("max_value"))
       .orderBy("event_type")
@@ -239,7 +266,8 @@ object Analytics {
     Tables.events(spark, d)
       .withColumn("running_value",
         sum(col("value").cast("decimal(24,6)"))
-          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("decimal(38,6)"))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .select(col("event_id"), col("user_id"), col("value"),
               col("running_value"), col("prev_value"))
