@@ -1,0 +1,248 @@
+package graft.vintage
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Stats-based file skipping: decide from `AddFile.stats` whether a
+  * file can possibly contain a row matching a predicate. This is the
+  * piece the reference gets from Delta's data skipping (SURVEY.md §4
+  * "file skipping") — it turns a merge/delete/update against a 100 TB
+  * table into a scan of only the files whose min/max range intersects
+  * the predicate.
+  *
+  * Soundness contract: `mayMatch` may return true spuriously (file is
+  * then scanned and the scan finds nothing) but must never return false
+  * for a file that contains a matching row. Anything unrecognized —
+  * casts, functions, missing stats, exotic types — degrades to true.
+  */
+object FileSkipping {
+
+  /** Files that may contain rows matching `cond`. */
+  def candidates(schema: StructType, files: Seq[AddFile], cond: Expression): Seq[AddFile] = {
+    val n = normalize(cond)
+    files.filter(f => mayMatch(schema, f, n))
+  }
+
+  /** The Column DSL reaches Catalyst as `UnresolvedFunction("=",…)`
+    * nodes (SPARK-46057 ColumnNode conversion); parsed SQL arrives as
+    * typed comparisons. Rewrite the well-known operator names into the
+    * typed forms so both surfaces prune identically. Unknown functions
+    * stay opaque (no pruning).
+    */
+  private[vintage] def normalize(e: Expression): Expression = e match {
+    case f: UnresolvedFunction =>
+      val a = f.arguments.map(normalize)
+      (f.nameParts.last.toLowerCase, a) match {
+        case ("=" | "==" | "equalto", Seq(l, r)) => EqualTo(l, r)
+        case ("<=>" | "equalnullsafe", Seq(l, r)) => EqualNullSafe(l, r)
+        case ("<" | "lessthan", Seq(l, r)) => LessThan(l, r)
+        case ("<=" | "lessthanorequal", Seq(l, r)) => LessThanOrEqual(l, r)
+        case (">" | "greaterthan", Seq(l, r)) => GreaterThan(l, r)
+        case (">=" | "greaterthanorequal", Seq(l, r)) => GreaterThanOrEqual(l, r)
+        case ("and", Seq(l, r)) => And(l, r)
+        case ("or", Seq(l, r)) => Or(l, r)
+        case ("not" | "!", Seq(c)) => Not(c)
+        case ("in", l +: rest) if rest.nonEmpty => In(l, rest)
+        case ("isnull", Seq(c)) => IsNull(c)
+        case ("isnotnull", Seq(c)) => IsNotNull(c)
+        case ("startswith", Seq(l, r)) => StartsWith(l, r)
+        case _ => f.copy(arguments = a)
+      }
+    case _ => e.mapChildren(normalize)
+  }
+
+  /** Equi-join column pairs (targetCol, sourceCol) extracted from a
+    * merge condition like `master.key = submission.key`, used to prune
+    * target files against the source's key range before the touched-file
+    * join runs. Conjuncts that aren't attribute-equalities are ignored
+    * (they can only narrow the match set further — still sound).
+    */
+  def equiJoinKeys(
+      cond: Expression,
+      targetAlias: Option[String], sourceAlias: Option[String],
+      targetCols: Seq[String], sourceCols: Seq[String]): Seq[(String, String)] = {
+
+    def side(parts: Seq[String]): Option[(Boolean, String)] = {
+      val col = parts.last
+      val prefix = if (parts.length > 1) Some(parts.dropRight(1).mkString(".")) else None
+      val inT = targetCols.exists(_.equalsIgnoreCase(col))
+      val inS = sourceCols.exists(_.equalsIgnoreCase(col))
+      prefix match {
+        case Some(p) if targetAlias.exists(_.equalsIgnoreCase(p)) =>
+          if (inT) Some((true, col)) else None
+        case Some(p) if sourceAlias.exists(_.equalsIgnoreCase(p)) =>
+          if (inS) Some((false, col)) else None
+        case Some(_) => None
+        case None =>
+          // unqualified: unambiguous only if it exists on exactly one side
+          if (inT && !inS) Some((true, col))
+          else if (inS && !inT) Some((false, col))
+          else None
+      }
+    }
+
+    def parts(e: Expression): Option[Seq[String]] = e match {
+      case u: UnresolvedAttribute => Some(u.nameParts)
+      case a: AttributeReference => Some(Seq(a.name))
+      case _ => None
+    }
+
+    splitConjuncts(normalize(cond)).flatMap {
+      case EqualTo(l, r) =>
+        (parts(l).flatMap(side), parts(r).flatMap(side)) match {
+          case (Some((true, t)), Some((false, s))) => Some((t, s))
+          case (Some((false, s)), Some((true, t))) => Some((t, s))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  // ------------------------------------------------------------------ core
+
+  private def mayMatch(schema: StructType, f: AddFile, e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(schema, f, l) && mayMatch(schema, f, r)
+    case Or(l, r) => mayMatch(schema, f, l) || mayMatch(schema, f, r)
+    case EqualTo(a, Literal(v, t)) => attr(a).forall(c => rangeContains(schema, f, c, v, t))
+    case EqualTo(Literal(v, t), a) => attr(a).forall(c => rangeContains(schema, f, c, v, t))
+    case EqualNullSafe(a, Literal(v, t)) =>
+      if (v == null) attr(a).forall(c => mayHaveNull(f, c))
+      else attr(a).forall(c => rangeContains(schema, f, c, v, t))
+    case EqualNullSafe(Literal(v, t), a) =>
+      if (v == null) attr(a).forall(c => mayHaveNull(f, c))
+      else attr(a).forall(c => rangeContains(schema, f, c, v, t))
+    case LessThan(a, Literal(v, t)) => attr(a).forall(c => minBelow(schema, f, c, v, t, strict = true))
+    case LessThanOrEqual(a, Literal(v, t)) => attr(a).forall(c => minBelow(schema, f, c, v, t, strict = false))
+    case GreaterThan(a, Literal(v, t)) => attr(a).forall(c => maxAbove(schema, f, c, v, t, strict = true))
+    case GreaterThanOrEqual(a, Literal(v, t)) => attr(a).forall(c => maxAbove(schema, f, c, v, t, strict = false))
+    // literal-on-left comparisons: flip
+    case LessThan(Literal(v, t), a) => attr(a).forall(c => maxAbove(schema, f, c, v, t, strict = true))
+    case LessThanOrEqual(Literal(v, t), a) => attr(a).forall(c => maxAbove(schema, f, c, v, t, strict = false))
+    case GreaterThan(Literal(v, t), a) => attr(a).forall(c => minBelow(schema, f, c, v, t, strict = true))
+    case GreaterThanOrEqual(Literal(v, t), a) => attr(a).forall(c => minBelow(schema, f, c, v, t, strict = false))
+    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      attr(a).forall(c => list.exists { case Literal(v, t) => rangeContains(schema, f, c, v, t) })
+    case IsNull(a) => attr(a).forall(c => mayHaveNull(f, c))
+    case IsNotNull(a) => attr(a).forall(c => mayHaveNotNull(f, c))
+    case StartsWith(a, Literal(v, StringType)) if v != null =>
+      attr(a).forall { c =>
+        val p = v.toString
+        stats(f, c).forall { s =>
+          s.min.forall(m => ParquetStats.cpCompare(m.take(p.length), p) <= 0) &&
+          s.max.forall(m => ParquetStats.cpCompare(m.take(p.length), p) >= 0)
+        }
+      }
+    case Not(IsNull(a)) => attr(a).forall(c => mayHaveNotNull(f, c))
+    case Not(IsNotNull(a)) => attr(a).forall(c => mayHaveNull(f, c))
+    case _ => true // unknown shapes never prune
+  }
+
+  /** Column name if `e` is a plain (possibly qualified) attribute. */
+  private def attr(e: Expression): Option[String] = e match {
+    case u: UnresolvedAttribute => Some(u.nameParts.last)
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  private def stats(f: AddFile, col: String): Option[ColStats] =
+    f.stats.collectFirst { case (k, v) if k.equalsIgnoreCase(col) => v }
+
+  private def mayHaveNull(f: AddFile, col: String): Boolean =
+    stats(f, col).flatMap(_.nullCount).forall(_ > 0)
+
+  private def mayHaveNotNull(f: AddFile, col: String): Boolean =
+    (stats(f, col).flatMap(_.nullCount), f.numRecords) match {
+      case (Some(nulls), Some(n)) => nulls < n
+      case _ => true
+    }
+
+  /** Whether the file's [min,max] could contain value `v` of type `t`. */
+  private def rangeContains(schema: StructType, f: AddFile, col: String,
+                            v: Any, t: DataType): Boolean =
+    if (v == null) false // `col = null` matches no rows
+    else stats(f, col).forall { s =>
+      (s.min, s.max) match {
+        case (Some(mn), Some(mx)) =>
+          cmp(schema, col, mn, v, t).forall(_ <= 0) &&
+          cmp(schema, col, mx, v, t).forall(_ >= 0)
+        case _ => s.nullCount.isEmpty // all-null file matches no equality
+      }
+    }
+
+  /** Whether some value in the file could be < (or <=) `v`. */
+  private def minBelow(schema: StructType, f: AddFile, col: String,
+                       v: Any, t: DataType, strict: Boolean): Boolean =
+    if (v == null) true
+    else stats(f, col).forall { s =>
+      s.min match {
+        case Some(mn) => cmp(schema, col, mn, v, t).forall(c => if (strict) c < 0 else c <= 0)
+        case None => s.nullCount.isEmpty
+      }
+    }
+
+  /** Whether some value in the file could be > (or >=) `v`. */
+  private def maxAbove(schema: StructType, f: AddFile, col: String,
+                       v: Any, t: DataType, strict: Boolean): Boolean =
+    if (v == null) true
+    else stats(f, col).forall { s =>
+      s.max match {
+        case Some(mx) => cmp(schema, col, mx, v, t).forall(c => if (strict) c > 0 else c >= 0)
+        case None => s.nullCount.isEmpty
+      }
+    }
+
+  /** Compare a string-encoded stat value against literal `v:t` in the
+    * value space of schema column `col`. None = incomparable (no prune).
+    */
+  private def cmp(schema: StructType, col: String, stat: String,
+                  v: Any, t: DataType): Option[Int] = {
+    val colType = schema.fields.collectFirst {
+      case f if f.name.equalsIgnoreCase(col) => f.dataType
+    }
+    colType.flatMap { ct =>
+      (ct, t) match {
+        case (StringType, StringType) => Some(ParquetStats.cpCompare(stat, v.toString))
+        case (BooleanType, BooleanType) =>
+          Some(stat.toBoolean.compareTo(v.asInstanceOf[Boolean]))
+        case _ =>
+          for (a <- numeric(ct, stat); b <- literalNumeric(t, v)) yield a.compare(b)
+      }
+    }
+  }
+
+  /** Stat string → BigDecimal for numeric-ish column types. */
+  private def numeric(dt: DataType, s: String): Option[BigDecimal] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | _: DecimalType =>
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    case FloatType | DoubleType =>
+      val d = s.toDouble
+      if (d.isNaN) None
+      else if (d.isPosInfinity) Some(BigDecimal(Double.MaxValue) * 2)
+      else if (d.isNegInfinity) Some(BigDecimal(Double.MinValue) * 2)
+      else Some(BigDecimal(d))
+    case _ => None
+  }
+
+  /** Catalyst literal value → BigDecimal (internal reps: UTF8String for
+    * strings, Int days for dates, Long micros for timestamps).
+    */
+  private def literalNumeric(t: DataType, v: Any): Option[BigDecimal] = (t, v) match {
+    case (_, null) => None
+    case (ByteType, x: Byte) => Some(BigDecimal(x.toInt))
+    case (ShortType, x: Short) => Some(BigDecimal(x.toInt))
+    case (IntegerType | DateType, x: Int) => Some(BigDecimal(x))
+    case (LongType | TimestampType | TimestampNTZType, x: Long) => Some(BigDecimal(x))
+    case (FloatType, x: Float) => if (x.isNaN) None else Some(BigDecimal(x.toDouble))
+    case (DoubleType, x: Double) => if (x.isNaN) None else Some(BigDecimal(x))
+    case (_: DecimalType, x: org.apache.spark.sql.types.Decimal) =>
+      Some(x.toBigDecimal)
+    case _ => None
+  }
+}

@@ -1,0 +1,106 @@
+package graft.vintage
+
+import java.nio.charset.StandardCharsets
+import java.util.ConcurrentModificationException
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileStatus, FileSystem, Path}
+
+/** Storage abstraction for the transaction log — the one place that
+  * needs put-if-absent semantics (the optimistic-concurrency core of a
+  * Delta-style protocol). Everything goes through the Hadoop
+  * `FileSystem`/`FileContext` API so a table can live on `file://`,
+  * `hdfs://` or any mounted Hadoop-compatible store; an object store
+  * without atomic rename (raw S3) would plug in a conditional-put
+  * implementation of this trait.
+  */
+trait LogStore {
+  /** All lines of `path` (UTF-8). */
+  def readLines(path: Path): Seq[String]
+
+  /** Atomically publish `lines` at `path`; throws
+    * [[ConcurrentModificationException]] if `path` already exists.
+    */
+  def writeExclusive(path: Path, lines: Seq[String]): Unit
+
+  /** Overwrite-allowed write (checkpoints, `_last_checkpoint`). */
+  def writeReplace(path: Path, lines: Seq[String]): Unit
+
+  def list(dir: Path): Seq[FileStatus]
+  def exists(path: Path): Boolean
+  def isDirectory(path: Path): Boolean
+  def mkdirs(dir: Path): Unit
+  def delete(path: Path): Unit
+}
+
+/** Hadoop-FS log store: stage to a temp file in the same directory,
+  * publish with a no-overwrite rename (`Options.Rename.NONE` via
+  * `FileContext`, which fails when the destination exists — atomic on
+  * HDFS and POSIX local FS).
+  */
+class HadoopLogStore(conf: Configuration) extends LogStore {
+  private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  override def readLines(path: Path): Seq[String] = {
+    val in = fs(path).open(path)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+        .split("\n", -1).toSeq
+    } finally in.close()
+  }
+
+  private def writeTemp(path: Path, lines: Seq[String]): Path = {
+    val tmp = new Path(path.getParent,
+      s".${path.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs(path).create(tmp, true)
+    try out.write(lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    tmp
+  }
+
+  override def writeExclusive(path: Path, lines: Seq[String]): Unit = {
+    val tmp = writeTemp(path, lines)
+    try {
+      val fc = FileContext.getFileContext(path.toUri, conf)
+      try fc.rename(tmp, path) // Options.Rename.NONE: fails if path exists
+      catch {
+        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+          throw new ConcurrentModificationException(s"already committed: $path")
+        case e: java.io.IOException if exists(path) =>
+          throw new ConcurrentModificationException(s"already committed: $path ($e)")
+      }
+    } finally if (exists(tmp)) delete(tmp)
+  }
+
+  override def writeReplace(path: Path, lines: Seq[String]): Unit = {
+    val tmp = writeTemp(path, lines)
+    val f = fs(path)
+    if (f.exists(path)) f.delete(path, false)
+    if (!f.rename(tmp, path))
+      throw new java.io.IOException(s"rename $tmp -> $path failed")
+  }
+
+  override def list(dir: Path): Seq[FileStatus] =
+    if (!exists(dir)) Nil else fs(dir).listStatus(dir).toSeq
+
+  override def exists(path: Path): Boolean = fs(path).exists(path)
+  override def isDirectory(path: Path): Boolean = {
+    val f = fs(path)
+    f.exists(path) && f.getFileStatus(path).isDirectory
+  }
+  override def mkdirs(dir: Path): Unit = fs(dir).mkdirs(dir)
+  override def delete(path: Path): Unit = fs(path).delete(path, false)
+}
+
+object LogStore {
+  /** Default store: whatever FS the table path resolves to under the
+    * default Hadoop configuration (local `file://` in tests).
+    */
+  lazy val default: LogStore = new HadoopLogStore(new Configuration())
+}

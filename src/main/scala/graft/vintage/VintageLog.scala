@@ -1,12 +1,8 @@
 package graft.vintage
 
 import java.io.IOException
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.ConcurrentModificationException
 
-import scala.jdk.CollectionConverters._
-
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.types.StructType
 
 /** Reconstructed table state as of a version: live files + schema.
@@ -23,66 +19,103 @@ case class Snapshot(
 }
 
 /** The transaction log: ordered JSON commit files under
-  * `<table>/_vintage_log/`. Commit N is `%020d.json`.
+  * `<table>/_vintage_log/`. Commit N is `%020d.json`; every
+  * [[checkpointInterval]] commits a checkpoint file
+  * `%020d.checkpoint.json` captures the whole snapshot (live files,
+  * schema, commit history) so replay reads checkpoint + tail instead of
+  * O(versions) commits — the log stays readable at 100k commits.
   *
-  * Atomicity: each commit is staged to a temp file and published with
-  * a hard link (create-exclusive on the final name). A concurrent
-  * writer that targets the same version loses with
-  * [[ConcurrentModificationException]] — the optimistic-concurrency
-  * core of a Delta-style protocol. On a real multi-writer object store
-  * this link step would be a pluggable LogStore (put-if-absent).
+  * All IO goes through [[LogStore]] (Hadoop FileSystem/FileContext), so
+  * the log works on `file://`, HDFS, or any FS with atomic
+  * no-overwrite rename; a raw object store plugs in a conditional-put
+  * LogStore. Concurrent writers targeting the same version race on the
+  * exclusive publish — the loser gets
+  * `ConcurrentModificationException` (optimistic concurrency, same
+  * protocol core as Delta).
   */
 object VintageLog {
   val LogDirName = "_vintage_log"
+  val checkpointInterval: Long = 10L
 
-  def logDir(tableDir: String): Path = Paths.get(tableDir, LogDirName)
+  private val VersionFileRe = """(\d{20})\.json""".r
+  private val CheckpointFileRe = """(\d{20})\.checkpoint\.json""".r
+
+  @volatile private[vintage] var store: LogStore = LogStore.default
+
+  def logDir(tableDir: String): Path = new Path(tableDir, LogDirName)
 
   private def versionFile(tableDir: String, v: Long): Path =
-    logDir(tableDir).resolve(f"$v%020d.json")
+    new Path(logDir(tableDir), f"$v%020d.json")
 
-  def exists(tableDir: String): Boolean = Files.isDirectory(logDir(tableDir))
+  private def checkpointFile(tableDir: String, v: Long): Path =
+    new Path(logDir(tableDir), f"$v%020d.checkpoint.json")
+
+  private def lastCheckpointFile(tableDir: String): Path =
+    new Path(logDir(tableDir), "_last_checkpoint")
+
+  def exists(tableDir: String): Boolean = store.isDirectory(logDir(tableDir))
 
   /** Latest committed version, or -1 for an empty/absent log. */
-  def latestVersion(tableDir: String): Long = {
-    val dir = logDir(tableDir)
-    if (!Files.isDirectory(dir)) return -1L
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong)
+  def latestVersion(tableDir: String): Long =
+    store.list(logDir(tableDir)).iterator
+      .map(_.getPath.getName)
+      .collect { case VersionFileRe(v) => v.toLong }
       .foldLeft(-1L)(math.max)
+
+  /** Atomically publish version `v`; fails if `v` already exists.
+    * Writes a checkpoint when `v` crosses the checkpoint interval.
+    */
+  def commit(tableDir: String, v: Long, actions: Seq[Action]): Unit = {
+    store.writeExclusive(versionFile(tableDir, v), actions.map(Action.toJsonLine))
+    if (v > 0 && v % checkpointInterval == 0) checkpoint(tableDir, v)
   }
 
-  /** Atomically publish version `v`; fails if `v` already exists. */
-  def commit(tableDir: String, v: Long, actions: Seq[Action]): Unit = {
-    val dir = logDir(tableDir)
-    Files.createDirectories(dir)
-    val target = versionFile(tableDir, v)
-    val tmp = Files.createTempFile(dir, s".commit-$v-", ".tmp")
-    try {
-      val body = actions.map(Action.toJsonLine).mkString("", "\n", "\n")
-      Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-      try Files.createLink(target, tmp)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new ConcurrentModificationException(
-            s"version $v already committed at $target")
-      }
-    } finally Files.deleteIfExists(tmp)
+  /** Write the full-snapshot checkpoint for version `v` (idempotent —
+    * losing a race or crashing here only costs replay speed, never
+    * correctness, so it uses plain overwrite).
+    */
+  def checkpoint(tableDir: String, v: Long): Unit = {
+    val snap = replay(tableDir, Some(v))
+    val actions: Seq[Action] =
+      Seq(Metadata(snap.schema.json, snap.properties)) ++
+        snap.commits.sortBy(_.version) ++ snap.files
+    store.writeReplace(checkpointFile(tableDir, v), actions.map(Action.toJsonLine))
+    store.writeReplace(lastCheckpointFile(tableDir), Seq(s"""{"version":$v}"""))
+  }
+
+  /** Newest checkpoint version <= `until`, if any. Prefers the
+    * `_last_checkpoint` pointer; falls back to listing (covers time
+    * travel to versions before the latest checkpoint).
+    */
+  private def checkpointVersionFor(tableDir: String, until: Long): Option[Long] = {
+    val hinted =
+      try {
+        if (!store.exists(lastCheckpointFile(tableDir))) None
+        else store.readLines(lastCheckpointFile(tableDir)).headOption
+          .flatMap(l => """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(l))
+          .map(_.group(1).toLong)
+          .filter(v => v <= until && store.exists(checkpointFile(tableDir, v)))
+      } catch { case _: IOException => None }
+    hinted.orElse {
+      store.list(logDir(tableDir)).iterator
+        .map(_.getPath.getName)
+        .collect { case CheckpointFileRe(v) => v.toLong }
+        .filter(_ <= until)
+        .maxOption
+        .filter(v => store.exists(checkpointFile(tableDir, v)))
+    }
   }
 
   def readVersion(tableDir: String, v: Long): Seq[Action] = {
     val f = versionFile(tableDir, v)
-    if (!Files.exists(f))
+    if (!store.exists(f))
       throw new IOException(s"version $v not found for table $tableDir")
-    Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty).map(Action.fromJsonLine)
+    store.readLines(f).filter(_.nonEmpty).map(Action.fromJsonLine)
   }
 
   /** Replay the log up to (and including) `untilVersion`
-    * (None = latest). At 100 TB scale this becomes checkpoint +
-    * incremental replay; commit counts here are small enough for a
-    * full linear replay.
+    * (None = latest): load the newest checkpoint at or before it, then
+    * apply only the tail commits.
     */
   def replay(tableDir: String, untilVersion: Option[Long] = None): Snapshot = {
     val latest = latestVersion(tableDir)
@@ -90,10 +123,24 @@ object VintageLog {
     val until = untilVersion.getOrElse(latest)
     require(until >= 0 && until <= latest,
       s"version $until out of range [0, $latest] for $tableDir")
-    var files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+
+    val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     var meta: Option[Metadata] = None
     val commits = scala.collection.mutable.ArrayBuffer[CommitInfo]()
-    (0L to until).foreach { v =>
+
+    val start: Long = checkpointVersionFor(tableDir, until) match {
+      case Some(cp) =>
+        store.readLines(checkpointFile(tableDir, cp))
+          .filter(_.nonEmpty).map(Action.fromJsonLine).foreach {
+            case a: AddFile    => files(a.path) = a
+            case m: Metadata   => meta = Some(m)
+            case c: CommitInfo => commits += c
+            case _: RemoveFile => () // checkpoints carry only live files
+          }
+        cp + 1
+      case None => 0L
+    }
+    (start to until).foreach { v =>
       readVersion(tableDir, v).foreach {
         case a: AddFile    => files(a.path) = a
         case r: RemoveFile => files.remove(r.path)
@@ -107,15 +154,12 @@ object VintageLog {
   }
 
   /** Version whose commit timestamp is the latest <= `ts` (time travel
-    * by timestamp, README.md:166,321).
+    * by timestamp, README.md:166,321). Uses the commit history already
+    * carried by the snapshot, so it reads checkpoint + tail too.
     */
   def versionAtTimestamp(tableDir: String, ts: Long): Long = {
-    val latest = latestVersion(tableDir)
-    require(latest >= 0, s"not a vintage table: $tableDir")
-    val versions = (0L to latest).flatMap { v =>
-      readVersion(tableDir, v).collectFirst { case c: CommitInfo => (v, c.timestamp) }
-    }
-    versions.filter(_._2 <= ts).map(_._1).lastOption.getOrElse(
+    val commits = replay(tableDir).commits.sortBy(_.version)
+    commits.filter(_.timestamp <= ts).map(_.version).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"no version at or before timestamp $ts for $tableDir"))
   }

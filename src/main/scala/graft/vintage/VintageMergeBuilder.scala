@@ -2,6 +2,7 @@ package graft.vintage
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+import org.apache.spark.sql.graftshim.ColumnExpr
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -72,14 +73,37 @@ class VintageMergeBuilder private[vintage] (
         StructType(targetFields ++ sourceOnly.map(_.copy(nullable = true)))
       else snap.schema
 
-    // ---- phase 1: touched-file discovery (semi join on the merge key)
-    val touched: Set[String] =
-      if (snap.files.isEmpty) Set.empty
+    // ---- phase 1: touched-file discovery. Stats pruning first: the
+    // source's min/max per equi-join key (one tiny agg job) bounds the
+    // target files worth scanning, so a 4-row merge message against a
+    // 100 TB table reads only the files whose key range intersects the
+    // message — then the semi join confirms actual matches.
+    val srcAlias = sourceAliasOf(source)
+    val keyPairs = FileSkipping.equiJoinKeys(
+      ColumnExpr.expr(condition), targetAlias, srcAlias,
+      targetCols.toSeq, source.schema.fieldNames.toSeq)
+    val candidates: Seq[AddFile] =
+      if (snap.files.isEmpty) Nil
+      else if (keyPairs.isEmpty) snap.files
       else {
-        val tRaw = table.toDF.select(
+        val aggs = keyPairs.flatMap { case (_, s) => Seq(min(col(s)), max(col(s))) }
+        val row = source.agg(aggs.head, aggs.tail: _*).head()
+        val rangeCond = keyPairs.zipWithIndex.map { case ((t, _), i) =>
+          val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
+          if (mn == null) lit(false) // all-null source keys match nothing
+          else col(t) >= lit(mn) && col(t) <= lit(mx)
+        }.reduce(_ && _)
+        FileSkipping.candidates(snap.schema, snap.files, ColumnExpr.expr(rangeCond))
+      }
+    val touched: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else {
+        val candDf = spark.read.schema(snap.schema)
+          .parquet(candidates.map(f => s"${table.path}/${f.path}"): _*)
+        val tRaw = candDf.select(
           col("_metadata.file_path").as(VintageTable.FileCol) +: targetCols.map(col): _*)
         aliased(tRaw, targetAlias)
-          .join(aliased(source, sourceAliasOf(source)), condition, "left_semi")
+          .join(aliased(source, srcAlias), condition, "left_semi")
           .select(VintageTable.FileCol).distinct()
           .collect().map(r => table.relativize(r.getString(0))).toSet
       }

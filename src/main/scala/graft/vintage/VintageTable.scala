@@ -1,14 +1,11 @@
 package graft.vintage
 
-import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.hadoop.conf.Configuration
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graftshim.ColumnExpr
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
@@ -206,12 +203,14 @@ class VintageTable private (
       }
     }
     var deleted = 0L
-    Files.list(Paths.get(path)).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-"))
-      .foreach { p =>
-        val rel = p.getFileName.toString
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(dir)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .foreach { s =>
+        val rel = s.getPath.getName
         if (!live.contains(rel) && removedAt.getOrElse(rel, Long.MaxValue) < cutoff) {
-          Files.delete(p); deleted += 1
+          fs.delete(s.getPath, false); deleted += 1
         }
       }
     deleted
@@ -219,13 +218,23 @@ class VintageTable private (
 
   // ------------------------------------------------------------ internals
 
-  /** Files containing at least one row matching `condition` — the
-    * copy-on-write touch set.
+  /** Files whose min/max stat range may contain predicate matches —
+    * the stats-pruned candidate set consulted before any scan runs.
     */
-  private[vintage] def touchedFiles(snap: Snapshot, condition: Column): Set[String] =
-    if (snap.files.isEmpty) Set.empty
+  private[vintage] def candidateFiles(snap: Snapshot, condition: Column): Seq[AddFile] =
+    FileSkipping.candidates(snap.schema, snap.files, ColumnExpr.expr(condition))
+
+  /** Files containing at least one row matching `condition` — the
+    * copy-on-write touch set. Stats pruning narrows the scan first, so
+    * a 1-key delete against a large table reads only the files whose
+    * stat range contains the key.
+    */
+  private[vintage] def touchedFiles(snap: Snapshot, condition: Column): Set[String] = {
+    val cands = candidateFiles(snap, condition)
+    if (cands.isEmpty) Set.empty
     else {
-      dfForSnapshot(snap)
+      spark.read.schema(snap.schema)
+        .parquet(cands.map(f => s"$path/${f.path}"): _*)
         .select(col("_metadata.file_path").as(FileCol))
         .where(condition)
         .distinct()
@@ -233,6 +242,7 @@ class VintageTable private (
         .map(r => relativize(r.getString(0)))
         .toSet
     }
+  }
 
   private[vintage] def readFiles(snap: Snapshot, rel: Set[String]): DataFrame =
     spark.read.schema(snap.schema).parquet(rel.map(r => s"$path/$r").toSeq: _*)
@@ -248,8 +258,7 @@ class VintageTable private (
     val abs =
       if (filePath.contains(":")) new java.net.URI(filePath).getPath
       else filePath
-    val root = Paths.get(path).toAbsolutePath.toString
-    abs.stripPrefix(root).stripPrefix("/")
+    abs.substring(abs.lastIndexOf('/') + 1)
   }
 
   private[vintage] def commitOp(
@@ -269,7 +278,18 @@ object VintageTable {
   /** Open an existing table (README.md:125 `DeltaTable.forPath`). */
   def forPath(spark: SparkSession, path: String): VintageTable = {
     require(VintageLog.exists(path), s"not a vintage table: $path")
-    new VintageTable(spark, Paths.get(path).toAbsolutePath.toString, None)
+    new VintageTable(spark, absolutize(path), None)
+  }
+
+  /** Qualify a possibly-relative path against the default FS (keeps
+    * scheme-qualified hdfs://, s3a:// etc. untouched).
+    */
+  private[vintage] def absolutize(path: String): String = {
+    val p = new HPath(path)
+    if (p.isAbsoluteAndSchemeAuthorityNull)
+      p.toString
+    else if (p.toUri.getScheme != null) p.toString
+    else new HPath(new java.io.File(path).getAbsolutePath).toString
   }
 
   def isVintageTable(path: String): Boolean = VintageLog.exists(path)
@@ -279,8 +299,9 @@ object VintageTable {
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
              properties: Map[String, String] = Map.empty): VintageTable = {
-    val abs = Paths.get(path).toAbsolutePath.toString
-    Files.createDirectories(Paths.get(abs))
+    val abs = absolutize(path)
+    val dir = new HPath(abs)
+    dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
     require(VintageLog.latestVersion(abs) < 0, s"table already exists: $abs")
     val adds = writeFiles(spark, df, abs, dataChange = true)
     val info = CommitInfo(0L, System.currentTimeMillis(), "WRITE",
@@ -297,34 +318,48 @@ object VintageTable {
     } else create(spark, path, df)
 
   /** Write `df`'s partitions as Parquet files into the table directory
-    * and return their AddFile actions (numRecords + per-file size from
-    * the Parquet footers). Files are staged in a temp subdir then
-    * hard-renamed to `part-<uuid>.parquet` at the table root.
+    * and return their AddFile actions with per-column min/max/null-count
+    * stats from the Parquet footers. Files are staged in a temp subdir,
+    * then a distributed job renames each into place and reads its
+    * footer — the driver never serializes per-file IO, so a
+    * thousand-file commit costs one task wave, not a driver loop.
     */
   private[vintage] def writeFiles(
       spark: SparkSession, df: DataFrame, tableDir: String,
       dataChange: Boolean): Seq[AddFile] = {
-    val tmp = Paths.get(tableDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
+    val dir = new HPath(tableDir)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new HPath(tableDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
     df.write.mode("overwrite").parquet(tmp.toString)
-    val conf = new Configuration()
-    val adds = Files.list(tmp).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
+    val moves: Seq[(String, String)] = fs.listStatus(tmp).toSeq
+      .filter { s =>
+        val n = s.getPath.getName
         n.startsWith("part-") && n.endsWith(".parquet")
       }
-      .map { p =>
-        val name = s"part-${UUID.randomUUID().toString}.snappy.parquet"
-        val target = Paths.get(tableDir, name)
-        Files.move(p, target)
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(target.toUri), conf))
-        val numRecords = try reader.getRecordCount finally reader.close()
-        AddFile(name, Files.size(target), Files.getLastModifiedTime(target).toMillis,
-          dataChange, Some(numRecords))
-      }.toSeq
-    // remove staging leftovers (_SUCCESS, .crc)
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      .map(s => (s.getPath.toString,
+                 s"part-${UUID.randomUUID().toString}.snappy.parquet"))
+    val statCols = ParquetStats.statsColumns(df.schema)
+    val tableDirStr = tableDir
+    val adds =
+      if (moves.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(moves, math.min(moves.size, 256))
+        .map { case (src, name) =>
+          // runs on executors; a real cluster deployment would ship the
+          // session Hadoop conf — defaults suffice for file:// and HDFS
+          // with standard core-site on the classpath
+          val conf = new Configuration()
+          val srcPath = new HPath(src)
+          val efs = srcPath.getFileSystem(conf)
+          val target = new HPath(tableDirStr, name)
+          if (!efs.rename(srcPath, target))
+            throw new java.io.IOException(s"rename $srcPath -> $target failed")
+          val (numRecords, stats) = ParquetStats.read(target, conf, statCols)
+          val st = efs.getFileStatus(target)
+          AddFile(name, st.getLen, st.getModificationTime, dataChange,
+            Some(numRecords), stats)
+        }.collect().toSeq
+    fs.delete(tmp, true)
     adds
   }
 }

@@ -1,0 +1,53 @@
+package graft.vintage
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The log must checkpoint every N commits so replay reads
+  * checkpoint + tail, not O(versions) commit files.
+  */
+class CheckpointSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("replay after 25 commits reads checkpoint + tail only") {
+    val dir = Files.createTempDirectory("vintage-cp").toString + "/t"
+    val t = VintageTable.create(spark, dir, Seq((0, "v0")).toDF("id", "s").coalesce(1))
+    (1 to 25).foreach { i =>
+      t.append(Seq((i, s"v$i")).toDF("id", "s").coalesce(1))
+    }
+    assert(t.version == 25)
+    val logDir = VintageLog.logDir(t.path)
+    val store = LogStore.default
+    assert(store.exists(new HPath(logDir, f"${10L}%020d.checkpoint.json")))
+    assert(store.exists(new HPath(logDir, f"${20L}%020d.checkpoint.json")))
+    assert(store.exists(new HPath(logDir, "_last_checkpoint")))
+
+    // Hard proof that replay does not need the pre-checkpoint commits:
+    // delete version files 0..19 — snapshot, history and time travel to
+    // v>=20 must still work from checkpoint 20 + tail.
+    (0L to 19L).foreach { v =>
+      store.delete(new HPath(logDir, f"$v%020d.json"))
+    }
+    assert(t.toDF.count() == 26)
+    assert(t.snapshot.commits.size == 26, "checkpoint must carry commit history")
+    assert(t.toDFAsOf(22).count() == 23)
+    assert(t.history().count() == 26)
+    // time travel to a version before the surviving checkpoint uses the
+    // older checkpoint (v10 <= 19 were deleted, but checkpoint 10 exists)
+    assert(t.toDFAsOf(10).count() == 11)
+  }
+
+  test("timestamp time travel works from checkpointed history") {
+    val dir = Files.createTempDirectory("vintage-cp").toString + "/ts"
+    val t = VintageTable.create(spark, dir, Seq((0, "a")).toDF("id", "s").coalesce(1))
+    (1 to 12).foreach { i => t.append(Seq((i, "b")).toDF("id", "s").coalesce(1)) }
+    val commits = t.snapshot.commits.sortBy(_.version)
+    val v5ts = commits.find(_.version == 5).get.timestamp
+    assert(t.toDFAsOfTimestamp(v5ts).count() == 6)
+  }
+}

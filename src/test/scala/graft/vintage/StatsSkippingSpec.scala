@@ -1,0 +1,109 @@
+package graft.vintage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Per-file min/max stats must be written at commit time and consulted
+  * before any scan: a point delete/update/merge against a multi-file
+  * table may only rewrite (and only scan) the files whose stat range
+  * contains the key.
+  */
+class StatsSkippingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Three files with disjoint id ranges: [1,100], [101,200], [201,300]. */
+  private def threeFileTable(): VintageTable = {
+    val dir = Files.createTempDirectory("vintage-skip").toString + "/t"
+    val t = VintageTable.create(spark, dir,
+      (1 to 100).map(i => (i.toLong, s"name_$i")).toDF("id", "name").coalesce(1))
+    t.append((101 to 200).map(i => (i.toLong, s"name_$i")).toDF("id", "name").coalesce(1))
+    t.append((201 to 300).map(i => (i.toLong, s"name_$i")).toDF("id", "name").coalesce(1))
+    t
+  }
+
+  test("writeFiles populates min/max/nullCount stats") {
+    val t = threeFileTable()
+    val files = t.snapshot.files
+    assert(files.size == 3)
+    files.foreach { f =>
+      assert(f.numRecords.contains(100L))
+      val id = f.stats("id")
+      assert(id.min.isDefined && id.max.isDefined && id.nullCount.contains(0L))
+      val name = f.stats("name")
+      assert(name.min.exists(_.startsWith("name_")))
+    }
+    val ranges = files.map(f => (BigDecimal(f.stats("id").min.get),
+                                 BigDecimal(f.stats("id").max.get))).sorted
+    assert(ranges == Seq((BigDecimal(1), BigDecimal(100)),
+                         (BigDecimal(101), BigDecimal(200)),
+                         (BigDecimal(201), BigDecimal(300))))
+  }
+
+  test("candidateFiles prunes by numeric range, string range, and IN") {
+    val t = threeFileTable()
+    val snap = t.snapshot
+    assert(t.candidateFiles(snap, col("id") === 150).size == 1)
+    assert(t.candidateFiles(snap, expr("id = 150")).size == 1)
+    assert(t.candidateFiles(snap, col("id") < 50).size == 1)
+    assert(t.candidateFiles(snap, col("id") >= 200).size == 2)
+    assert(t.candidateFiles(snap, col("id").isin(5, 205)).size == 2)
+    assert(t.candidateFiles(snap, col("id") === 9999).isEmpty)
+    // string equality: name_150 only falls in file 2's [name_101,name_99] range;
+    // lexicographic ranges overlap across files, so expect <= 3 but >= 1
+    val byName = t.candidateFiles(snap, col("name") === "zzz")
+    assert(byName.isEmpty, "name stats should exclude out-of-range strings")
+    // conjunction narrows, disjunction unions
+    assert(t.candidateFiles(snap, col("id") > 50 && col("id") < 60).size == 1)
+    assert(t.candidateFiles(snap, col("id") === 50 || col("id") === 250).size == 2)
+    // unknown shapes never prune
+    assert(t.candidateFiles(snap, length(col("name")) > 3).size == 3)
+  }
+
+  test("point delete rewrites only the file containing the key") {
+    val t = threeFileTable()
+    t.delete(expr("id = 150"))
+    assert(t.toDF.count() == 299)
+    val actions = VintageLog.readVersion(t.path, t.version)
+    val removes = actions.collect { case r: RemoveFile => r }
+    assert(removes.size == 1, s"expected 1 rewritten file, got ${removes.size}")
+    // the untouched files' stats survive in the snapshot
+    val post = t.snapshot.files
+    assert(post.exists(f => f.stats("id").min.contains("1")))
+    assert(post.exists(f => f.stats("id").min.contains("201")))
+  }
+
+  test("small merge touches only the file intersecting the source key range") {
+    val t = threeFileTable()
+    val src = Seq((250L, "updated_250"), (301L, "name_301"))
+      .toDF("id", "name")
+    t.as("tgt").merge(src.as("src"), "tgt.id = src.id")
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    assert(t.toDF.count() == 301)
+    assert(t.toDF.filter(col("id") === 250).select("name").head().getString(0)
+      == "updated_250")
+    val actions = VintageLog.readVersion(t.path, t.version)
+    val removes = actions.collect { case r: RemoveFile => r }
+    assert(removes.size == 1,
+      s"merge with keys in [250,301] must rewrite only file 3, got ${removes.size}")
+  }
+
+  test("update prunes: only the CHF-range file is rewritten") {
+    val dir = Files.createTempDirectory("vintage-skip").toString + "/c"
+    val t = VintageTable.create(spark, dir,
+      Seq(("CHF", 1.0), ("CHF", 2.0)).toDF("ccy", "v").coalesce(1))
+    t.append(Seq(("NOK", 3.0), ("RUB", 4.0)).toDF("ccy", "v").coalesce(1))
+    t.update(col("ccy") === "CHF", Map("v" -> lit(9.0)))
+    val removes = VintageLog.readVersion(t.path, t.version)
+      .collect { case r: RemoveFile => r }
+    assert(removes.size == 1)
+    assert(t.toDF.filter(col("ccy") === "CHF").agg(sum("v")).head().getDouble(0) == 18.0)
+    assert(t.toDF.filter(col("ccy") === "NOK").head().getDouble(1) == 3.0)
+  }
+}
