@@ -167,9 +167,19 @@ class VintageMergeBuilder private[vintage] (
     }
 
     val rewritten = withAct.select(outCols: _*)
+    // Small-file mitigation (reference README.md:394-397): with the
+    // flag on, the rewrite is coalesced to ~the number of touched input
+    // files instead of fanning out to shuffle.partitions output files.
+    val repartitionBeforeWrite =
+      spark.conf.getOption("spark.vintage.merge.repartitionBeforeWrite")
+        .orElse(spark.conf.getOption("spark.delta.merge.repartitionBeforeWrite"))
+        .exists(_.equalsIgnoreCase("true"))
+    val toWrite =
+      if (repartitionBeforeWrite) rewritten.repartition(math.max(1, touched.size))
+      else rewritten
     val adds =
       if (touched.isEmpty && notMatchedClauses.isEmpty) Nil
-      else VintageTable.writeFiles(spark, rewritten, table.path, dataChange = true)
+      else VintageTable.writeFiles(spark, toWrite, table.path, dataChange = true)
     val meta =
       if (finalSchema != snap.schema) Some(Metadata(finalSchema.json, snap.properties))
       else None

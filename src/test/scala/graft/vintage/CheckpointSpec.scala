@@ -42,6 +42,24 @@ class CheckpointSpec extends AnyFunSuite {
     assert(t.toDFAsOf(10).count() == 11)
   }
 
+  test("repartitionBeforeWrite bounds merge output files by touched inputs") {
+    val dir = Files.createTempDirectory("vintage-cp").toString + "/rp"
+    val t = VintageTable.create(spark, dir,
+      (1 to 100).map(i => (i.toLong, s"n$i")).toDF("id", "s").coalesce(1))
+    spark.conf.set("spark.vintage.merge.repartitionBeforeWrite", "true")
+    try {
+      t.as("tgt").merge(
+          Seq((50L, "upd")).toDF("id", "s").as("src"), "tgt.id = src.id")
+        .whenMatched().updateAll()
+        .whenNotMatched().insertAll()
+        .execute()
+    } finally spark.conf.unset("spark.vintage.merge.repartitionBeforeWrite")
+    val adds = VintageLog.readVersion(t.path, t.version)
+      .collect { case a: AddFile => a }
+    assert(adds.size <= 2, s"1 touched file must not fan out: got ${adds.size}")
+    assert(t.toDF.count() == 100)
+  }
+
   test("timestamp time travel works from checkpointed history") {
     val dir = Files.createTempDirectory("vintage-cp").toString + "/ts"
     val t = VintageTable.create(spark, dir, Seq((0, "a")).toDF("id", "s").coalesce(1))
