@@ -135,18 +135,33 @@ class VintageTable private (
     * file is logically removed, new data added, prior versions stay
     * readable (README.md:199-204).
     */
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame): Unit = overwrite(df, dataChange = true)
+
+  /** Overwrite with `dataChange=false` is the compaction contract
+    * (README.md:403-412): same logical rows, different file layout.
+    */
+  def overwrite(df: DataFrame, dataChange: Boolean): Unit = {
     val snap = snapshot
-    val adds = writeFiles(spark, df, path, dataChange = true)
+    val adds = writeFiles(spark, df, path, dataChange)
     val meta = Metadata(df.schema.json, snap.properties)
-    commitOp(snap, "WRITE", Map("mode" -> "Overwrite", "partitionBy" -> "[]"),
-      adds, removesFor(snap, snap.files.map(_.path).toSet), Some(meta))
+    val params = Map("mode" -> "Overwrite", "partitionBy" -> "[]") ++
+      (if (dataChange) Map.empty else Map("dataChange" -> "false"))
+    val now = System.currentTimeMillis()
+    commitOp(snap, "WRITE", params, adds,
+      snap.files.map(f => RemoveFile(f.path, now, dataChange)), Some(meta))
   }
 
   /** Append without touching existing files. */
   def append(df: DataFrame): Unit = {
     val snap = snapshot
-    val adds = writeFiles(spark, df, path, dataChange = true)
+    val missing = snap.schema.fieldNames
+      .filterNot(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    val extra = df.schema.fieldNames
+      .filterNot(c => snap.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty && extra.isEmpty,
+      s"append schema mismatch: missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
+    val adds = writeFiles(spark, df.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+      path, dataChange = true)
     commitOp(snap, "WRITE", Map("mode" -> "Append", "partitionBy" -> "[]"),
       adds, Nil, None)
   }

@@ -1,0 +1,88 @@
+package graft.vintage.connector
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.graftshim.VintageRelation
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+import graft.vintage.{VintageLog, VintageTable}
+
+/** The `vintage` data source — the reference's primary user surface
+  * re-expressed for our engine (README.md:92,98,169 uses
+  * `spark.read.format("delta").load`, `option("versionAsOf", 0)`,
+  * `df.write.format("delta").mode("overwrite").save`):
+  *
+  * {{{
+  * df.write.format("vintage").mode("overwrite").save(path)
+  * spark.read.format("vintage").load(path)
+  * spark.read.format("vintage").option("versionAsOf", 0).load(path)
+  * spark.read.format("vintage").option("timestampAsOf", ts).load(path)
+  * df.write.format("vintage").mode("overwrite")
+  *   .option("dataChange", "false").save(path)   // compaction
+  * }}}
+  *
+  * Reads resolve the transaction log to a version-pinned file list and
+  * execute through Spark's native vectorized parquet path (see
+  * [[org.apache.spark.sql.graftshim.VintageRelation]]); writes commit
+  * through [[VintageTable]] so every save is an atomic log commit.
+  */
+class VintageSource extends DataSourceRegister
+    with RelationProvider with CreatableRelationProvider {
+
+  override def shortName(): String = "vintage"
+
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
+    val abs = pathOf(parameters)
+    require(VintageLog.exists(abs), s"not a vintage table: $abs")
+    val snap = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "specify either versionAsOf or timestampAsOf, not both")
+      case (Some(v), None) => VintageLog.replay(abs, Some(v.toLong))
+      case (None, Some(ts)) =>
+        VintageLog.replay(abs, Some(VintageLog.versionAtTimestamp(abs, parseTs(ts))))
+      case (None, None) => VintageLog.replay(abs)
+    }
+    VintageRelation(sqlContext.sparkSession, abs, snap)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], df: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val abs = pathOf(parameters)
+    val dataChange = parameters.get("dataChange").forall(_.toBoolean)
+    val exists = VintageTable.isVintageTable(abs)
+    mode match {
+      case SaveMode.Overwrite =>
+        if (!exists) VintageTable.create(spark, abs, df)
+        else VintageTable.forPath(spark, abs).overwrite(df, dataChange)
+      case SaveMode.Append =>
+        if (!exists) VintageTable.create(spark, abs, df)
+        else VintageTable.forPath(spark, abs).append(df)
+      case SaveMode.ErrorIfExists =>
+        if (exists)
+          throw new IllegalArgumentException(s"vintage table already exists: $abs")
+        VintageTable.create(spark, abs, df)
+      case SaveMode.Ignore =>
+        if (!exists) VintageTable.create(spark, abs, df)
+    }
+    createRelation(sqlContext,
+      parameters - "versionAsOf" - "timestampAsOf" - "dataChange")
+  }
+
+  private def pathOf(parameters: Map[String, String]): String =
+    VintageTable.absolutize(parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' is required for format(\"vintage\")")))
+
+  /** Epoch millis, or an ISO/SQL timestamp string. */
+  private def parseTs(s: String): Long =
+    try s.toLong
+    catch {
+      case _: NumberFormatException =>
+        try java.sql.Timestamp.valueOf(s).getTime
+        catch {
+          case _: IllegalArgumentException => java.time.Instant.parse(s).toEpochMilli
+        }
+    }
+}
