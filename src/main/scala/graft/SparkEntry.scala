@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Analytics
+import graft.queries.{Analytics, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,13 @@ object SparkEntry {
     "q10_event_stats"      -> (Analytics.q10EventStats _),
     "q11_user_running"     -> (Analytics.q11UserRunning _),
     "q12_brand_except"     -> (Analytics.q12BrandExcept _),
+    "q13_dedup_exact"      -> (PipelineQueries.q13DedupExact _),
+    "q14_similarity_topk"  -> (PipelineQueries.q14SimilarityTopK _),
+    "q15_near_dup_pairs"   -> (PipelineQueries.q15NearDupPairs _),
+    "q16_lang_id"          -> (PipelineQueries.q16LangId _),
+    "q17_text_quality"     -> (PipelineQueries.q17TextQuality _),
+    "q18_token_stats"      -> (PipelineQueries.q18TokenStats _),
+    "q19_fingerprint"      -> (PipelineQueries.q19Fingerprint _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +56,12 @@ object SparkEntry {
     "q10_event_stats"      -> Analytics.q10Sql,
     "q11_user_running"     -> Analytics.q11Sql,
     "q12_brand_except"     -> Analytics.q12Sql,
+    "q13_dedup_exact"      -> PipelineQueries.q13Sql,
+    "q14_similarity_topk"  -> PipelineQueries.q14Sql,
+    "q15_near_dup_pairs"   -> PipelineQueries.q15Sql,
+    "q16_lang_id"          -> PipelineQueries.q16Sql,
+    "q17_text_quality"     -> PipelineQueries.q17Sql,
+    "q18_token_stats"      -> PipelineQueries.q18Sql,
+    "q19_fingerprint"      -> PipelineQueries.q19Sql,
   )
 }

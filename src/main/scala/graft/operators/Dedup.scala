@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora: exact (content
+  * hash), MinHash-LSH near-dup (banded — candidate pairs only ever form
+  * inside a (band, bucket) group, never via an all-pairs product),
+  * SimHash (64-bit, pigeonhole-banded), and exact n-gram Jaccard
+  * verification.
+  *
+  * 100 TB design notes:
+  *   - every stage is a declarative DataFrame program: shingling and
+  *     signatures are per-row expressions (codegen'd, no UDFs); the
+  *     only shuffles are the (band, bucket) groupBy and the final
+  *     candidate verification join, both on bounded keys.
+  *   - bucket skew (a degenerate bucket with millions of members) is
+  *     capped with `maxBucketSize` — oversized buckets are dropped and
+  *     reported rather than exploded into O(n²) pairs, the standard
+  *     guard in web-scale dedup pipelines.
+  *   - signatures use 2-universal permutations a*h+b mod p over 32-bit
+  *     base hashes (constants sized so a*h+b never overflows a long).
+  */
+object Dedup {
+
+  /** Mersenne-ish prime > 2^32 for the minhash permutation ring. */
+  private val P = 4294967311L
+
+  /** Distinct character k-shingles of `textCol` as an array column. */
+  def shingles(textCol: String, k: Int): Column = expr(
+    s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+    s"i -> substring($textCol, i, $k)))")
+
+  /** MinHash signature (array of `numHashes` longs) over the distinct
+    * shingle array in `shCol`: sig_j = min over shingles of
+    * (a_j * h32(s) + b_j) mod p, with a_j/b_j derived from j by
+    * hashing — deterministic across runs and engines.
+    */
+  def minHashSignature(shCol: String, numHashes: Int): Column = expr(
+    s"""transform(sequence(0, ${numHashes - 1}), j ->
+       |  array_min(transform($shCol, s ->
+       |    pmod((pmod(xxhash64(concat('minhash-a-', j)), 1073741824) + 1)
+       |         * pmod(xxhash64(s), 4294967296)
+       |         + pmod(xxhash64(concat('minhash-b-', j)), $P), $P))))""".stripMargin)
+
+  /** Exact dedup: one row per distinct value of `hashCol` expression,
+    * keeping the row with the smallest `idCol` (deterministic greedy
+    * survivor). Single hash-groupBy — the map-side partial aggregation
+    * makes this the cheapest possible full-corpus dedup.
+    */
+  def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val keep = df
+      .groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .drop("content_hash")
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Candidate near-dup pairs via banded MinHash-LSH, verified with
+    * exact shingle-set Jaccard. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    *
+    * Banding: `bands` bands of numHashes/bands rows; two docs become a
+    * candidate pair iff some band of their signatures is identical —
+    * the classic S-curve selectivity. All joins are equi-joins on
+    * (band, bucketHash); there is no cross product anywhere.
+    */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+
+    val withSh = df.select(col(idCol).as("__id"),
+        shingles(textCol, shingleSize).as("__sh"))
+      .withColumn("__sig", minHashSignature("__sh", numHashes))
+
+    // (doc, band) -> bucket hash of the band's signature slice
+    val banded = withSh.select(col("__id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> " +
+      s"xxhash64(concat_ws(',', b, slice(__sig, b * $r + 1, $r))))"))
+      .as(Seq("__band", "__bucket")))
+
+    // candidate pairs: equi-join within (band, bucket) groups, capped
+    val buckets = banded.groupBy("__band", "__bucket")
+      .agg(collect_list("__id").as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucketSize))
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(__ids, (a, i) ->
+          |  transform(slice(__ids, i + 2, size(__ids)), b ->
+          |    struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+    // exact verification on the candidate set only
+    val sets = withSh.select(col("__id"), col("__sh"))
+    pairs
+      .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
+      .withColumn("jaccard",
+        expr("size(array_intersect(__sh_a, __sh_b)) / " +
+             "cast(size(__sh_a) + size(__sh_b) - size(array_intersect(__sh_a, __sh_b)) as double)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Greedy near-dup removal: drops every doc that near-matches a doc
+    * with a smaller id.
+    */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, shingleSize, numHashes,
+        bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i is set iff the sum of
+    * (+1 / −1) contributions of token-hash bit i over all tokens is
+    * positive. Pure column expressions, deterministic.
+    */
+  def simHash(textCol: String): Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, 63), i ->
+       |    IF(aggregate(split(lower($textCol), '\\\\s+'), 0L, (acc, t) ->
+       |         acc + IF((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)) > 0,
+       |       shiftleft(1L, i), 0L)),
+       |  0L, (a, b) -> a | b)""".stripMargin)
+
+  /** Near-dup pairs by SimHash hamming distance <= maxHamming (<= 3 for
+    * the default 4-chunk banding: pigeonhole guarantees any pair within
+    * hamming 3 shares at least one identical 16-bit chunk).
+    */
+  def simHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val withSig = df.select(col(idCol).as("__id"), simHash(textCol).as("__sim"))
+    val chunked = withSig.select(col("__id"), col("__sim"), posexplode(expr(
+      "transform(sequence(0, 3), c -> shiftright(__sim, c * 16) & 65535)"))
+      .as(Seq("__chunk", "__ckey")))
+    val buckets = chunked.groupBy("__chunk", "__ckey")
+      .agg(collect_list(struct(col("__id"), col("__sim"))).as("__xs"))
+      .filter(size(col("__xs")).between(2, maxBucketSize))
+    buckets
+      .select(explode(expr(
+        """flatten(transform(__xs, (a, i) ->
+          |  transform(slice(__xs, i + 2, size(__xs)), b ->
+          |    struct(least(a.__id, b.__id) AS id_a, greatest(a.__id, b.__id) AS id_b,
+          |           bit_count(a.__sim ^ b.__sim) AS hamming))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Distinct word n-grams of a text column (Scala lambda variant of
+    * `transform` — still a codegen'd expression, no UDF).
+    */
+  def wordNGrams(c: Column, n: Int): Column = {
+    val toks = split(lower(c), "\\s+")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(toks) - n, lit(0))),
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** Exact word n-gram Jaccard similarity between two text columns —
+    * the verification primitive for near-dup scoring.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val ga = wordNGrams(a, n); val gb = wordNGrams(b, n)
+    val inter = size(array_intersect(ga, gb))
+    inter / (size(ga) + size(gb) - inter).cast("double")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: language ID
+  * (stopword heuristic), quality scoring, token counting (whitespace
+  * and BPE-ish regex), and document fingerprinting. Everything is a
+  * per-row codegen'd expression — no UDFs, no shuffles; at 100 TB these
+  * run at parquet-scan speed and pipeline into whatever aggregation
+  * follows.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text (empty-token-free). */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: runs of letters, single digits, or single
+    * non-alphanumeric glyphs — the classic pre-tokenizer shape; a real
+    * BPE vocab would refine these counts by subword merges.
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Stopword lists per language for the lang-ID heuristic (top
+    * function words; enough signal to separate the script families).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "zu", "mit"),
+    "en" -> Seq("the", "a", "an", "and", "is", "not", "to", "of", "in", "that"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "un", "una", "de"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "un", "une", "de", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "有", "我", "他", "这", "中"))
+
+  /** Per-language stopword hit count over the token array. */
+  def stopwordHits(c: Column, lang: String): Column = {
+    val set = stopwords(lang)
+    size(filter(tokens(c), t => t.isin(set: _*)))
+  }
+
+  /** Heuristic language ID: the language with the most stopword hits,
+    * ties broken alphabetically (deterministic, SQL-expressible on any
+    * engine for oracle parity).
+    */
+  def langId(c: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => stopwordHits(c, l))
+    val mx = greatest(scores: _*)
+    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === mx && mx > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Punctuation character ratio (0 for empty text). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(c, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))) /
+        length(c).cast("double"))
+
+  /** English-stopword token ratio (0 for empty token list). */
+  def stopwordRatio(c: Column): Column =
+    when(tokenCount(c) === 0, lit(0.0)).otherwise(
+      stopwordHits(c, "en") / tokenCount(c).cast("double"))
+
+  /** Composite quality score in [0,1]: rewards stopword density
+    * (natural prose), penalizes punctuation soup, saturating length
+    * bonus — the usual cheap pre-filter shape for corpus cleaning.
+    */
+  def qualityScore(c: Column): Column =
+    stopwordRatio(c) * lit(0.5) +
+      (lit(1.0) - punctRatio(c)) * lit(0.3) +
+      least(tokenCount(c).cast("double") / lit(100.0), lit(1.0)) * lit(0.2)
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text.
+    * Identical prose with differing spacing/casing collides — the usual
+    * "url-level vs content-level" middle ground.
+    */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** All per-document features in one projection. */
+  def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      tokenCount(t).as("n_tokens"),
+      bpeTokenCount(t).as("n_bpe_tokens"),
+      langId(t).as("lang_pred"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRatio(t).as("stopword_ratio"),
+      qualityScore(t).as("quality_score"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Driver-gated queries for the LLM-data-pipeline operators (dedup,
+  * similarity search, text analysis) over the `documents` and
+  * `embeddings` tables. Each query has an exact DuckDB oracle; outputs
+  * favor integer/string columns so hash comparison is
+  * representation-stable.
+  */
+object PipelineQueries {
+
+  /** documents ∪ planted exact copies (doc_id+100000 for doc_id<25) —
+    * gives the exact-dedup query something to collapse.
+    */
+  private def docsWithExactDups(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  /** Exact dedup survivors: smallest doc_id per distinct content. */
+  def q13DedupExact(spark: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(docsWithExactDups(spark, d), "doc_id", "text")
+      .select("doc_id").orderBy("doc_id")
+
+  val q13Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+      |)
+      |SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text) ORDER BY doc_id""".stripMargin
+
+  /** Brute-force cosine top-5 neighbors for the first 10 vectors
+    * (integer-only output: ranks and ids).
+    */
+  def q14SimilarityTopK(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  val q14Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      |      FROM embeddings),
+      |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+      |      FROM q, c WHERE query_id <> neighbor_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY sim DESC, neighbor_id ASC) AS rk
+      |      FROM s)
+      |SELECT query_id, neighbor_id, rk FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
+  /** MinHash-LSH near-dup pairs (verified with exact shingle Jaccard
+    * >= 0.8) over a 90-doc corpus with 30 planted truncation near-dups.
+    * The oracle computes exact all-pairs Jaccard — the banded-LSH
+    * candidate generation must therefore have perfect recall at this
+    * threshold/corpus (asserted also by DedupSpec at unit level).
+    */
+  def q15NearDupPairs(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val perturbed = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 6, 1))").as("text"))
+    Dedup.nearDupPairs(docs.unionByName(perturbed), "doc_id", "text",
+        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q15Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substring(text, 1, greatest(length(text) - 6, 1)) AS text
+      |  FROM documents WHERE doc_id < 30
+      |),
+      |sh AS (SELECT DISTINCT doc_id, substring(text, i, 5) AS s
+      |       FROM (SELECT doc_id, text,
+      |               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      |             FROM d)),
+      |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b FROM inter
+      |JOIN card ca ON ca.doc_id = id_a
+      |JOIN card cb ON cb.doc_id = id_b
+      |WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Heuristic language ID per document. */
+  def q16LangId(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val q16Sql: String = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scoreExprs = langs.map { l =>
+      val list = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($list))) AS s_$l"
+    }.mkString(",\n      |    ")
+    val caseArms = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+      |                t -> t <> '') AS toks
+      |  FROM documents
+      |),
+      |sc AS (
+      |  SELECT doc_id,
+      |    $scoreExprs
+      |  FROM t
+      |),
+      |m AS (SELECT *, greatest(${langs.map("s_" + _).mkString(", ")}) AS mx FROM sc)
+      |SELECT doc_id,
+      |  CASE WHEN mx = 0 THEN 'und' $caseArms ELSE 'und' END AS lang_pred
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-document quality features (ratios are double divisions of
+    * integer counts — bit-identical across engines).
+    */
+  def q17TextQuality(spark: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.bpeTokenCount(t).as("n_bpe_tokens"),
+      TextAnalysis.punctRatio(t).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+      TextAnalysis.qualityScore(t).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val q17Sql: String = {
+    val enList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+      |                t -> t <> '') AS toks
+      |  FROM documents
+      |),
+      |f AS (
+      |  SELECT doc_id,
+      |    length(text) AS n_chars,
+      |    len(toks) AS n_tokens,
+      |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)) AS n_bpe_tokens,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |         ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]', 0))
+      |              / CAST(length(text) AS DOUBLE) END AS punct_ratio,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |         ELSE len(list_filter(toks, t -> t IN ($enList)))
+      |              / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
+      |  FROM t
+      |)
+      |SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio,
+      |  stopword_ratio * 0.5 + (1.0 - punct_ratio) * 0.3
+      |    + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score
+      |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus token frequency: top 50 tokens (count desc, token asc). */
+  def q18TokenStats(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(50)
+
+  val q18Sql: String =
+    """SELECT t.tok AS token, count(*) AS n_occurrences
+      |FROM documents,
+      |  LATERAL unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) t(tok)
+      |GROUP BY 1
+      |ORDER BY n_occurrences DESC, token ASC
+      |LIMIT 50""".stripMargin
+
+  /** Content fingerprints (md5 of normalized text). */
+  def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val q19Sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "completely different content about spark query engines and columnar io"),
+    (3L, "a third document that talks about minhash signatures and lsh banding"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again todaX"), // near-dup of 1
+    (5L, "unrelated fifth text mentioning parquet footers and file statistics"))
+    .toDF("id", "text")
+
+  test("exactDedup keeps the smallest id per distinct content") {
+    val df = base.union(Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (12L, "completely different content about spark query engines and columnar io"))
+      .toDF("id", "text"))
+    val out = Dedup.exactDedup(df, "id", "text")
+    assert(out.count() == 5)
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("minhash-LSH finds planted near-dups at Jaccard >= 0.8, no false pairs") {
+    val pairs = Dedup.nearDupPairs(base, "id", "text", threshold = 0.8)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == Set((1L, 4L)), s"expected exactly the planted pair, got $found")
+    val j = pairs.filter(col("id_a") === 1).select("jaccard").head().getDouble(0)
+    assert(j >= 0.8 && j <= 1.0)
+  }
+
+  test("near-dup plan contains no cartesian product") {
+    val plan = Dedup.nearDupPairs(base, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "LSH candidate generation must never degrade to an all-pairs product")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "candidate join must be an equi-join on (band, bucket)")
+  }
+
+  test("dropNearDuplicates keeps the smaller id of each near-dup pair") {
+    val out = Dedup.dropNearDuplicates(base, "id", "text")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("simhash: near-identical docs within hamming 3, different docs far") {
+    // simhash needs long docs: a 1-token change must be a small fraction
+    // of the token stream for the fingerprint to stay within hamming 3
+    val longA = (1 to 300).map(i => s"word$i").mkString(" ")
+    val longB = (1 to 300).map(i => if (i == 150) "CHANGED" else s"word$i").mkString(" ")
+    val longC = (1 to 300).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, longA), (2L, longB), (3L, longC)).toDF("id", "text")
+    val pairs = Dedup.simHashPairs(docs, "id", "text", maxHamming = 3)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L)), s"planted near-dup must collide, got $found")
+    assert(!found.contains((1L, 3L)) && !found.contains((2L, 3L)))
+  }
+
+  test("ngramJaccard: identical=1, disjoint=0, near-dup high") {
+    val df = Seq((
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "totally unrelated words here without overlap",
+      "the quick brown fox jumps over the lazy cat"))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(
+      Dedup.ngramJaccard(col("a"), col("b"), 2).as("same"),
+      Dedup.ngramJaccard(col("a"), col("c"), 2).as("disjoint"),
+      Dedup.ngramJaccard(col("a"), col("d"), 2).as("near")).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) > 0.6 && r.getDouble(2) < 1.0)
+  }
+}
