@@ -1,0 +1,208 @@
+package graft.vintage.connector
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.graftshim.VintageRelation
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.vintage.{Snapshot, VintageLog, VintageTable}
+
+/** SQL catalog for vintage tables — registers as
+  * `spark.sql.catalog.<name>=graft.vintage.connector.VintageCatalog`
+  * with `spark.sql.catalog.<name>.warehouse=<dir>`, after which:
+  *
+  * {{{
+  * CREATE TABLE vin.exr (…) ;  CREATE TABLE vin.t AS SELECT …
+  * INSERT INTO vin.exr …  ;  INSERT OVERWRITE vin.exr …
+  * SELECT * FROM vin.exr VERSION AS OF 0
+  * SELECT * FROM vin.exr TIMESTAMP AS OF '…'
+  * DELETE FROM vin.exr WHERE CURRENCY = 'RUB'
+  * }}}
+  *
+  * Time travel lands on `loadTable(ident, version|timestamp)` (the SQL
+  * `VERSION AS OF` surface of SURVEY §2.1 S4); reads reuse the
+  * stat-pruning FileIndex relation via a V1Scan fallback; writes and
+  * deletes commit through [[VintageTable]]. MERGE INTO / UPDATE SQL
+  * need the group-based row-level-operation framework and are covered
+  * by the fluent Scala API instead (the reference only exercises the
+  * fluent surface).
+  */
+class VintageCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      System.getProperty("java.io.tmpdir") + "/vintage-warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  /** `vin.t` → warehouse/t; a backquoted absolute path is used as-is. */
+  private def pathFor(ident: Identifier): String = {
+    val raw = (ident.namespace() :+ ident.name()).mkString("/")
+    if (raw.startsWith("/") || raw.contains(":/")) raw
+    else s"$warehouse/$raw"
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new HPath((warehouse +: namespace).mkString("/"))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).collect {
+      case s if s.isDirectory && VintageLog.exists(s.getPath.toString) =>
+        Identifier.of(namespace, s.getPath.getName)
+    }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    VintageLog.exists(pathFor(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathFor(ident)
+    if (!VintageLog.exists(p)) throw new NoSuchTableException(ident)
+    new VintageSqlTable(p, ident.toString, VintageLog.replay(p))
+  }
+
+  /** SQL `VERSION AS OF v`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathFor(ident)
+    if (!VintageLog.exists(p)) throw new NoSuchTableException(ident)
+    new VintageSqlTable(p, ident.toString,
+      VintageLog.replay(p, Some(version.toLong)), timeTravel = true)
+  }
+
+  /** SQL `TIMESTAMP AS OF ts` (micros since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathFor(ident)
+    if (!VintageLog.exists(p)) throw new NoSuchTableException(ident)
+    val v = VintageLog.versionAtTimestamp(p, timestamp / 1000L)
+    new VintageSqlTable(p, ident.toString,
+      VintageLog.replay(p, Some(v)), timeTravel = true)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "vintage tables do not support partition transforms yet")
+    val p = pathFor(ident)
+    if (VintageLog.exists(p)) throw new TableAlreadyExistsException(ident)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    VintageTable.create(spark, p, empty, properties.asScala.toMap)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER TABLE not supported for vintage (yet)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new HPath(pathFor(ident))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p) && fs.delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val o = new HPath(pathFor(oldIdent)); val n = new HPath(pathFor(newIdent))
+    val fs = o.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.rename(o, n))
+      throw new IllegalStateException(s"rename $o -> $n failed")
+  }
+}
+
+/** DSv2 Table over one snapshot: reads via a V1Scan wrapping the
+  * stat-pruning FileIndex relation (full parquet pushdown happens in
+  * the inner plan), writes via the V1 InsertableRelation fallback,
+  * SQL DELETE via SupportsDelete (copy-on-write with file skipping).
+  */
+class VintageSqlTable(
+    path: String, ident: String, snapshot: Snapshot,
+    timeTravel: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = ident
+  override def schema(): StructType = snapshot.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def properties(): util.Map[String, String] =
+    (snapshot.properties + ("provider" -> "vintage") +
+      ("version" -> snapshot.version.toString)).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: StructType = snapshot.schema
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters.filter(f => Filters.toColumn(f).isDefined)
+        filters // all filters stay as residual; the inner scan re-applies
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = if (requiredSchema.isEmpty) StructType(snapshot.schema.take(1))
+                   else requiredSchema
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val filters = pushed; val req = required
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = req
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+              var df: DataFrame = context.sparkSession
+                .baseRelationToDataFrame(
+                  VintageRelation(context.sparkSession, path, snapshot))
+              Filters.toColumnAll(filters.toSeq).foreach(c => df = df.filter(c))
+              df.select(req.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      require(!timeTravel, "cannot write to a time-travel snapshot")
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: DataFrame, overwriteFlag: Boolean) => {
+            val t = VintageTable.forPath(SparkSession.active, path)
+            if (overwrite || overwriteFlag) t.overwrite(data) else t.append(data)
+          }
+      }
+    }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => Filters.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!timeTravel, "cannot delete from a time-travel snapshot")
+    Filters.toColumnAll(filters.toSeq) match {
+      case Some(cond) => VintageTable.forPath(spark, path).delete(cond)
+      case None => throw new UnsupportedOperationException(
+        s"untranslatable delete predicates: ${filters.mkString(", ")}")
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.vintage
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** SQL surface through the vintage TableCatalog: DDL, DML, time travel. */
+class SqlCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.vin", "graft.vintage.connector.VintageCatalog")
+    s.conf.set("spark.sql.catalog.vin.warehouse",
+      Files.createTempDirectory("vintage-wh").toString)
+    s
+  }
+
+  test("CREATE TABLE / INSERT / SELECT / time travel / DELETE") {
+    spark.sql("CREATE TABLE vin.exr (ccy STRING, v DOUBLE)")
+    spark.sql("INSERT INTO vin.exr VALUES ('CHF', 1.1), ('NOK', 2.2), ('RUB', 3.3)")
+    assert(spark.sql("SELECT * FROM vin.exr").count() == 3)
+
+    spark.sql("INSERT INTO vin.exr VALUES ('USD', 4.4)")
+    assert(spark.sql("SELECT * FROM vin.exr").count() == 4)
+
+    // SQL time travel: v1 was the first insert
+    assert(spark.sql("SELECT * FROM vin.exr VERSION AS OF 1").count() == 3)
+    assert(spark.sql("SELECT * FROM vin.exr VERSION AS OF 0").count() == 0)
+
+    // predicate + projection still work through the V1Scan fallback
+    assert(spark.sql("SELECT ccy FROM vin.exr WHERE v > 2.0").count() == 3)
+
+    // SQL DELETE: copy-on-write through the table layer
+    spark.sql("DELETE FROM vin.exr WHERE ccy = 'RUB'")
+    assert(spark.sql("SELECT * FROM vin.exr").count() == 3)
+    assert(spark.sql("SELECT * FROM vin.exr WHERE ccy = 'RUB'").count() == 0)
+    // pre-delete version still readable
+    assert(spark.sql("SELECT * FROM vin.exr VERSION AS OF 2").count() == 4)
+
+    // INSERT OVERWRITE = full replacement retaining history
+    spark.sql("INSERT OVERWRITE vin.exr VALUES ('EUR', 1.0)")
+    assert(spark.sql("SELECT * FROM vin.exr").count() == 1)
+    assert(spark.sql("SELECT * FROM vin.exr VERSION AS OF 2").count() == 4)
+  }
+
+  test("CTAS and TIMESTAMP AS OF") {
+    spark.sql("CREATE TABLE vin.t2 AS SELECT id, id * 2 AS dbl FROM range(10)")
+    assert(spark.sql("SELECT * FROM vin.t2").count() == 10)
+    val wh = spark.conf.get("spark.sql.catalog.vin.warehouse")
+    val commits = VintageLog.replay(s"$wh/t2").commits
+    val ts = new java.sql.Timestamp(commits.map(_.timestamp).max)
+    assert(spark.sql(s"SELECT * FROM vin.t2 TIMESTAMP AS OF '$ts'").count() == 10)
+  }
+
+  test("catalog utilities: listTables, dropTable, tableExists") {
+    spark.sql("CREATE TABLE vin.t3 (x INT)")
+    val names = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet
+    assert(names.contains("t3"))
+    spark.sql("DROP TABLE vin.t3")
+    val after = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet
+    assert(!after.contains("t3"))
+  }
+}
