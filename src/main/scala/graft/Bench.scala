@@ -15,6 +15,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed region so the first query
+    // doesn't absorb classloading + codegen compilation costs
+    spark.range(1000000).selectExpr("sum(id % 7)", "count(distinct id % 13)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

