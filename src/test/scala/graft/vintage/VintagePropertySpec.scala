@@ -1,0 +1,80 @@
+package graft.vintage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Property-style test (SURVEY §5 item 3): random sequences of
+  * merge/delete/update/overwrite/append against an in-memory
+  * Map[key, value] model. Invariant: after every operation the table
+  * equals the model, and `toDFAsOf(v)` equals the model's recorded
+  * state after operation v — i.e. the transaction log is a faithful,
+  * time-travelable history under arbitrary op interleavings.
+  */
+class VintagePropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tableState(t: VintageTable): Map[Long, Double] =
+    t.toDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("random op sequences match an in-memory model, incl. time travel") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dir = Files.createTempDirectory("vintage-prop").toString + "/t"
+
+    def df(m: Map[Long, Double]) = m.toSeq.toDF("k", "v").coalesce(2)
+
+    var model = (1L to 20L).map(k => k -> rnd.nextDouble()).toMap
+    val t = VintageTable.create(spark, dir, df(model))
+    val history = scala.collection.mutable.ArrayBuffer[Map[Long, Double]](model)
+
+    (1 to 15).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => // merge: update some existing + insert some new keys
+          val upd = model.keys.toSeq.sorted.take(rnd.nextInt(5) + 1)
+            .map(k => k -> rnd.nextDouble()).toMap
+          val ins = (1 to rnd.nextInt(3) + 1)
+            .map(_ => (model.keys.max + rnd.nextInt(100) + 1) -> rnd.nextDouble()).toMap
+          val src = (upd ++ ins).toSeq.toDF("k", "v")
+          t.as("t").merge(src.as("s"), "t.k = s.k")
+            .whenMatched().updateAll().whenNotMatched().insertAll().execute()
+          model = model ++ upd ++ ins
+        case 1 => // conditional delete
+          val cut = model.keys.toSeq.sorted.drop(model.size / 2).headOption.getOrElse(0L)
+          t.delete(col("k") >= cut)
+          model = model.filter(_._1 < cut)
+        case 2 => // conditional update
+          val cut = model.keys.toSeq.sorted.take(model.size / 2).lastOption.getOrElse(0L)
+          t.update(col("k") <= cut, Map("v" -> lit(-1.0)))
+          model = model.map { case (k, v) => k -> (if (k <= cut) -1.0 else v) }
+        case 3 => // full replacement
+          model = (1L to (rnd.nextInt(20) + 5).toLong)
+            .map(k => k -> rnd.nextDouble()).toMap
+          t.overwrite(df(model))
+        case 4 => // append fresh keys
+          val ins = (1 to rnd.nextInt(4) + 1)
+            .map(i => (model.keys.max + 10 * i + rnd.nextInt(9) + 1) -> rnd.nextDouble()).toMap
+          t.append(df(ins))
+          model = model ++ ins
+      }
+      assert(tableState(t) == model, s"state mismatch after step $step")
+      assert(t.version == step.toLong, s"one commit per op expected")
+      history += model
+    }
+
+    // time travel: every recorded version equals its model state
+    history.zipWithIndex.foreach { case (m, v) =>
+      val got = t.toDFAsOf(v).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == m, s"time travel to v$v diverged from model")
+    }
+
+    // compaction + vacuum never change the logical state
+    t.compact(2)
+    assert(tableState(t) == model)
+    assert(t.toDFAsOf(3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == history(3))
+  }
+}
