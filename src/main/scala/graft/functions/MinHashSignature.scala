@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd MinHash signature: one pass over the shingle array
+  * computing all `numHashes` permutation minima.
+  *
+  * Semantically identical to the SQL higher-order-function formulation
+  * in `graft.operators.Dedup` (same xxhash64 base hashes, same
+  * a*h+b mod p permutations), but Spark evaluates nested lambda
+  * expressions interpreted — this expression stays inside whole-stage
+  * codegen and computes the signature in a tight compiled loop, which
+  * is the difference between a per-row allocation storm and scan-speed
+  * signatures on a 100 TB corpus.
+  *
+  * Permutation constants: a_j = pmod(xxhash64('minhash-a-' + j), 2^30)+1,
+  * b_j = pmod(xxhash64('minhash-b-' + j), p), p = 4294967311 (prime >
+  * 2^32); base hash folded to 32 bits so a*h+b never overflows a long.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature needs array<string>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val aConst: Array[Long] = MinHashSignature.aConsts(numHashes)
+  @transient private lazy val bConst: Array[Long] = MinHashSignature.bConsts(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = MinHashSignature.compute(arr, numHashes, aConst, bConst)
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aConst, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bConst, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h32 = ctx.freshName("h32")
+      val v = ctx.freshName("v")
+      s"""
+         |long[] $sig = new long[$numHashes];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  UTF8String $s = $arr.getUTF8String($i);
+         |  long $h32 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L) & 0xFFFFFFFFL;
+         |  for (int $j = 0; $j < $numHashes; $j++) {
+         |    long $v = Math.floorMod($aRef[$j] * $h32 + $bRef[$j], ${MinHashSignature.P}L);
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Prime > 2^32; permutation ring modulus. */
+  val P: Long = 4294967311L
+
+  /** xxhash64 (seed 42, same as SQL xxhash64) of a string's UTF-8 bytes. */
+  private def sqlXxhash64(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  def aConsts(n: Int): Array[Long] =
+    Array.tabulate(n)(j => Math.floorMod(sqlXxhash64(s"minhash-a-$j"), 1073741824L) + 1L)
+
+  def bConsts(n: Int): Array[Long] =
+    Array.tabulate(n)(j => Math.floorMod(sqlXxhash64(s"minhash-b-$j"), P))
+
+  /** Interpreted path (also used by tests as the reference). */
+  def compute(arr: ArrayData, n: Int, a: Array[Long], b: Array[Long]): Array[Long] = {
+    val sig = Array.fill(n)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h32 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L) & 0xFFFFFFFFL
+      var j = 0
+      while (j < n) {
+        val v = Math.floorMod(a(j) * h32 + b(j), P)
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}

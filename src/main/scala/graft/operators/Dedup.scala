@@ -34,14 +34,15 @@ object Dedup {
   /** MinHash signature (array of `numHashes` longs) over the distinct
     * shingle array in `shCol`: sig_j = min over shingles of
     * (a_j * h32(s) + b_j) mod p, with a_j/b_j derived from j by
-    * hashing — deterministic across runs and engines.
+    * hashing — deterministic across runs and engines. Computed by the
+    * codegen'd [[graft.functions.MinHashSignature]] expression (one
+    * compiled pass; the equivalent SQL higher-order functions would be
+    * interpreted per element).
     */
-  def minHashSignature(shCol: String, numHashes: Int): Column = expr(
-    s"""transform(sequence(0, ${numHashes - 1}), j ->
-       |  array_min(transform($shCol, s ->
-       |    pmod((pmod(xxhash64(concat('minhash-a-', j)), 1073741824) + 1)
-       |         * pmod(xxhash64(s), 4294967296)
-       |         + pmod(xxhash64(concat('minhash-b-', j)), $P), $P))))""".stripMargin)
+  def minHashSignature(shCol: String, numHashes: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.MinHashSignature(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col(shCol)), numHashes))
 
   /** Exact dedup: one row per distinct value of `hashCol` expression,
     * keeping the row with the smallest `idCol` (deterministic greedy

@@ -14,4 +14,10 @@ import org.apache.spark.sql.classic.ColumnNodeToExpressionConverter
   */
 object ColumnExpr {
   def expr(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+
+  /** Wrap a Catalyst expression back into a user-facing Column (for
+    * registering custom codegen'd expressions like MinHashSignature).
+    */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }
