@@ -183,6 +183,27 @@ class VintageTable private (
       None)
   }
 
+  /** Z-order-style clustering: rewrite the table range-partitioned and
+    * sorted on `cols` without changing the logical row set
+    * (`dataChange=false`, like compaction). Files end up with disjoint
+    * min/max ranges on the clustering columns, so [[FileSkipping]]
+    * prunes point/range predicates to a single file — the 100 TB
+    * answer to "where does data skipping get its selectivity".
+    */
+  def cluster(numFiles: Int, cols: String*): Unit = {
+    require(cols.nonEmpty, "cluster needs at least one column")
+    val snap = snapshot
+    val clustered = toDF
+      .repartitionByRange(numFiles, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    val adds = writeFiles(spark, clustered, path, dataChange = false)
+    commitOp(snap, "CLUSTER",
+      Map("by" -> cols.mkString(","), "dataChange" -> "false"),
+      adds, snap.files.map(f =>
+        RemoveFile(f.path, System.currentTimeMillis(), dataChange = false)),
+      None)
+  }
+
   /** Re-establish a past version as the current state
     * (README.md:321 "use it to replace the current state").
     */

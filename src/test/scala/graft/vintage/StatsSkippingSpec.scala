@@ -94,6 +94,33 @@ class StatsSkippingSpec extends AnyFunSuite {
       s"merge with keys in [250,301] must rewrite only file 3, got ${removes.size}")
   }
 
+  test("cluster makes point queries single-file; row sets invariant") {
+    val dir = Files.createTempDirectory("vintage-skip").toString + "/z"
+    // interleaved keys: every file spans the whole range -> no skipping
+    val t = VintageTable.create(spark, dir,
+      (1 to 300).map(i => (i.toLong, s"n$i")).toDF("id", "name").repartition(3))
+    val before = t.candidateFiles(t.snapshot, col("id") === 150).size
+    assert(before == 3, s"interleaved files must not prune (got $before)")
+
+    t.cluster(3, "id")
+    val after = t.candidateFiles(t.snapshot, col("id") === 150)
+    assert(after.size == 1, s"clustered table must prune to 1 file, got ${after.size}")
+    // dataChange=false: logical state invariant, history intact
+    assert(t.toDF.count() == 300)
+    assert(t.toDFAsOf(0).count() == 300)
+  }
+
+  test("concurrent commits to the same version: loser gets a conflict") {
+    val dir = Files.createTempDirectory("vintage-skip").toString + "/cc"
+    val t = VintageTable.create(spark, dir,
+      Seq((1L, "a")).toDF("id", "name").coalesce(1))
+    val v1 = Seq(CommitInfo(1L, 1L, "WRITE"))
+    VintageLog.commit(t.path, 1L, v1)
+    intercept[java.util.ConcurrentModificationException] {
+      VintageLog.commit(t.path, 1L, v1)
+    }
+  }
+
   test("update prunes: only the CHF-range file is rewritten") {
     val dir = Files.createTempDirectory("vintage-skip").toString + "/c"
     val t = VintageTable.create(spark, dir,
