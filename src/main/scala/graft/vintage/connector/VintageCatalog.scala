@@ -130,7 +130,7 @@ class VintageCatalog extends TableCatalog {
   * SQL DELETE via SupportsDelete (copy-on-write with file skipping).
   */
 class VintageSqlTable(
-    path: String, ident: String, snapshot: Snapshot,
+    val tablePath: String, ident: String, snapshot: Snapshot,
     timeTravel: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -171,7 +171,7 @@ class VintageSqlTable(
             override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
               var df: DataFrame = context.sparkSession
                 .baseRelationToDataFrame(
-                  VintageRelation(context.sparkSession, path, snapshot))
+                  VintageRelation(context.sparkSession, tablePath, snapshot))
               Filters.toColumnAll(filters.toSeq).foreach(c => df = df.filter(c))
               df.select(req.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*).rdd
             }
@@ -188,7 +188,7 @@ class VintageSqlTable(
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: DataFrame, overwriteFlag: Boolean) => {
-            val t = VintageTable.forPath(SparkSession.active, path)
+            val t = VintageTable.forPath(SparkSession.active, tablePath)
             if (overwrite || overwriteFlag) t.overwrite(data) else t.append(data)
           }
       }
@@ -200,7 +200,7 @@ class VintageSqlTable(
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(!timeTravel, "cannot delete from a time-travel snapshot")
     Filters.toColumnAll(filters.toSeq) match {
-      case Some(cond) => VintageTable.forPath(spark, path).delete(cond)
+      case Some(cond) => VintageTable.forPath(spark, tablePath).delete(cond)
       case None => throw new UnsupportedOperationException(
         s"untranslatable delete predicates: ${filters.mkString(", ")}")
     }

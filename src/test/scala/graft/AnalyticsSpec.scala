@@ -7,6 +7,7 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[8]")
+      .config("spark.sql.extensions", "graft.vintage.connector.VintageSqlExtension")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

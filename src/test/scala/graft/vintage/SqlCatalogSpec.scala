@@ -44,6 +44,50 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM vin.exr VERSION AS OF 2").count() == 4)
   }
 
+  test("SQL UPDATE via the extension rule") {
+    spark.sql("CREATE TABLE vin.upd (ccy STRING, decimals INT)")
+    spark.sql("INSERT INTO vin.upd VALUES ('CHF', 4), ('NOK', 4), ('RUB', 2)")
+    spark.sql("UPDATE vin.upd SET decimals = 5 WHERE ccy = 'CHF'")
+    val m = spark.sql("SELECT ccy, decimals FROM vin.upd").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("CHF" -> 5, "NOK" -> 4, "RUB" -> 2))
+    // unconditional update + expression referencing existing column
+    spark.sql("UPDATE vin.upd SET decimals = decimals + 10")
+    assert(spark.sql("SELECT sum(decimals) FROM vin.upd").head().getLong(0) == 41)
+    // history: every UPDATE is one commit, past versions intact
+    assert(spark.sql("SELECT * FROM vin.upd VERSION AS OF 1").count() == 3)
+  }
+
+  test("SQL MERGE INTO via the extension rule") {
+    spark.sql("CREATE TABLE vin.mrg (k STRING, v DOUBLE)")
+    spark.sql("INSERT INTO vin.mrg VALUES ('a', 1.0), ('b', 2.0), ('c', 3.0)")
+    spark.sql(
+      """MERGE INTO vin.mrg t
+        |USING (SELECT * FROM VALUES ('b', 20.0), ('d', 4.0) AS s(k, v)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val m = spark.sql("SELECT k, v FROM vin.mrg").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m == Map("a" -> 1.0, "b" -> 20.0, "c" -> 3.0, "d" -> 4.0))
+
+    // conditional clauses + explicit assignments + matched delete
+    spark.sql(
+      """MERGE INTO vin.mrg t
+        |USING (SELECT * FROM VALUES ('a', -1.0), ('d', 40.0), ('e', 5.0) AS s(k, v)) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.v < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+        |WHEN NOT MATCHED AND s.v > 1 THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val m2 = spark.sql("SELECT k, v FROM vin.mrg").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m2 == Map("b" -> 20.0, "c" -> 3.0, "d" -> 44.0, "e" -> 5.0))
+    // merge commits recorded in history
+    val wh = spark.conf.get("spark.sql.catalog.vin.warehouse")
+    val ops = VintageLog.replay(s"$wh/mrg").commits.sortBy(_.version).map(_.operation)
+    assert(ops == Seq("WRITE", "WRITE", "MERGE", "MERGE"))
+  }
+
   test("CTAS and TIMESTAMP AS OF") {
     spark.sql("CREATE TABLE vin.t2 AS SELECT id, id * 2 AS dbl FROM range(10)")
     assert(spark.sql("SELECT * FROM vin.t2").count() == 10)
