@@ -297,14 +297,43 @@ class VintageTable private (
     abs.substring(abs.lastIndexOf('/') + 1)
   }
 
+  /** Commit with optimistic-concurrency retry: when another writer
+    * wins the version race, re-read the log and re-commit at the next
+    * version iff the transactions are logically disjoint — none of the
+    * files this commit removes were already removed, and no concurrent
+    * schema change happened. Blind appends always pass the check;
+    * conflicting row-level ops surface the conflict to the caller
+    * (same protocol semantics as Delta's commit loop).
+    */
   private[vintage] def commitOp(
       snap: Snapshot, op: String, params: Map[String, String],
       adds: Seq[AddFile], removes: Seq[RemoveFile],
-      meta: Option[Metadata]): Long = {
-    val v = snap.version + 1
-    val info = CommitInfo(v, System.currentTimeMillis(), op, params)
-    VintageLog.commit(path, v, Seq(info) ++ meta.toSeq ++ removes ++ adds)
-    v
+      meta: Option[Metadata], maxRetries: Int = 10): Long = {
+    var readVersion = snap.version
+    var attempt = 0
+    while (true) {
+      val v = readVersion + 1
+      val info = CommitInfo(v, System.currentTimeMillis(), op, params)
+      try {
+        VintageLog.commit(path, v, Seq(info) ++ meta.toSeq ++ removes ++ adds)
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val current = VintageLog.replay(path)
+          val liveNow = current.files.map(_.path).toSet
+          val removedConcurrently = removes.exists(r => !liveNow.contains(r.path))
+          val schemaChanged = current.schema != snap.schema
+          if (removedConcurrently || (schemaChanged && meta.isEmpty))
+            throw new java.util.ConcurrentModificationException(
+              s"conflicting concurrent update to $path: " +
+              (if (removedConcurrently) "files this commit rewrites were already rewritten"
+               else "table schema changed concurrently") + s" (caused by: $e)")
+          readVersion = current.version
+      }
+    }
+    -1L // unreachable
   }
 }
 

@@ -107,8 +107,34 @@ class VintageCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported for vintage (yet)")
+  /** ALTER TABLE … ADD COLUMN(S): widen the schema in a metadata-only
+    * commit (new columns nullable; existing files read them as null —
+    * the same mechanics as merge schema evolution). Other changes are
+    * rejected.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathFor(ident)
+    if (!VintageLog.exists(p)) throw new NoSuchTableException(ident)
+    val snap = VintageLog.replay(p)
+    var schema = snap.schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "nested ADD COLUMN not supported for vintage tables")
+        schema = schema.add(add.fieldNames()(0),
+          add.dataType(), nullable = true, add.comment())
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change $other not supported for vintage tables")
+    }
+    if (schema != snap.schema) {
+      val v = snap.version + 1
+      VintageLog.commit(p, v, Seq(
+        graft.vintage.CommitInfo(v, System.currentTimeMillis(), "ADD COLUMNS",
+          Map("columns" -> changes.mkString(","))),
+        graft.vintage.Metadata(schema.json, snap.properties)))
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new HPath(pathFor(ident))

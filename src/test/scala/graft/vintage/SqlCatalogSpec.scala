@@ -97,6 +97,19 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM vin.t2 TIMESTAMP AS OF '$ts'").count() == 10)
   }
 
+  test("ALTER TABLE ADD COLUMN widens schema; old rows read null") {
+    spark.sql("CREATE TABLE vin.alt (k STRING)")
+    spark.sql("INSERT INTO vin.alt VALUES ('x'), ('y')")
+    spark.sql("ALTER TABLE vin.alt ADD COLUMN note STRING")
+    spark.sql("INSERT INTO vin.alt VALUES ('z', 'with note')")
+    val rows = spark.sql("SELECT k, note FROM vin.alt ORDER BY k").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("x", null), ("y", null), ("z", "with note")))
+    // pre-evolution version keeps the narrow schema
+    assert(!spark.sql("SELECT * FROM vin.alt VERSION AS OF 1")
+      .columns.contains("note"))
+  }
+
   test("catalog utilities: listTables, dropTable, tableExists") {
     spark.sql("CREATE TABLE vin.t3 (x INT)")
     val names = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet

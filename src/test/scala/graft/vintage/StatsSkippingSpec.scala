@@ -121,6 +121,30 @@ class StatsSkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("commit retry: disjoint concurrent txns succeed, overlapping conflict") {
+    val dir = Files.createTempDirectory("vintage-skip").toString + "/rt"
+    val t = VintageTable.create(spark, dir,
+      Seq((1L, "a")).toDF("id", "name").coalesce(1))
+    val stale = t.snapshot
+
+    // another writer lands version 1 first
+    VintageLog.commit(t.path, 1L, Seq(CommitInfo(1L, 1L, "WRITE")))
+
+    // a blind append from the stale snapshot retries onto version 2
+    val v = t.commitOp(stale, "WRITE", Map("mode" -> "Append"), Nil, Nil, None)
+    assert(v == 2L)
+
+    // a rewrite of a file the winner already removed must conflict
+    val file = stale.files.head.path
+    VintageLog.commit(t.path, 3L, Seq(
+      CommitInfo(3L, 3L, "DELETE"),
+      RemoveFile(file, 3L, dataChange = true)))
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitOp(stale, "DELETE", Map.empty, Nil,
+        Seq(RemoveFile(file, 4L, dataChange = true)), None)
+    }
+  }
+
   test("update prunes: only the CHF-range file is rewritten") {
     val dir = Files.createTempDirectory("vintage-skip").toString + "/c"
     val t = VintageTable.create(spark, dir,
