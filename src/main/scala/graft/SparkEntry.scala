@@ -38,6 +38,10 @@ object SparkEntry {
     "q17_text_quality"     -> (PipelineQueries.q17TextQuality _),
     "q18_token_stats"      -> (PipelineQueries.q18TokenStats _),
     "q19_fingerprint"      -> (PipelineQueries.q19Fingerprint _),
+    "q20_sessionize"       -> (PipelineQueries.q20Sessionize _),
+    "q21_asof_join"        -> (PipelineQueries.q21AsofJoin _),
+    "q22_order_profile"    -> (Analytics.q22OrderProfile _),
+    "q23_segment_nations"  -> (Analytics.q23SegmentNations _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +67,9 @@ object SparkEntry {
     "q17_text_quality"     -> PipelineQueries.q17Sql,
     "q18_token_stats"      -> PipelineQueries.q18Sql,
     "q19_fingerprint"      -> PipelineQueries.q19Sql,
+    "q20_sessionize"       -> PipelineQueries.q20Sql,
+    "q21_asof_join"        -> PipelineQueries.q21Sql,
+    "q22_order_profile"    -> Analytics.q22Sql,
+    "q23_segment_nations"  -> Analytics.q23Sql,
   )
 }

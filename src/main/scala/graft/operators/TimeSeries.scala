@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over event streams: sessionization and as-of
+  * (nearest-prior-event) joins.
+  *
+  * 100 TB design: both are single-shuffle window programs — partition
+  * by the entity key, order within partition. The as-of join is the
+  * union trick (mark sides, one window pass carrying the last right-side
+  * id), which never builds a cross product and reuses one exchange; a
+  * range/sort-merge formulation would shuffle both inputs anyway.
+  * Skewed entities (one user with millions of events) are the usual
+  * caveat — salt the key upstream if a single entity outgrows a
+  * partition.
+  */
+object TimeSeries {
+
+  /** Assign session ids per entity: a new session starts after a gap of
+    * more than `gapSeconds` between consecutive events. Ordering and
+    * gap math run on integer epoch-micros (engine-neutral; avoids
+    * nanosecond-precision ambiguity). Appends `session_id` (1-based,
+    * per entity).
+    */
+  def sessionize(df: DataFrame, entityCol: String, tsCol: String,
+                 tieBreakCol: String, gapSeconds: Long): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val w = Window.partitionBy(col(entityCol)).orderBy(us, col(tieBreakCol))
+    val prev = lag(us, 1).over(w)
+    val newSession = when(prev.isNull || us - prev > gapSeconds * 1000000L, 1)
+      .otherwise(0)
+    df.withColumn("session_id",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** As-of join: for each left row, the single right row with the same
+    * key and the greatest timestamp <= the left row's timestamp
+    * (classic "latest quote before the trade"). Inner semantics — left
+    * rows with no prior right row are dropped. Right-side ties on
+    * (key, ts) resolve to the largest `rightIdCol`.
+    *
+    * Output: key, left ts, leftIdCol, rightIdCol.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, leftIdCol: String, rightIdCol: String): DataFrame = {
+    val rIdType = right.schema(rightIdCol).dataType
+    val lIdType = left.schema(leftIdCol).dataType
+    val l = left.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+      col(leftIdCol).as("__lid"), lit(null).cast(rIdType).as("__rid"),
+      lit(1).as("__side"))
+    val r = right.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+      lit(null).cast(lIdType).as("__lid"), col(rightIdCol).as("__rid"),
+      lit(0).as("__side"))
+    // order: time, then right-before-left at equal time (>= semantics),
+    // then right id so `last` picks the largest on exact ties
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__us"), col("__side"), col("__rid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .withColumn("__match", last(col("__rid"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__match").isNotNull)
+      .select(col(keyCol), col("__us").as("ts_us"),
+        col("__lid").as(leftIdCol), col("__match").as(rightIdCol))
+  }
+}

@@ -283,6 +283,53 @@ object Analytics {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** EXISTS + NOT EXISTS composition: orders with a big-quantity line
+    * but no deep-discount line, counted by priority (semi join then
+    * anti join on the same key — the exchanges are reused).
+    */
+  def q22OrderProfile(spark: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(spark, d)
+    val l = Tables.lineitem(spark, d)
+    o.join(l.filter(col("l_quantity") > 45)
+        .select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_semi")
+      .join(l.filter(col("l_discount") > 0.09)
+        .select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Distinct aggregation: per market segment, customer count, distinct
+    * nations, and balance extremes (min/max need no arithmetic — exact
+    * cross-engine parity on doubles).
+    */
+  def q23SegmentNations(spark: SparkSession, d: String): DataFrame =
+    Tables.customer(spark, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        min("c_acctbal").as("min_bal"),
+        max("c_acctbal").as("max_bal"))
+      .orderBy("c_mktsegment")
+
+  val q23Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |  count(DISTINCT c_nationkey) AS n_nations,
+      |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   /** Set operation: (brand, size) pairs in the small-size range not
     * mirrored (shifted by 30) in the large-size range (EXCEPT = set
     * difference with dedup).

@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis, TimeSeries}
 
 /** Driver-gated queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis) over the `documents` and
@@ -192,6 +194,70 @@ object PipelineQueries {
       |GROUP BY 1
       |ORDER BY n_occurrences DESC, token ASC
       |LIMIT 50""".stripMargin
+
+  /** Sessionization (30-min gap) rolled up to per-user session stats.
+    * All ordering/gap math on integer epoch-micros for engine parity.
+    */
+  def q20Sessionize(spark: SparkSession, d: String): DataFrame = {
+    val s = TimeSeries.sessionize(Tables.events(spark, d),
+      "user_id", "ts", "event_id", gapSeconds = 1800)
+    s.groupBy("user_id", "session_id").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n").as("max_session_events"),
+        sum("n").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q20Sql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT user_id, event_id, us,
+      |        lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+      |      FROM e),
+      |n AS (SELECT user_id, event_id, us,
+      |        CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+      |      FROM l),
+      |s AS (SELECT user_id,
+      |        sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |      FROM n),
+      |g AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(max(n) AS BIGINT) AS max_session_events,
+      |  CAST(sum(n) AS BIGINT) AS n_events
+      |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** As-of join: each purchase matched to the user's latest prior (or
+    * simultaneous) click. The oracle uses DuckDB's native ASOF JOIN —
+    * an independent formulation of the same semantics.
+    */
+  def q21AsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    // right side deduped to one row per (user, micros): max event_id,
+    // so tie resolution is well-defined on both engines
+    val wd = Window.partitionBy(col("user_id"), unix_micros(col("ts")))
+      .orderBy(col("click_id").desc)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .withColumn("rn", row_number().over(wd)).filter(col("rn") === 1).drop("rn")
+    TimeSeries.asofJoin(purchases, clicks, "user_id", "ts", "event_id", "click_id")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("click_id"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  val q21Sql: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, us, event_id AS click_id FROM (
+      |        SELECT user_id, epoch_us(ts) AS us, event_id,
+      |          row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+      |                             ORDER BY event_id DESC) AS rn
+      |        FROM events WHERE event_type = 'click') WHERE rn = 1)
+      |SELECT p.user_id, p.event_id AS purchase_id, c.click_id
+      |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+      |ORDER BY p.user_id, purchase_id""".stripMargin
 
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
