@@ -106,6 +106,63 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine_sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * partitions the corpus into `numCells` cells; each query probes its
+    * `nprobe` nearest cells and ranks candidates by exact cosine. The
+    * classic billion-scale ANN layout: the corpus is scanned
+    * cell-locally (cells ~ files/partitions at scale), and recall is a
+    * direct function of nprobe.
+    *
+    * Centroids are tiny (numCells × dim) and broadcast; the only
+    * corpus-wide work is one KMeans fit (sampled in production) and one
+    * assignment pass.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numCells: Int = 16, nprobe: Int = 6, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("__feat"))
+    val model = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("__feat").setPredictionCol("__cell")
+      .fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("__cv"), col("__cell"))
+
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+
+    // nprobe nearest cells per query (distance to each of the few
+    // centroids; centroid table broadcast)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val dist2 = aggregate(
+      zip_with(col("__qv"), col("__centroid"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, v) => acc + v)
+    val wCells = Window.partitionBy("query_id").orderBy(col("__d2").asc, col("__cell").asc)
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("__d2", dist2)
+      .withColumn("__rn", row_number().over(wCells))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("__cell"))
+
+    val scored = assigned.join(broadcast(probed), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
     * similarity >= threshold, found via shared LSH buckets (id_a < id_b).
     */

@@ -37,6 +37,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("IVF top-k reaches recall >= 0.9 vs exact at sf0.01") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k,
+        numCells = 16, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF recall@$k = $recall%.3f (nprobe=8/16 cells)")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+  }
+
   test("LSH plan has no cartesian product; exact plan broadcasts queries") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)
