@@ -1,8 +1,10 @@
 package graft.vintage.connector
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.{Source => StreamSource}
 import org.apache.spark.sql.graftshim.VintageRelation
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 import graft.vintage.{VintageLog, VintageTable}
 
@@ -26,9 +28,27 @@ import graft.vintage.{VintageLog, VintageTable}
   * through [[VintageTable]] so every save is an atomic log commit.
   */
 class VintageSource extends DataSourceRegister
-    with RelationProvider with CreatableRelationProvider {
+    with RelationProvider with CreatableRelationProvider
+    with StreamSourceProvider {
 
   override def shortName(): String = "vintage"
+
+  /** `spark.readStream.format("vintage").load(path)` — incremental
+    * table-as-a-stream reads; see [[VintageStreamSource]].
+    */
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    val abs = pathOf(parameters)
+    require(VintageLog.exists(abs), s"not a vintage table: $abs")
+    (shortName(), schema.getOrElse(VintageLog.replay(abs).schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): StreamSource =
+    new VintageStreamSource(sqlContext.sparkSession, pathOf(parameters), parameters)
 
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {

@@ -1,0 +1,155 @@
+package graft.vintage.connector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.graftshim.{StreamingOps, VintageRelation}
+import org.apache.spark.sql.types.StructType
+
+import graft.vintage.{AddFile, CommitInfo, Metadata, RemoveFile, Snapshot, VintageLog}
+
+/** Incremental streaming source over a vintage table — the read-side
+  * complement of the foreachBatch sinks in
+  * [[graft.streaming.VintageStreaming]] (the reference's table format
+  * supports exactly this "table as a stream" pattern; we re-express it
+  * Spark-first as a DSv1 `Source`, the same architecture Delta Lake
+  * uses for its streaming reads).
+  *
+  * Offsets are log versions: the first batch is the full snapshot as of
+  * the stream's start version (unless `startingVersion` says otherwise),
+  * and each subsequent batch is exactly the `dataChange = true` AddFiles
+  * of the commit range `(lastVersion, thisVersion]`. Compactions and
+  * clustering commits (`dataChange = false`) are invisible to the
+  * stream, so OPTIMIZE-style maintenance never re-emits rows.
+  *
+  * Options:
+  *  - `startingVersion`: number → emit changes from that version on (no
+  *    initial snapshot); `"latest"` → only commits after stream start.
+  *  - `ignoreDeletes`: tolerate DELETE commits (nothing is re-emitted:
+  *    their AddFiles are copy-on-write rewrites of already-emitted
+  *    surviving rows; deletions are not retracted downstream).
+  *  - `ignoreChanges`: additionally tolerate update/merge rewrites; the
+  *    rewritten files are re-emitted in full (downstream must be
+  *    idempotent on the merge key — same contract as Delta).
+  *  - `maxVersionsPerTrigger`: rate-limit a micro-batch to at most this
+  *    many commits.
+  *
+  * At scale this is log-metadata work only: planning a batch reads the
+  * JSON actions of the commit range — never a table scan — and the data
+  * files go through the same vectorized-parquet relation as batch reads.
+  */
+class VintageStreamSource(
+    spark: SparkSession,
+    tablePath: String,
+    options: Map[String, String]) extends Source {
+
+  private val ignoreDeletes =
+    options.get("ignoreDeletes").exists(_.toBoolean)
+  private val ignoreChanges =
+    options.get("ignoreChanges").exists(_.toBoolean)
+  private val maxVersionsPerTrigger =
+    options.get("maxVersionsPerTrigger").map(_.toLong)
+
+  /** Version *before* the first commit the stream should emit as a
+    * change, or None → first batch is a full snapshot.
+    */
+  private val changesFromExclusive: Option[Long] = options.get("startingVersion") match {
+    case Some("latest") => Some(VintageLog.latestVersion(tablePath))
+    case Some(v)        => Some(v.toLong - 1)
+    case None           => None
+  }
+
+  // The stream is pinned to the schema at start; a mid-stream schema
+  // change fails the query (restart picks up the new schema) — same
+  // behavior as Delta's streaming source.
+  override val schema: StructType = VintageLog.replay(tablePath).schema
+
+  // Highest offset already handed out by getOffset, so the rate limit
+  // is relative to what the stream has planned, not what it committed.
+  @volatile private var plannedVersion: Long =
+    changesFromExclusive.getOrElse(-1L)
+
+  override def getOffset: Option[Offset] = {
+    val latest = VintageLog.latestVersion(tablePath)
+    if (latest < 0) return None
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) if plannedVersion >= 0 => math.min(latest, plannedVersion + n)
+      case _                              => latest
+    }
+    if (capped > plannedVersion) plannedVersion = capped
+    if (capped < 0) None else Some(LongOffset(capped))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    start.map(versionOf) match {
+      case None =>
+        changesFromExclusive match {
+          case Some(from) => changes(from + 1, endV)
+          case None       => snapshotAt(endV) // initial snapshot
+        }
+      case Some(s) => changes(s + 1, endV)
+    }
+  }
+
+  /** Full table contents as of version `v` (stream start). */
+  private def snapshotAt(v: Long): DataFrame =
+    toStreamingDF(VintageLog.replay(tablePath, Some(v)))
+
+  /** The net-new rows of commits `[lo, hi]`: their dataChange AddFiles. */
+  private def changes(lo: Long, hi: Long): DataFrame = {
+    val adds = Seq.newBuilder[AddFile]
+    (lo to hi).foreach { v =>
+      val actions = VintageLog.readVersion(tablePath, v)
+      val vAdds = actions.collect { case a: AddFile if a.dataChange => a }
+      val vRemoves = actions.collect { case r: RemoveFile if r.dataChange => r }
+      actions.collect { case m: Metadata => m }.foreach { m =>
+        if (m.schema != schema)
+          throw new IllegalStateException(
+            s"schema of $tablePath changed at version $v; restart the stream " +
+            s"to pick up the new schema")
+      }
+      if (vRemoves.isEmpty) adds ++= vAdds
+      else {
+        // Removes present → a row-level op. The CommitInfo operation
+        // disambiguates (finer than Delta's file-shape heuristic): a
+        // DELETE's AddFiles are copy-on-write rewrites of *surviving*
+        // rows — already emitted, so under ignoreDeletes we emit
+        // nothing. UPDATE/MERGE/RESTORE AddFiles carry genuinely new
+        // row values and re-emit whole files under ignoreChanges.
+        val op = actions.collect { case c: CommitInfo => c.operation }
+          .headOption.getOrElse("")
+        val isDelete = op == "DELETE" || vAdds.isEmpty
+        if (isDelete) {
+          if (!(ignoreDeletes || ignoreChanges))
+            throw new UnsupportedOperationException(
+              s"version $v of $tablePath deletes rows; streaming reads of " +
+              s"delete commits require option ignoreDeletes=true")
+        } else {
+          if (!ignoreChanges)
+            throw new UnsupportedOperationException(
+              s"version $v of $tablePath rewrites rows ($op); set " +
+              s"ignoreChanges=true to stream rewritten files (rows re-emit " +
+              s"in full — downstream must be idempotent on the merge key)")
+          adds ++= vAdds
+        }
+      }
+    }
+    val snap = VintageLog.replay(tablePath, Some(hi))
+    toStreamingDF(snap.copy(schema = schema, files = adds.result()))
+  }
+
+  private def toStreamingDF(snap: Snapshot): DataFrame =
+    StreamingOps.ofRowsStreaming(spark,
+      VintageRelation(spark, tablePath, snap.copy(schema = schema)))
+
+  private def versionOf(o: Offset): Long = o match {
+    case l: LongOffset       => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other               => other.json.trim.toLong
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"VintageStreamSource[$tablePath]"
+}

@@ -63,4 +63,94 @@ class VintageStreamingSpec extends AnyFunSuite {
       assert(VintageTable.forPath(spark, dir).toDF.count() == 5)
     } finally q.stop()
   }
+
+  test("streaming source: initial snapshot, incremental appends, compaction invisible") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/t"
+    val cp = Files.createTempDirectory("vintage-src-cp").toString
+
+    VintageTable.create(spark, dir, Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    val t = VintageTable.forPath(spark, dir)
+
+    val q = spark.readStream.format("vintage").load(dir)
+      .writeStream.format("memory").queryName("vsrc")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vsrc").count() == 2) // initial snapshot
+
+      t.append(Seq((3, "c")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("vsrc").count() == 3) // only the new commit's rows
+
+      // compaction is dataChange=false: nothing re-emitted
+      t.compact(1)
+      q.processAllAvailable()
+      assert(spark.table("vsrc").count() == 3)
+
+      t.append(Seq((4, "d")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("vsrc").as[(Int, String)].collect().toSet ==
+        Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    } finally q.stop()
+  }
+
+  test("streaming source: delete commit fails without ignoreDeletes, passes with it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/d"
+
+    VintageTable.create(spark, dir, Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"))
+    val t = VintageTable.forPath(spark, dir)
+
+    val cp1 = Files.createTempDirectory("vintage-src-cp").toString
+    val q1 = spark.readStream.format("vintage").load(dir)
+      .writeStream.format("memory").queryName("vdel1")
+      .option("checkpointLocation", cp1).start()
+    try {
+      q1.processAllAvailable()
+      t.delete("id = 2")
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q1.processAllAvailable()
+      }
+      val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(messages.exists(_.contains("ignoreDeletes")))
+    } finally q1.stop()
+
+    val cp2 = Files.createTempDirectory("vintage-src-cp").toString
+    val q2 = spark.readStream.format("vintage")
+      .option("ignoreDeletes", "true").load(dir)
+      .writeStream.format("memory").queryName("vdel2")
+      .option("checkpointLocation", cp2).start()
+    try {
+      q2.processAllAvailable() // snapshot post-delete: 2 rows
+      assert(spark.table("vdel2").count() == 2)
+      t.append(Seq((4, "d")).toDF("id", "s"))
+      q2.processAllAvailable()
+      assert(spark.table("vdel2").count() == 3)
+    } finally q2.stop()
+  }
+
+  test("streaming source: startingVersion=latest emits only post-start commits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/l"
+    val cp = Files.createTempDirectory("vintage-src-cp").toString
+
+    VintageTable.create(spark, dir, Seq((1, "old")).toDF("id", "s"))
+    val t = VintageTable.forPath(spark, dir)
+
+    val q = spark.readStream.format("vintage")
+      .option("startingVersion", "latest").load(dir)
+      .writeStream.format("memory").queryName("vlatest")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vlatest").count() == 0) // pre-start rows skipped
+      t.append(Seq((2, "new")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("vlatest").as[(Int, String)].collect().toSeq ==
+        Seq((2, "new")))
+    } finally q.stop()
+  }
 }
