@@ -60,13 +60,18 @@ object Analytics {
     Tables.part(spark, d)
       .rollup(col("p_brand"), col("p_type"))
       .agg(count(lit(1)).as("n_parts"),
+           // exact decimal accumulation, then a representation-stable
+           // STRING for the dumped output: the driver hash is sensitive
+           // to the decimal's physical parquet encoding (Spark writes
+           // FIXED_LEN_BYTE_ARRAY, DuckDB INT64/INT128 pages), so both
+           // sides emit the identical plain decimal string instead
            sum(col("p_retailprice").cast("decimal(24,2)"))
-             .cast("decimal(38,2)").as("retail_value"))
+             .cast("decimal(38,2)").cast("string").as("retail_value"))
       .orderBy(asc_nulls_first("p_brand"), asc_nulls_first("p_type"))
 
   val q2Sql: String =
     """SELECT p_brand, p_type, count(*) AS n_parts,
-      |  sum(CAST(p_retailprice AS DECIMAL(24,2))) AS retail_value
+      |  CAST(CAST(sum(CAST(p_retailprice AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS VARCHAR) AS retail_value
       |FROM part
       |GROUP BY ROLLUP (p_brand, p_type)
       |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin
@@ -240,10 +245,11 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
            countDistinct(col("user_id")).as("n_users"),
            // decimal sum: exact, summation-order-independent (a double
-           // sum differs at the 1e-10 level between engines); widened to
-           // DuckDB's sum result width so the dumped parquet encodes
-           // identically on both sides
-           sum(col("value").cast("decimal(24,6)")).cast("decimal(38,6)").as("sum_value"),
+           // sum differs at the 1e-10 level between engines); emitted as
+           // a plain STRING because the driver hash is sensitive to the
+           // decimal's physical parquet encoding, not just its value
+           sum(col("value").cast("decimal(24,6)")).cast("decimal(38,6)")
+             .cast("string").as("sum_value"),
            min("value").as("min_value"),
            max("value").as("max_value"))
       .orderBy("event_type")
@@ -251,7 +257,7 @@ object Analytics {
   val q10Sql: String =
     """SELECT event_type, count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users,
-      |  sum(CAST(value AS DECIMAL(24,6))) AS sum_value,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value,
       |  min(value) AS min_value,
       |  max(value) AS max_value
       |FROM events
@@ -265,9 +271,11 @@ object Analytics {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(spark, d)
       .withColumn("running_value",
+        // exact decimal running sum, emitted as a STRING so the dumped
+        // parquet encoding matches the DuckDB oracle byte-for-byte
         sum(col("value").cast("decimal(24,6)"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
-          .cast("decimal(38,6)"))
+          .cast("decimal(38,6)").cast("string"))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .select(col("event_id"), col("user_id"), col("value"),
               col("running_value"), col("prev_value"))
@@ -276,9 +284,10 @@ object Analytics {
 
   val q11Sql: String =
     """SELECT event_id, user_id, value,
-      |  sum(CAST(value AS DECIMAL(24,6)))
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(24,6)))
       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS DECIMAL(38,6)) AS VARCHAR) AS running_value,
       |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin

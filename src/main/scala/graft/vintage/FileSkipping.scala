@@ -211,9 +211,46 @@ object FileSkipping {
         case (BooleanType, BooleanType) =>
           Some(stat.toBoolean.compareTo(v.asInstanceOf[Boolean]))
         case _ =>
-          for (a <- numeric(ct, stat); b <- literalNumeric(t, v)) yield a.compare(b)
+          // Stats and literals for datetime types live in different
+          // value units (dates: epoch DAYS; timestamps: epoch MICROS),
+          // so a blind numeric compare of a date column's stats against
+          // a timestamp literal would prune files that actually contain
+          // matching rows after Spark's date→timestamp coercion.
+          (datetimeKind(ct), datetimeKind(t)) match {
+            case (None, None) => // plain numerics: same unit by construction
+              for (a <- numeric(ct, stat); b <- literalNumeric(t, v)) yield a.compare(b)
+            case (Some(a), Some(b)) if a == b => // same datetime unit
+              for (x <- numeric(ct, stat); y <- literalNumeric(t, v)) yield x.compare(y)
+            case (Some(DateKind), Some(NtzKind)) =>
+              // date column vs timestamp_ntz literal: Spark coerces the
+              // date to midnight tz-free, i.e. days * 86_400_000_000
+              for (x <- numeric(ct, stat); y <- literalNumeric(t, v))
+                yield (x * MicrosPerDay).compare(y)
+            case (Some(NtzKind), Some(DateKind)) =>
+              for (x <- numeric(ct, stat); y <- literalNumeric(t, v))
+                yield x.compare(y * MicrosPerDay)
+            case _ =>
+              // any pairing involving TimestampType (LTZ) and a different
+              // datetime kind depends on the session time zone, and a
+              // datetime vs plain-numeric pairing has no defined unit —
+              // incomparable, so no prune (sound)
+              None
+          }
       }
     }
+  }
+
+  private val MicrosPerDay = BigDecimal(86400000000L)
+  private val DateKind = 0
+  private val TsKind = 1
+  private val NtzKind = 2
+
+  /** Datetime unit family, None for non-datetime types. */
+  private def datetimeKind(dt: DataType): Option[Int] = dt match {
+    case DateType => Some(DateKind)
+    case TimestampType => Some(TsKind)
+    case TimestampNTZType => Some(NtzKind)
+    case _ => None
   }
 
   /** Stat string → BigDecimal for numeric-ish column types. */
