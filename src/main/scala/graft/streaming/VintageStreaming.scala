@@ -45,15 +45,24 @@ object VintageStreaming {
       }: Unit
     }
 
-  /** One micro-batch upsert: dedupe the batch on the key (last write
-    * wins within a batch is undefined for streams, so keep max by key
-    * deterministically), then merge into the table.
+  /** One micro-batch upsert: dedupe the batch on the key, keeping the
+    * lexicographically greatest row per key (max over the full-row
+    * struct). The pick must be DETERMINISTIC — a replayed micro-batch
+    * after restart has to upsert the identical row, or the
+    * exactly-once-per-batch idempotence argument breaks; a plain
+    * dropDuplicates keeps whichever row a partition happens to deliver
+    * first. One map-side-combinable shuffle, same cost as dropDuplicates.
     */
   private[streaming] def upsertBatch(
       spark: SparkSession, batch: DataFrame,
       tablePath: String, mergeKey: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max, struct}
     if (batch.isEmpty) return
-    val deduped = batch.dropDuplicates(mergeKey)
+    val cols = batch.columns.toIndexedSeq
+    val deduped = batch
+      .groupBy(col(mergeKey))
+      .agg(max(struct(cols.map(col): _*)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
     if (!VintageTable.isVintageTable(tablePath)) {
       VintageTable.create(spark, tablePath, deduped)
       return

@@ -82,19 +82,23 @@ class VintageMergeBuilder private[vintage] (
     val keyPairs = FileSkipping.equiJoinKeys(
       ColumnExpr.expr(condition), targetAlias, srcAlias,
       targetCols.toSeq, source.schema.fieldNames.toSeq)
-    val candidates: Seq[AddFile] =
-      if (snap.files.isEmpty) Nil
-      else if (keyPairs.isEmpty) snap.files
+    val rangeCond: Option[Column] =
+      if (keyPairs.isEmpty) None
       else {
         val aggs = keyPairs.flatMap { case (_, s) => Seq(min(col(s)), max(col(s))) }
         val row = source.agg(aggs.head, aggs.tail: _*).head()
-        val rangeCond = keyPairs.zipWithIndex.map { case ((t, _), i) =>
+        Some(keyPairs.zipWithIndex.map { case ((t, _), i) =>
           val mn = row.get(2 * i); val mx = row.get(2 * i + 1)
           if (mn == null) lit(false) // all-null source keys match nothing
           else col(t) >= lit(mn) && col(t) <= lit(mx)
-        }.reduce(_ && _)
-        FileSkipping.candidates(snap.schema, snap.files, ColumnExpr.expr(rangeCond))
+        }.reduce(_ && _))
       }
+    val candidates: Seq[AddFile] = rangeCond match {
+      case _ if snap.files.isEmpty => Nil
+      case None => snap.files
+      case Some(rc) =>
+        FileSkipping.candidates(snap.schema, snap.files, ColumnExpr.expr(rc))
+    }
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
@@ -183,9 +187,15 @@ class VintageMergeBuilder private[vintage] (
     val meta =
       if (finalSchema != snap.schema) Some(Metadata(finalSchema.json, snap.properties))
       else None
+    // read/write conflict scope: the merge read every target row whose
+    // key falls in the source's key range; without extractable equi-join
+    // keys it read the whole table
+    val scope = rangeCond
+      .map(rc => PredicateRead(ColumnExpr.expr(rc)): ReadScope)
+      .getOrElse(FullRead)
     table.commitOp(snap, "MERGE",
       Map("predicate" -> s"(${condition.toString})"),
-      adds, table.removesFor(snap, touched), meta)
+      adds, table.removesFor(snap, touched), meta, scope)
   }
 
   private def aliased(df: DataFrame, a: Option[String]): DataFrame =

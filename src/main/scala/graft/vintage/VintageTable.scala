@@ -91,16 +91,17 @@ class VintageTable private (
   def delete(condition: Column): Unit = {
     val snap = snapshot
     val touched = touchedFiles(snap, condition)
+    val scope = PredicateRead(ColumnExpr.expr(condition))
     if (touched.isEmpty) {
       commitOp(snap, "DELETE", Map("predicate" -> condition.toString),
-        Nil, Nil, None)
+        Nil, Nil, None, scope)
       return
     }
     val remaining = readFiles(snap, touched)
       .filter(!coalesce(condition, lit(false)))
     val adds = writeFiles(spark, remaining, path, dataChange = true)
     commitOp(snap, "DELETE", Map("predicate" -> condition.toString),
-      adds, removesFor(snap, touched), None)
+      adds, removesFor(snap, touched), None, scope)
   }
 
   /** Conditional column update (README.md:290
@@ -111,8 +112,10 @@ class VintageTable private (
     val bad = set.keySet.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"update of unknown columns: $bad")
     val touched = touchedFiles(snap, condition)
+    val scope = PredicateRead(ColumnExpr.expr(condition))
     if (touched.isEmpty) {
-      commitOp(snap, "UPDATE", Map("predicate" -> condition.toString), Nil, Nil, None)
+      commitOp(snap, "UPDATE", Map("predicate" -> condition.toString),
+        Nil, Nil, None, scope)
       return
     }
     val updated = readFiles(snap, touched).select(
@@ -126,7 +129,7 @@ class VintageTable private (
       }: _*)
     val adds = writeFiles(spark, updated, path, dataChange = true)
     commitOp(snap, "UPDATE", Map("predicate" -> condition.toString),
-      adds, removesFor(snap, touched), None)
+      adds, removesFor(snap, touched), None, scope)
   }
 
   // ------------------------------------------------------------ overwrite
@@ -147,8 +150,11 @@ class VintageTable private (
     val params = Map("mode" -> "Overwrite", "partitionBy" -> "[]") ++
       (if (dataChange) Map.empty else Map("dataChange" -> "false"))
     val now = System.currentTimeMillis()
+    // a dataChange=false overwrite is compaction: layout-only, so a
+    // concurrent append survives it; a real overwrite conflicts with one
     commitOp(snap, "WRITE", params, adds,
-      snap.files.map(f => RemoveFile(f.path, now, dataChange)), Some(meta))
+      snap.files.map(f => RemoveFile(f.path, now, dataChange)), Some(meta),
+      if (dataChange) FullRead else LayoutOnly)
   }
 
   /** Append without touching existing files. */
@@ -163,7 +169,7 @@ class VintageTable private (
     val adds = writeFiles(spark, df.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
       path, dataChange = true)
     commitOp(snap, "WRITE", Map("mode" -> "Append", "partitionBy" -> "[]"),
-      adds, Nil, None)
+      adds, Nil, None, NoRead)
   }
 
   // --------------------------------------------------- maintenance utils
@@ -180,7 +186,7 @@ class VintageTable private (
       Map("mode" -> "Overwrite", "dataChange" -> "false"),
       adds, snap.files.map(f =>
         RemoveFile(f.path, System.currentTimeMillis(), dataChange = false)),
-      None)
+      None, LayoutOnly)
   }
 
   /** Z-order-style clustering: rewrite the table range-partitioned and
@@ -201,7 +207,7 @@ class VintageTable private (
       Map("by" -> cols.mkString(","), "dataChange" -> "false"),
       adds, snap.files.map(f =>
         RemoveFile(f.path, System.currentTimeMillis(), dataChange = false)),
-      None)
+      None, LayoutOnly)
   }
 
   /** Re-establish a past version as the current state
@@ -217,7 +223,7 @@ class VintageTable private (
       .map(f => RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
     val meta = Metadata(old.schema.json, old.properties)
     commitOp(snap, "RESTORE", Map("version" -> v.toString),
-      adds, removes, Some(meta))
+      adds, removes, Some(meta), FullRead)
   }
 
   /** Physically delete files that are no longer referenced by the
@@ -299,16 +305,22 @@ class VintageTable private (
 
   /** Commit with optimistic-concurrency retry: when another writer
     * wins the version race, re-read the log and re-commit at the next
-    * version iff the transactions are logically disjoint — none of the
-    * files this commit removes were already removed, and no concurrent
-    * schema change happened. Blind appends always pass the check;
-    * conflicting row-level ops surface the conflict to the caller
-    * (same protocol semantics as Delta's commit loop).
+    * version iff the transactions are logically disjoint:
+    *
+    *  - none of the files this commit removes were already removed and
+    *    no concurrent schema change happened (write/write conflict);
+    *  - no file was concurrently ADDED that this operation should have
+    *    read (read/write conflict, Delta's ConcurrentAppendException):
+    *    an overwrite/restore conflicts with any concurrent data add, a
+    *    predicate op (delete/update/merge) conflicts when the added
+    *    files' stats may contain matching rows, a blind append or a
+    *    layout-only rewrite (compact/cluster) never conflicts on adds.
     */
   private[vintage] def commitOp(
       snap: Snapshot, op: String, params: Map[String, String],
       adds: Seq[AddFile], removes: Seq[RemoveFile],
-      meta: Option[Metadata], maxRetries: Int = 10): Long = {
+      meta: Option[Metadata], scope: ReadScope = FullRead,
+      maxRetries: Int = 10): Long = {
     var readVersion = snap.version
     var attempt = 0
     while (true) {
@@ -325,15 +337,43 @@ class VintageTable private (
           val liveNow = current.files.map(_.path).toSet
           val removedConcurrently = removes.exists(r => !liveNow.contains(r.path))
           val schemaChanged = current.schema != snap.schema
-          if (removedConcurrently || (schemaChanged && meta.isEmpty))
+          val addConflict = conflictingAdds(snap.version, current.version,
+            snap.schema, scope)
+          if (removedConcurrently || (schemaChanged && meta.isEmpty) ||
+              addConflict.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"conflicting concurrent update to $path: " +
               (if (removedConcurrently) "files this commit rewrites were already rewritten"
-               else "table schema changed concurrently") + s" (caused by: $e)")
+               else if (schemaChanged && meta.isEmpty) "table schema changed concurrently"
+               else s"files were concurrently added that this ${op.toLowerCase} " +
+                 s"should have read: ${addConflict.take(3).mkString(",")}") +
+              s" (caused by: $e)")
           readVersion = current.version
       }
     }
     -1L // unreachable
+  }
+
+  /** Paths of files added with dataChange=true in (readVersion,
+    * currentVersion] that the given read scope should have seen.
+    * Stats-based: a predicate op conflicts only when an added file's
+    * min/max range may contain matching rows (degrades to conflict when
+    * stats are missing — sound, never silently non-serializable).
+    */
+  private def conflictingAdds(
+      readVersion: Long, currentVersion: Long,
+      schema: StructType, scope: ReadScope): Seq[String] = scope match {
+    case NoRead | LayoutOnly => Nil
+    case _ =>
+      val added = ((readVersion + 1) to currentVersion)
+        .flatMap(v => VintageLog.readVersion(path, v))
+        .collect { case a: AddFile if a.dataChange => a }
+      scope match {
+        case FullRead => added.map(_.path)
+        case PredicateRead(cond) =>
+          FileSkipping.candidates(schema, added, cond).map(_.path)
+        case _ => Nil // unreachable (NoRead/LayoutOnly handled above)
+      }
   }
 }
 
@@ -405,15 +445,18 @@ object VintageTable {
                  s"part-${UUID.randomUUID().toString}.snappy.parquet"))
     val statCols = ParquetStats.statsColumns(df.schema)
     val tableDirStr = tableDir
+    // ship the session Hadoop conf to the executors: object stores and
+    // custom filesystems are configured there (credentials, fs.* impls),
+    // so a default Configuration() would break the rename/footer tasks
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
     val adds =
       if (moves.isEmpty) Nil
       else spark.sparkContext
         .parallelize(moves, math.min(moves.size, 256))
         .map { case (src, name) =>
-          // runs on executors; a real cluster deployment would ship the
-          // session Hadoop conf — defaults suffice for file:// and HDFS
-          // with standard core-site on the classpath
-          val conf = new Configuration()
+          val conf = confBc.value.value
           val srcPath = new HPath(src)
           val efs = srcPath.getFileSystem(conf)
           val target = new HPath(tableDirStr, name)

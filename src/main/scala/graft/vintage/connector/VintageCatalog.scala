@@ -127,11 +127,13 @@ class VintageCatalog extends TableCatalog {
         s"ALTER TABLE change $other not supported for vintage tables")
     }
     if (schema != snap.schema) {
-      val v = snap.version + 1
-      VintageLog.commit(p, v, Seq(
-        graft.vintage.CommitInfo(v, System.currentTimeMillis(), "ADD COLUMNS",
-          Map("columns" -> changes.mkString(","))),
-        graft.vintage.Metadata(schema.json, snap.properties)))
+      // metadata-only commit routed through the optimistic retry loop:
+      // racing another writer re-commits at the next version instead of
+      // surfacing a raw ConcurrentModificationException
+      VintageTable.forPath(spark, p).commitOp(snap, "ADD COLUMNS",
+        Map("columns" -> changes.mkString(",")), Nil, Nil,
+        Some(graft.vintage.Metadata(schema.json, snap.properties)),
+        graft.vintage.NoRead)
     }
     loadTable(ident)
   }

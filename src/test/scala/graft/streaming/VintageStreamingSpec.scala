@@ -45,6 +45,30 @@ class VintageStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("upsertBatch is deterministic: replaying a batch leaves state identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-stream").toString + "/det"
+
+    // duplicate keys within the batch, deliberately shuffled: the pick
+    // must not depend on partition/arrival order
+    val rows = Seq(("k1", 5.0), ("k1", 9.0), ("k1", 1.0), ("k2", 2.0))
+    val batchA = rows.toDF("key", "value").repartition(4)
+    val batchB = scala.util.Random.shuffle(rows).toDF("key", "value").repartition(2)
+
+    VintageStreaming.upsertBatch(spark, batchA, dir, "key")
+    val after1 = VintageTable.forPath(spark, dir).toDF
+      .orderBy("key").as[(String, Double)].collect().toSeq
+
+    // replay the same logical batch (different physical order)
+    VintageStreaming.upsertBatch(spark, batchB, dir, "key")
+    val after2 = VintageTable.forPath(spark, dir).toDF
+      .orderBy("key").as[(String, Double)].collect().toSeq
+
+    assert(after1 == after2, "replayed batch must upsert the identical rows")
+    assert(after1 == Seq(("k1", 9.0), ("k2", 2.0)),
+      "deterministic pick = lexicographically greatest row per key")
+  }
+
   test("streaming append sink accumulates batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -145,6 +145,79 @@ class StatsSkippingSpec extends AnyFunSuite {
     }
   }
 
+  test("commit retry: concurrent adds conflict by read scope") {
+    import org.apache.spark.sql.graftshim.ColumnExpr
+    def freshTable(suffix: String): (VintageTable, Snapshot) = {
+      val dir = Files.createTempDirectory("vintage-skip").toString + s"/$suffix"
+      val t = VintageTable.create(spark, dir,
+        Seq((1L, "a")).toDF("id", "name").coalesce(1))
+      (t, t.snapshot)
+    }
+    def landConcurrentAdd(t: VintageTable, lo: Long, hi: Long): Unit =
+      VintageLog.commit(t.path, 1L, Seq(
+        CommitInfo(1L, 1L, "WRITE"),
+        AddFile(s"part-concurrent-$lo.parquet", 1L, 1L, dataChange = true,
+          Some(hi - lo + 1),
+          Map("id" -> ColStats(Some(lo.toString), Some(hi.toString), Some(0L))))))
+
+    // blind append past a concurrent append: no conflict
+    val (t1, s1) = freshTable("a")
+    landConcurrentAdd(t1, 100, 200)
+    assert(t1.commitOp(s1, "WRITE", Map("mode" -> "Append"), Nil, Nil, None,
+      NoRead) == 2L)
+
+    // overwrite past a concurrent append: conflict (the appended file
+    // would survive the "overwrite" — no serial order produces that)
+    val (t2, s2) = freshTable("b")
+    landConcurrentAdd(t2, 100, 200)
+    intercept[java.util.ConcurrentModificationException] {
+      t2.commitOp(s2, "WRITE", Map("mode" -> "Overwrite"), Nil, Nil, None,
+        FullRead)
+    }
+
+    // predicate op: conflicts iff the added file's stats may match
+    val (t3, s3) = freshTable("c")
+    landConcurrentAdd(t3, 100, 200)
+    intercept[java.util.ConcurrentModificationException] {
+      t3.commitOp(s3, "DELETE", Map.empty, Nil, Nil, None,
+        PredicateRead(ColumnExpr.expr(col("id") === 150)))
+    }
+    val (t4, s4) = freshTable("d")
+    landConcurrentAdd(t4, 100, 200)
+    assert(t4.commitOp(s4, "DELETE", Map.empty, Nil, Nil, None,
+      PredicateRead(ColumnExpr.expr(col("id") === 999))) == 2L)
+
+    // layout-only rewrite past a concurrent append: no conflict
+    val (t5, s5) = freshTable("e")
+    landConcurrentAdd(t5, 100, 200)
+    assert(t5.commitOp(s5, "WRITE", Map("dataChange" -> "false"), Nil, Nil,
+      None, LayoutOnly) == 2L)
+  }
+
+  test("datetime stats: matched units prune, mismatched units never prune") {
+    val dir = Files.createTempDirectory("vintage-skip").toString + "/dt"
+    val jan = (1 to 10).map(i => (i.toLong, java.sql.Date.valueOf(f"2020-01-$i%02d")))
+    val feb = (1 to 10).map(i => (i.toLong, java.sql.Date.valueOf(f"2020-02-$i%02d")))
+    val t = VintageTable.create(spark, dir, jan.toDF("id", "d").coalesce(1))
+    t.append(feb.toDF("id", "d").coalesce(1))
+    val snap = t.snapshot
+
+    // same unit (date vs date, both epoch days): prunes to 1 file
+    assert(t.candidateFiles(snap,
+      col("d") === java.sql.Date.valueOf("2020-02-05")).size == 1)
+    // date column (days) vs TIMESTAMP literal (micros, session-tz):
+    // incomparable units -> must NOT prune (a blind numeric compare
+    // would drop every file and make delete/update silently miss rows)
+    assert(t.candidateFiles(snap,
+      col("d") === java.sql.Timestamp.valueOf("2020-02-05 00:00:00")).size == 2)
+    // date column vs TIMESTAMP_NTZ literal: tz-free, days are converted
+    // to micros, so pruning applies
+    assert(t.candidateFiles(snap,
+      col("d") === java.time.LocalDateTime.of(2020, 2, 5, 0, 0)).size == 1)
+    assert(t.candidateFiles(snap,
+      col("d") < java.time.LocalDateTime.of(2019, 1, 1, 0, 0)).isEmpty)
+  }
+
   test("update prunes: only the CHF-range file is rewritten") {
     val dir = Files.createTempDirectory("vintage-skip").toString + "/c"
     val t = VintageTable.create(spark, dir,
