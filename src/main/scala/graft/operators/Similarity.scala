@@ -18,21 +18,25 @@ import org.apache.spark.sql.functions._
   *     the join touches only same/adjacent-bucket candidates; recall
   *     is tunable via planes/probes and verified in tests (>= 0.9 vs
   *     exact at the default setting).
-  *   - dot products run in double precision via codegen'd
-  *     zip_with/aggregate expressions — no UDFs.
+  *   - dot products run in double precision inside whole-stage codegen
+  *     via native Catalyst expressions (graft.functions.VectorOps) —
+  *     no UDFs, no interpreted lambdas in the hot loop.
   */
 object Similarity {
 
+  import org.apache.spark.sql.graftshim.ColumnExpr
+
   /** Cosine similarity of two float-array columns, accumulated in
     * double in element order (bit-reproducible across engines that sum
-    * sequentially).
+    * sequentially). Backed by the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression — one compiled
+    * fused loop; the equivalent zip_with/aggregate higher-order
+    * functions evaluate interpreted per element, which made the exact
+    * top-k 6× slower (VectorOpsSpec pins bit-equality to the HOF form).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    ColumnExpr.column(graft.functions.CosineSimilarity(
+      ColumnExpr.expr(a), ColumnExpr.expr(b)))
 
   /** Exact top-k neighbors for each query vector: returns
     * (queryIdCol, neighborIdCol, rk, cosine_sim), rk 1..k by descending
@@ -58,15 +62,9 @@ object Similarity {
     * ±1 weights derived by hashing (salt, plane, dimension index) —
     * reproducible, engine-neutral.
     */
-  def hyperplaneSketch(vecCol: String, planes: Int, salt: Int = 0): Column = expr(
-    s"""aggregate(
-       |  transform(sequence(0, ${planes - 1}), j ->
-       |    IF(aggregate(zip_with($vecCol, sequence(0, size($vecCol) - 1),
-       |         (v, d) -> cast(v as double) *
-       |           IF(pmod(xxhash64(concat('plane-$salt-', j, '-', d)), 2) = 0, 1.0D, -1.0D)),
-       |       0D, (acc, x) -> acc + x) > 0D,
-       |       shiftleft(1L, j), 0L)),
-       |  0L, (a, b) -> a | b)""".stripMargin)
+  def hyperplaneSketch(vecCol: String, planes: Int, salt: Int = 0): Column =
+    ColumnExpr.column(graft.functions.HyperplaneSketch(
+      ColumnExpr.expr(col(vecCol)), planes, salt))
 
   /** All `tables` sketches as an array of (table, bucket) structs. */
   private def sketchTables(vecCol: String, planes: Int, tables: Int): Column =
