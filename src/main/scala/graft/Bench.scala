@@ -34,7 +34,14 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // also drop the JSON to a file: the driver tails stdout through
+    // sbt's [info] prefixing, which is fragile to parse
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/tmp/graft_bench.json")), json + "\n")
+    catch { case _: java.io.IOException => () }
     if (results.exists(!_._3)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

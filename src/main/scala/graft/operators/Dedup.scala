@@ -83,17 +83,23 @@ object Dedup {
       s"xxhash64(concat_ws(',', b, slice(__sig, b * $r + 1, $r))))"))
       .as(Seq("__band", "__bucket")))
 
-    // candidate pairs: equi-join within (band, bucket) groups, capped
-    val buckets = banded.groupBy("__band", "__bucket")
-      .agg(collect_list("__id").as("__ids"))
-      .filter(size(col("__ids")).between(2, maxBucketSize))
-    val pairs = buckets
-      .select(explode(expr(
-        """flatten(transform(__ids, (a, i) ->
-          |  transform(slice(__ids, i + 2, size(__ids)), b ->
-          |    struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+    // candidate pairs: a bucket-key SELF-JOIN, so pair generation
+    // distributes across tasks — materializing each bucket's pair list
+    // as one in-row array would put O(cap²) structs in a single row
+    // (multi-GB at the default cap). The size filter drops degenerate
+    // buckets before any pair forms; the per-bucket count table is one
+    // row per bucket and broadcasts.
+    val sizes = banded.groupBy("__band", "__bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucketSize))
+      .select("__band", "__bucket")
+    val eligible = banded.join(sizes, Seq("__band", "__bucket"))
+    val pairs = eligible.as("l")
+      .join(eligible.as("r"),
+        col("l.__band") === col("r.__band") &&
+        col("l.__bucket") === col("r.__bucket") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
 
     // exact verification on the candidate set only
@@ -144,19 +150,22 @@ object Dedup {
     val chunked = withSig.select(col("__id"), col("__sim"), posexplode(expr(
       "transform(sequence(0, 3), c -> shiftright(__sim, c * 16) & 65535)"))
       .as(Seq("__chunk", "__ckey")))
-    val buckets = chunked.groupBy("__chunk", "__ckey")
-      .agg(collect_list(struct(col("__id"), col("__sim"))).as("__xs"))
-      .filter(size(col("__xs")).between(2, maxBucketSize))
-    buckets
-      .select(explode(expr(
-        """flatten(transform(__xs, (a, i) ->
-          |  transform(slice(__xs, i + 2, size(__xs)), b ->
-          |    struct(least(a.__id, b.__id) AS id_a, greatest(a.__id, b.__id) AS id_b,
-          |           bit_count(a.__sim ^ b.__sim) AS hamming))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
-      .distinct()
+    // distributed bucket self-join (see nearDupPairs): no in-row pair
+    // arrays, degenerate buckets dropped before any pair forms
+    val sizes = chunked.groupBy("__chunk", "__ckey")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucketSize))
+      .select("__chunk", "__ckey")
+    val eligible = chunked.join(sizes, Seq("__chunk", "__ckey"))
+    eligible.as("l")
+      .join(eligible.as("r"),
+        col("l.__chunk") === col("r.__chunk") &&
+        col("l.__ckey") === col("r.__ckey") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Distinct word n-grams of a text column (Scala lambda variant of

@@ -96,8 +96,8 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: rewrites the header dims and proportionally truncates
-    * the payload (a real impl decodes, scales, re-encodes — same
+  /** STUB resize: rewrites only the header dims, leaving the payload
+    * bytes untouched (a real impl decodes, scales, re-encodes — same
     * iterator-in/iterator-out batch shape).
     */
   def resize(ds: Dataset[MediaRecord], width: Int, height: Int): Dataset[MediaRecord] = {

@@ -112,22 +112,32 @@ object Similarity {
     * direct function of nprobe.
     *
     * Centroids are tiny (numCells × dim) and broadcast; the only
-    * corpus-wide work is one KMeans fit (sampled in production) and one
-    * assignment pass.
+    * corpus-wide work is one assignment pass — the KMeans quantizer is
+    * fit on a bounded SAMPLE (`maxFitRows`, default 100k), so the fit
+    * cost is constant in corpus size. A coarse quantizer needs only
+    * enough points to place numCells centroids; fitting on the full
+    * corpus would make the index build itself a multi-pass 100 TB job.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      numCells: Int = 16, nprobe: Int = 6, seed: Long = 42L): DataFrame = {
+      numCells: Int = 16, nprobe: Int = 6, seed: Long = 42L,
+      maxFitRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
 
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("__feat"))
+    val n = corpusVec.count()
+    val fitInput =
+      if (n <= maxFitRows) corpusVec
+      else corpusVec.sample(withReplacement = false,
+        // slight over-sample so the expected draw stays >= maxFitRows
+        math.min(1.0, 1.05 * maxFitRows.toDouble / n), seed)
     val model = new KMeans().setK(numCells).setSeed(seed)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
-      .fit(corpusVec)
+      .fit(fitInput)
     val assigned = model.transform(corpusVec)
       .select(col("neighbor_id"), col("__cv"), col("__cell"))
 
@@ -162,20 +172,32 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: vectors whose cosine
-    * similarity >= threshold, found via shared LSH buckets (id_a < id_b).
+    * similarity >= threshold, found via shared LSH buckets (id_a <
+    * id_b). `tables` independent hash tables OR-amplify recall (a pair
+    * is a candidate if it collides in ANY table — one table of `planes`
+    * sign bits misses ~ (1 - (1-θ/π)^planes) of true pairs);
+    * `maxBucketSize` drops degenerate buckets (an all-similar corpus
+    * region would otherwise self-join O(n²) inside one bucket), and
+    * pair generation is a distributed bucket self-join — no in-row
+    * pair arrays.
     */
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8): DataFrame = {
+      threshold: Double, planes: Int = 8, tables: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
     val withB = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      hyperplaneSketch(vecCol, planes).as("__bucket"))
-    val a = withB.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
-    val b = withB.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine(col("__va"), col("__vb")).as("cosine_sim"))
-      .distinct()
+      explode(sketchTables(vecCol, planes, tables)).as("__k"))
+    val sizes = withB.groupBy("__k")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucketSize))
+      .select("__k")
+    val eligible = withB.join(sizes, Seq("__k"))
+    eligible.as("l")
+      .join(eligible.as("r"),
+        col("l.__k") === col("r.__k") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        cosine(col("l.__v"), col("r.__v")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
+      .distinct() // a pair colliding in several tables reports once
   }
 }

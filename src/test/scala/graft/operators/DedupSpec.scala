@@ -62,6 +62,35 @@ class DedupSpec extends AnyFunSuite {
     assert(!found.contains((1L, 3L)) && !found.contains((2L, 3L)))
   }
 
+  test("hot bucket: pairs distribute, oversized buckets drop, dups still found") {
+    // 300 identical docs put 300 members into the same bucket in every
+    // band; pair generation must distribute (bucket self-join) instead
+    // of materializing one O(n²) in-row array
+    val hot = (100L to 399L)
+      .map(i => (i, "identical hot bucket document body repeated verbatim"))
+    val df = base.union(hot.toDF("id", "text"))
+    val pairs = Dedup.nearDupPairs(df, "id", "text", threshold = 0.8)
+    // all C(300,2) identical pairs plus the planted (1,4)
+    assert(pairs.count() == 300L * 299 / 2 + 1)
+    // the plan must generate pairs via a join, not an in-row flatten
+    val plan = Dedup.nearDupPairs(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("flatten("), "in-row pair materialization crept back")
+
+    // capped: the hot bucket is dropped entirely, small dups survive
+    val capped = Dedup.nearDupPairs(df, "id", "text",
+      threshold = 0.8, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 4L)),
+      s"cap must drop the degenerate bucket but keep small ones, got ${capped.size} pairs")
+
+    // same guarantees for the simhash path
+    val sim = Dedup.simHashPairs(df, "id", "text", maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!sim.exists { case (a, b) => a >= 100 && b >= 100 },
+      "simhash cap must drop the degenerate bucket")
+  }
+
   test("ngramJaccard: identical=1, disjoint=0, near-dup high") {
     val df = Seq((
       "the quick brown fox jumps over the lazy dog",

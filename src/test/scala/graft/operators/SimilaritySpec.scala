@@ -76,4 +76,54 @@ class SimilaritySpec extends AnyFunSuite {
     assert((0L until 5L).forall(i => found.contains((i, i + 10000))),
       s"all 5 planted duplicate vectors must be found, got $found")
   }
+
+  test("cosineNearDupPairs: hot bucket capped, pair generation distributed") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // 200 exact copies of vector 0: a degenerate all-similar region
+    val base0 = emb.filter(col("vec_id") === 0)
+    val hot = (1 to 200).map(i => base0
+      .select((col("vec_id") + 20000 + i).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _)
+    val df = emb.unionByName(hot)
+
+    // capped low: the hot region's buckets are dropped; the query
+    // completes without forming its O(n²) pairs
+    val capped = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.999, maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(!capped.exists { case (a, b) => a > 20000 && b > 20000 },
+      "cap must drop the degenerate bucket")
+
+    // pair generation is a join, never an in-row array
+    val plan = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cosineNearDupPairs multi-table amplification beats one table's recall") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(col("vec_id") < 500)
+    // plant 50 slightly-perturbed copies (high cosine, not identical):
+    // scale each vector by 1.01 — cosine exactly 1 survives float noise,
+    // so perturb one dimension instead
+    val planted = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"),
+          (v, i) => when(i === 0, v * 0.7f).otherwise(v)).as("embedding"))
+    val df = emb.unionByName(planted)
+    val exactPairs = (0L until 50L).map(i => (i, i + 10000)).toSet
+    def recallAt(tables: Int): Double = {
+      val found = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+        threshold = 0.95, planes = 8, tables = tables)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      (found & exactPairs).size.toDouble / exactPairs.size
+    }
+    val r1 = recallAt(1); val r4 = recallAt(4)
+    info(f"cosine near-dup recall: 1 table $r1%.2f, 4 tables $r4%.2f")
+    assert(r4 >= r1, "OR-amplification must not lose pairs")
+    assert(r4 >= 0.9, f"4-table recall $r4%.2f below 0.9")
+  }
 }
