@@ -22,6 +22,10 @@ sealed trait Action
   *        can skip them (/root/reference/README.md:403-412).
   * @param stats optional per-column min/max/null-count used for file
   *        skipping at scan and merge touched-file discovery.
+  * @param partitionValues hive-partition column values for this file
+  *        (unescaped; a null partition value is the hive default
+  *        sentinel). Empty for unpartitioned tables. `path` is then
+  *        relative to the table root including the partition dirs.
   */
 case class AddFile(
     path: String,
@@ -29,7 +33,8 @@ case class AddFile(
     modificationTime: Long,
     dataChange: Boolean,
     numRecords: Option[Long] = None,
-    stats: Map[String, ColStats] = Map.empty) extends Action
+    stats: Map[String, ColStats] = Map.empty,
+    partitionValues: Map[String, String] = Map.empty) extends Action
 
 case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
 
@@ -74,7 +79,8 @@ object Action {
           ("numRecords" -> f.numRecords) ~
           ("stats" -> f.stats.map { case (c, s) =>
             c -> (("min" -> s.min) ~ ("max" -> s.max) ~ ("nullCount" -> s.nullCount))
-          }))
+          }) ~
+          ("partitionValues" -> f.partitionValues))
       case f: RemoveFile =>
         "remove" -> (
           ("path" -> f.path) ~ ("deletionTimestamp" -> f.deletionTimestamp) ~
@@ -108,6 +114,10 @@ object Action {
                             (s \ "max").extractOpt[String],
                             (s \ "nullCount").extractOpt[Long])
             }.toMap
+            case _ => Map.empty
+          },
+          partitionValues = (a \ "partitionValues") match {
+            case o: JObject => o.obj.map { case (k, v) => k -> v.extract[String] }.toMap
             case _ => Map.empty
           })
       case (_, r: JObject, _, _) =>

@@ -13,9 +13,18 @@ case class Snapshot(
     schema: StructType,
     files: Seq[AddFile],
     properties: Map[String, String],
-    commits: Seq[CommitInfo]) {
+    commits: Seq[CommitInfo],
+    partitionColumns: Seq[String] = Nil) {
   def filePaths(tableDir: String): Seq[String] =
     files.map(f => s"$tableDir/${f.path}")
+
+  /** Files with synthetic min=max=value stats for partition columns —
+    * feed THESE to [[FileSkipping]] so partition predicates prune with
+    * the same machinery as data stats.
+    */
+  lazy val statFiles: Seq[AddFile] =
+    if (partitionColumns.isEmpty) files
+    else files.map(PartitionPaths.augment(schema, _))
 }
 
 /** The transaction log: ordered JSON commit files under
@@ -77,7 +86,7 @@ object VintageLog {
   def checkpoint(tableDir: String, v: Long): Unit = {
     val snap = replay(tableDir, Some(v))
     val actions: Seq[Action] =
-      Seq(Metadata(snap.schema.json, snap.properties)) ++
+      Seq(Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
         snap.commits.sortBy(_.version) ++ snap.files
     store.writeReplace(checkpointFile(tableDir, v), actions.map(Action.toJsonLine))
     store.writeReplace(lastCheckpointFile(tableDir), Seq(s"""{"version":$v}"""))
@@ -150,7 +159,8 @@ object VintageLog {
     }
     val m = meta.getOrElse(
       throw new IOException(s"no metaData action in log of $tableDir"))
-    Snapshot(until, m.schema, files.values.toSeq, m.properties, commits.toSeq)
+    Snapshot(until, m.schema, files.values.toSeq, m.properties, commits.toSeq,
+      m.partitionColumns)
   }
 
   /** Version whose commit timestamp is the latest <= `ts` (time travel

@@ -97,12 +97,12 @@ class VintageMergeBuilder private[vintage] (
       case _ if snap.files.isEmpty => Nil
       case None => snap.files
       case Some(rc) =>
-        FileSkipping.candidates(snap.schema, snap.files, ColumnExpr.expr(rc))
+        FileSkipping.candidates(snap.schema, snap.statFiles, ColumnExpr.expr(rc))
     }
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
-        val candDf = spark.read.schema(snap.schema)
+        val candDf = spark.read.option("basePath", table.path).schema(snap.schema)
           .parquet(candidates.map(f => s"${table.path}/${f.path}"): _*)
         val tRaw = candDf.select(
           col("_metadata.file_path").as(VintageTable.FileCol) +: targetCols.map(col): _*)
@@ -183,9 +183,11 @@ class VintageMergeBuilder private[vintage] (
       else rewritten
     val adds =
       if (touched.isEmpty && notMatchedClauses.isEmpty) Nil
-      else VintageTable.writeFiles(spark, toWrite, table.path, dataChange = true)
+      else VintageTable.writeFiles(spark, toWrite, table.path, dataChange = true,
+        snap.partitionColumns)
     val meta =
-      if (finalSchema != snap.schema) Some(Metadata(finalSchema.json, snap.properties))
+      if (finalSchema != snap.schema)
+        Some(Metadata(finalSchema.json, snap.properties, snap.partitionColumns))
       else None
     // read/write conflict scope: the merge read every target row whose
     // key falls in the source's key range; without extractable equi-join

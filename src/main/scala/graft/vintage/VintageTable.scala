@@ -57,7 +57,13 @@ class VintageTable private (
     if (s.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     else
-      spark.read.schema(s.schema).parquet(s.filePaths(path): _*)
+      // basePath makes hive partition dirs resolve to the partition
+      // columns declared in the schema (no-op for unpartitioned
+      // tables); the select restores the declared column order, which
+      // partition discovery moves to the end
+      spark.read.option("basePath", path).schema(s.schema)
+        .parquet(s.filePaths(path): _*)
+        .select(s.schema.fieldNames.toIndexedSeq.map(col): _*)
 
   /** Version history, newest first — reproduces the operation log shape
     * at README.md:307-319.
@@ -99,7 +105,8 @@ class VintageTable private (
     }
     val remaining = readFiles(snap, touched)
       .filter(!coalesce(condition, lit(false)))
-    val adds = writeFiles(spark, remaining, path, dataChange = true)
+    val adds = writeFiles(spark, remaining, path, dataChange = true,
+      snap.partitionColumns)
     commitOp(snap, "DELETE", Map("predicate" -> condition.toString),
       adds, removesFor(snap, touched), None, scope)
   }
@@ -127,7 +134,8 @@ class VintageTable private (
           case None => col(c)
         }
       }: _*)
-    val adds = writeFiles(spark, updated, path, dataChange = true)
+    val adds = writeFiles(spark, updated, path, dataChange = true,
+      snap.partitionColumns)
     commitOp(snap, "UPDATE", Map("predicate" -> condition.toString),
       adds, removesFor(snap, touched), None, scope)
   }
@@ -145,9 +153,10 @@ class VintageTable private (
     */
   def overwrite(df: DataFrame, dataChange: Boolean): Unit = {
     val snap = snapshot
-    val adds = writeFiles(spark, df, path, dataChange)
-    val meta = Metadata(df.schema.json, snap.properties)
-    val params = Map("mode" -> "Overwrite", "partitionBy" -> "[]") ++
+    val adds = writeFiles(spark, df, path, dataChange, snap.partitionColumns)
+    val meta = Metadata(df.schema.json, snap.properties, snap.partitionColumns)
+    val params = Map("mode" -> "Overwrite",
+      "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
       (if (dataChange) Map.empty else Map("dataChange" -> "false"))
     val now = System.currentTimeMillis()
     // a dataChange=false overwrite is compaction: layout-only, so a
@@ -167,8 +176,10 @@ class VintageTable private (
     require(missing.isEmpty && extra.isEmpty,
       s"append schema mismatch: missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
     val adds = writeFiles(spark, df.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
-      path, dataChange = true)
-    commitOp(snap, "WRITE", Map("mode" -> "Append", "partitionBy" -> "[]"),
+      path, dataChange = true, snap.partitionColumns)
+    commitOp(snap, "WRITE",
+      Map("mode" -> "Append",
+          "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")),
       adds, Nil, None, NoRead)
   }
 
@@ -181,7 +192,7 @@ class VintageTable private (
   def compact(numFiles: Int): Unit = {
     val snap = snapshot
     val adds = writeFiles(spark, toDF.repartition(numFiles), path,
-      dataChange = false)
+      dataChange = false, snap.partitionColumns)
     commitOp(snap, "WRITE",
       Map("mode" -> "Overwrite", "dataChange" -> "false"),
       adds, snap.files.map(f =>
@@ -202,7 +213,8 @@ class VintageTable private (
     val clustered = toDF
       .repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
-    val adds = writeFiles(spark, clustered, path, dataChange = false)
+    val adds = writeFiles(spark, clustered, path, dataChange = false,
+      snap.partitionColumns)
     commitOp(snap, "CLUSTER",
       Map("by" -> cols.mkString(","), "dataChange" -> "false"),
       adds, snap.files.map(f =>
@@ -221,7 +233,7 @@ class VintageTable private (
     val adds = old.files.filterNot(f => current.contains(f.path))
     val removes = snap.files.filterNot(f => wanted.contains(f.path))
       .map(f => RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
-    val meta = Metadata(old.schema.json, old.properties)
+    val meta = Metadata(old.schema.json, old.properties, old.partitionColumns)
     commitOp(snap, "RESTORE", Map("version" -> v.toString),
       adds, removes, Some(meta), FullRead)
   }
@@ -247,14 +259,21 @@ class VintageTable private (
     var deleted = 0L
     val dir = new HPath(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(dir)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .foreach { s =>
-        val rel = s.getPath.getName
+    val dirUri = fs.makeQualified(dir).toUri
+    // walk recursively: partitioned tables keep data files in
+    // p1=v1/... subdirectories (the log dir and tmp dirs are skipped)
+    def walk(d: HPath): Unit = fs.listStatus(d).foreach { s =>
+      val name = s.getPath.getName
+      if (s.isDirectory) {
+        if (name != VintageLog.LogDirName && !name.startsWith(".tmp-")) walk(s.getPath)
+      } else if (name.startsWith("part-")) {
+        val rel = dirUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
         if (!live.contains(rel) && removedAt.getOrElse(rel, Long.MaxValue) < cutoff) {
           fs.delete(s.getPath, false); deleted += 1
         }
       }
+    }
+    walk(dir)
     deleted
   }
 
@@ -264,7 +283,9 @@ class VintageTable private (
     * the stats-pruned candidate set consulted before any scan runs.
     */
   private[vintage] def candidateFiles(snap: Snapshot, condition: Column): Seq[AddFile] =
-    FileSkipping.candidates(snap.schema, snap.files, ColumnExpr.expr(condition))
+    // statFiles carry synthetic partition-column stats, so partition
+    // predicates prune here exactly like data-column stats
+    FileSkipping.candidates(snap.schema, snap.statFiles, ColumnExpr.expr(condition))
 
   /** Files containing at least one row matching `condition` — the
     * copy-on-write touch set. Stats pruning narrows the scan first, so
@@ -275,7 +296,7 @@ class VintageTable private (
     val cands = candidateFiles(snap, condition)
     if (cands.isEmpty) Set.empty
     else {
-      spark.read.schema(snap.schema)
+      spark.read.option("basePath", path).schema(snap.schema)
         .parquet(cands.map(f => s"$path/${f.path}"): _*)
         .select(col("_metadata.file_path").as(FileCol))
         .where(condition)
@@ -287,7 +308,9 @@ class VintageTable private (
   }
 
   private[vintage] def readFiles(snap: Snapshot, rel: Set[String]): DataFrame =
-    spark.read.schema(snap.schema).parquet(rel.map(r => s"$path/$r").toSeq: _*)
+    spark.read.option("basePath", path).schema(snap.schema)
+      .parquet(rel.map(r => s"$path/$r").toSeq: _*)
+      .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
 
   private[vintage] def removesFor(snap: Snapshot, rel: Set[String]): Seq[RemoveFile] = {
     val now = System.currentTimeMillis()
@@ -296,11 +319,14 @@ class VintageTable private (
   }
 
   private[vintage] def relativize(filePath: String): String = {
-    // _metadata.file_path yields a URI like file:/tmp/table/part-x.parquet
+    // _metadata.file_path yields a URI like file:/tmp/table/p=1/part-x.parquet;
+    // keep partition subdirectories in the relative path
     val abs =
       if (filePath.contains(":")) new java.net.URI(filePath).getPath
       else filePath
-    abs.substring(abs.lastIndexOf('/') + 1)
+    val tableAbs = Option(new java.net.URI(path).getPath).getOrElse(path)
+    if (abs.startsWith(tableAbs)) abs.substring(tableAbs.length).stripPrefix("/")
+    else abs.substring(abs.lastIndexOf('/') + 1)
   }
 
   /** Commit with optimistic-concurrency retry: when another writer
@@ -400,19 +426,26 @@ object VintageTable {
   def isVintageTable(path: String): Boolean = VintageLog.exists(path)
 
   /** Create a new table at `path` from `df` (README.md:92 initial
-    * `mode("overwrite")` write).
+    * `mode("overwrite")` write). `partitionBy` columns become
+    * hive-style directories; the read path prunes them via synthetic
+    * min=max stats (see [[PartitionPaths]]).
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
-             properties: Map[String, String] = Map.empty): VintageTable = {
+             properties: Map[String, String] = Map.empty,
+             partitionBy: Seq[String] = Nil): VintageTable = {
     val abs = absolutize(path)
     val dir = new HPath(abs)
     dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
     require(VintageLog.latestVersion(abs) < 0, s"table already exists: $abs")
-    val adds = writeFiles(spark, df, abs, dataChange = true)
+    val missing = partitionBy.filterNot(c =>
+      df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty, s"partition columns not in schema: $missing")
+    val adds = writeFiles(spark, df, abs, dataChange = true, partitionBy)
     val info = CommitInfo(0L, System.currentTimeMillis(), "WRITE",
-      Map("mode" -> "Overwrite", "partitionBy" -> "[]"))
+      Map("mode" -> "Overwrite",
+          "partitionBy" -> partitionBy.mkString("[", ",", "]")))
     VintageLog.commit(abs, 0L,
-      Seq(info, Metadata(df.schema.json, properties)) ++ adds)
+      Seq(info, Metadata(df.schema.json, properties, partitionBy)) ++ adds)
     new VintageTable(spark, abs, None)
   }
 
@@ -428,21 +461,38 @@ object VintageTable {
     * then a distributed job renames each into place and reads its
     * footer — the driver never serializes per-file IO, so a
     * thousand-file commit costs one task wave, not a driver loop.
+    *
+    * With `partitionBy` set the stage writes hive-style
+    * `p1=v1/.../part-*.parquet` layout; each file keeps its partition
+    * subpath when renamed into the table and records its
+    * partitionValues in the AddFile.
     */
   private[vintage] def writeFiles(
       spark: SparkSession, df: DataFrame, tableDir: String,
-      dataChange: Boolean): Seq[AddFile] = {
+      dataChange: Boolean, partitionBy: Seq[String] = Nil): Seq[AddFile] = {
     val dir = new HPath(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new HPath(tableDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
-    df.write.mode("overwrite").parquet(tmp.toString)
-    val moves: Seq[(String, String)] = fs.listStatus(tmp).toSeq
-      .filter { s =>
-        val n = s.getPath.getName
-        n.startsWith("part-") && n.endsWith(".parquet")
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp.toString)
+    // collect staged files (recursively under partition dirs), keeping
+    // each file's partition subpath
+    val tmpUri = fs.makeQualified(tmp).toUri
+    def staged(d: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq.flatMap {
+        case s if s.isDirectory && s.getPath.getName.contains("=") => staged(s.getPath)
+        case s if s.isFile && s.getPath.getName.startsWith("part-") &&
+                  s.getPath.getName.endsWith(".parquet") => Seq(s)
+        case _ => Nil
       }
-      .map(s => (s.getPath.toString,
-                 s"part-${UUID.randomUUID().toString}.snappy.parquet"))
+    val moves: Seq[(String, String)] = staged(tmp).map { s =>
+      val relDir = tmpUri.relativize(fs.makeQualified(s.getPath.getParent).toUri)
+        .getPath.stripSuffix("/")
+      val prefix = if (relDir.isEmpty) "" else s"$relDir/"
+      (s.getPath.toString,
+       s"${prefix}part-${UUID.randomUUID().toString}.snappy.parquet")
+    }
     val statCols = ParquetStats.statsColumns(df.schema)
     val tableDirStr = tableDir
     // ship the session Hadoop conf to the executors: object stores and
@@ -460,12 +510,14 @@ object VintageTable {
           val srcPath = new HPath(src)
           val efs = srcPath.getFileSystem(conf)
           val target = new HPath(tableDirStr, name)
+          if (name.contains('/')) efs.mkdirs(target.getParent)
           if (!efs.rename(srcPath, target))
             throw new java.io.IOException(s"rename $srcPath -> $target failed")
           val (numRecords, stats) = ParquetStats.read(target, conf, statCols)
           val st = efs.getFileStatus(target)
           AddFile(name, st.getLen, st.getModificationTime, dataChange,
-            Some(numRecords), stats)
+            Some(numRecords), stats,
+            PartitionPaths.parsePartitionValues(name))
         }.collect().toSeq
     fs.delete(tmp, true)
     adds

@@ -98,12 +98,22 @@ class VintageCatalog extends TableCatalog {
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "vintage tables do not support partition transforms yet")
+    // identity transforms only (hive-style partitioning); bucket/hour/
+    // etc. transforms have no directory encoding here
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name != "identity" || t.references().length != 1)
+        throw new UnsupportedOperationException(
+          s"vintage tables support only identity partition transforms, got $t")
+      val fieldNames = t.references()(0).fieldNames()
+      require(fieldNames.length == 1,
+        "nested partition columns not supported for vintage tables")
+      fieldNames(0)
+    }
     val p = pathFor(ident)
     if (VintageLog.exists(p)) throw new TableAlreadyExistsException(ident)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema)
-    VintageTable.create(spark, p, empty, properties.asScala.toMap)
+    VintageTable.create(spark, p, empty, properties.asScala.toMap, partCols)
     loadTable(ident)
   }
 
@@ -167,6 +177,9 @@ class VintageSqlTable(
 
   override def name(): String = ident
   override def schema(): StructType = snapshot.schema
+  override def partitioning(): Array[Transform] =
+    snapshot.partitionColumns.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)

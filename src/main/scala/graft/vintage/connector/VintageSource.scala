@@ -72,23 +72,28 @@ class VintageSource extends DataSourceRegister
     val spark = sqlContext.sparkSession
     val abs = pathOf(parameters)
     val dataChange = parameters.get("dataChange").forall(_.toBoolean)
+    // `.option("partitionBy", "a,b")` — partition columns for table
+    // creation (an existing table keeps its own partitioning)
+    val partCols = parameters.get("partitionBy")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val exists = VintageTable.isVintageTable(abs)
+    def createNew() = VintageTable.create(spark, abs, df, Map.empty, partCols)
     mode match {
       case SaveMode.Overwrite =>
-        if (!exists) VintageTable.create(spark, abs, df)
+        if (!exists) createNew()
         else VintageTable.forPath(spark, abs).overwrite(df, dataChange)
       case SaveMode.Append =>
-        if (!exists) VintageTable.create(spark, abs, df)
+        if (!exists) createNew()
         else VintageTable.forPath(spark, abs).append(df)
       case SaveMode.ErrorIfExists =>
         if (exists)
           throw new IllegalArgumentException(s"vintage table already exists: $abs")
-        VintageTable.create(spark, abs, df)
+        createNew()
       case SaveMode.Ignore =>
-        if (!exists) VintageTable.create(spark, abs, df)
+        if (!exists) { createNew(); () }
     }
     createRelation(sqlContext,
-      parameters - "versionAsOf" - "timestampAsOf" - "dataChange")
+      parameters - "versionAsOf" - "timestampAsOf" - "dataChange" - "partitionBy")
   }
 
   private def pathOf(parameters: Map[String, String]): String =

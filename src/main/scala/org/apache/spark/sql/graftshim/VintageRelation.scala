@@ -3,18 +3,21 @@ package org.apache.spark.sql.graftshim
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, Literal}
 import org.apache.spark.sql.classic.ClassicConversions
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.BaseRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.vintage.{FileSkipping, Snapshot}
+import graft.vintage.{AddFile, FileSkipping, PartitionPaths, Snapshot}
 
 /** FileIndex over a vintage snapshot: the live file list comes from
   * transaction-log replay (version-pinned for time travel) and
-  * `listFiles` applies stats-based skipping to the pushed data filters.
+  * `listFiles` applies stats-based skipping to the pushed filters —
+  * partition predicates included, via the synthetic min=max partition
+  * stats on `Snapshot.statFiles`.
   *
   * Backing the `vintage` format with a FileIndex + HadoopFsRelation +
   * ParquetFileFormat (the same architecture Delta Lake uses for its
@@ -26,7 +29,11 @@ class VintageFileIndex(spark: SparkSession, tablePath: String, snapshot: Snapsho
     extends FileIndex {
 
   override def rootPaths: Seq[Path] = Seq(new Path(tablePath))
-  override def partitionSchema: StructType = StructType(Nil)
+
+  override val partitionSchema: StructType =
+    StructType(snapshot.partitionColumns.flatMap(c =>
+      snapshot.schema.fields.find(_.name.equalsIgnoreCase(c))))
+
   override def sizeInBytes: Long = snapshot.files.map(_.size).sum
   override def inputFiles: Array[String] =
     snapshot.files.map(f => s"$tablePath/${f.path}").toArray
@@ -35,29 +42,52 @@ class VintageFileIndex(spark: SparkSession, tablePath: String, snapshot: Snapsho
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val allFilters = partitionFilters ++ dataFilters
     val pruned =
-      if (dataFilters.isEmpty) snapshot.files
-      else FileSkipping.candidates(snapshot.schema, snapshot.files,
-        dataFilters.reduce(And))
-    val statuses = pruned.map { f =>
+      if (allFilters.isEmpty) snapshot.statFiles
+      else FileSkipping.candidates(snapshot.schema, snapshot.statFiles,
+        allFilters.reduce(And))
+    if (partitionSchema.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty, statuses(pruned)))
+    else
+      // one PartitionDirectory per distinct partition tuple; the reader
+      // appends these typed values to every row of the grouped files
+      pruned.groupBy(_.partitionValues).toSeq.map { case (pv, fs) =>
+        val row = InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+          pv.get(f.name).filterNot(_ == PartitionPaths.HiveDefaultPartition) match {
+            case None => null
+            case Some(raw) =>
+              Cast(Literal(UTF8String.fromString(raw), StringType), f.dataType,
+                Some("UTC")).eval(InternalRow.empty)
+          }
+        })
+        PartitionDirectory(row, statuses(fs))
+      }
+  }
+
+  private def statuses(files: Seq[AddFile]): Array[FileStatus] =
+    files.map { f =>
       new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime,
         new Path(s"$tablePath/${f.path}"))
     }.toArray
-    Seq(PartitionDirectory(InternalRow.empty, statuses))
-  }
 }
 
 object VintageRelation {
   /** A BaseRelation for one snapshot of a vintage table; the schema is
     * the snapshot's own (time travel to pre-evolution versions must not
-    * show later columns).
+    * show later columns). Partition columns are served from directory
+    * values, the rest from the parquet data files.
     */
-  def apply(spark: SparkSession, tablePath: String, snapshot: Snapshot): BaseRelation =
+  def apply(spark: SparkSession, tablePath: String, snapshot: Snapshot): BaseRelation = {
+    val index = new VintageFileIndex(spark, tablePath, snapshot)
+    val dataSchema = StructType(snapshot.schema.filterNot(f =>
+      snapshot.partitionColumns.exists(_.equalsIgnoreCase(f.name))))
     HadoopFsRelation(
-      location = new VintageFileIndex(spark, tablePath, snapshot),
-      partitionSchema = StructType(Nil),
-      dataSchema = snapshot.schema,
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = dataSchema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat(),
       options = Map.empty)(ClassicConversions.castToImpl(spark))
+  }
 }
