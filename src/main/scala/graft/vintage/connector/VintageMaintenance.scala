@@ -1,0 +1,155 @@
+package graft.vintage.connector
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+import graft.vintage.VintageTable
+
+/** SQL maintenance statements for vintage tables, Delta-flavored:
+  *
+  * {{{
+  * OPTIMIZE vin.t                           -- compact to ~128MB files
+  * OPTIMIZE vin.t ZORDER BY (a, b)          -- cluster on (a, b)
+  * VACUUM vin.t [RETAIN 0.5 HOURS]
+  * RESTORE TABLE vin.t TO VERSION AS OF 3
+  * DESCRIBE HISTORY vin.t
+  * }}}
+  *
+  * Implemented as a delegating parser (installed by
+  * [[VintageSqlExtension]]): the four statement shapes are intercepted
+  * by pattern, everything else passes through to Spark's parser. The
+  * table reference is `catalog.name` (resolved via the catalog's
+  * warehouse conf) or a quoted filesystem path. Each command is a thin
+  * wrapper over the fluent maintenance API (compact/cluster/vacuum/
+  * restoreToVersion/history).
+  */
+class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import VintageMaintenanceParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeRe(ref, _, zorder) =>
+      VintageOptimizeCommand(resolvePath(session, ref),
+        Option(zorder).toSeq.flatMap(_.split(',')).map(unquote).filter(_.nonEmpty))
+    case VacuumRe(ref, _, hours) =>
+      VintageVacuumCommand(resolvePath(session, ref),
+        Option(hours).map(_.toDouble))
+    case RestoreRe(ref, version) =>
+      VintageRestoreCommand(resolvePath(session, ref), version.toLong)
+    case HistoryRe(ref) =>
+      VintageHistoryCommand(resolvePath(session, ref))
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(s: String) = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+}
+
+object VintageMaintenanceParser {
+  // table ref: quoted path ('…' or `…`) or a dotted identifier
+  private val Ref = """('[^']+'|`[^`]+`|[\w.]+)"""
+  private[connector] val OptimizeRe =
+    (s"""(?is)^\\s*OPTIMIZE\\s+$Ref(\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
+  private[connector] val VacuumRe =
+    (s"""(?is)^\\s*VACUUM\\s+$Ref(\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?\\s*;?\\s*$$""").r
+  private[connector] val RestoreRe =
+    (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""").r
+  private[connector] val HistoryRe =
+    (s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*$$""").r
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if ((t.startsWith("'") && t.endsWith("'")) ||
+        (t.startsWith("`") && t.endsWith("`"))) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** A quoted ref is a filesystem path; a dotted ref resolves through
+    * the named (or current) catalog's warehouse directory.
+    */
+  private[connector] def resolvePath(session: SparkSession, ref: String): String = {
+    val r = unquote(ref)
+    if (ref.trim.startsWith("'") || ref.trim.startsWith("`") ||
+        r.startsWith("/") || r.contains(":/")) return r
+    val parts = r.split('.')
+    require(parts.length >= 2,
+      s"qualify the table as <catalog>.<name> or quote a path, got '$r'")
+    val warehouse = session.conf.getOption(
+      s"spark.sql.catalog.${parts.head}.warehouse").getOrElse(
+      throw new IllegalArgumentException(
+        s"'${parts.head}' is not a configured vintage catalog"))
+    (warehouse +: parts.tail).mkString("/")
+  }
+}
+
+case class VintageOptimizeCommand(path: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("filesBefore", LongType, nullable = false)(),
+    AttributeReference("filesAfter", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = VintageTable.forPath(spark, path)
+    val before = t.snapshot.files.size
+    // target ~128 MB output files, the classic compaction sweet spot
+    val totalBytes = t.snapshot.files.map(_.size).sum
+    val target = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+    if (zorderBy.isEmpty) t.compact(target) else t.cluster(target, zorderBy: _*)
+    Seq(Row(path, before.toLong, t.snapshot.files.size.toLong))
+  }
+}
+
+case class VintageVacuumCommand(path: String, retainHours: Option[Double])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("filesDeleted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val deleted = retainHours match {
+      case Some(h) => VintageTable.forPath(spark, path).vacuum(h)
+      case None => VintageTable.forPath(spark, path).vacuum()
+    }
+    Seq(Row(path, deleted))
+  }
+}
+
+case class VintageRestoreCommand(path: String, version: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VintageTable.forPath(spark, path).restoreToVersion(version)
+    Seq.empty
+  }
+}
+
+case class VintageHistoryCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp", TimestampType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("operationParameters",
+      MapType(StringType, StringType), nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    VintageTable.forPath(spark, path).snapshot.commits.sortBy(-_.version).map { c =>
+      Row(c.version, new java.sql.Timestamp(c.timestamp), c.operation,
+        c.operationParameters)
+    }
+  }
+}

@@ -23,8 +23,13 @@ import graft.vintage.{VintageMergeBuilder, VintageTable}
   * is left to Spark (so the extension is safe to install globally).
   */
 class VintageSqlExtension extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(session => VintageDmlRule(session))
+    // maintenance statements (OPTIMIZE / VACUUM / RESTORE / DESCRIBE
+    // HISTORY) are not Spark grammar — a delegating parser adds them
+    ext.injectParser((session, delegate) =>
+      new VintageMaintenanceParser(session, delegate))
+  }
 }
 
 case class VintageDmlRule(session: SparkSession) extends Rule[LogicalPlan] {

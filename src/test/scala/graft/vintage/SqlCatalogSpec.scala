@@ -110,6 +110,47 @@ class SqlCatalogSpec extends AnyFunSuite {
       .columns.contains("note"))
   }
 
+  test("SQL maintenance: OPTIMIZE / DESCRIBE HISTORY / RESTORE / VACUUM") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE TABLE vin.mnt (id BIGINT, s STRING)")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO vin.mnt VALUES ($i, 'row$i')"))
+    val wh = spark.conf.get("spark.sql.catalog.vin.warehouse")
+    val t = VintageTable.forPath(spark, s"$wh/mnt")
+    val filesBefore = t.snapshot.files.size
+    assert(filesBefore >= 4)
+
+    // OPTIMIZE compacts without changing the logical row set
+    val opt = spark.sql("OPTIMIZE vin.mnt").collect().head
+    assert(opt.getLong(1) == filesBefore && opt.getLong(2) < filesBefore)
+    assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
+
+    // OPTIMIZE ... ZORDER BY clusters on the column
+    spark.sql("OPTIMIZE vin.mnt ZORDER BY (id)")
+    assert(t.toDF.count() == 4)
+
+    // DESCRIBE HISTORY lists all commits, newest first
+    val hist = spark.sql("DESCRIBE HISTORY vin.mnt").collect()
+    assert(hist.length == t.version + 1)
+    assert(hist.head.getLong(0) == t.version)
+    assert(hist.map(_.getString(2)).contains("CLUSTER"))
+
+    // RESTORE re-establishes a past version's state
+    spark.sql("DELETE FROM vin.mnt WHERE id <= 2")
+    assert(spark.sql("SELECT * FROM vin.mnt").count() == 2)
+    val preDelete = t.version - 1
+    spark.sql(s"RESTORE TABLE vin.mnt TO VERSION AS OF $preDelete")
+    assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
+
+    // VACUUM RETAIN 0 HOURS drops unreferenced files
+    val del = spark.sql("VACUUM vin.mnt RETAIN 0 HOURS").collect().head.getLong(1)
+    assert(del > 0, "vacuum must delete the compacted-away files")
+    assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
+
+    // quoted-path form resolves without the catalog
+    assert(spark.sql(s"DESCRIBE HISTORY '$wh/mnt'").count() == hist.length + 2)
+  }
+
   test("catalog utilities: listTables, dropTable, tableExists") {
     spark.sql("CREATE TABLE vin.t3 (x INT)")
     val names = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet
