@@ -73,6 +73,17 @@ object PartitionPaths {
     encoded.map(v => ColStats(Some(v), Some(v), Some(0L)))
   }
 
+  /** Catalyst value of a raw partition string for column type `dt`
+    * (null for the hive default sentinel), for building the
+    * partition-values InternalRow the parquet reader appends to rows.
+    */
+  def castValue(raw: String, dt: DataType): Any =
+    if (raw == HiveDefaultPartition) null
+    else org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw), StringType),
+      dt, Some("UTC")).eval(null)
+
   /** Augment a file's stats with synthetic partition-column stats. */
   def augment(schema: StructType, f: AddFile): AddFile =
     if (f.partitionValues.isEmpty) f

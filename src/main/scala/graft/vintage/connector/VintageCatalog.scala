@@ -194,31 +194,15 @@ class VintageSqlTable(
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters.filter(f => Filters.toColumn(f).isDefined)
-        filters // all filters stay as residual; the inner scan re-applies
+        filters // all filters stay as residual; parquet re-applies pushed
       }
       override def pushedFilters(): Array[Filter] = pushed
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = if (requiredSchema.isEmpty) StructType(snapshot.schema.take(1))
                    else requiredSchema
 
-      override def build(): Scan = new V1Scan {
-        override def readSchema(): StructType = required
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T = {
-          val filters = pushed; val req = required
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = req
-            override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
-              var df: DataFrame = context.sparkSession
-                .baseRelationToDataFrame(
-                  VintageRelation(context.sparkSession, tablePath, snapshot))
-              Filters.toColumnAll(filters.toSeq).foreach(c => df = df.filter(c))
-              df.select(req.fieldNames.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*).rdd
-            }
-          }.asInstanceOf[T]
-        }
-      }
+      override def build(): Scan =
+        new VintageNativeScan(spark, tablePath, snapshot, required, pushed)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -1,0 +1,119 @@
+package graft.vintage.connector
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.graftshim.ColumnExpr
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+import org.apache.parquet.hadoop.ParquetInputFormat
+
+import graft.vintage.{FileSkipping, PartitionPaths, Snapshot}
+
+/** Native DSv2 scan over a vintage snapshot: plans one task set from
+  * the log-derived, stats-pruned file list and reads through Spark's
+  * own [[ParquetPartitionReaderFactory]] — vectorized columnar batches
+  * end-to-end, so a SQL-catalog `SELECT` keeps whole-stage codegen
+  * instead of crossing a V1 row-conversion seam (the previous
+  * `V1Scan → df.rdd` fallback materialized `Row`s between the parquet
+  * reader and the query).
+  *
+  * File pruning reuses [[FileSkipping]] over `Snapshot.statFiles`
+  * (partition values included as synthetic stats); large files are
+  * split at the session's maxPartitionBytes and packed with Spark's
+  * own bin-packing, identical to the DSv1 scan path.
+  */
+class VintageNativeScan(
+    spark: SparkSession, tablePath: String, snapshot: Snapshot,
+    requiredSchema: StructType, pushedFilters: Array[Filter])
+    extends Scan with Batch {
+
+  private val partCols = snapshot.partitionColumns
+  private def isPartCol(name: String): Boolean =
+    partCols.exists(_.equalsIgnoreCase(name))
+
+  /** Full non-partition schema of the data files. */
+  private val dataSchema =
+    StructType(snapshot.schema.filterNot(f => isPartCol(f.name)))
+  private val readDataSchema =
+    StructType(requiredSchema.filterNot(f => isPartCol(f.name)))
+  private val readPartitionSchema =
+    StructType(requiredSchema.filter(f => isPartCol(f.name)))
+
+  // the reader emits data columns then partition columns; Spark's scan
+  // relation projects back to the order the query asked for
+  override def readSchema(): StructType =
+    StructType(readDataSchema ++ readPartitionSchema)
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"VintageNativeScan $tablePath v${snapshot.version} " +
+    s"filters=[${pushedFilters.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pruned = Filters.toColumnAll(pushedFilters.toSeq) match {
+      case Some(cond) => FileSkipping.candidates(
+        snapshot.schema, snapshot.statFiles, ColumnExpr.expr(cond))
+      case None => snapshot.statFiles
+    }
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val splits = pruned.flatMap { f =>
+      val pv = InternalRow.fromSeq(readPartitionSchema.map { field =>
+        f.partitionValues.get(field.name)
+          .map(PartitionPaths.castValue(_, field.dataType)).orNull
+      })
+      val path = SparkPath.fromPathString(s"$tablePath/${f.path}")
+      (0L until math.max(f.size, 1L) by maxSplit).map { off =>
+        PartitionedFile(pv, path, off, math.min(maxSplit, f.size - off),
+          Array.empty, f.modificationTime, f.size)
+      }
+    }
+    FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // row-group-level pushdown: only filters over data columns reach
+    // parquet (partition columns do not exist inside the files)
+    val dataFilters = pushedFilters.filter(
+      _.references.forall(r => !isPartCol(r)))
+    // the same conf preparation ParquetScan.createReaderFactory does:
+    // the reader instantiates ParquetReadSupport from these keys
+    val conf = spark.sessionState.conf
+    val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    val readDataSchemaJson = readDataSchema.json
+    hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchemaJson)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readDataSchemaJson)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, conf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      conf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, conf.caseSensitiveAnalysis)
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      conf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      conf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      conf.legacyParquetNanosAsLong)
+    hadoopConf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      conf.parquetFieldIdReadEnabled)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      conf.parquetInferTimestampNTZEnabled)
+    ParquetPartitionReaderFactory(
+      conf,
+      spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf)),
+      dataSchema,
+      readDataSchema,
+      readPartitionSchema,
+      dataFilters,
+      None,
+      new ParquetOptions(Map.empty[String, String], conf))
+  }
+}

@@ -151,6 +151,29 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"DESCRIBE HISTORY '$wh/mnt'").count() == hist.length + 2)
   }
 
+  test("catalog SELECT plans a native columnar scan with pushed filters") {
+    spark.sql("CREATE TABLE vin.nat (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO vin.nat SELECT id, id * 1.5 FROM range(1000)")
+    val df = spark.sql("SELECT v FROM vin.nat WHERE id >= 990")
+    assert(df.count() == 10)
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, s"expected a DSv2 BatchScanExec in:\n$plan")
+    val scan = scans.head
+    // vectorized parquet read: the scan itself reports columnar output
+    assert(scan.supportsColumnar, "native scan should emit columnar batches")
+    val desc = scan.scan.description()
+    assert(desc.contains("VintageNativeScan"))
+    assert(desc.contains("GreaterThanOrEqual"), s"filter not pushed: $desc")
+    // whole-stage codegen covers the seam above the scan
+    val codegen = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegen.nonEmpty, s"no WholeStageCodegen above the scan:\n$plan")
+  }
+
   test("catalog utilities: listTables, dropTable, tableExists") {
     spark.sql("CREATE TABLE vin.t3 (x INT)")
     val names = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet
