@@ -122,9 +122,39 @@ object VintageLog {
     store.readLines(f).filter(_.nonEmpty).map(Action.fromJsonLine)
   }
 
+  /** Process-wide snapshot cache. A (tableDir, version) pair
+    * immutably identifies a snapshot — committed versions are never
+    * rewritten — so entries cannot go stale; what keeps concurrent
+    * writers visible is that [[replay]] still resolves the LATEST
+    * version from the log listing on every call, and a fresh commit
+    * simply misses the cache at its new version. LRU-bounded small:
+    * at scale a snapshot's file list is the dominant driver-memory
+    * cost, so hold only a handful of hot (table, version) states.
+    */
+  private val snapshotCacheSize = 16
+  private val snapshotCache =
+    new java.util.LinkedHashMap[(String, Long), Snapshot](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Snapshot]): Boolean =
+        size() > snapshotCacheSize
+    }
+
+  private[vintage] def clearSnapshotCache(): Unit =
+    snapshotCache.synchronized(snapshotCache.clear())
+
+  /** Drop all cached snapshots of one table. Needed when the table
+    * directory itself is deleted or renamed (DROP/RENAME TABLE): a
+    * re-created table restarts at version 0, and without this a stale
+    * (dir, 0) entry would serve the old table's state.
+    */
+  private[vintage] def invalidate(tableDir: String): Unit =
+    snapshotCache.synchronized {
+      snapshotCache.keySet.removeIf(_._1 == tableDir)
+    }
+
   /** Replay the log up to (and including) `untilVersion`
     * (None = latest): load the newest checkpoint at or before it, then
-    * apply only the tail commits.
+    * apply only the tail commits. Hits the snapshot cache first.
     */
   def replay(tableDir: String, untilVersion: Option[Long] = None): Snapshot = {
     val latest = latestVersion(tableDir)
@@ -132,7 +162,17 @@ object VintageLog {
     val until = untilVersion.getOrElse(latest)
     require(until >= 0 && until <= latest,
       s"version $until out of range [0, $latest] for $tableDir")
+    val key = (tableDir, until)
+    snapshotCache.synchronized(Option(snapshotCache.get(key))) match {
+      case Some(cached) => cached
+      case None =>
+        val snap = doReplay(tableDir, until)
+        snapshotCache.synchronized(snapshotCache.put(key, snap))
+        snap
+    }
+  }
 
+  private def doReplay(tableDir: String, until: Long): Snapshot = {
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     var meta: Option[Metadata] = None
     val commits = scala.collection.mutable.ArrayBuffer[CommitInfo]()

@@ -151,21 +151,24 @@ class VintageCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val p = new HPath(pathFor(ident))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    VintageLog.invalidate(pathFor(ident))
     fs.exists(p) && fs.delete(p, true)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val o = new HPath(pathFor(oldIdent)); val n = new HPath(pathFor(newIdent))
     val fs = o.getFileSystem(spark.sessionState.newHadoopConf())
+    VintageLog.invalidate(pathFor(oldIdent))
+    VintageLog.invalidate(pathFor(newIdent))
     if (!fs.rename(o, n))
       throw new IllegalStateException(s"rename $o -> $n failed")
   }
 }
 
-/** DSv2 Table over one snapshot: reads via a V1Scan wrapping the
-  * stat-pruning FileIndex relation (full parquet pushdown happens in
-  * the inner plan), writes via the V1 InsertableRelation fallback,
-  * SQL DELETE via SupportsDelete (copy-on-write with file skipping).
+/** DSv2 Table over one snapshot: reads via [[VintageNativeScan]]
+  * (stats-pruned file list, vectorized columnar parquet batches),
+  * writes via the V1 InsertableRelation fallback, SQL DELETE via
+  * SupportsDelete (copy-on-write with file skipping).
   */
 class VintageSqlTable(
     val tablePath: String, ident: String, snapshot: Snapshot,

@@ -182,4 +182,16 @@ class SqlCatalogSpec extends AnyFunSuite {
     val after = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet
     assert(!after.contains("t3"))
   }
+
+  test("drop + recreate at the same path serves the new table, not a cached snapshot") {
+    spark.sql("CREATE TABLE vin.cyc (x INT)")
+    spark.sql("INSERT INTO vin.cyc VALUES (1), (2)")
+    assert(spark.sql("SELECT * FROM vin.cyc").count() == 2)
+    spark.sql("DROP TABLE vin.cyc")
+    // same identifier → same directory; versions restart at 0
+    spark.sql("CREATE TABLE vin.cyc (x INT)")
+    assert(spark.sql("SELECT * FROM vin.cyc").count() == 0)
+    spark.sql("INSERT INTO vin.cyc VALUES (7)")
+    assert(spark.sql("SELECT x FROM vin.cyc").collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
 }
