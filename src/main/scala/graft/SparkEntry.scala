@@ -42,6 +42,9 @@ object SparkEntry {
     "q21_asof_join"        -> (PipelineQueries.q21AsofJoin _),
     "q22_order_profile"    -> (Analytics.q22OrderProfile _),
     "q23_segment_nations"  -> (Analytics.q23SegmentNations _),
+    "q24_pack_sequences"   -> (PipelineQueries.q24PackSequences _),
+    "q25_stratified_sample" -> (PipelineQueries.q25StratifiedSample _),
+    "q26_sample_topk"      -> (PipelineQueries.q26SampleTopK _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +74,8 @@ object SparkEntry {
     "q21_asof_join"        -> PipelineQueries.q21Sql,
     "q22_order_profile"    -> Analytics.q22Sql,
     "q23_segment_nations"  -> Analytics.q23Sql,
+    "q24_pack_sequences"   -> PipelineQueries.q24Sql,
+    "q25_stratified_sample" -> PipelineQueries.q25Sql,
+    "q26_sample_topk"      -> PipelineQueries.q26Sql,
   )
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixes.
+  *
+  * All selection decisions derive from a PORTABLE multiplicative hash
+  * (Knuth: `(id * 2654435761) mod 2^32`, scaled to [0,1)) rather than
+  * an engine-specific hash or RNG: the same row set falls out of any
+  * engine that can multiply integers, which is what makes the DuckDB
+  * oracles exact and — more importantly at 100 TB — makes every rerun,
+  * retry, and backfill select the SAME rows (sampling is effectively
+  * content-addressed, so a resumed pipeline never double-draws).
+  */
+object Sampling {
+
+  private val Knuth = 2654435761L
+  private val Mod = 4294967296L // 2^32
+
+  /** Deterministic hash of a non-negative integral id to [0, 1). */
+  def unitHash(id: Column): Column =
+    pmod(id.cast("long") * lit(Knuth), lit(Mod)) / lit(Mod.toDouble)
+
+  /** Bernoulli-style stratified sample: keep a row iff
+    * unitHash(id) < fraction(stratum). Pure per-row filter — no
+    * shuffle, fully pushdown-friendly, linear scan at any scale.
+    * Strata absent from `fractions` fall back to `defaultFraction`.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction): Column) {
+      case (acc, (k, v)) => when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(unitHash(col(idCol)) < frac)
+  }
+
+  /** Exactly-k-per-stratum sample: rank rows within each stratum by
+    * (unitHash, id) and keep the first k. One shuffle on the stratum
+    * key; deterministic total order makes reruns identical. For a
+    * hot stratum at extreme scale, pre-filter with
+    * [[stratifiedSample]] at a fraction safely above k/|stratum| to
+    * bound the per-group sort.
+    */
+  def stratifiedTopK(df: DataFrame, strataCol: String, idCol: String,
+                     k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(unitHash(col(idCol)), col(idCol))
+    df.withColumn("_sample_rank", row_number().over(w))
+      .filter(col("_sample_rank") <= k)
+      .drop("_sample_rank")
+  }
+
+  /** Per-stratum sampling fractions that hit `targetShares` (shares of
+    * the OUTPUT mix summing to 1) given observed stratum counts, scaled
+    * as large as possible without any fraction exceeding 1 — the
+    * "domain mixing" computation of a pretraining data recipe. Returns
+    * (stratum -> fraction) ready for [[stratifiedSample]].
+    */
+  def mixingFractions(counts: Map[String, Long],
+                      targetShares: Map[String, Double]): Map[String, Double] = {
+    require(targetShares.values.forall(_ >= 0))
+    val active = targetShares.filter { case (k, s) => s > 0 && counts.getOrElse(k, 0L) > 0 }
+    if (active.isEmpty) return Map.empty
+    // largest total output size N such that share_k * N <= count_k
+    val n = active.map { case (k, s) => counts(k) / s }.min
+    active.map { case (k, s) => k -> math.min(1.0, s * n / counts(k)) }
+  }
+}

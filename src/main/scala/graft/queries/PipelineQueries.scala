@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /** Driver-gated queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis) over the `documents` and
@@ -258,6 +258,78 @@ object PipelineQueries {
       |SELECT p.user_id, p.event_id AS purchase_id, c.click_id
       |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us >= c.us
       |ORDER BY p.user_id, purchase_id""".stripMargin
+
+  /** Sequence packing: documents → fixed-token-budget packs, sharded
+    * so the running sum parallelizes (see [[Packing]]). Output is one
+    * row per pack with its document count, token sum, and id range.
+    */
+  def q24PackSequences(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Packing.packStats(docs, "doc_id", "n_tokens", capacity = 256, numShards = 8)
+      .orderBy("shard", "pack_id")
+  }
+
+  val q24Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                    t -> t <> '')) AS n_tokens,
+      |    CAST(doc_id % 8 AS BIGINT) AS shard
+      |  FROM documents),
+      |c AS (SELECT doc_id, n_tokens, shard,
+      |        COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+      |      FROM t),
+      |p AS (SELECT shard, doc_id, n_tokens,
+      |        CAST(floor(tok_before / 256.0) AS BIGINT) AS pack_id FROM c)
+      |SELECT shard, pack_id, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM p GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
+
+  /** Per-source sampling fractions shared by q25 and its oracle. */
+  private val sampleFractions = Map(
+    "src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1)
+  private val sampleDefault = 0.05
+
+  /** Deterministic stratified Bernoulli sample over the portable
+    * multiplicative hash (see [[Sampling.unitHash]]) — the training-mix
+    * downsampling step, reproducible across engines and reruns.
+    */
+  def q25StratifiedSample(spark: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(
+      Tables.documents(spark, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", sampleFractions, sampleDefault)
+      .orderBy("doc_id")
+
+  val q25Sql: String = {
+    val arms = sampleFractions.toSeq.sorted
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    s"""SELECT doc_id, source FROM documents
+      |WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 <
+      |  CASE source $arms ELSE $sampleDefault END
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exactly-3-per-source sample: rank by (unitHash, id) inside each
+    * stratum, keep the first three — one shuffle, deterministic.
+    */
+  def q26SampleTopK(spark: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedTopK(
+      Tables.documents(spark, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = 3)
+      .orderBy("source", "doc_id")
+
+  val q26Sql: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+      |               doc_id) AS rn
+      |  FROM documents) WHERE rn <= 3
+      |ORDER BY source, doc_id""".stripMargin
 
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =

@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.graftshim.VintageRelation
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -191,9 +192,11 @@ class VintageSqlTable(
       ("version" -> snapshot.version.toString)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+        with SupportsPushDownAggregates {
       private var pushed: Array[Filter] = Array.empty
       private var required: StructType = snapshot.schema
+      private var aggResult: Option[VintageAggregates.Result] = None
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         pushed = filters.filter(f => Filters.toColumn(f).isDefined)
@@ -204,8 +207,21 @@ class VintageSqlTable(
         required = if (requiredSchema.isEmpty) StructType(snapshot.schema.take(1))
                    else requiredSchema
 
-      override def build(): Scan =
-        new VintageNativeScan(spark, tablePath, snapshot, required, pushed)
+      // Spark only offers aggregates when every filter was consumed;
+      // this builder keeps all filters residual, so aggregates arrive
+      // exactly for unfiltered queries — the metadata-answerable case.
+      override def supportCompletePushDown(agg: Aggregation): Boolean =
+        VintageAggregates.tryCompute(snapshot, agg).isDefined
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        aggResult = VintageAggregates.tryCompute(snapshot, agg)
+        aggResult.isDefined
+      }
+
+      override def build(): Scan = aggResult match {
+        case Some(r) => new VintageMetadataScan(r, ident)
+        case None =>
+          new VintageNativeScan(spark, tablePath, snapshot, required, pushed)
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class PackingSamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("packSequences: contiguous chunk assignment within each shard") {
+    // one shard → assignment is the pure running-sum chunking
+    val docs = Seq((0, 100), (1, 100), (2, 100), (3, 100), (4, 100))
+      .toDF("id", "tok")
+    val packed = Packing.packSequences(docs, "id", "tok", capacity = 250, numShards = 1)
+      .select("id", "tok_before", "pack_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // offsets 0,100,200,300,400 → packs 0,0,0,1,1
+    assert(packed.toSeq == Seq((0, 0L, 0L), (1, 100L, 0L), (2, 200L, 0L),
+      (3, 300L, 1L), (4, 400L, 1L)))
+  }
+
+  test("packStats: every doc lands in exactly one pack, shards partition ids") {
+    val docs = (0 until 100).map(i => (i, 10 + i % 7)).toDF("id", "tok")
+    val stats = Packing.packStats(docs, "id", "tok", capacity = 64, numShards = 4)
+    val total = stats.agg(sum("n_docs"), sum("pack_tokens")).head()
+    assert(total.getLong(0) == 100)
+    assert(total.getLong(1) == (0 until 100).map(i => 10 + i % 7).sum)
+    // shard of every pack's id range is consistent
+    assert(stats.filter(pmod(col("first_id"), lit(4)) =!= col("shard")).count() == 0)
+    // no pack exceeds capacity by more than one straddling document
+    val over = Packing.packOverflow(stats, 64)
+      .filter(col("overflow_tokens") >= 17).count() // max doc size 16
+    assert(over == 0)
+  }
+
+  test("stratifiedSample: deterministic, respects per-stratum fractions") {
+    val rows = (0 until 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "src")
+    val fr = Map("a" -> 0.5, "b" -> 0.1)
+    val s1 = Sampling.stratifiedSample(rows, "src", "id", fr).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val s2 = Sampling.stratifiedSample(rows, "src", "id", fr).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s1 == s2) // rerun selects the same rows
+    val byStratum = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    // 2000 per stratum; hash is uniform-ish → within generous bounds
+    assert(byStratum("a") > 800 && byStratum("a") < 1200, byStratum)
+    assert(byStratum("b") > 100 && byStratum("b") < 300, byStratum)
+    // unsampled strata default to 0
+    val none = Sampling.stratifiedSample(rows, "src", "id", Map("a" -> 0.5))
+      .filter($"src" === "b").count()
+    assert(none == 0)
+  }
+
+  test("stratifiedTopK: exactly k per stratum, stable across reruns") {
+    val rows = (0 until 1000).map(i => (i.toLong, s"s${i % 5}")).toDF("id", "src")
+    val k1 = Sampling.stratifiedTopK(rows, "src", "id", 7).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(k1.groupBy(_._2).values.forall(_.length == 7))
+    val k2 = Sampling.stratifiedTopK(rows, "src", "id", 7).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(k1.sortBy(identity).toSeq == k2.sortBy(identity).toSeq)
+    // k larger than the stratum returns the whole stratum
+    val all = Sampling.stratifiedTopK(rows, "src", "id", 500).count()
+    assert(all == 1000)
+  }
+
+  test("mixingFractions: hits target shares without oversampling") {
+    val counts = Map("web" -> 1000L, "books" -> 100L, "code" -> 400L)
+    val shares = Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25)
+    val fr = Sampling.mixingFractions(counts, shares)
+    assert(fr.values.forall(f => f > 0 && f <= 1.0))
+    // books is the binding constraint: its fraction maxes out at 1.0
+    assert(math.abs(fr("books") - 1.0) < 1e-9)
+    // realized mix matches target shares
+    val out = fr.map { case (k, f) => k -> counts(k) * f }
+    val n = out.values.sum
+    shares.foreach { case (k, s) =>
+      assert(math.abs(out(k) / n - s) < 1e-9, s"$k: ${out(k) / n} vs $s")
+    }
+  }
+}

@@ -183,6 +183,52 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(!after.contains("t3"))
   }
 
+  /** A metadata-answered aggregate: every scan in the optimized plan is
+    * the driver-local [[connector.VintageMetadataScan]] — no file scan.
+    */
+  private def hasMetadataScan(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    scans.nonEmpty &&
+      scans.forall(_.isInstanceOf[graft.vintage.connector.VintageMetadataScan])
+  }
+
+  test("count/min/max answered from log metadata without scanning files") {
+    spark.sql("CREATE TABLE vin.agg (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql(
+      "INSERT INTO vin.agg SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(100)")
+    spark.sql("INSERT INTO vin.agg VALUES (1000, 'a')")
+
+    val cnt = spark.sql("SELECT count(*) FROM vin.agg")
+    assert(hasMetadataScan(cnt), cnt.queryExecution.optimizedPlan.toString)
+    assert(cnt.head().getLong(0) == 101)
+
+    val mm = spark.sql("SELECT min(id), max(id), count(id) FROM vin.agg")
+    assert(hasMetadataScan(mm), mm.queryExecution.optimizedPlan.toString)
+    assert(mm.head().toSeq == Seq(0L, 1000L, 101L))
+
+    // group by the partition column: still metadata-only
+    val grouped = spark.sql(
+      "SELECT cat, count(*) AS n, max(id) AS mx FROM vin.agg GROUP BY cat ORDER BY cat")
+    assert(hasMetadataScan(grouped), grouped.queryExecution.optimizedPlan.toString)
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 51L, 1000L), ("b", 50L, 99L)))
+
+    // deletes update the live file set the metadata answer derives from
+    spark.sql("DELETE FROM vin.agg WHERE cat = 'b'")
+    assert(spark.sql("SELECT count(*) FROM vin.agg").head().getLong(0) == 51)
+
+    // fallbacks: filtered aggregate and string min/max read the files
+    val filtered = spark.sql("SELECT count(*) FROM vin.agg WHERE id > 10")
+    assert(!hasMetadataScan(filtered))
+    assert(filtered.head().getLong(0) == 45)
+    val strMin = spark.sql("SELECT min(cat) FROM vin.agg")
+    assert(!hasMetadataScan(strMin))
+    assert(strMin.head().getString(0) == "a")
+  }
+
   test("drop + recreate at the same path serves the new table, not a cached snapshot") {
     spark.sql("CREATE TABLE vin.cyc (x INT)")
     spark.sql("INSERT INTO vin.cyc VALUES (1), (2)")
