@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large text corpora: exact (content
   * hash), MinHash-LSH near-dup (banded — candidate pairs only ever form
@@ -65,17 +66,31 @@ object Dedup {
     * candidate pair iff some band of their signatures is identical —
     * the classic S-curve selectivity. All joins are equi-joins on
     * (band, bucketHash); there is no cross product anywhere.
+    *
+    * The signature/bucket DAG references the expensive shingle+128-hash
+    * stage from five places (band explode, bucket sizing, both sides of
+    * the pair self-join, verification); with `materialize` (the
+    * default) those intermediates are persisted, the verified pair set
+    * — small relative to the corpus — is materialized via
+    * `localCheckpoint`, and the intermediates are freed before
+    * returning. At 100 TB you would persist the signature table anyway;
+    * recomputing it 5× is strictly worse. Pass `materialize = false` to
+    * get the pure lazy plan (used by plan-shape tests).
     */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
-      threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 10000,
+      materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
-    val withSh = df.select(col(idCol).as("__id"),
+    val withSh0 = df.select(col(idCol).as("__id"),
         shingles(textCol, shingleSize).as("__sh"))
       .withColumn("__sig", minHashSignature("__sh", numHashes))
+    val withSh =
+      if (materialize) withSh0.persist(StorageLevel.MEMORY_AND_DISK)
+      else withSh0
 
     // (doc, band) -> bucket hash of the band's signature slice
     val banded = withSh.select(col("__id"), posexplode(expr(
@@ -93,7 +108,10 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucketSize))
       .select("__band", "__bucket")
-    val eligible = banded.join(sizes, Seq("__band", "__bucket"))
+    val eligible0 = banded.join(sizes, Seq("__band", "__bucket"))
+    val eligible =
+      if (materialize) eligible0.persist(StorageLevel.MEMORY_AND_DISK)
+      else eligible0
     val pairs = eligible.as("l")
       .join(eligible.as("r"),
         col("l.__band") === col("r.__band") &&
@@ -104,7 +122,7 @@ object Dedup {
 
     // exact verification on the candidate set only
     val sets = withSh.select(col("__id"), col("__sh"))
-    pairs
+    val verified = pairs
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
       .withColumn("jaccard",
@@ -112,6 +130,16 @@ object Dedup {
              "cast(size(__sh_a) + size(__sh_b) - size(array_intersect(__sh_a, __sh_b)) as double)"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    if (!materialize) verified
+    else {
+      // localCheckpoint runs the job now and keeps the (small) pair set
+      // on executors, so the heavyweight intermediates can be dropped
+      // immediately instead of lingering for the caller's action
+      val out = verified.localCheckpoint()
+      withSh.unpersist(blocking = false)
+      eligible.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Greedy near-dup removal: drops every doc that near-matches a doc
@@ -145,19 +173,28 @@ object Dedup {
     */
   def simHashPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      materialize: Boolean = true): DataFrame = {
     val withSig = df.select(col(idCol).as("__id"), simHash(textCol).as("__sim"))
-    val chunked = withSig.select(col("__id"), col("__sim"), posexplode(expr(
+    val chunked0 = withSig.select(col("__id"), col("__sim"), posexplode(expr(
       "transform(sequence(0, 3), c -> shiftright(__sim, c * 16) & 65535)"))
       .as(Seq("__chunk", "__ckey")))
+    // persist/localCheckpoint discipline: see nearDupPairs — the 64-bit
+    // fingerprint aggregate is the expensive stage here
+    val chunked =
+      if (materialize) chunked0.persist(StorageLevel.MEMORY_AND_DISK)
+      else chunked0
     // distributed bucket self-join (see nearDupPairs): no in-row pair
     // arrays, degenerate buckets dropped before any pair forms
     val sizes = chunked.groupBy("__chunk", "__ckey")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucketSize))
       .select("__chunk", "__ckey")
-    val eligible = chunked.join(sizes, Seq("__chunk", "__ckey"))
-    eligible.as("l")
+    val eligible0 = chunked.join(sizes, Seq("__chunk", "__ckey"))
+    val eligible =
+      if (materialize) eligible0.persist(StorageLevel.MEMORY_AND_DISK)
+      else eligible0
+    val result = eligible.as("l")
       .join(eligible.as("r"),
         col("l.__chunk") === col("r.__chunk") &&
         col("l.__ckey") === col("r.__ckey") &&
@@ -166,6 +203,13 @@ object Dedup {
         bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint()
+      chunked.unpersist(blocking = false)
+      eligible.unpersist(blocking = false)
+      out
+    }
   }
 
   /** Distinct word n-grams of a text column (Scala lambda variant of

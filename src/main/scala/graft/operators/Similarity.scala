@@ -117,24 +117,30 @@ object Similarity {
     * cost is constant in corpus size. A coarse quantizer needs only
     * enough points to place numCells centroids; fitting on the full
     * corpus would make the index build itself a multi-pass 100 TB job.
+    *
+    * The fit sample is `sample(fitFraction).limit(maxFitRows)` — no
+    * counting pass over the corpus; the limit terminates the scan after
+    * ~maxFitRows rows. The default `fitFraction = 1.0` therefore fits
+    * on the corpus HEAD, which is the cheapest choice and fine when
+    * files are not ordered by embedding content; if they are (e.g. the
+    * corpus is sorted by topic), set `fitFraction` so the expected
+    * sample still over-fills `maxFitRows` (rows × fraction ≥ cap) and
+    * the draw decorrelates from file order.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numCells: Int = 16, nprobe: Int = 6, seed: Long = 42L,
-      maxFitRows: Long = 100000L): DataFrame = {
+      maxFitRows: Long = 100000L, fitFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
 
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("__feat"))
-    val n = corpusVec.count()
-    val fitInput =
-      if (n <= maxFitRows) corpusVec
-      else corpusVec.sample(withReplacement = false,
-        // slight over-sample so the expected draw stays >= maxFitRows
-        math.min(1.0, 1.05 * maxFitRows.toDouble / n), seed)
+    val fitInput = (if (fitFraction >= 1.0) corpusVec
+        else corpusVec.sample(withReplacement = false, fitFraction, seed))
+      .limit(maxFitRows.toInt)
     val model = new KMeans().setK(numCells).setSeed(seed)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
       .fit(fitInput)
@@ -184,20 +190,35 @@ object Similarity {
   def cosineNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int = 8, tables: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
-    val withB = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      maxBucketSize: Int = 10000, materialize: Boolean = true): DataFrame = {
+    // persist/localCheckpoint discipline: see Dedup.nearDupPairs — the
+    // sketch explode feeds bucket sizing AND both self-join sides
+    val withB0 = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       explode(sketchTables(vecCol, planes, tables)).as("__k"))
+    val withB =
+      if (materialize) withB0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withB0
     val sizes = withB.groupBy("__k")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucketSize))
       .select("__k")
-    val eligible = withB.join(sizes, Seq("__k"))
-    eligible.as("l")
+    val eligible0 = withB.join(sizes, Seq("__k"))
+    val eligible =
+      if (materialize) eligible0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else eligible0
+    val result = eligible.as("l")
       .join(eligible.as("r"),
         col("l.__k") === col("r.__k") && col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         cosine(col("l.__v"), col("r.__v")).as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
       .distinct() // a pair colliding in several tables reports once
+    if (!materialize) result
+    else {
+      val out = result.localCheckpoint()
+      withB.unpersist(blocking = false)
+      eligible.unpersist(blocking = false)
+      out
+    }
   }
 }

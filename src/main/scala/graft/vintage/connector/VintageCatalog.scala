@@ -32,12 +32,13 @@ import graft.vintage.{Snapshot, VintageLog, VintageTable}
   * }}}
   *
   * Time travel lands on `loadTable(ident, version|timestamp)` (the SQL
-  * `VERSION AS OF` surface of SURVEY §2.1 S4); reads reuse the
-  * stat-pruning FileIndex relation via a V1Scan fallback; writes and
-  * deletes commit through [[VintageTable]]. MERGE INTO / UPDATE SQL
-  * need the group-based row-level-operation framework and are covered
-  * by the fluent Scala API instead (the reference only exercises the
-  * fluent surface).
+  * `VERSION AS OF` surface of SURVEY §2.1 S4); reads go through the
+  * native columnar DSv2 scan ([[VintageNativeScan]], stat- and
+  * partition-pruned); writes and deletes commit through
+  * [[VintageTable]]. MERGE INTO and UPDATE SQL are resolved by the
+  * injected [[VintageSqlExtension]] rule onto the fluent builders, and
+  * OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY by its delegating
+  * parser ([[VintageMaintenance]]).
   */
 class VintageCatalog extends TableCatalog {
   private var catalogName: String = _

@@ -36,7 +36,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("near-dup plan contains no cartesian product") {
-    val plan = Dedup.nearDupPairs(base, "id", "text")
+    val plan = Dedup.nearDupPairs(base, "id", "text", materialize = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "LSH candidate generation must never degrade to an all-pairs product")
@@ -73,7 +73,8 @@ class DedupSpec extends AnyFunSuite {
     // all C(300,2) identical pairs plus the planted (1,4)
     assert(pairs.count() == 300L * 299 / 2 + 1)
     // the plan must generate pairs via a join, not an in-row flatten
-    val plan = Dedup.nearDupPairs(df, "id", "text")
+    // (materialize=false exposes the lazy plan instead of a checkpoint scan)
+    val plan = Dedup.nearDupPairs(df, "id", "text", materialize = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("flatten("), "in-row pair materialization crept back")
 

@@ -96,7 +96,9 @@ class SimilaritySpec extends AnyFunSuite {
       "cap must drop the degenerate bucket")
 
     // pair generation is a join, never an in-row array
-    val plan = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.9)
+    // (materialize=false exposes the lazy plan instead of a checkpoint scan)
+    val plan = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.9,
+        materialize = false)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") &&
            !plan.contains("BroadcastNestedLoopJoin"))
