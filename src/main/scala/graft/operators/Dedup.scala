@@ -27,6 +27,20 @@ object Dedup {
   /** Mersenne-ish prime > 2^32 for the minhash permutation ring. */
   private val P = 4294967311L
 
+  /** Materialize a (small) result set so heavyweight upstream persists
+    * can be freed immediately. Uses a RELIABLE checkpoint when the
+    * session has a checkpoint dir configured — localCheckpoint blocks
+    * live only on executor-local storage with lineage truncated, so an
+    * executor loss (dynamic allocation, spot nodes) would make the
+    * result unrecoverable; with `spark.sparkContext.setCheckpointDir`
+    * pointed at durable storage the materialized set survives executor
+    * churn. Falls back to localCheckpoint otherwise.
+    */
+  private[operators] def materializeSmall(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+  }
+
   /** Distinct character k-shingles of `textCol` as an array column. */
   def shingles(textCol: String, k: Int): Column = expr(
     s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
@@ -132,10 +146,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
     if (!materialize) verified
     else {
-      // localCheckpoint runs the job now and keeps the (small) pair set
-      // on executors, so the heavyweight intermediates can be dropped
-      // immediately instead of lingering for the caller's action
-      val out = verified.localCheckpoint()
+      // checkpoint runs the job now and keeps the (small) pair set
+      // around, so the heavyweight intermediates can be dropped
+      // immediately instead of lingering for the caller's action.
+      // NOTE: materialize=true executes the whole job EAGERLY at call
+      // time — failures surface here, not at the caller's first action.
+      val out = materializeSmall(verified)
       withSh.unpersist(blocking = false)
       eligible.unpersist(blocking = false)
       out
@@ -205,7 +221,7 @@ object Dedup {
       .distinct()
     if (!materialize) result
     else {
-      val out = result.localCheckpoint()
+      val out = materializeSmall(result)
       chunked.unpersist(blocking = false)
       eligible.unpersist(blocking = false)
       out

@@ -118,29 +118,50 @@ object Similarity {
     * enough points to place numCells centroids; fitting on the full
     * corpus would make the index build itself a multi-pass 100 TB job.
     *
-    * The fit sample is `sample(fitFraction).limit(maxFitRows)` — no
-    * counting pass over the corpus; the limit terminates the scan after
-    * ~maxFitRows rows. The default `fitFraction = 1.0` therefore fits
-    * on the corpus HEAD, which is the cheapest choice and fine when
-    * files are not ordered by embedding content; if they are (e.g. the
-    * corpus is sorted by topic), set `fitFraction` so the expected
-    * sample still over-fills `maxFitRows` (rows × fraction ≥ cap) and
-    * the draw decorrelates from file order.
+    * Fit-sample policy (`fitFraction`):
+    *   - `0.0` (the DEFAULT — "auto"): one `count()` over the corpus,
+    *     then a corpus-wide uniform `sample(2 × maxFitRows / n)` capped
+    *     at `maxFitRows`. Safe on any physical layout — the sample
+    *     spans the whole scan even when files are ordered by embedding
+    *     content (date, source, topic) — at the cost of one extra
+    *     (cheap, column-pruned) counting job at index-build time.
+    *   - `(0, 1)`: skip the count; `sample(fitFraction).limit(
+    *     maxFitRows)` terminates the scan after ~maxFitRows/fitFraction
+    *     rows. Use when the caller knows the corpus size well enough to
+    *     pick a fraction with rows × fraction ≥ maxFitRows.
+    *   - `1.0`: fast-but-biased — fit on the corpus HEAD
+    *     (`limit(maxFitRows)`, no sampling). Only safe when file order
+    *     is content-neutral.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numCells: Int = 16, nprobe: Int = 6, seed: Long = 42L,
-      maxFitRows: Long = 100000L, fitFraction: Double = 1.0): DataFrame = {
+      maxFitRows: Long = 100000L, fitFraction: Double = 0.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(maxFitRows > 0 && maxFitRows <= Int.MaxValue,
+      s"maxFitRows must be in (0, ${Int.MaxValue}], got $maxFitRows")
+    require(fitFraction >= 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in [0, 1] (0 = auto), got $fitFraction")
+    require(k > 0, s"k must be positive, got $k")
+    require(numCells > 0 && nprobe > 0 && nprobe <= numCells,
+      s"need 0 < nprobe <= numCells, got nprobe=$nprobe numCells=$numCells")
     val spark = corpus.sparkSession
 
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("__feat"))
-    val fitInput = (if (fitFraction >= 1.0) corpusVec
-        else corpusVec.sample(withReplacement = false, fitFraction, seed))
-      .limit(maxFitRows.toInt)
+    val fitInput =
+      if (fitFraction == 0.0) {
+        val n = corpusVec.count()
+        if (n <= maxFitRows) corpusVec
+        else corpusVec
+          .sample(withReplacement = false,
+            math.min(1.0, 2.0 * maxFitRows / n), seed)
+          .limit(maxFitRows.toInt)
+      } else if (fitFraction >= 1.0) corpusVec.limit(maxFitRows.toInt)
+      else corpusVec.sample(withReplacement = false, fitFraction, seed)
+        .limit(maxFitRows.toInt)
     val model = new KMeans().setK(numCells).setSeed(seed)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
       .fit(fitInput)
@@ -215,7 +236,7 @@ object Similarity {
       .distinct() // a pair colliding in several tables reports once
     if (!materialize) result
     else {
-      val out = result.localCheckpoint()
+      val out = graft.operators.Dedup.materializeSmall(result)
       withB.unpersist(blocking = false)
       eligible.unpersist(blocking = false)
       out

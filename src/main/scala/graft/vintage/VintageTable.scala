@@ -437,6 +437,10 @@ object VintageTable {
     val dir = new HPath(abs)
     dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
     require(VintageLog.latestVersion(abs) < 0, s"table already exists: $abs")
+    // a previous table at this path may have been removed with raw FS
+    // calls (not DROP TABLE); its cached (dir, version) snapshots must
+    // not be served for the new table
+    VintageLog.invalidate(abs)
     val missing = partitionBy.filterNot(c =>
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty, s"partition columns not in schema: $missing")

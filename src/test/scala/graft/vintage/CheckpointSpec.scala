@@ -42,6 +42,22 @@ class CheckpointSpec extends AnyFunSuite {
     assert(t.toDFAsOf(10).count() == 11)
   }
 
+  test("re-create after raw-FS delete serves the new table, not cached snapshots") {
+    val dir = Files.createTempDirectory("vintage-cp").toString + "/recreate"
+    val t1 = VintageTable.create(spark, dir,
+      Seq((1, "old")).toDF("id", "s").coalesce(1))
+    // populate the (dir, version) snapshot cache
+    assert(t1.toDF.select("s").as[String].collect().toSeq == Seq("old"))
+    // remove the table with raw FS calls — no DROP TABLE, so only
+    // create()'s own invalidation protects the next reader
+    val hp = new HPath(t1.path)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    val t2 = VintageTable.create(spark, dir,
+      Seq((2, "new")).toDF("id", "s").coalesce(1))
+    assert(t2.toDF.select("s").as[String].collect().toSeq == Seq("new"),
+      "cached snapshot of the deleted table must not be served")
+  }
+
   test("repartitionBeforeWrite bounds merge output files by touched inputs") {
     val dir = Files.createTempDirectory("vintage-cp").toString + "/rp"
     val t = VintageTable.create(spark, dir,
