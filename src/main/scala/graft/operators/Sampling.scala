@@ -19,9 +19,29 @@ object Sampling {
   private val Knuth = 2654435761L
   private val Mod = 4294967296L // 2^32
 
-  /** Deterministic hash of a non-negative integral id to [0, 1). */
-  def unitHash(id: Column): Column =
-    pmod(id.cast("long") * lit(Knuth), lit(Mod)) / lit(Mod.toDouble)
+  /** Deterministic hash of a non-negative integral id to [0, 1).
+    *
+    * Computed entirely in the 2^32 ring so no intermediate exceeds
+    * 2^49: `id` is first reduced mod 2^32 (sound because
+    * (id mod 2^32) * K ≡ id * K (mod 2^32)), then multiplied in
+    * 16-bit halves. A naive `id * 2654435761` overflows Long from
+    * id ≈ 3.47e9 — on the JVM the two's-complement wrap happens to
+    * stay exact mod 2^32, but engines with checked 64-bit arithmetic
+    * (DuckDB) REJECT the overflowing multiply, so only the ring form
+    * keeps the "same rows from any engine" portability contract at
+    * > 4-billion-row scale. Matches `(id * 2654435761) % 4294967296`
+    * in exact (BigInt / HUGEINT) arithmetic for every non-negative
+    * Long (pinned by PackingSamplingSpec).
+    */
+  def unitHash(id: Column): Column = {
+    val x = pmod(id.cast("long"), lit(Mod)) // [0, 2^32)
+    val hi = shiftright(x, 16) // 16 bits
+    val lo = x.bitwiseAND(lit(65535L)) // 16 bits
+    val prod = pmod(
+      pmod(hi * lit(Knuth), lit(Mod)) * lit(65536L) + lo * lit(Knuth),
+      lit(Mod))
+    prod / lit(Mod.toDouble)
+  }
 
   /** Bernoulli-style stratified sample: keep a row iff
     * unitHash(id) < fraction(stratum). Pure per-row filter — no

@@ -308,7 +308,7 @@ object PipelineQueries {
     val arms = sampleFractions.toSeq.sorted
       .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
     s"""SELECT doc_id, source FROM documents
-      |WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 <
+      |WHERE ((doc_id::HUGEINT * 2654435761) % 4294967296) / 4294967296.0 <
       |  CASE source $arms ELSE $sampleDefault END
       |ORDER BY doc_id""".stripMargin
   }
@@ -326,7 +326,7 @@ object PipelineQueries {
     """SELECT doc_id, source FROM (
       |  SELECT doc_id, source,
       |    row_number() OVER (PARTITION BY source
-      |      ORDER BY ((doc_id * 2654435761) % 4294967296) / 4294967296.0,
+      |      ORDER BY ((doc_id::HUGEINT * 2654435761) % 4294967296) / 4294967296.0,
       |               doc_id) AS rn
       |  FROM documents) WHERE rn <= 3
       |ORDER BY source, doc_id""".stripMargin

@@ -54,6 +54,26 @@ class PackingSamplingSpec extends AnyFunSuite {
     assert(none == 0)
   }
 
+  test("unitHash: ids beyond 2^33 match the exact BigInt model") {
+    // the naive id * 2654435761 overflows Long from id ≈ 3.47e9 on —
+    // these ids pin the ring-arithmetic formulation to exact math
+    val ids = Seq(0L, 1L, 4294967295L, 4294967296L, 3470000000L,
+      (1L << 33) + 12345L, 1234567890123L, (1L << 62) + 7L, Long.MaxValue)
+    val got = ids.toDF("id")
+      .select(col("id"), Sampling.unitHash(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ids.foreach { id =>
+      val exact = (BigInt(id) * BigInt(2654435761L)).mod(BigInt(4294967296L))
+      val expect = exact.toDouble / 4294967296.0
+      assert(got(id) == expect, s"id=$id: got ${got(id)}, want $expect")
+    }
+    // Note: a wrapped Long multiply happens to stay exact mod 2^32
+    // (wrap is exact mod 2^64 and 2^32 | 2^64), so the ring form is
+    // about PORTABILITY, not Spark correctness: engines with checked
+    // 64-bit arithmetic (DuckDB raises an out-of-range error on BIGINT
+    // overflow) cannot evaluate the naive formula at these ids at all.
+  }
+
   test("stratifiedTopK: exactly k per stratum, stable across reruns") {
     val rows = (0 until 1000).map(i => (i.toLong, s"s${i % 5}")).toDF("id", "src")
     val k1 = Sampling.stratifiedTopK(rows, "src", "id", 7).collect()
