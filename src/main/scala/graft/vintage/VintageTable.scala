@@ -200,19 +200,33 @@ class VintageTable private (
       None, LayoutOnly)
   }
 
-  /** Z-order-style clustering: rewrite the table range-partitioned and
-    * sorted on `cols` without changing the logical row set
-    * (`dataChange=false`, like compaction). Files end up with disjoint
-    * min/max ranges on the clustering columns, so [[FileSkipping]]
-    * prunes point/range predicates to a single file — the 100 TB
-    * answer to "where does data skipping get its selectivity".
+  /** Z-order clustering: rewrite the table laid out along a
+    * space-filling curve over `cols` without changing the logical row
+    * set (`dataChange=false`, like compaction). A single column
+    * range-partitions + sorts directly (disjoint min/max ranges →
+    * point predicates prune to one file); multiple columns sort by a
+    * TRUE bit-interleaved z-value ([[graft.functions.ZOrder]]), so
+    * every file covers a compact hyper-box and min/max stats stay
+    * tight on EVERY clustered dimension — a predicate on the second
+    * clustering column alone still prunes, which the old
+    * lexicographic layout could not do. This is the 100 TB answer to
+    * "where does data skipping get its selectivity".
     */
   def cluster(numFiles: Int, cols: String*): Unit = {
     require(cols.nonEmpty, "cluster needs at least one column")
     val snap = snapshot
-    val clustered = toDF
-      .repartitionByRange(numFiles, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*)
+    val df = toDF
+    val clustered =
+      if (cols.size == 1)
+        df.repartitionByRange(numFiles, col(cols.head))
+          .sortWithinPartitions(col(cols.head))
+      else {
+        val z = graft.functions.ZOrder.zValueColumn(df, cols)
+        df.withColumn("__zval", z)
+          .repartitionByRange(numFiles, col("__zval"))
+          .sortWithinPartitions(col("__zval"))
+          .drop("__zval")
+      }
     val adds = writeFiles(spark, clustered, path, dataChange = false,
       snap.partitionColumns)
     commitOp(snap, "CLUSTER",

@@ -110,6 +110,32 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(t.toDFAsOf(0).count() == 300)
   }
 
+  test("z-order cluster: predicate on the SECOND clustering column prunes files") {
+    val dir = Files.createTempDirectory("vintage-skip").toString + "/z2"
+    // 64x64 grid, shuffled across 8 files: no stats locality anywhere
+    val t = VintageTable.create(spark, dir,
+      (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+        .toDF("x", "y").repartition(8))
+    val before = t.candidateFiles(t.snapshot, col("y") === 7).size
+    assert(before == 8, s"shuffled files must not prune (got $before)")
+
+    t.cluster(16, "x", "y")
+    assert(t.snapshot.files.size == 16)
+    // a lexicographic (x, y) sort keeps every file's y range at
+    // [0, 63]; the interleaved z-curve gives each file a compact
+    // hyper-box, so a y-only predicate prunes to a strict subset
+    val afterY = t.candidateFiles(t.snapshot, col("y") === 7).size
+    assert(afterY < 16, s"y-only predicate must prune z-ordered files, got $afterY/16")
+    assert(afterY >= 1)
+    // and the first column still prunes too
+    val afterX = t.candidateFiles(t.snapshot, col("x") === 9).size
+    assert(afterX < 16, s"x-only predicate must prune z-ordered files, got $afterX/16")
+    // row set and history invariant (dataChange=false)
+    assert(t.toDF.count() == 4096)
+    assert(t.toDF.filter(col("y") === 7).count() == 64)
+    assert(t.toDFAsOf(0).count() == 4096)
+  }
+
   test("concurrent commits to the same version: loser gets a conflict") {
     val dir = Files.createTempDirectory("vintage-skip").toString + "/cc"
     val t = VintageTable.create(spark, dir,
