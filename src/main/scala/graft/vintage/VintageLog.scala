@@ -47,7 +47,7 @@ object VintageLog {
   val checkpointInterval: Long = 10L
 
   private val VersionFileRe = """(\d{20})\.json""".r
-  private val CheckpointFileRe = """(\d{20})\.checkpoint\.json""".r
+  private val CheckpointFileRe = """(\d{20})\.checkpoint\.(?:json|parquet)""".r
 
   @volatile private[vintage] var store: LogStore = LogStore.default
 
@@ -57,7 +57,26 @@ object VintageLog {
     new Path(logDir(tableDir), f"$v%020d.json")
 
   private def checkpointFile(tableDir: String, v: Long): Path =
+    new Path(logDir(tableDir), f"$v%020d.checkpoint.parquet")
+
+  /** Pre-parquet checkpoints (line-per-action JSON) stay readable. */
+  private def legacyCheckpointFile(tableDir: String, v: Long): Path =
     new Path(logDir(tableDir), f"$v%020d.checkpoint.json")
+
+  private def checkpointExists(tableDir: String, v: Long): Boolean =
+    store.exists(checkpointFile(tableDir, v)) ||
+      store.exists(legacyCheckpointFile(tableDir, v))
+
+  /** All actions of the version-`v` checkpoint, whichever format it
+    * was written in.
+    */
+  private[vintage] def readCheckpointActions(tableDir: String, v: Long): Seq[Action] =
+    if (store.exists(checkpointFile(tableDir, v)))
+      CheckpointCodec.read(checkpointFile(tableDir, v),
+        new org.apache.hadoop.conf.Configuration())
+    else
+      store.readLines(legacyCheckpointFile(tableDir, v))
+        .filter(_.nonEmpty).map(Action.fromJsonLine)
 
   private def lastCheckpointFile(tableDir: String): Path =
     new Path(logDir(tableDir), "_last_checkpoint")
@@ -79,17 +98,19 @@ object VintageLog {
     if (v > 0 && v % checkpointInterval == 0) checkpoint(tableDir, v)
   }
 
-  /** Write the full-snapshot checkpoint for version `v` (idempotent —
-    * losing a race or crashing here only costs replay speed, never
-    * correctness, so it uses plain overwrite).
+  /** Write the full-snapshot checkpoint for version `v` as Parquet
+    * ([[CheckpointCodec]]; idempotent — losing a race or crashing here
+    * only costs replay speed, never correctness, so it overwrites).
     */
   def checkpoint(tableDir: String, v: Long): Unit = {
     val snap = replay(tableDir, Some(v))
     val actions: Seq[Action] =
       Seq(Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
         snap.commits.sortBy(_.version) ++ snap.files
-    store.writeReplace(checkpointFile(tableDir, v), actions.map(Action.toJsonLine))
-    store.writeReplace(lastCheckpointFile(tableDir), Seq(s"""{"version":$v}"""))
+    CheckpointCodec.write(checkpointFile(tableDir, v), actions,
+      new org.apache.hadoop.conf.Configuration())
+    store.writeReplace(lastCheckpointFile(tableDir),
+      Seq(s"""{"version":$v,"format":"parquet"}"""))
   }
 
   /** Newest checkpoint version <= `until`, if any. Prefers the
@@ -103,7 +124,7 @@ object VintageLog {
         else store.readLines(lastCheckpointFile(tableDir)).headOption
           .flatMap(l => """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(l))
           .map(_.group(1).toLong)
-          .filter(v => v <= until && store.exists(checkpointFile(tableDir, v)))
+          .filter(v => v <= until && checkpointExists(tableDir, v))
       } catch { case _: IOException => None }
     hinted.orElse {
       store.list(logDir(tableDir)).iterator
@@ -111,9 +132,16 @@ object VintageLog {
         .collect { case CheckpointFileRe(v) => v.toLong }
         .filter(_ <= until)
         .maxOption
-        .filter(v => store.exists(checkpointFile(tableDir, v)))
+        .filter(v => checkpointExists(tableDir, v))
     }
   }
+
+  /** All checkpoint versions present in the log, ascending. */
+  private[vintage] def checkpointVersions(tableDir: String): Seq[Long] =
+    store.list(logDir(tableDir)).iterator
+      .map(_.getPath.getName)
+      .collect { case CheckpointFileRe(v) => v.toLong }
+      .toSeq.distinct.sorted
 
   def readVersion(tableDir: String, v: Long): Seq[Action] = {
     val f = versionFile(tableDir, v)
@@ -179,13 +207,12 @@ object VintageLog {
 
     val start: Long = checkpointVersionFor(tableDir, until) match {
       case Some(cp) =>
-        store.readLines(checkpointFile(tableDir, cp))
-          .filter(_.nonEmpty).map(Action.fromJsonLine).foreach {
-            case a: AddFile    => files(a.path) = a
-            case m: Metadata   => meta = Some(m)
-            case c: CommitInfo => commits += c
-            case _: RemoveFile => () // checkpoints carry only live files
-          }
+        readCheckpointActions(tableDir, cp).foreach {
+          case a: AddFile    => files(a.path) = a
+          case m: Metadata   => meta = Some(m)
+          case c: CommitInfo => commits += c
+          case _: RemoveFile => () // checkpoints carry only live files
+        }
         cp + 1
       case None => 0L
     }

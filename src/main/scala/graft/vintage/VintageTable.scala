@@ -256,14 +256,30 @@ class VintageTable private (
     * current snapshot and were removed more than `retentionHours` ago
     * (README.md:415). Past versions older than the retention window
     * become unreadable — same contract as the reference's vacuum.
+    *
+    * The log scan is BOUNDED: only commits after the newest checkpoint
+    * that predates the retention cutoff are replayed for removal
+    * timestamps (at 100k commits an unbounded replay is O(versions)
+    * driver JSON parsing). Files removed before that horizon have no
+    * tail entry; they are identified as non-live part-files whose FS
+    * modification time also predates the cutoff — the same
+    * age-based guard Delta's vacuum uses, which additionally lets
+    * retention reclaim orphaned files from crashed writes.
     */
   def vacuum(retentionHours: Double = 168.0): Long = {
     val snap = snapshot
     val live = snap.files.map(_.path).toSet
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
-    // latest removal timestamp per path across the whole log
+    // newest checkpoint whose commit predates the cutoff: removals at
+    // or before it are strictly older than the cutoff, so the tail
+    // replay below is the only part of the log that can PROTECT a file
+    val commitTs = snap.commits.map(c => c.version -> c.timestamp).toMap
+    val horizon = VintageLog.checkpointVersions(path)
+      .filter(v => commitTs.get(v).exists(_ < cutoff))
+      .maxOption.getOrElse(-1L)
+    // latest removal timestamp per path across the tail commits
     val removedAt = scala.collection.mutable.Map[String, Long]()
-    (0L to snap.version).foreach { v =>
+    ((horizon + 1) to snap.version).foreach { v =>
       VintageLog.readVersion(path, v).foreach {
         case r: RemoveFile => removedAt(r.path) =
           math.max(r.deletionTimestamp, removedAt.getOrElse(r.path, 0L))
@@ -282,7 +298,11 @@ class VintageTable private (
         if (name != VintageLog.LogDirName && !name.startsWith(".tmp-")) walk(s.getPath)
       } else if (name.startsWith("part-")) {
         val rel = dirUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
-        if (!live.contains(rel) && removedAt.getOrElse(rel, Long.MaxValue) < cutoff) {
+        val expired = removedAt.get(rel) match {
+          case Some(t) => t < cutoff // removed in the tail
+          case None => s.getModificationTime < cutoff // pre-horizon or orphan
+        }
+        if (!live.contains(rel) && expired) {
           fs.delete(s.getPath, false); deleted += 1
         }
       }

@@ -23,9 +23,13 @@ class CheckpointSpec extends AnyFunSuite {
     assert(t.version == 25)
     val logDir = VintageLog.logDir(t.path)
     val store = LogStore.default
-    assert(store.exists(new HPath(logDir, f"${10L}%020d.checkpoint.json")))
-    assert(store.exists(new HPath(logDir, f"${20L}%020d.checkpoint.json")))
+    assert(store.exists(new HPath(logDir, f"${10L}%020d.checkpoint.parquet")))
+    assert(store.exists(new HPath(logDir, f"${20L}%020d.checkpoint.parquet")))
     assert(store.exists(new HPath(logDir, "_last_checkpoint")))
+    // the checkpoint really is parquet, not renamed JSON
+    val cpActions = VintageLog.readCheckpointActions(t.path, 20L)
+    assert(cpActions.exists(_.isInstanceOf[Metadata]))
+    assert(cpActions.count(_.isInstanceOf[AddFile]) == 21)
 
     // Hard proof that replay does not need the pre-checkpoint commits:
     // delete version files 0..19 — snapshot, history and time travel to
@@ -40,6 +44,65 @@ class CheckpointSpec extends AnyFunSuite {
     // time travel to a version before the surviving checkpoint uses the
     // older checkpoint (v10 <= 19 were deleted, but checkpoint 10 exists)
     assert(t.toDFAsOf(10).count() == 11)
+  }
+
+  test("legacy line-JSON checkpoints stay readable") {
+    val dir = Files.createTempDirectory("vintage-cp").toString + "/legacy"
+    val t = VintageTable.create(spark, dir, Seq((0, "v0")).toDF("id", "s").coalesce(1))
+    (1 to 5).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "s").coalesce(1)))
+    // hand-write a v5 checkpoint in the pre-parquet format
+    val snap = t.snapshot
+    val actions: Seq[Action] =
+      Seq(Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
+        snap.commits.sortBy(_.version) ++ snap.files
+    val store = LogStore.default
+    val logDir = VintageLog.logDir(t.path)
+    store.writeReplace(new HPath(logDir, f"${5L}%020d.checkpoint.json"),
+      actions.map(Action.toJsonLine))
+    store.writeReplace(new HPath(logDir, "_last_checkpoint"),
+      Seq("""{"version":5}"""))
+    VintageLog.clearSnapshotCache()
+    // replay must come from the JSON checkpoint: kill the old commits
+    (0L to 4L).foreach(v => store.delete(new HPath(logDir, f"$v%020d.json")))
+    assert(t.toDF.count() == 6)
+    assert(t.history().count() == 6)
+  }
+
+  test("vacuum replays only commits after the retention-horizon checkpoint") {
+    val dir = Files.createTempDirectory("vintage-cp").toString + "/vac"
+    val t = VintageTable.create(spark, dir,
+      Seq((0, "v0")).toDF("id", "s").coalesce(1))
+    // 24 overwrites -> removals at nearly every version; checkpoints at 10 and 20
+    (1 to 24).foreach(i => t.overwrite(Seq((i, s"v$i")).toDF("id", "s").coalesce(1)))
+    assert(t.version == 24)
+
+    class CountingStore(inner: LogStore) extends LogStore {
+      val reads = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      override def readLines(p: HPath): Seq[String] = {
+        reads.synchronized { reads(p.getName) += 1 }
+        inner.readLines(p)
+      }
+      override def writeExclusive(p: HPath, l: Seq[String]): Unit = inner.writeExclusive(p, l)
+      override def writeReplace(p: HPath, l: Seq[String]): Unit = inner.writeReplace(p, l)
+      override def list(d: HPath) = inner.list(d)
+      override def exists(p: HPath) = inner.exists(p)
+      override def isDirectory(p: HPath) = inner.isDirectory(p)
+      override def mkdirs(d: HPath): Unit = inner.mkdirs(d)
+      override def delete(p: HPath): Unit = inner.delete(p)
+    }
+    val spy = new CountingStore(LogStore.default)
+    val orig = VintageLog.store
+    VintageLog.store = spy
+    try {
+      val deleted = t.vacuum(retentionHours = 0.0)
+      assert(deleted >= 20, s"old overwritten files must go, got $deleted")
+      // horizon checkpoint is 20 -> versions 0..20 must NOT be re-read
+      val badReads = (0L to 20L).map(v => f"$v%020d.json")
+        .filter(n => spy.reads(n) > 0)
+      assert(badReads.isEmpty,
+        s"vacuum read pre-horizon commits: ${badReads.take(3)}...")
+    } finally VintageLog.store = orig
+    assert(t.toDF.count() == 1) // current snapshot untouched
   }
 
   test("re-create after raw-FS delete serves the new table, not cached snapshots") {
