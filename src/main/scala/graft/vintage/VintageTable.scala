@@ -183,6 +183,28 @@ class VintageTable private (
       adds, Nil, None, NoRead)
   }
 
+  /** Commit files that executors already wrote into the table
+    * directory (the native DSv2 write path): one optimistic log
+    * commit, no data movement. Mirrors [[append]]/[[overwrite]]
+    * semantics — an overwrite removes every current file and conflicts
+    * with concurrent writers (FullRead); an append commits blind
+    * (NoRead).
+    */
+  def commitFiles(adds: Seq[AddFile], overwrite: Boolean): Unit = {
+    val snap = snapshot
+    val partParam = Map(
+      "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]"))
+    if (overwrite) {
+      val now = System.currentTimeMillis()
+      commitOp(snap, "WRITE", Map("mode" -> "Overwrite") ++ partParam, adds,
+        snap.files.map(f => RemoveFile(f.path, now, dataChange = true)),
+        None, FullRead)
+    } else {
+      commitOp(snap, "WRITE", Map("mode" -> "Append") ++ partParam, adds,
+        Nil, None, NoRead)
+    }
+  }
+
   // --------------------------------------------------- maintenance utils
 
   /** Rewrite the table into `numFiles` files without changing the

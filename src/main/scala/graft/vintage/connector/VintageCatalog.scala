@@ -11,9 +11,9 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, Write, WriteBuilder}
 import org.apache.spark.sql.graftshim.VintageRelation
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -169,7 +169,10 @@ class VintageCatalog extends TableCatalog {
 
 /** DSv2 Table over one snapshot: reads via [[VintageNativeScan]]
   * (stats-pruned file list, vectorized columnar parquet batches),
-  * writes via the V1 InsertableRelation fallback, SQL DELETE via
+  * writes via the native DSv2 batch write
+  * ([[org.apache.spark.sql.graftshim.VintageWrite]]: executors write
+  * final parquet files and report AddFiles with footer stats; the
+  * driver folds them into one optimistic log commit), SQL DELETE via
   * SupportsDelete (copy-on-write with file skipping).
   */
 class VintageSqlTable(
@@ -186,7 +189,7 @@ class VintageSqlTable(
     snapshot.partitionColumns.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
   override def properties(): util.Map[String, String] =
     (snapshot.properties + ("provider" -> "vintage") +
@@ -230,13 +233,9 @@ class VintageSqlTable(
       require(!timeTravel, "cannot write to a time-travel snapshot")
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          (data: DataFrame, overwriteFlag: Boolean) => {
-            val t = VintageTable.forPath(SparkSession.active, tablePath)
-            if (overwrite || overwriteFlag) t.overwrite(data) else t.append(data)
-          }
-      }
+      override def build(): Write =
+        new org.apache.spark.sql.graftshim.VintageWrite(
+          tablePath, snapshot.schema, snapshot.partitionColumns, overwrite)
     }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =

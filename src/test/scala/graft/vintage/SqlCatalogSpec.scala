@@ -174,6 +174,49 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(codegen.nonEmpty, s"no WholeStageCodegen above the scan:\n$plan")
   }
 
+  test("catalog INSERT plans the native DSv2 write, not a V1 fallback") {
+    spark.sql("CREATE TABLE vin.natw (id BIGINT, v DOUBLE)")
+    val qe = spark.sql("INSERT INTO vin.natw SELECT id, id * 1.5 FROM range(100)")
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("AppendData"), s"expected AppendDataExec in:\n$plan")
+    assert(!plan.contains("V1"), s"V1 fallback node in native write plan:\n$plan")
+    assert(spark.sql("SELECT count(*) FROM vin.natw").head().getLong(0) == 100)
+    // per-file footer stats arrive through the writer commit messages:
+    // a selective filter must prune before scanning
+    val t = VintageTable.forPath(spark, spark.conf.get("spark.sql.catalog.vin.warehouse") + "/natw")
+    assert(t.snapshot.files.forall(_.numRecords.isDefined))
+    // every data-bearing file carries footer stats (the empty v0 file
+    // from CREATE TABLE legitimately has none)
+    val dataFiles = t.snapshot.files.filter(_.numRecords.exists(_ > 0))
+    assert(dataFiles.nonEmpty && dataFiles.forall(_.stats.contains("id")))
+
+    // overwrite keeps history and also plans natively
+    val qe2 = spark.sql("INSERT OVERWRITE vin.natw VALUES (1, 1.0)").queryExecution
+    val plan2 = qe2.executedPlan.toString
+    assert(plan2.contains("OverwriteByExpression") || plan2.contains("AppendData"),
+      s"unexpected overwrite plan:\n$plan2")
+    assert(!plan2.contains("V1"), s"V1 fallback in overwrite plan:\n$plan2")
+    assert(spark.sql("SELECT * FROM vin.natw").count() == 1)
+    assert(spark.sql("SELECT * FROM vin.natw VERSION AS OF 1").count() == 100)
+  }
+
+  test("native write to a hive-partitioned catalog table routes partitions") {
+    spark.sql("CREATE TABLE vin.natp (id BIGINT, ccy STRING) PARTITIONED BY (ccy)")
+    spark.sql("INSERT INTO vin.natp VALUES (1, 'CHF'), (2, 'NOK'), (3, 'CHF'), (4, NULL)")
+    val rows = spark.sql("SELECT id, ccy FROM vin.natp ORDER BY id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(rows == Seq((1L, "CHF"), (2L, "NOK"), (3L, "CHF"), (4L, null)))
+    val t = VintageTable.forPath(spark, spark.conf.get("spark.sql.catalog.vin.warehouse") + "/natp")
+    val pvals = t.snapshot.files.map(_.partitionValues.get("ccy")).toSet
+    assert(pvals.flatten.toSet == Set("CHF", "NOK", PartitionPaths.HiveDefaultPartition),
+      s"unexpected partition values: $pvals")
+    assert(t.snapshot.files.forall(_.path.startsWith("ccy=")),
+      "files must land in hive-style partition dirs")
+    // partition pruning through synthetic stats still works
+    assert(spark.sql("SELECT * FROM vin.natp WHERE ccy = 'CHF'").count() == 2)
+  }
+
   test("catalog utilities: listTables, dropTable, tableExists") {
     spark.sql("CREATE TABLE vin.t3 (x INT)")
     val names = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet
