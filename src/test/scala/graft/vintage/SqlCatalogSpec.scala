@@ -272,6 +272,36 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(strMin.head().getString(0) == "a")
   }
 
+  test("a stats-less file forces metadata aggregates to fall back to a scan") {
+    spark.sql("CREATE TABLE vin.agg2 (id BIGINT)")
+    spark.sql("INSERT INTO vin.agg2 SELECT id FROM range(10)")
+    assert(hasMetadataScan(spark.sql("SELECT count(*) FROM vin.agg2")))
+
+    // register a copy of a data file WITHOUT stats — the shape of a
+    // file imported from a foreign writer that recorded nothing
+    val wh = spark.conf.get("spark.sql.catalog.vin.warehouse")
+    val t = VintageTable.forPath(spark, wh + "/agg2")
+    val src = t.snapshot.files.filter(_.numRecords.exists(_ > 0)).head
+    val hconf = spark.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(t.path)
+    val fs = dir.getFileSystem(hconf)
+    val copyName = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(t.path, src.path),
+      fs, new org.apache.hadoop.fs.Path(t.path, copyName), false, hconf)
+    t.commitFiles(Seq(AddFile(copyName, src.size, System.currentTimeMillis(),
+      dataChange = true)), overwrite = false)
+
+    // pushdown must refuse (a metadata answer would have to guess the
+    // stats-less file's contents) and the scan answer must be right
+    val cnt = spark.sql("SELECT count(*) FROM vin.agg2")
+    assert(!hasMetadataScan(cnt), "stats-less file must disable the metadata answer")
+    assert(cnt.head().getLong(0) == 10 + src.numRecords.get)
+    val mm = spark.sql("SELECT min(id), max(id) FROM vin.agg2")
+    assert(!hasMetadataScan(mm))
+    assert(mm.head().toSeq == Seq(0L, 9L))
+  }
+
   test("drop + recreate at the same path serves the new table, not a cached snapshot") {
     spark.sql("CREATE TABLE vin.cyc (x INT)")
     spark.sql("INSERT INTO vin.cyc VALUES (1), (2)")
