@@ -1,0 +1,88 @@
+package graft.vintage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Row-level change feed computed from the log (Delta CDF analog). */
+class ChangesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def collectChanges(df: DataFrame): Set[(Long, String, Long)] =
+    df.select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("append / delete / update / overwrite produce exact row-level changes") {
+    val dir = Files.createTempDirectory("vintage-cdc").toString + "/t"
+    val t = VintageTable.create(spark, dir,
+      (1L to 6L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(2))
+
+    t.append(Seq((7L, "n7"), (8L, "n8")).toDF("id", "name").coalesce(1)) // v1
+    t.delete(col("id") <= 2)                                             // v2
+    t.update(col("id") === 5, Map("name" -> lit("upd")))                 // v3
+
+    // v1: pure append — only inserts
+    assert(collectChanges(t.changes(0, 1)) ==
+      Set((7L, "insert", 1L), (8L, "insert", 1L)))
+    // v2: delete — removed rows only, not the survivors of the rewrite
+    assert(collectChanges(t.changes(1, 2)) ==
+      Set((1L, "delete", 2L), (2L, "delete", 2L)))
+    // v3: update = delete of the old row + insert of the new one
+    val v3 = t.changes(2, 3)
+    assert(collectChanges(v3) == Set((5L, "delete", 3L), (5L, "insert", 3L)))
+    val byType = v3.collect().map(r =>
+      r.getString(r.fieldIndex("_change_type")) ->
+        r.getString(r.fieldIndex("name"))).toMap
+    assert(byType == Map("delete" -> "n5", "insert" -> "upd"))
+
+    // whole range at once
+    val all = collectChanges(t.changes(0))
+    assert(all == Set((7L, "insert", 1L), (8L, "insert", 1L),
+      (1L, "delete", 2L), (2L, "delete", 2L),
+      (5L, "delete", 3L), (5L, "insert", 3L)))
+
+    // v4 overwrite: every prior live row deletes, new rows insert
+    t.overwrite(Seq((100L, "x")).toDF("id", "name").coalesce(1))
+    val v4 = collectChanges(t.changes(3, 4))
+    assert(v4 == Set((100L, "insert", 4L), (3L, "delete", 4L),
+      (4L, "delete", 4L), (5L, "delete", 4L), (6L, "delete", 4L),
+      (7L, "delete", 4L), (8L, "delete", 4L)))
+  }
+
+  test("layout-only commits (compaction, cluster) contribute no changes") {
+    val dir = Files.createTempDirectory("vintage-cdc").toString + "/c"
+    val t = VintageTable.create(spark, dir,
+      (1L to 50L).map(i => (i, i % 5)).toDF("id", "k").repartition(4))
+    t.compact(1)         // v1, dataChange=false
+    t.cluster(2, "id")   // v2, dataChange=false
+    assert(t.version == 2)
+    assert(t.changes(0).count() == 0,
+      "compaction and clustering must be invisible to the change feed")
+    // empty-range result still has the contract columns
+    val cols = t.changes(0).columns.toSeq
+    assert(cols.containsSlice(Seq("_change_type", "_commit_version")))
+  }
+
+  test("changes across schema evolution align by name with nulls") {
+    val dir = Files.createTempDirectory("vintage-cdc").toString + "/s"
+    val t = VintageTable.create(spark, dir,
+      Seq((1L, "a")).toDF("id", "name").coalesce(1))
+    spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
+    try {
+      t.as("tgt").merge(
+          Seq((2L, "b", 9.9)).toDF("id", "name", "score").coalesce(1).as("src"),
+          "tgt.id = src.id")
+        .whenNotMatched().insertAll()
+        .execute() // v1: adds `score` column
+    } finally spark.conf.unset("spark.databricks.delta.schema.autoMerge.enabled")
+    val ch = t.changes(0)
+    val rows = ch.select("id", "score", "_change_type").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getDouble(1), r.getString(2)))
+    assert(rows.toSet == Set((2L, 9.9, "insert")))
+  }
+}
