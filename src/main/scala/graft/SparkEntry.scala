@@ -45,6 +45,9 @@ object SparkEntry {
     "q24_pack_sequences"   -> (PipelineQueries.q24PackSequences _),
     "q25_stratified_sample" -> (PipelineQueries.q25StratifiedSample _),
     "q26_sample_topk"      -> (PipelineQueries.q26SampleTopK _),
+    "q27_repetition"       -> (PipelineQueries.q27Repetition _),
+    "q28_ann_ivf"          -> (PipelineQueries.q28AnnIvf _),
+    "q29_simhash_pairs"    -> (PipelineQueries.q29SimhashPairs _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,5 +80,9 @@ object SparkEntry {
     "q24_pack_sequences"   -> PipelineQueries.q24Sql,
     "q25_stratified_sample" -> PipelineQueries.q25Sql,
     "q26_sample_topk"      -> PipelineQueries.q26Sql,
+    "q27_repetition"       -> PipelineQueries.q27Sql,
+    // q28_ann_ivf / q29_simhash_pairs: no SQL oracle (quantizer- and
+    // hamming-band-dependent); driver records rows-only checks, exact
+    // semantics pinned by SimilaritySpec / DedupSpec
   )
 }

@@ -75,6 +75,29 @@ object TextAnalysis {
       (lit(1.0) - punctRatio(c)) * lit(0.3) +
       least(tokenCount(c).cast("double") / lit(100.0), lit(1.0)) * lit(0.2)
 
+  /** Token repetition: 1 − distinct/total tokens (0 for empty text) —
+    * high values flag the copy-paste/boilerplate documents a
+    * pretraining pipeline drops first.
+    */
+  def tokenRepetition(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(t)) / size(t).cast("double"))
+  }
+
+  /** Duplicate word-trigram fraction (0 when fewer than 3 tokens) —
+    * the Gopher-style "repetition at the n-gram level" quality signal;
+    * catches looped generations that token-level repetition misses.
+    */
+  def dupTrigramRatio(c: Column): Column = {
+    val t = tokens(c)
+    val n = size(t)
+    val grams = transform(sequence(lit(1), n - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    when(n < 3, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(grams)) / size(grams).cast("double"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
     * Identical prose with differing spacing/casing collides — the usual
     * "url-level vs content-level" middle ground.

@@ -331,6 +331,71 @@ object PipelineQueries {
       |  FROM documents) WHERE rn <= 3
       |ORDER BY source, doc_id""".stripMargin
 
+  /** Repetition quality signals: token-level and trigram-level
+    * duplicate fractions per document (the Gopher-style repetition
+    * filters of a pretraining cleanup pass).
+    */
+  def q27Repetition(spark: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(spark, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(t).as("n_tokens"),
+      TextAnalysis.tokenRepetition(t).as("token_rep"),
+      TextAnalysis.dupTrigramRatio(t).as("dup_trigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q27Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id, toks, len(toks) AS n,
+      |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    END AS grams
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  n AS n_tokens,
+      |  CASE WHEN n = 0 THEN 0.0
+      |       ELSE 1.0 - len(list_distinct(toks)) / CAST(n AS DOUBLE) END AS token_rep,
+      |  CASE WHEN n < 3 THEN 0.0
+      |       ELSE 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+      |  END AS dup_trigram_ratio
+      |FROM g ORDER BY doc_id""".stripMargin
+
+  /** IVF approximate nearest neighbors (no SQL oracle — the result
+    * depends on the KMeans quantizer; recall vs exact is pinned by
+    * SimilaritySpec instead; driver checks rows).
+    */
+  def q28AnnIvf(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** SimHash near-dup pairs on planted near-duplicates (no SQL oracle —
+    * hamming banding isn't ANSI-expressible; DedupSpec pins semantics;
+    * driver checks rows).
+    */
+  def q29SimhashPairs(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
+    val perturbed = docs.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("concat(text, ' x')").as("text"))
+    Dedup.simHashPairs(docs.unionByName(perturbed), "doc_id", "text")
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
