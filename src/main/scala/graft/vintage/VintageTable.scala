@@ -202,7 +202,8 @@ class VintageTable private (
     */
   def changes(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
     val to = if (toVersion < 0) version else toVersion
-    require(fromVersion >= 0 && fromVersion <= to && to <= version,
+    // fromVersion = -1 includes version 0 (the creating write) itself
+    require(fromVersion >= -1 && fromVersion <= to && to <= version,
       s"change range ($fromVersion, $to] out of bounds for version $version")
     val frames = ((fromVersion + 1) to to).flatMap { v =>
       val actions = VintageLog.readVersion(path, v)

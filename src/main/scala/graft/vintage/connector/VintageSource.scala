@@ -3,7 +3,7 @@ package graft.vintage.connector
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
 import org.apache.spark.sql.execution.streaming.{Source => StreamSource}
 import org.apache.spark.sql.graftshim.VintageRelation
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 
 import graft.vintage.{VintageLog, VintageTable}
@@ -54,6 +54,24 @@ class VintageSource extends DataSourceRegister
       sqlContext: SQLContext, parameters: Map[String, String]): BaseRelation = {
     val abs = pathOf(parameters)
     require(VintageLog.exists(abs), s"not a vintage table: $abs")
+    // change-data-feed read (Delta's option surface):
+    //   spark.read.format("vintage").option("readChangeFeed", "true")
+    //     .option("startingVersion", 1).option("endingVersion", 5).load(p)
+    // startingVersion is INCLUSIVE and defaults to 0 (the creating
+    // write reports as inserts); endingVersion defaults to latest.
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+      val ending = parameters.get("endingVersion").map(_.toLong).getOrElse(-1L)
+      val df = VintageTable.forPath(sqlContext.sparkSession, abs)
+        .changes(starting - 1L, ending)
+      val ctx = sqlContext
+      return new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = df.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.rdd
+      }
+    }
     val snap = (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
       case (Some(_), Some(_)) =>
         throw new IllegalArgumentException(

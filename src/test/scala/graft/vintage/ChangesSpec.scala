@@ -68,6 +68,27 @@ class ChangesSpec extends AnyFunSuite {
     assert(cols.containsSlice(Seq("_change_type", "_commit_version")))
   }
 
+  test("connector readChangeFeed option exposes the feed with Delta's surface") {
+    val dir = Files.createTempDirectory("vintage-cdc").toString + "/r"
+    val t = VintageTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1)) // v0
+    t.append(Seq((3L, "c")).toDF("id", "name").coalesce(1))     // v1
+    t.delete(col("id") === 1)                                   // v2
+
+    // default: startingVersion=0 — v0's creating write reports as inserts
+    val all = spark.read.format("vintage")
+      .option("readChangeFeed", "true").load(dir)
+    assert(collectChanges(all) == Set(
+      (1L, "insert", 0L), (2L, "insert", 0L), (3L, "insert", 1L),
+      (1L, "delete", 2L)))
+
+    // bounded range, startingVersion inclusive
+    val v1only = spark.read.format("vintage")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1").load(dir)
+    assert(collectChanges(v1only) == Set((3L, "insert", 1L)))
+  }
+
   test("changes across schema evolution align by name with nulls") {
     val dir = Files.createTempDirectory("vintage-cdc").toString + "/s"
     val t = VintageTable.create(spark, dir,
