@@ -162,7 +162,10 @@ object Similarity {
       } else if (fitFraction >= 1.0) corpusVec.limit(maxFitRows.toInt)
       else corpusVec.sample(withReplacement = false, fitFraction, seed)
         .limit(maxFitRows.toInt)
-    val model = new KMeans().setK(numCells).setSeed(seed)
+    // a COARSE quantizer only needs roughly-placed centroids — recall
+    // comes from nprobe, not from KMeans convergence; 10 iterations is
+    // the usual IVF training budget and halves index-build time
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
       .fit(fitInput)
     val assigned = model.transform(corpusVec)

@@ -71,6 +71,20 @@ class VintagePropertySpec extends AnyFunSuite {
       assert(got == m, s"time travel to v$v diverged from model")
     }
 
+    // change feed: for every commit, changes(v-1, v) must equal the
+    // model's row-set diff — inserts and deletes exactly, nothing from
+    // the copy-on-write rewrite noise
+    history.toSeq.sliding(2).zipWithIndex.foreach { case (Seq(prev, cur), i) =>
+      val v = (i + 1).toLong
+      val ch = t.changes(v - 1, v).collect().map { r =>
+        (r.getLong(r.fieldIndex("k")), r.getDouble(r.fieldIndex("v")),
+          r.getString(r.fieldIndex("_change_type")))
+      }.toSet
+      val expIns = (cur.toSet -- prev.toSet).map { case (k, x) => (k, x, "insert") }
+      val expDel = (prev.toSet -- cur.toSet).map { case (k, x) => (k, x, "delete") }
+      assert(ch == expIns ++ expDel, s"change feed diverged from model diff at v$v")
+    }
+
     // compaction + vacuum never change the logical state
     t.compact(2)
     assert(tableState(t) == model)
