@@ -537,6 +537,11 @@ object VintageTable {
 
   def isVintageTable(path: String): Boolean = VintageLog.exists(path)
 
+  /** Columns listed in the `vintage.bloom.columns` table property. */
+  def bloomColumns(props: Map[String, String]): Seq[String] =
+    props.getOrElse("vintage.bloom.columns", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
   /** Create a new table at `path` from `df` (README.md:92 initial
     * `mode("overwrite")` write). `partitionBy` columns become
     * hive-style directories; the read path prunes them via synthetic
@@ -556,7 +561,8 @@ object VintageTable {
     val missing = partitionBy.filterNot(c =>
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty, s"partition columns not in schema: $missing")
-    val adds = writeFiles(spark, df, abs, dataChange = true, partitionBy)
+    val adds = writeFiles(spark, df, abs, dataChange = true, partitionBy,
+      tableProps = properties)
     val info = CommitInfo(0L, System.currentTimeMillis(), "WRITE",
       Map("mode" -> "Overwrite",
           "partitionBy" -> partitionBy.mkString("[", ",", "]")))
@@ -585,11 +591,24 @@ object VintageTable {
     */
   private[vintage] def writeFiles(
       spark: SparkSession, df: DataFrame, tableDir: String,
-      dataChange: Boolean, partitionBy: Seq[String] = Nil): Seq[AddFile] = {
+      dataChange: Boolean, partitionBy: Seq[String] = Nil,
+      tableProps: Map[String, String] = null): Seq[AddFile] = {
     val dir = new HPath(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new HPath(tableDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
-    val writer = df.write.mode("overwrite")
+    val props =
+      if (tableProps != null) tableProps
+      else if (VintageLog.exists(tableDir)) VintageLog.replay(tableDir).properties
+      else Map.empty[String, String]
+    var writer = df.write.mode("overwrite")
+    // `vintage.bloom.columns` table property: write parquet bloom
+    // filters for the listed columns — at 100 TB min/max stats cannot
+    // prune point lookups on high-cardinality unsorted keys, but the
+    // parquet reader's row-group bloom check can (applied automatically
+    // under pushed equality filters)
+    bloomColumns(props).foreach { c =>
+      writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tmp.toString)
     // collect staged files (recursively under partition dirs), keeping

@@ -50,6 +50,11 @@ class VintageWrite(
     val dataSchema = StructType(tableSchema.filterNot(f =>
       partitionCols.exists(_.equalsIgnoreCase(f.name))))
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // honor the vintage.bloom.columns table property on the native
+    // path too (see VintageTable.writeFiles)
+    graft.vintage.VintageTable.bloomColumns(
+        graft.vintage.VintageLog.replay(tablePath).properties)
+      .foreach(c => job.getConfiguration.set(s"parquet.bloom.filter.enabled#$c", "true"))
     val factory = ParquetUtils.prepareWrite(
       spark.sessionState.conf, job, dataSchema,
       new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
