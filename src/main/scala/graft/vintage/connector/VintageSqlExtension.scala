@@ -29,7 +29,53 @@ class VintageSqlExtension extends (SparkSessionExtensions => Unit) {
     // HISTORY) are not Spark grammar — a delegating parser adds them
     ext.injectParser((session, delegate) =>
       new VintageMaintenanceParser(session, delegate))
+    VintageFunctions.registrations.foreach(ext.injectFunction)
   }
+}
+
+/** SQL registrations for the engine's codegen'd expressions, so the
+  * pipeline primitives compose from plain SQL:
+  *
+  * {{{
+  * SELECT cosine_similarity(a.embedding, b.embedding) FROM …
+  * SELECT hyperplane_sketch(embedding, 8, 0) AS bucket FROM …
+  * SELECT minhash_signature(shingles, 128) FROM …
+  * }}}
+  */
+object VintageFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case IntegerLiteral(v) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName,
+        "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "cosine_similarity(vec, vec)")
+        graft.functions.CosineSimilarity(args(0), args(1))
+      }),
+    (FunctionIdentifier("hyperplane_sketch"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneSketch].getName,
+        "hyperplane_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "hyperplane_sketch(vec, planes, salt)")
+        graft.functions.HyperplaneSketch(args(0),
+          intArg(args(1), "planes"), intArg(args(2), "salt"))
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSignature].getName,
+        "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_signature(shingles, numHashes)")
+        graft.functions.MinHashSignature(args(0), intArg(args(1), "numHashes"))
+      }))
 }
 
 case class VintageDmlRule(session: SparkSession) extends Rule[LogicalPlan] {

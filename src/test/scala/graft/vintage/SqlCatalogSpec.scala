@@ -217,6 +217,25 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM vin.natp WHERE ccy = 'CHF'").count() == 2)
   }
 
+  test("codegen'd pipeline expressions are callable from SQL") {
+    val cos = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o, " +
+      "cosine_similarity(array(1.0D, 2.0D), array(1.0D, 2.0D)) AS s").head()
+    assert(cos.getDouble(0) == 0.0 && math.abs(cos.getDouble(1) - 1.0) < 1e-12)
+    val sk = spark.sql(
+      "SELECT hyperplane_sketch(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 8, 0) AS b").head()
+    assert(sk.getLong(0) >= 0L && sk.getLong(0) < 256L)
+    val sig = spark.sql(
+      "SELECT minhash_signature(array('abc', 'def'), 16) AS s").head()
+    assert(sig.getSeq[Long](0).length == 16)
+    // non-literal plane count is rejected with a clear error
+    val e = intercept[Exception] {
+      spark.sql("SELECT hyperplane_sketch(array(CAST(1.0 AS FLOAT)), id + 1, 0) " +
+        "FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
   test("catalog utilities: listTables, dropTable, tableExists") {
     spark.sql("CREATE TABLE vin.t3 (x INT)")
     val names = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet
