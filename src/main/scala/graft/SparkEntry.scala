@@ -48,6 +48,8 @@ object SparkEntry {
     "q27_repetition"       -> (PipelineQueries.q27Repetition _),
     "q28_ann_ivf"          -> (PipelineQueries.q28AnnIvf _),
     "q29_simhash_pairs"    -> (PipelineQueries.q29SimhashPairs _),
+    "q30_contamination"    -> (PipelineQueries.q30Contamination _),
+    "q31_chunk_spans"      -> (PipelineQueries.q31ChunkSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,5 +86,7 @@ object SparkEntry {
     // q28_ann_ivf / q29_simhash_pairs: no SQL oracle (quantizer- and
     // hamming-band-dependent); driver records rows-only checks, exact
     // semantics pinned by SimilaritySpec / DedupSpec
+    "q30_contamination"    -> PipelineQueries.q30Sql,
+    "q31_chunk_spans"      -> PipelineQueries.q31Sql,
   )
 }

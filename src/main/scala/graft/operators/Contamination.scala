@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection and sequence chunking — the two
+  * remaining data-prep stages of a training pipeline: before training,
+  * drop documents that leak evaluation data; after cleaning, split
+  * documents into model-context-sized chunks.
+  *
+  * 100 TB design notes: contamination is one equi-join on distinct
+  * word n-grams — the n-gram explode is per-row work, the join
+  * shuffles on the gram key, and at n ≥ 8 natural-language grams are
+  * near-unique so the key distribution is flat (a `maxGramDocFreq`
+  * guard drops degenerate boilerplate grams before the join, the same
+  * skew cap as the dedup bucket joins). Chunking is pure per-row
+  * integer arithmetic — zero shuffle.
+  */
+object Contamination {
+
+  /** Distinct word n-grams of the whitespace-tokenized lowercased
+    * text (same token normalization as [[TextAnalysis.tokens]]).
+    */
+  def distinctWordNGrams(c: Column, n: Int): Column = {
+    val t = TextAnalysis.tokens(c)
+    val grams = transform(sequence(lit(1), size(t) - (n - 1)), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(grams))
+  }
+
+  /** For every train document sharing at least one word `n`-gram with
+    * any benchmark document: (train id, distinct benchmark docs hit,
+    * distinct shared grams). Grams occurring in more than
+    * `maxGramDocFreq` benchmark documents are dropped before the join
+    * (boilerplate grams would both skew the shuffle and produce
+    * meaningless "contamination").
+    */
+  def contaminationReport(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, maxGramDocFreq: Int = 1000): DataFrame = {
+    def grams(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(distinctWordNGrams(col(textCol), n)).as("__gram"))
+    val b = grams(bench, "bench_id")
+    val rare = b.groupBy("__gram")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxGramDocFreq)
+      .select("__gram")
+    grams(train, "train_id")
+      .join(b.join(rare, "__gram"), "__gram")
+      .groupBy("train_id")
+      .agg(countDistinct("bench_id").as("n_bench_docs"),
+        countDistinct("__gram").as("n_shared_grams"))
+  }
+
+  /** Fixed-stride token chunk spans per document: chunk `k` covers
+    * tokens `[1 + k·stride, 1 + k·stride + maxTokens)` (1-based),
+    * clamped to the document end — the standard sliding-window split
+    * (overlap = maxTokens − stride) that turns cleaned documents into
+    * model-context-sized sequences. Empty documents yield no chunks.
+    */
+  def chunkSpans(df: DataFrame, idCol: String, textCol: String,
+                 maxTokens: Int, stride: Int): DataFrame = {
+    require(maxTokens > 0 && stride > 0 && stride <= maxTokens,
+      s"need 0 < stride <= maxTokens, got stride=$stride maxTokens=$maxTokens")
+    df.select(col(idCol), TextAnalysis.tokenCount(col(textCol)).as("__n"))
+      .filter(col("__n") >= 1)
+      .select(col(idCol), col("__n"),
+        posexplode(sequence(lit(1), col("__n"), lit(stride)))
+          .as(Seq("chunk_id", "tok_start")))
+      .select(col(idCol), col("chunk_id"), col("tok_start"),
+        least(lit(maxTokens), col("__n") - col("tok_start") + 1).as("tok_len"))
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /** Driver-gated queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis) over the `documents` and
@@ -395,6 +395,70 @@ object PipelineQueries {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
   }
+
+  /** Benchmark contamination: train docs (doc_id < 450) sharing any
+    * word 8-gram with the "benchmark" tail (doc_id >= 450).
+    */
+  def q30Contamination(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    Contamination.contaminationReport(
+        docs.filter(col("doc_id") < 450), docs.filter(col("doc_id") >= 450),
+        "doc_id", "text", n = 8)
+      .withColumnRenamed("train_id", "train_doc_id")
+      .orderBy("train_doc_id")
+  }
+
+  val q30Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS t
+      |  FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id, g.gram
+      |  FROM toks, LATERAL unnest(list_distinct(
+      |    CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(range(1, len(t) - 6),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |             || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])
+      |    END)) g(gram)
+      |),
+      |bench AS (
+      |  SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id >= 450
+      |),
+      |rare AS (
+      |  SELECT gram FROM bench GROUP BY gram HAVING count(*) <= 1000
+      |)
+      |SELECT t.doc_id AS train_doc_id,
+      |  count(DISTINCT b.bench_id) AS n_bench_docs,
+      |  count(DISTINCT t.gram) AS n_shared_grams
+      |FROM grams t
+      |JOIN (SELECT bench.* FROM bench JOIN rare USING (gram)) b USING (gram)
+      |WHERE t.doc_id < 450
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sliding-window chunk spans (context 64 tokens, stride 48). */
+  def q31ChunkSpans(spark: SparkSession, d: String): DataFrame =
+    Contamination.chunkSpans(
+        Tables.documents(spark, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", maxTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id")
+
+  val q31Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                    x -> x <> '')) AS n
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  (s.start - 1) // 48 AS chunk_id,
+      |  s.start AS tok_start,
+      |  least(64, n - s.start + 1) AS tok_len
+      |FROM t, LATERAL unnest(range(1, n + 1, 48)) s(start)
+      |WHERE n >= 1
+      |ORDER BY doc_id, chunk_id""".stripMargin
 
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
