@@ -83,7 +83,14 @@ object ParquetStats {
             if (mins.isEmpty) (None, None) // all rows null
             else (Some(mins.reduce((a, b) => if (lt(dt, a, b)) a else b)),
                   Some(maxs.reduce((a, b) => if (lt(dt, a, b)) b else a)))
-          name -> ColStats(mnOpt, mxOpt, Some(nulls))
+          // long-string bounds are truncated (widened, still sound) so a
+          // text column cannot bloat the log with kilobyte min/max values
+          val (mn2, mx2) = dt match {
+            case StringType =>
+              (mnOpt.map(truncateMinString(_)), mxOpt.flatMap(truncateMaxString(_)))
+            case _ => (mnOpt, mxOpt)
+          }
+          name -> ColStats(mn2, mx2, Some(nulls))
       }.toMap
       (numRecords, stats)
     } finally reader.close()
@@ -101,6 +108,35 @@ object ParquetStats {
     * (UTF-8) stat ordering, which differs from String.compareTo's
     * UTF-16-unit order for supplementary characters.
     */
+  /** Prefix of at most `cap` code points — a sound (<=) lower bound. */
+  private[vintage] def truncateMinString(s: String, cap: Int = 32): String = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= cap) s else new String(cps, 0, cap)
+  }
+
+  /** Sound upper bound of at most `cap` code points: truncate, then
+    * increment the last incrementable code point (skipping the
+    * surrogate gap) so the result exceeds every string sharing the
+    * prefix. None if no finite bound exists at this cap (a prefix of
+    * all-U+10FFFF) — the column then reads as unbounded above.
+    */
+  private[vintage] def truncateMaxString(s: String, cap: Int = 32): Option[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= cap) return Some(s)
+    var i = cap - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        var next = cps(i) + 1
+        if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+        val out = java.util.Arrays.copyOf(cps, i + 1)
+        out(i) = next
+        return Some(new String(out, 0, out.length))
+      }
+      i -= 1
+    }
+    None
+  }
+
   private[vintage] def cpCompare(a: String, b: String): Int = {
     val ai = a.codePoints().iterator(); val bi = b.codePoints().iterator()
     while (ai.hasNext && bi.hasNext) {

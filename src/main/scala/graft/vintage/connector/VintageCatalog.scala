@@ -119,32 +119,38 @@ class VintageCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  /** ALTER TABLE … ADD COLUMN(S): widen the schema in a metadata-only
-    * commit (new columns nullable; existing files read them as null —
-    * the same mechanics as merge schema evolution). Other changes are
-    * rejected.
+  /** ALTER TABLE … ADD COLUMN(S) widens the schema; SET/UNSET
+    * TBLPROPERTIES edits table properties (e.g.
+    * `vintage.bloom.columns`). Both are metadata-only commits (new
+    * columns nullable; existing files read them as null — the same
+    * mechanics as merge schema evolution). Other changes are rejected.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val p = pathFor(ident)
     if (!VintageLog.exists(p)) throw new NoSuchTableException(ident)
     val snap = VintageLog.replay(p)
     var schema = snap.schema
+    var props = snap.properties
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "nested ADD COLUMN not supported for vintage tables")
         schema = schema.add(add.fieldNames()(0),
           add.dataType(), nullable = true, add.comment())
+      case set: TableChange.SetProperty =>
+        props = props + (set.property() -> set.value())
+      case rm: TableChange.RemoveProperty =>
+        props = props - rm.property()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other not supported for vintage tables")
     }
-    if (schema != snap.schema) {
+    if (schema != snap.schema || props != snap.properties) {
       // metadata-only commit routed through the optimistic retry loop:
       // racing another writer re-commits at the next version instead of
       // surfacing a raw ConcurrentModificationException
-      VintageTable.forPath(spark, p).commitOp(snap, "ADD COLUMNS",
-        Map("columns" -> changes.mkString(",")), Nil, Nil,
-        Some(graft.vintage.Metadata(schema.json, snap.properties)),
+      VintageTable.forPath(spark, p).commitOp(snap, "ALTER TABLE",
+        Map("changes" -> changes.mkString(",")), Nil, Nil,
+        Some(graft.vintage.Metadata(schema.json, props, snap.partitionColumns)),
         graft.vintage.NoRead)
     }
     loadTable(ident)

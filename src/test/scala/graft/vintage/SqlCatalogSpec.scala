@@ -236,6 +236,30 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("ALTER TABLE SET/UNSET TBLPROPERTIES; partitioning survives ALTER") {
+    spark.sql("CREATE TABLE vin.props (id BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql("INSERT INTO vin.props VALUES (1, 'a'), (2, 'b')")
+    spark.sql("ALTER TABLE vin.props SET TBLPROPERTIES " +
+      "('vintage.bloom.columns' = 'id', 'stage' = 'pipeline')")
+    val wh = spark.conf.get("spark.sql.catalog.vin.warehouse")
+    val t = VintageTable.forPath(spark, wh + "/props")
+    assert(t.snapshot.properties("vintage.bloom.columns") == "id")
+    assert(t.snapshot.properties("stage") == "pipeline")
+    // the metadata-only commit must not wipe the partition spec
+    assert(t.snapshot.partitionColumns == Seq("cat"))
+    assert(spark.sql("SELECT * FROM vin.props WHERE cat = 'a'").count() == 1)
+
+    spark.sql("ALTER TABLE vin.props UNSET TBLPROPERTIES ('stage')")
+    assert(!VintageTable.forPath(spark, wh + "/props")
+      .snapshot.properties.contains("stage"))
+
+    // ADD COLUMNS on a partitioned table keeps partitioning too
+    spark.sql("ALTER TABLE vin.props ADD COLUMN note STRING")
+    val t2 = VintageTable.forPath(spark, wh + "/props")
+    assert(t2.snapshot.partitionColumns == Seq("cat"))
+    assert(spark.sql("SELECT note FROM vin.props").count() == 2)
+  }
+
   test("catalog utilities: listTables, dropTable, tableExists") {
     spark.sql("CREATE TABLE vin.t3 (x INT)")
     val names = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet

@@ -136,6 +136,37 @@ class StatsSkippingSpec extends AnyFunSuite {
     assert(t.toDFAsOf(0).count() == 4096)
   }
 
+  test("long string stats truncate to bounded, still-sound min/max") {
+    // unit bounds
+    assert(ParquetStats.truncateMinString("ab") == "ab")
+    val long = "m" * 500 + "zz"
+    val mn = ParquetStats.truncateMinString(long)
+    val mx = ParquetStats.truncateMaxString(long).get
+    assert(mn.length == 32 && mx.length <= 33)
+    assert(ParquetStats.cpCompare(mn, long) <= 0)
+    assert(ParquetStats.cpCompare(mx, long) > 0)
+    // increment skips the surrogate gap
+    val edge = ("x" * 31) + "퟿" + "tail-beyond-cap"
+    val mxe = ParquetStats.truncateMaxString(edge).get
+    assert(mxe.codePointAt(31) == 0xE000)
+
+    // end to end: a table with kilobyte strings keeps a small log and
+    // still prunes correctly
+    val dir = Files.createTempDirectory("vintage-skip").toString + "/long"
+    val mk = (c: Char) => c.toString * 1000
+    val t = VintageTable.create(spark,
+      dir, Seq((1L, mk('a')), (2L, mk('b'))).toDF("id", "txt").coalesce(1))
+    t.append(Seq((3L, mk('x')), (4L, mk('y'))).toDF("id", "txt").coalesce(1))
+    val st = t.snapshot.files.flatMap(_.stats.get("txt"))
+    assert(st.nonEmpty && st.forall(s =>
+      s.min.get.length <= 33 && s.max.get.length <= 33), st)
+    // point lookups on the long values prune to the right file
+    assert(t.candidateFiles(t.snapshot, col("txt") === mk('b')).size == 1)
+    assert(t.candidateFiles(t.snapshot, col("txt") === mk('y')).size == 1)
+    assert(t.candidateFiles(t.snapshot, col("txt") === mk('q')).isEmpty)
+    assert(t.toDF.filter(col("txt") === mk('x')).count() == 1)
+  }
+
   test("concurrent commits to the same version: loser gets a conflict") {
     val dir = Files.createTempDirectory("vintage-skip").toString + "/cc"
     val t = VintageTable.create(spark, dir,
