@@ -18,16 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Distinct word n-grams of the whitespace-tokenized lowercased
-    * text (same token normalization as [[TextAnalysis.tokens]]).
+  /** Distinct n-grams over an ALREADY-MATERIALIZED token array column.
+    * The lambda must reference a plain attribute, not the tokenization
+    * expression: higher-order-function lambdas evaluate interpreted
+    * with no common-subexpression elimination, so embedding
+    * `tokens(text)` here would re-split the text once per
+    * `element_at` reference — n re-splits per gram, O(n · grams)
+    * splits per row.
     */
-  def distinctWordNGrams(c: Column, n: Int): Column = {
-    val t = TextAnalysis.tokens(c)
+  def distinctNGramsOfTokens(t: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(t) - (n - 1)), i =>
       concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(array_distinct(grams))
   }
+
+  /** Distinct word n-grams of the whitespace-tokenized lowercased
+    * text (same token normalization as [[TextAnalysis.tokens]]).
+    * Prefer projecting [[TextAnalysis.tokens]] into a column and
+    * calling [[distinctNGramsOfTokens]] when used per-row at scale
+    * (see that method's note).
+    */
+  def distinctWordNGrams(c: Column, n: Int): Column =
+    distinctNGramsOfTokens(TextAnalysis.tokens(c), n)
 
   /** For every train document sharing at least one word `n`-gram with
     * any benchmark document: (train id, distinct benchmark docs hit,
@@ -39,9 +52,9 @@ object Contamination {
   def contaminationReport(
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
       n: Int = 8, maxGramDocFreq: Int = 1000): DataFrame = {
-    def grams(df: DataFrame, as: String) = df.select(
-      col(idCol).as(as),
-      explode(distinctWordNGrams(col(textCol), n)).as("__gram"))
+    def grams(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(as), explode(distinctNGramsOfTokens(col("__t"), n)).as("__gram"))
     val b = grams(bench, "bench_id")
     val rare = b.groupBy("__gram")
       .agg(count(lit(1)).as("__df"))
