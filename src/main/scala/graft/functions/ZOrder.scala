@@ -37,7 +37,12 @@ object ZOrder {
   def normalized(c: Column, dt: DataType): Column = dt match {
     case StringType => ColumnExpr.column(StringOrderPrefix(ColumnExpr.expr(c)))
     case BooleanType => c.cast("int").cast("double")
-    case DateType | TimestampType | TimestampNTZType => c.cast("long").cast("double")
+    // dates/timestamps cannot cast to long directly — go through the
+    // dedicated epoch functions (order-preserving integers)
+    case DateType => org.apache.spark.sql.functions.unix_date(c).cast("double")
+    case TimestampType => org.apache.spark.sql.functions.unix_micros(c).cast("double")
+    case TimestampNTZType =>
+      org.apache.spark.sql.functions.unix_micros(c.cast("timestamp")).cast("double")
     case _: NumericType => c.cast("double")
     case other => throw new IllegalArgumentException(
       s"cannot z-order on type ${other.sql}")
@@ -63,7 +68,10 @@ object ZOrder {
     val nb = 1 << bits
     val schema = df.schema
     val norm = cols.map(c => normalized(df(c), schema(c).dataType))
-    val tmpNames = cols.indices.map(i => s"__zn_$i")
+    // collision-proof temp names: a user column literally named
+    // __zn_0 must survive clustering untouched
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tmpNames = cols.indices.map(i => s"__zn_${tag}_$i")
     val withNorm = norm.zip(tmpNames).foldLeft(df) {
       case (d, (nc, n)) => d.withColumn(n, nc)
     }

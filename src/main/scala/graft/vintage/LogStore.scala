@@ -33,6 +33,15 @@ trait LogStore {
   def isDirectory(path: Path): Boolean
   def mkdirs(dir: Path): Unit
   def delete(path: Path): Unit
+
+  /** Hadoop configuration for binary side-files written NEXT TO the
+    * log (parquet checkpoints go through parquet-java's own IO, not
+    * the line-oriented methods above, but must resolve the same
+    * filesystems/credentials this store uses). Stores on backends
+    * without a Hadoop FS view should override and route checkpoints
+    * to a Hadoop-visible location.
+    */
+  def hadoopConf: Configuration = new Configuration()
 }
 
 /** Hadoop-FS log store: stage to a temp file in the same directory,
@@ -42,6 +51,8 @@ trait LogStore {
   */
 class HadoopLogStore(conf: Configuration) extends LogStore {
   private def fs(p: Path): FileSystem = p.getFileSystem(conf)
+
+  override def hadoopConf: Configuration = conf
 
   override def readLines(path: Path): Seq[String] = {
     val in = fs(path).open(path)

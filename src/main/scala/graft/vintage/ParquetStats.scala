@@ -90,8 +90,14 @@ object ParquetStats {
               (mnOpt.map(truncateMinString(_)), mxOpt.flatMap(truncateMaxString(_)))
             case _ => (mnOpt, mxOpt)
           }
-          name -> ColStats(mn2, mx2, Some(nulls))
-      }.toMap
+          // ColStats cannot express "bounded below, unbounded above":
+          // FileSkipping reads (min=Some, max=None) as an all-null file
+          // and would WRONGLY prune it. If no finite truncated max
+          // exists (a 32-U+10FFFF prefix), drop the column's stats for
+          // this file entirely — never prune, always sound.
+          val expressible = mn2.isDefined == mx2.isDefined
+          if (expressible) Some(name -> ColStats(mn2, mx2, Some(nulls))) else None
+      }.flatten.toMap
       (numRecords, stats)
     } finally reader.close()
   }

@@ -72,8 +72,7 @@ object VintageLog {
     */
   private[vintage] def readCheckpointActions(tableDir: String, v: Long): Seq[Action] =
     if (store.exists(checkpointFile(tableDir, v)))
-      CheckpointCodec.read(checkpointFile(tableDir, v),
-        new org.apache.hadoop.conf.Configuration())
+      CheckpointCodec.read(checkpointFile(tableDir, v), store.hadoopConf)
     else
       store.readLines(legacyCheckpointFile(tableDir, v))
         .filter(_.nonEmpty).map(Action.fromJsonLine)
@@ -108,7 +107,7 @@ object VintageLog {
       Seq(Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
         snap.commits.sortBy(_.version) ++ snap.files
     CheckpointCodec.write(checkpointFile(tableDir, v), actions,
-      new org.apache.hadoop.conf.Configuration())
+      store.hadoopConf)
     store.writeReplace(lastCheckpointFile(tableDir),
       Seq(s"""{"version":$v,"format":"parquet"}"""))
   }

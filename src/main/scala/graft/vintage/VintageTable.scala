@@ -300,10 +300,13 @@ class VintageTable private (
           .sortWithinPartitions(col(cols.head))
       else {
         val z = graft.functions.ZOrder.zValueColumn(df, cols)
-        df.withColumn("__zval", z)
-          .repartitionByRange(numFiles, col("__zval"))
-          .sortWithinPartitions(col("__zval"))
-          .drop("__zval")
+        // collision-proof temp name: a user column named __zval must
+        // survive clustering untouched
+        val zName = s"__zval_${UUID.randomUUID().toString.take(8)}"
+        df.withColumn(zName, z)
+          .repartitionByRange(numFiles, col(zName))
+          .sortWithinPartitions(col(zName))
+          .drop(zName)
       }
     val adds = writeFiles(spark, clustered, path, dataChange = false,
       snap.partitionColumns)
@@ -343,8 +346,26 @@ class VintageTable private (
     * modification time also predates the cutoff — the same
     * age-based guard Delta's vacuum uses, which additionally lets
     * retention reclaim orphaned files from crashed writes.
+    *
+    * SAFETY: a retention window shorter than the longest concurrent
+    * write is unsafe — a native DSv2 write's files are at final paths
+    * (mod-time ≈ now) before their log commit, and a near-zero cutoff
+    * would reclaim them mid-write, corrupting the committed version.
+    * Retentions below [[VintageTable.MinSafeRetentionHours]] therefore
+    * require `spark.vintage.retentionDurationCheck.enabled=false`
+    * (Delta's contract for the identical hazard).
     */
   def vacuum(retentionHours: Double = 168.0): Long = {
+    if (retentionHours < MinSafeRetentionHours) {
+      val checkEnabled = spark.conf
+        .getOption("spark.vintage.retentionDurationCheck.enabled")
+        .forall(_.toBoolean)
+      require(!checkEnabled,
+        s"retentionHours=$retentionHours is below the safe minimum " +
+        s"($MinSafeRetentionHours h): files of in-flight writes could be " +
+        "reclaimed mid-write. Set " +
+        "spark.vintage.retentionDurationCheck.enabled=false to override.")
+    }
     val snap = snapshot
     val live = snap.files.map(_.path).toSet
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
@@ -536,6 +557,11 @@ object VintageTable {
   }
 
   def isVintageTable(path: String): Boolean = VintageLog.exists(path)
+
+  /** Minimum vacuum retention (hours) the duration check allows —
+    * Delta's default week.
+    */
+  val MinSafeRetentionHours: Double = 168.0
 
   /** Columns listed in the `vintage.bloom.columns` table property. */
   def bloomColumns(props: Map[String, String]): Seq[String] =

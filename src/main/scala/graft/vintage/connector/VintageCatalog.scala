@@ -241,7 +241,8 @@ class VintageSqlTable(
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write =
         new org.apache.spark.sql.graftshim.VintageWrite(
-          tablePath, snapshot.schema, snapshot.partitionColumns, overwrite)
+          tablePath, snapshot.schema, snapshot.partitionColumns, overwrite,
+          snapshot.properties)
     }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =

@@ -43,7 +43,8 @@ import graft.vintage.{AddFile, ParquetStats, PartitionPaths, VintageTable}
   */
 class VintageWrite(
     tablePath: String, tableSchema: StructType,
-    partitionCols: Seq[String], overwrite: Boolean) extends Write {
+    partitionCols: Seq[String], overwrite: Boolean,
+    tableProperties: Map[String, String]) extends Write {
 
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
@@ -51,9 +52,9 @@ class VintageWrite(
       partitionCols.exists(_.equalsIgnoreCase(f.name))))
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     // honor the vintage.bloom.columns table property on the native
-    // path too (see VintageTable.writeFiles)
-    graft.vintage.VintageTable.bloomColumns(
-        graft.vintage.VintageLog.replay(tablePath).properties)
+    // path too (see VintageTable.writeFiles); properties come from the
+    // enclosing table's snapshot — no extra log replay per write
+    graft.vintage.VintageTable.bloomColumns(tableProperties)
       .foreach(c => job.getConfiguration.set(s"parquet.bloom.filter.enabled#$c", "true"))
     val factory = ParquetUtils.prepareWrite(
       spark.sessionState.conf, job, dataSchema,
@@ -178,8 +179,24 @@ class VintageDataWriter(
   }
 
   // partition prefix ("" when unpartitioned) -> file path relative to
-  // the table root
+  // the table root (the currently-open file for that prefix)
   private val openPaths = mutable.LinkedHashMap[String, String]()
+  // files already closed by LRU eviction — still part of this task's
+  // commit (several files per partition value are fine; unbounded open
+  // writers are not)
+  private val completedPaths = mutable.ArrayBuffer[String]()
+
+  /** Cap on simultaneously open parquet writers per task. Each open
+    * writer buffers up to a row group, so an unsorted insert into a
+    * high-cardinality partition column would otherwise hold one buffer
+    * per distinct value seen — executor OOM. On overflow the
+    * least-recently-used writer is closed (its file is final and
+    * recorded); a later row for that partition simply opens a new
+    * file. Spark's own dynamic-partition insert bounds memory the same
+    * way (spark.sql.maxConcurrentOutputFileWriters + sort fallback).
+    */
+  private val maxOpenWriters =
+    hconf.getInt("spark.vintage.write.maxOpenWriters", 32)
 
   private def writerFor(row: InternalRow): OutputWriter = {
     val key =
@@ -188,8 +205,18 @@ class VintageDataWriter(
         s"${escapePathName(c)}=${partitionValueString(row, i, dt)}"
       }.mkString("/")
     writers.get(key) match {
-      case Some(w) => w
+      case Some(w) =>
+        // refresh LRU position
+        writers.remove(key); writers(key) = w
+        val rel = openPaths.remove(key).get; openPaths(key) = rel
+        w
       case None =>
+        if (writers.size >= maxOpenWriters) {
+          val (oldKey, oldW) = writers.head
+          oldW.close()
+          writers.remove(oldKey)
+          completedPaths += openPaths.remove(oldKey).get
+        }
         val name = s"part-${UUID.randomUUID().toString}.snappy.parquet"
         val rel = if (key.isEmpty) name else s"$key/$name"
         val target = new HPath(tableDir, rel)
@@ -207,7 +234,7 @@ class VintageDataWriter(
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())
-    val adds = openPaths.values.toSeq.map { rel =>
+    val adds = (completedPaths.toSeq ++ openPaths.values.toSeq).map { rel =>
       val target = new HPath(tableDir, rel)
       val fs = target.getFileSystem(hconf)
       val (numRecords, stats) = ParquetStats.read(target, hconf, statCols)
@@ -220,7 +247,7 @@ class VintageDataWriter(
 
   override def abort(): Unit = {
     writers.values.foreach(w => try w.close() catch { case _: Exception => () })
-    openPaths.values.foreach { rel =>
+    (completedPaths.toSeq ++ openPaths.values.toSeq).foreach { rel =>
       val p = new HPath(tableDir, rel)
       try p.getFileSystem(hconf).delete(p, false)
       catch { case _: java.io.IOException => () }

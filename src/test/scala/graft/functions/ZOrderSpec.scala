@@ -55,6 +55,19 @@ class ZOrderSpec extends AnyFunSuite {
     assert(first4 == Set((0, 0), (0, 1), (1, 0), (1, 1)))
   }
 
+  test("zValueColumn supports date and timestamp columns") {
+    // date/timestamp cannot cast to long directly — this pins the
+    // unix_date/unix_micros projection path
+    val rows = (0 until 200).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i % 40)),
+        java.sql.Timestamp.valueOf(s"2024-01-01 0${i % 10}:00:00"), i.toLong)
+    }
+    val df = rows.toDF("d", "ts", "id")
+    val z = ZOrder.zValueColumn(df, Seq("d", "ts"))
+    val zs = df.withColumn("z", z).select("z").as[Long].collect()
+    assert(zs.distinct.length > 30, "date/timestamp z-values must spread")
+  }
+
   test("zValueColumn: interleaved z on a skewed grid still balances buckets") {
     // x skewed (quadratic), y uniform — quantile boundaries must
     // equalize x's buckets where equi-width would collapse them

@@ -94,7 +94,10 @@ class CheckpointSpec extends AnyFunSuite {
     val orig = VintageLog.store
     VintageLog.store = spy
     try {
-      val deleted = t.vacuum(retentionHours = 0.0)
+      spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
+      val deleted =
+        try t.vacuum(retentionHours = 0.0)
+        finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
       assert(deleted >= 20, s"old overwritten files must go, got $deleted")
       // horizon checkpoint is 20 -> versions 0..20 must NOT be re-read
       val badReads = (0L to 20L).map(v => f"$v%020d.json")

@@ -140,7 +140,10 @@ class ChoreographySpec extends AnyFunSuite {
 
     // vacuum with retention 0: physically removes dead files; current
     // snapshot still readable (README.md:415)
-    val removed = table.vacuum(retentionHours = 0.0)
+    spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
+    val removed =
+      try table.vacuum(retentionHours = 0.0)
+      finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
     assert(removed > 0)
     assert(table.toDF.count() == 504)
     info(s"choreography complete: $filesBefore files pre-compaction, $removed vacuumed")

@@ -142,8 +142,15 @@ class SqlCatalogSpec extends AnyFunSuite {
     spark.sql(s"RESTORE TABLE vin.mnt TO VERSION AS OF $preDelete")
     assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
 
-    // VACUUM RETAIN 0 HOURS drops unreferenced files
-    val del = spark.sql("VACUUM vin.mnt RETAIN 0 HOURS").collect().head.getLong(1)
+    // short retention requires the explicit safety override (the
+    // check protects in-flight writes from mod-time reclamation)
+    intercept[IllegalArgumentException] {
+      spark.sql("VACUUM vin.mnt RETAIN 0 HOURS").collect()
+    }
+    spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
+    val del =
+      try spark.sql("VACUUM vin.mnt RETAIN 0 HOURS").collect().head.getLong(1)
+      finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
     assert(del > 0, "vacuum must delete the compacted-away files")
     assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
 
