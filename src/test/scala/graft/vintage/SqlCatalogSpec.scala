@@ -267,6 +267,25 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT note FROM vin.props").count() == 2)
   }
 
+  test("native write LRU-bounds open writers; high-cardinality partitions stay correct") {
+    // 200 distinct partition values against the 32-writer cap: tasks
+    // must evict and re-open, producing several files for re-visited
+    // partitions without losing or duplicating rows
+    spark.sql("CREATE TABLE vin.hc (id BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO vin.hc SELECT id, id % 200 FROM range(2000)")
+    assert(spark.sql("SELECT count(*) FROM vin.hc WHERE true").head().getLong(0) == 2000)
+    assert(spark.sql("SELECT count(DISTINCT p) FROM vin.hc WHERE true").head().getLong(0) == 200)
+    // every row exactly once
+    assert(spark.sql(
+      "SELECT count(*) FROM (SELECT id FROM vin.hc GROUP BY id HAVING count(*) <> 1)")
+      .head().getLong(0) == 0)
+    val t = VintageTable.forPath(spark,
+      spark.conf.get("spark.sql.catalog.vin.warehouse") + "/hc")
+    assert(t.snapshot.files.count(_.numRecords.exists(_ > 0)) >= 200)
+    assert(t.snapshot.files.filter(_.numRecords.exists(_ > 0))
+      .forall(_.partitionValues.contains("p")))
+  }
+
   test("catalog utilities: listTables, dropTable, tableExists") {
     spark.sql("CREATE TABLE vin.t3 (x INT)")
     val names = spark.sql("SHOW TABLES IN vin").collect().map(_.getString(1)).toSet

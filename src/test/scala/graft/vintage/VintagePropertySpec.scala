@@ -20,6 +20,32 @@ class VintagePropertySpec extends AnyFunSuite {
   private def tableState(t: VintageTable): Map[Long, Double] =
     t.toDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
 
+  test("parallel appenders all land through the optimistic retry loop") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-prop").toString + "/conc"
+    val t = VintageTable.create(spark, dir,
+      Seq((0L, -1L)).toDF("k", "writer").coalesce(1))
+    val threads = 4; val perThread = 5
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = (0 until threads).map { w =>
+      new Thread(() =>
+        try {
+          (0 until perThread).foreach { i =>
+            VintageTable.forPath(spark, dir)
+              .append(Seq((w * 100L + i, w.toLong)).toDF("k", "writer").coalesce(1))
+          }
+        } catch { case e: Throwable => errors.add(e) })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent appends failed: ${errors.peek()}")
+    // every append became exactly one commit; no writes lost
+    assert(t.version == threads * perThread)
+    assert(t.toDF.count() == 1 + threads * perThread)
+    val byWriter = t.toDF.groupBy("writer").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until threads).foreach(w => assert(byWriter(w.toLong) == perThread))
+  }
+
   test("random op sequences match an in-memory model, incl. time travel") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
