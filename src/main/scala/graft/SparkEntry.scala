@@ -50,6 +50,7 @@ object SparkEntry {
     "q29_simhash_pairs"    -> (PipelineQueries.q29SimhashPairs _),
     "q30_contamination"    -> (PipelineQueries.q30Contamination _),
     "q31_chunk_spans"      -> (PipelineQueries.q31ChunkSpans _),
+    "q32_rare_tokens"      -> (PipelineQueries.q32RareTokens _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +89,6 @@ object SparkEntry {
     // semantics pinned by SimilaritySpec / DedupSpec
     "q30_contamination"    -> PipelineQueries.q30Sql,
     "q31_chunk_spans"      -> PipelineQueries.q31Sql,
+    "q32_rare_tokens"      -> PipelineQueries.q32Sql,
   )
 }

@@ -98,6 +98,33 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(grams)) / size(grams).cast("double"))
   }
 
+  /** Per-document rare-token statistics against the corpus' own token
+    * frequencies: a token is "rare" when its corpus frequency is below
+    * `maxShare` of all tokens — a high rare fraction flags
+    * noise/garbled documents (the integer-valued cousin of a
+    * CCNet-style LM filter, chosen for exact cross-engine parity; the
+    * share-based cutoff keeps the definition scale-invariant).
+    *
+    * Scale shape: one map-side-combinable groupBy builds the frequency
+    * table; the per-document count is an explode + broadcast-friendly
+    * join on the token key (frequencies table ≈ vocabulary size, tiny
+    * next to the corpus).
+    */
+  def rareTokenStats(df: DataFrame, idCol: String, textCol: String,
+                     maxShare: Double): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(maxShare > 0.0 && maxShare < 1.0, s"maxShare in (0,1), got $maxShare")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val freqs = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
+    val total = freqs.agg(sum("__freq").as("__total"))
+    val rare = freqs.crossJoin(broadcast(total))
+      .filter(col("__freq") < col("__total") * lit(maxShare))
+      .select("__tok")
+    toks.join(broadcast(rare), Seq("__tok"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_rare_tokens"))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
     * Identical prose with differing spacing/casing collides — the usual
     * "url-level vs content-level" middle ground.

@@ -460,6 +460,31 @@ object PipelineQueries {
       |WHERE n >= 1
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Rare-token counts per document (corpus token share < 0.2%) —
+    * docs with no rare tokens are absent (inner semantics keep the
+    * output integer-only and engine-exact).
+    */
+  def q32RareTokens(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.rareTokenStats(
+        Tables.documents(spark, d), "doc_id", "text", maxShare = 0.002)
+      .orderBy("doc_id")
+
+  val q32Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, t.tok
+      |  FROM documents,
+      |    LATERAL unnest(list_filter(
+      |      regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) t(tok)
+      |),
+      |freqs AS (SELECT tok, count(*) AS f FROM toks GROUP BY tok),
+      |rare AS (
+      |  SELECT tok FROM freqs
+      |  WHERE f < (SELECT sum(f) FROM freqs) * 0.002
+      |)
+      |SELECT doc_id, count(*) AS n_rare_tokens
+      |FROM toks JOIN rare USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
