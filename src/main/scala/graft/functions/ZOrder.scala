@@ -29,6 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ZOrder {
 
+  /** Collision-proof temp column name (a user column literally named
+    * `__zval` or `__zn_0` must survive clustering untouched).
+    */
+  def tempName(prefix: String): String =
+    s"${prefix}_${java.util.UUID.randomUUID().toString.take(8)}"
+
   /** Order-preserving projection of an orderable column to double.
     * Strings map through their first 8 UTF-8 bytes (big-endian,
     * unsigned) — lexicographic order is preserved to 8-byte prefix
@@ -42,7 +48,15 @@ object ZOrder {
     case DateType => org.apache.spark.sql.functions.unix_date(c).cast("double")
     case TimestampType => org.apache.spark.sql.functions.unix_micros(c).cast("double")
     case TimestampNTZType =>
-      org.apache.spark.sql.functions.unix_micros(c.cast("timestamp")).cast("double")
+      // session-independent arithmetic: a cast through TimestampType
+      // applies the session zone, whose DST gaps invert ordering for
+      // wall-times inside the gap. Day + time-of-day seconds keep the
+      // NTZ order exactly (1s resolution is ample for bucketing).
+      (org.apache.spark.sql.functions.unix_date(c.cast("date"))
+          .cast("double") * 86400.0 +
+        org.apache.spark.sql.functions.hour(c) * 3600.0 +
+        org.apache.spark.sql.functions.minute(c) * 60.0 +
+        org.apache.spark.sql.functions.second(c))
     case _: NumericType => c.cast("double")
     case other => throw new IllegalArgumentException(
       s"cannot z-order on type ${other.sql}")
@@ -68,10 +82,7 @@ object ZOrder {
     val nb = 1 << bits
     val schema = df.schema
     val norm = cols.map(c => normalized(df(c), schema(c).dataType))
-    // collision-proof temp names: a user column literally named
-    // __zn_0 must survive clustering untouched
-    val tag = java.util.UUID.randomUUID().toString.take(8)
-    val tmpNames = cols.indices.map(i => s"__zn_${tag}_$i")
+    val tmpNames = cols.indices.map(i => tempName(s"__zn_$i"))
     val withNorm = norm.zip(tmpNames).foldLeft(df) {
       case (d, (nc, n)) => d.withColumn(n, nc)
     }

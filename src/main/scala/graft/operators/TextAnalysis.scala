@@ -117,10 +117,14 @@ object TextAnalysis {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
     val freqs = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
     val total = freqs.agg(sum("__freq").as("__total"))
-    val rare = freqs.crossJoin(broadcast(total))
-      .filter(col("__freq") < col("__total") * lit(maxShare))
+    // broadcast the COMMON set, not the rare one: under a Zipf-shaped
+    // vocabulary nearly every distinct token is below the share cutoff,
+    // so the rare set is ~the whole vocabulary while the common set is
+    // the short head — anti-join against the small side
+    val common = freqs.crossJoin(broadcast(total))
+      .filter(col("__freq") >= col("__total") * lit(maxShare))
       .select("__tok")
-    toks.join(broadcast(rare), Seq("__tok"), "left_semi")
+    toks.join(broadcast(common), Seq("__tok"), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_rare_tokens"))
   }

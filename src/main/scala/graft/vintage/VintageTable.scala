@@ -300,9 +300,7 @@ class VintageTable private (
           .sortWithinPartitions(col(cols.head))
       else {
         val z = graft.functions.ZOrder.zValueColumn(df, cols)
-        // collision-proof temp name: a user column named __zval must
-        // survive clustering untouched
-        val zName = s"__zval_${UUID.randomUUID().toString.take(8)}"
+        val zName = graft.functions.ZOrder.tempName("__zval")
         df.withColumn(zName, z)
           .repartitionByRange(numFiles, col(zName))
           .sortWithinPartitions(col(zName))
@@ -356,6 +354,10 @@ class VintageTable private (
     * (Delta's contract for the identical hazard).
     */
   def vacuum(retentionHours: Double = 168.0): Long = {
+    // NaN would skip the < comparison below AND compute a cutoff of
+    // "now" — the exact hazard the duration check exists to stop
+    require(!retentionHours.isNaN && retentionHours >= 0.0,
+      s"retentionHours must be a non-negative number, got $retentionHours")
     if (retentionHours < MinSafeRetentionHours) {
       val checkEnabled = spark.conf
         .getOption("spark.vintage.retentionDurationCheck.enabled")
@@ -479,7 +481,7 @@ class VintageTable private (
       snap: Snapshot, op: String, params: Map[String, String],
       adds: Seq[AddFile], removes: Seq[RemoveFile],
       meta: Option[Metadata], scope: ReadScope = FullRead,
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 20): Long = {
     var readVersion = snap.version
     var attempt = 0
     while (true) {

@@ -10,6 +10,7 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.{distributions, expressions}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetUtils}
@@ -44,7 +45,25 @@ import graft.vintage.{AddFile, ParquetStats, PartitionPaths, VintageTable}
 class VintageWrite(
     tablePath: String, tableSchema: StructType,
     partitionCols: Seq[String], overwrite: Boolean,
-    tableProperties: Map[String, String]) extends Write {
+    tableProperties: Map[String, String]) extends Write
+    with RequiresDistributionAndOrdering {
+
+  // Partitioned writes request a LOCAL sort by the partition columns
+  // (no distribution → no shuffle): each task then sees its partition
+  // values as contiguous runs, so the dynamic writer holds ONE open
+  // file at a time instead of cycling through the LRU cap — the same
+  // reason Spark's own dynamic-partition insert sorts by partition
+  // expressions. The LRU cap in VintageDataWriter stays as a backstop
+  // for unsorted paths.
+  override def requiredDistribution(): distributions.Distribution =
+    distributions.Distributions.unspecified()
+  override def requiredOrdering(): Array[expressions.SortOrder] =
+    partitionCols.map { c =>
+      expressions.Expressions.sort(
+        expressions.Expressions.identity(c),
+        expressions.SortDirection.ASCENDING)
+    }.toArray
+  override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
@@ -196,7 +215,7 @@ class VintageDataWriter(
     * way (spark.sql.maxConcurrentOutputFileWriters + sort fallback).
     */
   private val maxOpenWriters =
-    hconf.getInt("spark.vintage.write.maxOpenWriters", 32)
+    math.max(1, hconf.getInt("spark.vintage.write.maxOpenWriters", 32))
 
   private def writerFor(row: InternalRow): OutputWriter = {
     val key =

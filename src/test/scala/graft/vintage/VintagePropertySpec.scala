@@ -37,6 +37,7 @@ class VintagePropertySpec extends AnyFunSuite {
         } catch { case e: Throwable => errors.add(e) })
     }
     pool.foreach(_.start()); pool.foreach(_.join(120000))
+    assert(pool.forall(!_.isAlive), "a writer thread is still running after join timeout")
     assert(errors.isEmpty, s"concurrent appends failed: ${errors.peek()}")
     // every append became exactly one commit; no writes lost
     assert(t.version == threads * perThread)
