@@ -114,17 +114,22 @@ object TextAnalysis {
                      maxShare: Double): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     require(maxShare > 0.0 && maxShare < 1.0, s"maxShare in (0,1), got $maxShare")
-    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-    val freqs = toks.groupBy("__tok").agg(count(lit(1)).as("__freq"))
-    val total = freqs.agg(sum("__freq").as("__total"))
+    // collision-proof internal names: the caller's id column may be
+    // named anything, including our would-be temps
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tok = s"__tok_$tag"; val freq = s"__freq_$tag"; val tot = s"__total_$tag"
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as(tok))
+    val freqs = toks.groupBy(tok).agg(count(lit(1)).as(freq))
+    val total = freqs.agg(sum(freq).as(tot))
     // broadcast the COMMON set, not the rare one: under a Zipf-shaped
     // vocabulary nearly every distinct token is below the share cutoff,
     // so the rare set is ~the whole vocabulary while the common set is
-    // the short head — anti-join against the small side
+    // the short head — anti-join against the small side (provably
+    // bounded at 1/maxShare rows)
     val common = freqs.crossJoin(broadcast(total))
-      .filter(col("__freq") >= col("__total") * lit(maxShare))
-      .select("__tok")
-    toks.join(broadcast(common), Seq("__tok"), "left_anti")
+      .filter(col(freq) >= col(tot) * lit(maxShare))
+      .select(tok)
+    toks.join(broadcast(common), Seq(tok), "left_anti")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_rare_tokens"))
   }

@@ -484,6 +484,11 @@ class VintageTable private (
       maxRetries: Int = 20): Long = {
     var readVersion = snap.version
     var attempt = 0
+    // a NoRead commit (blind append) can lose a version race but can
+    // never semantically conflict, so pure races get a much higher
+    // budget than genuinely conflict-prone scopes — a fleet of
+    // concurrent appenders must not fail spuriously on contention
+    val attemptCap = if (scope == NoRead) maxRetries * 10 else maxRetries
     while (true) {
       val v = readVersion + 1
       val info = CommitInfo(v, System.currentTimeMillis(), op, params)
@@ -493,7 +498,11 @@ class VintageTable private (
       } catch {
         case e: java.util.ConcurrentModificationException =>
           attempt += 1
-          if (attempt > maxRetries) throw e
+          if (attempt > attemptCap) throw e
+          // jittered backoff de-synchronizes racing writers (bounded:
+          // contention cost, not liveness risk)
+          Thread.sleep(
+            scala.util.Random.nextInt(math.min(10 * attempt, 200)).toLong)
           val current = VintageLog.replay(path)
           val liveNow = current.files.map(_.path).toSet
           val removedConcurrently = removes.exists(r => !liveNow.contains(r.path))

@@ -63,7 +63,6 @@ class VintageWrite(
         expressions.Expressions.identity(c),
         expressions.SortDirection.ASCENDING)
     }.toArray
-  override def requiredNumPartitions(): Int = 0
 
   override def toBatch: BatchWrite = {
     val spark = SparkSession.active
