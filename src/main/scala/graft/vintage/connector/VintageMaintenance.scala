@@ -44,6 +44,8 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
       VintageRestoreCommand(resolvePath(session, ref), version.toLong)
     case HistoryRe(ref) =>
       VintageHistoryCommand(resolvePath(session, ref))
+    case DetailRe(ref) =>
+      VintageDetailCommand(resolvePath(session, ref))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -71,6 +73,8 @@ object VintageMaintenanceParser {
     (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""").r
   private[connector] val HistoryRe =
     (s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*$$""").r
+  private[connector] val DetailRe =
+    (s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*$$""").r
 
   private def unquote(s: String): String = {
     val t = s.trim
@@ -151,5 +155,27 @@ case class VintageHistoryCommand(path: String) extends LeafRunnableCommand {
       Row(c.version, new java.sql.Timestamp(c.timestamp), c.operation,
         c.operationParameters)
     }
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one row of table-level metadata (Delta's
+  * command of the same name): format, location, current version,
+  * file/byte totals, partition columns, and user properties.
+  */
+case class VintageDetailCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("sizeInBytes", LongType, nullable = false)(),
+    AttributeReference("partitionColumns", ArrayType(StringType), nullable = false)(),
+    AttributeReference("properties",
+      MapType(StringType, StringType), nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = VintageTable.forPath(spark, path).snapshot
+    Seq(Row("vintage", path, snap.version, snap.files.size.toLong,
+      snap.files.map(_.size).sum, snap.partitionColumns, snap.properties))
   }
 }

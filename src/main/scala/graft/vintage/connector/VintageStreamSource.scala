@@ -52,12 +52,33 @@ class VintageStreamSource(
 
   /** Version *before* the first commit the stream should emit as a
     * change, or None → first batch is a full snapshot.
+    * `startingTimestamp` (epoch millis or an ISO/SQL timestamp string)
+    * resolves to the first version committed at or after it — Delta's
+    * option of the same name.
     */
-  private val changesFromExclusive: Option[Long] = options.get("startingVersion") match {
-    case Some("latest") => Some(VintageLog.latestVersion(tablePath))
-    case Some(v)        => Some(v.toLong - 1)
-    case None           => None
-  }
+  private val changesFromExclusive: Option[Long] =
+    (options.get("startingVersion"), options.get("startingTimestamp")) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "specify either startingVersion or startingTimestamp, not both")
+      case (Some("latest"), None) => Some(VintageLog.latestVersion(tablePath))
+      case (Some(v), None)        => Some(v.toLong - 1)
+      case (None, Some(ts)) =>
+        val millis =
+          try ts.toLong
+          catch {
+            case _: NumberFormatException =>
+              try java.sql.Timestamp.valueOf(ts).getTime
+              catch {
+                case _: IllegalArgumentException =>
+                  java.time.Instant.parse(ts).toEpochMilli
+              }
+          }
+        // first version with commit timestamp >= ts → exclusive lower
+        // bound is the newest version strictly before ts (or -1)
+        val commits = VintageLog.replay(tablePath).commits.sortBy(_.version)
+        Some(commits.filter(_.timestamp < millis).map(_.version).lastOption.getOrElse(-1L))
+      case (None, None) => None
+    }
 
   // The stream is pinned to the schema at start; a mid-stream schema
   // change fails the query (restart picks up the new schema) — same

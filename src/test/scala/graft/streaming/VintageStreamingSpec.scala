@@ -177,4 +177,32 @@ class VintageStreamingSpec extends AnyFunSuite {
         Seq((2, "new")))
     } finally q.stop()
   }
+
+  test("streaming source: startingTimestamp resolves to the first later commit") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/ts"
+    val cp = Files.createTempDirectory("vintage-src-cp").toString
+    val t0 = VintageTable.create(spark, dir, Seq((1, "a")).toDF("id", "s")) // v0
+    Thread.sleep(5)
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    t0.append(Seq((2, "b")).toDF("id", "s")) // v1, after `between`
+    t0.append(Seq((3, "c")).toDF("id", "s")) // v2
+
+    val q = spark.readStream.format("vintage")
+      .option("startingTimestamp", between.toString).load(dir)
+      .writeStream.format("memory").queryName("vts")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      // v0 predates the timestamp: only v1+v2 rows, no initial snapshot
+      assert(spark.table("vts").as[(Int, String)].collect().toSet ==
+        Set((2, "b"), (3, "c")))
+    } finally q.stop()
+    // both start options together is an error
+    intercept[IllegalArgumentException] {
+      new graft.vintage.connector.VintageStreamSource(spark, t0.path,
+        Map("startingVersion" -> "1", "startingTimestamp" -> "0"))
+    }
+  }
 }

@@ -156,6 +156,16 @@ class SqlCatalogSpec extends AnyFunSuite {
 
     // quoted-path form resolves without the catalog
     assert(spark.sql(s"DESCRIBE HISTORY '$wh/mnt'").count() == hist.length + 2)
+
+    // DESCRIBE DETAIL: one row of table-level metadata
+    val detail = spark.sql("DESCRIBE DETAIL vin.mnt").collect()
+    assert(detail.length == 1)
+    val d = detail.head
+    assert(d.getString(0) == "vintage")
+    assert(d.getString(1).endsWith("/mnt"))
+    assert(d.getLong(2) == t.version)
+    assert(d.getLong(3) == t.snapshot.files.size.toLong && d.getLong(3) > 0)
+    assert(d.getLong(4) == t.snapshot.files.map(_.size).sum)
   }
 
   test("catalog SELECT plans a native columnar scan with pushed filters") {
