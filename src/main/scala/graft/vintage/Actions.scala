@@ -34,7 +34,24 @@ case class AddFile(
     dataChange: Boolean,
     numRecords: Option[Long] = None,
     stats: Map[String, ColStats] = Map.empty,
-    partitionValues: Map[String, String] = Map.empty) extends Action
+    partitionValues: Map[String, String] = Map.empty) extends Action {
+  /** Resolved location: `path` is normally relative to the table root,
+    * but a SHALLOW CLONE records the source's files by absolute
+    * path/URI (Delta's convention) — those resolve as-is.
+    */
+  def absolutePath(tableDir: String): String =
+    AddFile.resolve(tableDir, path)
+}
+
+object AddFile {
+  private val SchemeRe = "^[a-zA-Z][\\w+.-]*://.*".r
+
+  /** Resolve a log file path against the table root (absolute paths
+    * and URIs pass through — the shallow-clone representation).
+    */
+  def resolve(tableDir: String, p: String): String =
+    if (p.startsWith("/") || SchemeRe.matches(p)) p else s"$tableDir/$p"
+}
 
 case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
 

@@ -16,7 +16,7 @@ case class Snapshot(
     commits: Seq[CommitInfo],
     partitionColumns: Seq[String] = Nil) {
   def filePaths(tableDir: String): Seq[String] =
-    files.map(f => s"$tableDir/${f.path}")
+    files.map(_.absolutePath(tableDir))
 
   /** Files with synthetic min=max=value stats for partition columns —
     * feed THESE to [[FileSkipping]] so partition predicates prune with

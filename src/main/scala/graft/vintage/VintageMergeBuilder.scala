@@ -102,8 +102,10 @@ class VintageMergeBuilder private[vintage] (
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
-        val candDf = spark.read.option("basePath", table.path).schema(snap.schema)
-          .parquet(candidates.map(f => s"${table.path}/${f.path}"): _*)
+        val rd = spark.read.schema(snap.schema)
+        val candDf =
+          (if (snap.partitionColumns.nonEmpty) rd.option("basePath", table.path) else rd)
+            .parquet(candidates.map(_.absolutePath(table.path)): _*)
         val tRaw = candDf.select(
           col("_metadata.file_path").as(VintageTable.FileCol) +: targetCols.map(col): _*)
         aliased(tRaw, targetAlias)

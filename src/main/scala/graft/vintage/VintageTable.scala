@@ -56,14 +56,19 @@ class VintageTable private (
   private def dfForSnapshot(s: Snapshot): DataFrame =
     if (s.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    else
+    else {
       // basePath makes hive partition dirs resolve to the partition
-      // columns declared in the schema (no-op for unpartitioned
-      // tables); the select restores the declared column order, which
-      // partition discovery moves to the end
-      spark.read.option("basePath", path).schema(s.schema)
+      // columns declared in the schema — set it only for partitioned
+      // tables: a shallow clone's files live OUTSIDE the table root,
+      // which basePath would reject (partitioned tables never hold
+      // cloned absolute files; shallowClone rejects them). The select
+      // restores the declared column order, which partition discovery
+      // moves to the end.
+      val rd = spark.read.schema(s.schema)
+      (if (s.partitionColumns.nonEmpty) rd.option("basePath", path) else rd)
         .parquet(s.filePaths(path): _*)
         .select(s.schema.fieldNames.toIndexedSeq.map(col): _*)
+    }
 
   /** Version history, newest first — reproduces the operation log shape
     * at README.md:307-319.
@@ -237,6 +242,41 @@ class VintageTable private (
         StructField("_commit_version", org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], empty)
     }
+  }
+
+  /** SHALLOW CLONE: create an independent table at `destPath` whose
+    * version 0 references THIS table's current data files by absolute
+    * path — a metadata-only copy (no data movement, cost O(files) log
+    * records; Delta's `CREATE TABLE ... SHALLOW CLONE` semantics).
+    * The clone then evolves independently: its row-level operations
+    * rewrite into its own directory, and its vacuum never touches
+    * files outside its root. CAVEAT (same as Delta): vacuuming the
+    * SOURCE can remove files the clone still references once the
+    * source itself no longer lists them — keep source retention above
+    * the clone's lifetime, or deep-copy with
+    * `create(spark, dest, source.toDF)`.
+    */
+  def shallowClone(destPath: String): VintageTable = {
+    val snap = snapshot
+    // hive-partitioned sources would need partition values resolved
+    // from the log instead of path inference under the clone's
+    // basePath — unsupported rather than subtly broken
+    require(snap.partitionColumns.isEmpty,
+      "shallow clone of hive-partitioned tables is not supported; " +
+      "deep-copy with create(spark, dest, source.toDF, partitionBy = ...)")
+    val abs = absolutize(destPath)
+    require(VintageLog.latestVersion(abs) < 0, s"table already exists: $abs")
+    val dir = new HPath(abs)
+    dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
+    VintageLog.invalidate(abs)
+    val now = System.currentTimeMillis()
+    val adds = snap.files.map(f => f.copy(path = f.absolutePath(path)))
+    val info = CommitInfo(0L, now, "CLONE",
+      Map("source" -> path, "sourceVersion" -> snap.version.toString))
+    VintageLog.commit(abs, 0L,
+      Seq(info, Metadata(snap.schema.json, snap.properties,
+        snap.partitionColumns)) ++ adds)
+    VintageTable.forPath(spark, abs)
   }
 
   /** Commit files that executors already wrote into the table
@@ -431,8 +471,9 @@ class VintageTable private (
     val cands = candidateFiles(snap, condition)
     if (cands.isEmpty) Set.empty
     else {
-      spark.read.option("basePath", path).schema(snap.schema)
-        .parquet(cands.map(f => s"$path/${f.path}"): _*)
+      val rd = spark.read.schema(snap.schema)
+      (if (snap.partitionColumns.nonEmpty) rd.option("basePath", path) else rd)
+        .parquet(cands.map(_.absolutePath(path)): _*)
         .select(col("_metadata.file_path").as(FileCol))
         .where(condition)
         .distinct()
@@ -442,10 +483,12 @@ class VintageTable private (
     }
   }
 
-  private[vintage] def readFiles(snap: Snapshot, rel: Set[String]): DataFrame =
-    spark.read.option("basePath", path).schema(snap.schema)
-      .parquet(rel.map(r => s"$path/$r").toSeq: _*)
+  private[vintage] def readFiles(snap: Snapshot, rel: Set[String]): DataFrame = {
+    val rd = spark.read.schema(snap.schema)
+    (if (snap.partitionColumns.nonEmpty) rd.option("basePath", path) else rd)
+      .parquet(rel.map(r => AddFile.resolve(path, r)).toSeq: _*)
       .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
 
   private[vintage] def removesFor(snap: Snapshot, rel: Set[String]): Seq[RemoveFile] = {
     val now = System.currentTimeMillis()
@@ -461,7 +504,10 @@ class VintageTable private (
       else filePath
     val tableAbs = Option(new java.net.URI(path).getPath).getOrElse(path)
     if (abs.startsWith(tableAbs)) abs.substring(tableAbs.length).stripPrefix("/")
-    else abs.substring(abs.lastIndexOf('/') + 1)
+    // outside the table root: a shallow-cloned file — its log key IS
+    // the absolute path, so return it unchanged (a filename fallback
+    // would never match the AddFile key)
+    else abs
   }
 
   /** Commit with optimistic-concurrency retry: when another writer

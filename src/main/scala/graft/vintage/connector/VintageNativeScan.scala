@@ -69,7 +69,7 @@ class VintageNativeScan(
         f.partitionValues.get(field.name)
           .map(PartitionPaths.castValue(_, field.dataType)).orNull
       })
-      val path = SparkPath.fromPathString(s"$tablePath/${f.path}")
+      val path = SparkPath.fromPathString(f.absolutePath(tablePath))
       (0L until math.max(f.size, 1L) by maxSplit).map { off =>
         PartitionedFile(pv, path, off, math.min(maxSplit, f.size - off),
           Array.empty, f.modificationTime, f.size)

@@ -36,7 +36,7 @@ class VintageFileIndex(spark: SparkSession, tablePath: String, snapshot: Snapsho
 
   override def sizeInBytes: Long = snapshot.files.map(_.size).sum
   override def inputFiles: Array[String] =
-    snapshot.files.map(f => s"$tablePath/${f.path}").toArray
+    snapshot.files.map(_.absolutePath(tablePath)).toArray
   override def refresh(): Unit = ()
 
   override def listFiles(
@@ -68,7 +68,7 @@ class VintageFileIndex(spark: SparkSession, tablePath: String, snapshot: Snapsho
   private def statuses(files: Seq[AddFile]): Array[FileStatus] =
     files.map { f =>
       new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime,
-        new Path(s"$tablePath/${f.path}"))
+        new Path(f.absolutePath(tablePath)))
     }.toArray
 }
 
