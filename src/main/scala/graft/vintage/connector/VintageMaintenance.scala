@@ -46,6 +46,8 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
       VintageHistoryCommand(resolvePath(session, ref))
     case DetailRe(ref) =>
       VintageDetailCommand(resolvePath(session, ref))
+    case CloneRe(dest, src) =>
+      VintageCloneCommand(resolvePath(session, dest), resolvePath(session, src))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -75,6 +77,8 @@ object VintageMaintenanceParser {
     (s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*$$""").r
   private[connector] val DetailRe =
     (s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*$$""").r
+  private[connector] val CloneRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref\\s*;?\\s*$$""").r
 
   private def unquote(s: String): String = {
     val t = s.trim
@@ -177,5 +181,23 @@ case class VintageDetailCommand(path: String) extends LeafRunnableCommand {
     val snap = VintageTable.forPath(spark, path).snapshot
     Seq(Row("vintage", path, snap.version, snap.files.size.toLong,
       snap.files.map(_.size).sum, snap.partitionColumns, snap.properties))
+  }
+}
+
+/** `CREATE TABLE dst SHALLOW CLONE src` — metadata-only table copy
+  * (see [[graft.vintage.VintageTable.shallowClone]]).
+  */
+case class VintageCloneCommand(destPath: String, srcPath: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("destination", StringType, nullable = false)(),
+    AttributeReference("sourceVersion", LongType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = VintageTable.forPath(spark, srcPath)
+    val v = src.version
+    val cl = src.shallowClone(destPath)
+    Seq(Row(cl.path, v, cl.snapshot.files.size.toLong))
   }
 }

@@ -58,6 +58,22 @@ class CloneSpec extends AnyFunSuite {
     assert(op.operationParameters("source").endsWith("/src"))
   }
 
+  test("SQL: CREATE TABLE dst SHALLOW CLONE src") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.vinc", "graft.vintage.connector.VintageCatalog")
+    s.conf.set("spark.sql.catalog.vinc.warehouse",
+      Files.createTempDirectory("vintage-clone-wh").toString)
+    spark.sql("CREATE TABLE vinc.src0 (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO vinc.src0 SELECT id, id * 0.5 FROM range(50)")
+    val res = spark.sql("CREATE TABLE vinc.dst0 SHALLOW CLONE vinc.src0").collect().head
+    assert(res.getLong(1) == 1) // cloned at source version 1
+    assert(spark.sql("SELECT count(*) FROM vinc.dst0 WHERE true").head().getLong(0) == 50)
+    // divergence: insert into the clone, source unchanged
+    spark.sql("INSERT INTO vinc.dst0 VALUES (999, 9.9)")
+    assert(spark.sql("SELECT count(*) FROM vinc.dst0 WHERE true").head().getLong(0) == 51)
+    assert(spark.sql("SELECT count(*) FROM vinc.src0 WHERE true").head().getLong(0) == 50)
+  }
+
   test("shallow clone of a partitioned table is rejected") {
     val base = Files.createTempDirectory("vintage-clone").toString
     val src = VintageTable.create(spark, s"$base/p",
