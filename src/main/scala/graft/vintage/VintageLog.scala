@@ -233,10 +233,19 @@ object VintageLog {
     * by timestamp, README.md:166,321). Uses the commit history already
     * carried by the snapshot, so it reads checkpoint + tail too.
     */
-  def versionAtTimestamp(tableDir: String, ts: Long): Long = {
-    val commits = replay(tableDir).commits.sortBy(_.version)
-    commits.filter(_.timestamp <= ts).map(_.version).lastOption.getOrElse(
+  def versionAtTimestamp(tableDir: String, ts: Long): Long =
+    versionAtOrBefore(tableDir, ts, inclusive = true).getOrElse(
       throw new IllegalArgumentException(
         s"no version at or before timestamp $ts for $tableDir"))
+
+  /** Newest version with commit timestamp <= `ts` (inclusive) or < `ts`
+    * (exclusive), if any — the shared primitive behind batch time
+    * travel and the streaming `startingTimestamp` option.
+    */
+  private[graft] def versionAtOrBefore(
+      tableDir: String, ts: Long, inclusive: Boolean): Option[Long] = {
+    val commits = replay(tableDir).commits.sortBy(_.version)
+    commits.filter(c => if (inclusive) c.timestamp <= ts else c.timestamp < ts)
+      .map(_.version).lastOption
   }
 }

@@ -102,10 +102,8 @@ class VintageMergeBuilder private[vintage] (
     val touched: Set[String] =
       if (candidates.isEmpty) Set.empty
       else {
-        val rd = spark.read.schema(snap.schema)
-        val candDf =
-          (if (snap.partitionColumns.nonEmpty) rd.option("basePath", table.path) else rd)
-            .parquet(candidates.map(_.absolutePath(table.path)): _*)
+        val candDf = table.readerFor(snap)
+          .parquet(candidates.map(_.absolutePath(table.path)): _*)
         val tRaw = candDf.select(
           col("_metadata.file_path").as(VintageTable.FileCol) +: targetCols.map(col): _*)
         aliased(tRaw, targetAlias)

@@ -56,19 +56,12 @@ class VintageTable private (
   private def dfForSnapshot(s: Snapshot): DataFrame =
     if (s.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-    else {
-      // basePath makes hive partition dirs resolve to the partition
-      // columns declared in the schema — set it only for partitioned
-      // tables: a shallow clone's files live OUTSIDE the table root,
-      // which basePath would reject (partitioned tables never hold
-      // cloned absolute files; shallowClone rejects them). The select
-      // restores the declared column order, which partition discovery
-      // moves to the end.
-      val rd = spark.read.schema(s.schema)
-      (if (s.partitionColumns.nonEmpty) rd.option("basePath", path) else rd)
+    else
+      // the select restores the declared column order, which partition
+      // discovery moves to the end
+      readerFor(s)
         .parquet(s.filePaths(path): _*)
         .select(s.schema.fieldNames.toIndexedSeq.map(col): _*)
-    }
 
   /** Version history, newest first — reproduces the operation log shape
     * at README.md:307-319.
@@ -270,7 +263,12 @@ class VintageTable private (
     dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
     VintageLog.invalidate(abs)
     val now = System.currentTimeMillis()
-    val adds = snap.files.map(f => f.copy(path = f.absolutePath(path)))
+    // dataChange=true regardless of the source flag: this IS the
+    // clone's creating write — cloning a freshly-compacted source
+    // (whose live files are dataChange=false) must still emit every
+    // row to the clone's change feed and streaming readers
+    val adds = snap.files.map(f =>
+      f.copy(path = f.absolutePath(path), dataChange = true))
     val info = CommitInfo(0L, now, "CLONE",
       Map("source" -> path, "sourceVersion" -> snap.version.toString))
     VintageLog.commit(abs, 0L,
@@ -471,8 +469,7 @@ class VintageTable private (
     val cands = candidateFiles(snap, condition)
     if (cands.isEmpty) Set.empty
     else {
-      val rd = spark.read.schema(snap.schema)
-      (if (snap.partitionColumns.nonEmpty) rd.option("basePath", path) else rd)
+      readerFor(snap)
         .parquet(cands.map(_.absolutePath(path)): _*)
         .select(col("_metadata.file_path").as(FileCol))
         .where(condition)
@@ -483,16 +480,28 @@ class VintageTable private (
     }
   }
 
-  private[vintage] def readFiles(snap: Snapshot, rel: Set[String]): DataFrame = {
-    val rd = spark.read.schema(snap.schema)
-    (if (snap.partitionColumns.nonEmpty) rd.option("basePath", path) else rd)
+  private[vintage] def readFiles(snap: Snapshot, rel: Set[String]): DataFrame =
+    readerFor(snap)
       .parquet(rel.map(r => AddFile.resolve(path, r)).toSeq: _*)
       .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+
+  /** Parquet reader for this table's files. `basePath` (hive partition
+    * inference) is set only for partitioned tables: a shallow clone's
+    * files live OUTSIDE the table root, which basePath would reject —
+    * and partitioned tables never hold cloned absolute files
+    * (shallowClone rejects them).
+    */
+  private[vintage] def readerFor(snap: Snapshot): org.apache.spark.sql.DataFrameReader = {
+    val rd = spark.read.schema(snap.schema)
+    if (snap.partitionColumns.nonEmpty) rd.option("basePath", path) else rd
   }
 
   private[vintage] def removesFor(snap: Snapshot, rel: Set[String]): Seq[RemoveFile] = {
     val now = System.currentTimeMillis()
-    snap.files.filter(f => rel.contains(f.path))
+    // canonicalKey bridges representations: a cloned AddFile may carry
+    // file:/abs while the scan's _metadata path relativized to /abs
+    snap.files.filter(f =>
+        rel.contains(f.path) || rel.contains(VintageTable.canonicalKey(f.path)))
       .map(f => RemoveFile(f.path, now, dataChange = true))
   }
 
@@ -503,11 +512,11 @@ class VintageTable private (
       if (filePath.contains(":")) new java.net.URI(filePath).getPath
       else filePath
     val tableAbs = Option(new java.net.URI(path).getPath).getOrElse(path)
-    if (abs.startsWith(tableAbs)) abs.substring(tableAbs.length).stripPrefix("/")
-    // outside the table root: a shallow-cloned file — its log key IS
-    // the absolute path, so return it unchanged (a filename fallback
-    // would never match the AddFile key)
-    else abs
+    if (abs != null && abs.startsWith(tableAbs))
+      abs.substring(tableAbs.length).stripPrefix("/")
+    // outside the table root: a shallow-cloned file — produce the same
+    // canonical form removesFor/readFiles compare AddFile keys in
+    else VintageTable.canonicalKey(filePath)
   }
 
   /** Commit with optimistic-concurrency retry: when another writer
@@ -619,6 +628,20 @@ object VintageTable {
     * Delta's default week.
     */
   val MinSafeRetentionHours: Double = 168.0
+
+  /** Canonical comparison form of a log file path: local-FS URIs
+    * (`file:/…`) reduce to their plain path so keys match whichever
+    * form the writer recorded; non-local schemes (s3a, hdfs) keep the
+    * full URI — stripping would lose bucket/authority.
+    */
+  private[vintage] def canonicalKey(p: String): String =
+    if (!p.contains(":")) p
+    else {
+      val u = try new java.net.URI(p) catch { case _: Exception => null }
+      if (u != null && (u.getScheme == null || u.getScheme == "file") &&
+          u.getPath != null) u.getPath
+      else p
+    }
 
   /** Columns listed in the `vintage.bloom.columns` table property. */
   def bloomColumns(props: Map[String, String]): Seq[String] =

@@ -33,22 +33,33 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
 
   import VintageMaintenanceParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeRe(ref, _, zorder) =>
-      VintageOptimizeCommand(resolvePath(session, ref),
-        Option(zorder).toSeq.flatMap(_.split(',')).map(unquote).filter(_.nonEmpty))
-    case VacuumRe(ref, _, hours) =>
-      VintageVacuumCommand(resolvePath(session, ref),
-        Option(hours).map(_.toDouble))
-    case RestoreRe(ref, version) =>
-      VintageRestoreCommand(resolvePath(session, ref), version.toLong)
-    case HistoryRe(ref) =>
-      VintageHistoryCommand(resolvePath(session, ref))
-    case DetailRe(ref) =>
-      VintageDetailCommand(resolvePath(session, ref))
-    case CloneRe(dest, src) =>
-      VintageCloneCommand(resolvePath(session, dest), resolvePath(session, src))
-    case _ => delegate.parsePlan(sqlText)
+  override def parsePlan(sqlText: String): LogicalPlan =
+    tryVintage(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  /** A statement is ours only when every table reference resolves to a
+    * vintage path — a ref in some OTHER catalog (`delta_cat.t`, a
+    * single-part name) falls through to the delegate parser that owns
+    * the identical Delta syntax instead of erroring here.
+    */
+  private def tryVintage(sqlText: String): Option[LogicalPlan] = {
+    def resolved(ref: String): Option[String] =
+      try Some(resolvePath(session, ref))
+      catch { case _: IllegalArgumentException => None }
+    sqlText match {
+      case OptimizeRe(ref, _, zorder) => resolved(ref).map(p =>
+        VintageOptimizeCommand(p,
+          Option(zorder).toSeq.flatMap(_.split(',')).map(unquote).filter(_.nonEmpty)))
+      case VacuumRe(ref, _, hours) => resolved(ref).map(p =>
+        VintageVacuumCommand(p, Option(hours).map(_.toDouble)))
+      case RestoreRe(ref, version) => resolved(ref).map(p =>
+        VintageRestoreCommand(p, version.toLong))
+      case HistoryRe(ref) => resolved(ref).map(VintageHistoryCommand)
+      case DetailRe(ref) => resolved(ref).map(VintageDetailCommand)
+      case CloneRe(dest, src) =>
+        for (d <- resolved(dest); s <- resolved(src))
+          yield VintageCloneCommand(d, s)
+      case _ => None
+    }
   }
 
   override def parseExpression(s: String) = delegate.parseExpression(s)
@@ -195,9 +206,13 @@ case class VintageCloneCommand(destPath: String, srcPath: String)
     AttributeReference("numFiles", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val src = VintageTable.forPath(spark, srcPath)
-    val v = src.version
-    val cl = src.shallowClone(destPath)
-    Seq(Row(cl.path, v, cl.snapshot.files.size.toLong))
+    val cl = VintageTable.forPath(spark, srcPath).shallowClone(destPath)
+    // the version the clone actually pinned is in its own v0 commit —
+    // re-reading the source here could race a concurrent writer
+    val snap = cl.snapshot
+    val pinned = snap.commits.find(_.version == 0L)
+      .flatMap(_.operationParameters.get("sourceVersion"))
+      .map(_.toLong).getOrElse(-1L)
+    Seq(Row(cl.path, pinned, snap.files.size.toLong))
   }
 }

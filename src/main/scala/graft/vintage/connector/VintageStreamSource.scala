@@ -63,20 +63,22 @@ class VintageStreamSource(
       case (Some("latest"), None) => Some(VintageLog.latestVersion(tablePath))
       case (Some(v), None)        => Some(v.toLong - 1)
       case (None, Some(ts)) =>
-        val millis =
-          try ts.toLong
-          catch {
-            case _: NumberFormatException =>
-              try java.sql.Timestamp.valueOf(ts).getTime
-              catch {
-                case _: IllegalArgumentException =>
-                  java.time.Instant.parse(ts).toEpochMilli
-              }
-          }
+        // accepted forms (Delta's): epoch millis, SQL timestamp,
+        // date-only, ISO instant
+        val parsers: Seq[String => Long] = Seq(
+          s => s.toLong,
+          s => java.sql.Timestamp.valueOf(s).getTime,
+          s => java.sql.Date.valueOf(s).getTime,
+          s => java.time.Instant.parse(s).toEpochMilli)
+        val millis = parsers.view.flatMap(p =>
+          try Some(p(ts)) catch { case scala.util.control.NonFatal(_) => None })
+          .headOption.getOrElse(throw new IllegalArgumentException(
+            s"invalid startingTimestamp '$ts': use epoch millis, " +
+            "'yyyy-MM-dd[ HH:mm:ss]', or an ISO instant"))
         // first version with commit timestamp >= ts → exclusive lower
         // bound is the newest version strictly before ts (or -1)
-        val commits = VintageLog.replay(tablePath).commits.sortBy(_.version)
-        Some(commits.filter(_.timestamp < millis).map(_.version).lastOption.getOrElse(-1L))
+        Some(VintageLog.versionAtOrBefore(tablePath, millis, inclusive = false)
+          .getOrElse(-1L))
       case (None, None) => None
     }
 
@@ -93,9 +95,13 @@ class VintageStreamSource(
   override def getOffset: Option[Offset] = {
     val latest = VintageLog.latestVersion(tablePath)
     if (latest < 0) return None
+    // the cap applies from the FIRST batch too: plannedVersion = -1
+    // (startingTimestamp before the first commit, startingVersion 0, or
+    // the initial-snapshot batch) must not replay the whole log in one
+    // unbounded micro-batch when a trigger limit was configured
     val capped = maxVersionsPerTrigger match {
-      case Some(n) if plannedVersion >= 0 => math.min(latest, plannedVersion + n)
-      case _                              => latest
+      case Some(n) => math.min(latest, plannedVersion + n)
+      case None    => latest
     }
     if (capped > plannedVersion) plannedVersion = capped
     if (capped < 0) None else Some(LongOffset(capped))

@@ -58,6 +58,21 @@ class CloneSpec extends AnyFunSuite {
     assert(op.operationParameters("source").endsWith("/src"))
   }
 
+  test("clone of a compacted source still emits every row to its change feed") {
+    val base = Files.createTempDirectory("vintage-clone").toString
+    val src = VintageTable.create(spark, s"$base/c-src",
+      (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name").repartition(3))
+    src.compact(1) // live files become dataChange=false
+    assert(src.snapshot.files.forall(!_.dataChange))
+
+    val cl = src.shallowClone(s"$base/c-dst")
+    // the clone's creating write is a data change regardless of the
+    // source's layout-only flags: CDF and streaming must see the rows
+    val ch = cl.changes(-1, 0)
+    assert(ch.filter(col("_change_type") === "insert").count() == 30,
+      "cloned rows must appear as inserts in the clone's change feed")
+  }
+
   test("SQL: CREATE TABLE dst SHALLOW CLONE src") {
     val s = spark
     s.conf.set("spark.sql.catalog.vinc", "graft.vintage.connector.VintageCatalog")
