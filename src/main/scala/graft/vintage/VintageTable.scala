@@ -391,7 +391,13 @@ class VintageTable private (
     * require `spark.vintage.retentionDurationCheck.enabled=false`
     * (Delta's contract for the identical hazard).
     */
-  def vacuum(retentionHours: Double = 168.0): Long = {
+  def vacuum(retentionHours: Double = 168.0): Long =
+    vacuum(retentionHours, dryRun = false)
+
+  /** As [[vacuum]]; with `dryRun = true` only COUNTS the files the
+    * retention policy would delete, touching nothing.
+    */
+  def vacuum(retentionHours: Double, dryRun: Boolean): Long = {
     // NaN would skip the < comparison below AND compute a cutoff of
     // "now" — the exact hazard the duration check exists to stop
     require(!retentionHours.isNaN && retentionHours >= 0.0,
@@ -442,7 +448,8 @@ class VintageTable private (
           case None => s.getModificationTime < cutoff // pre-horizon or orphan
         }
         if (!live.contains(rel) && expired) {
-          fs.delete(s.getPath, false); deleted += 1
+          if (!dryRun) fs.delete(s.getPath, false)
+          deleted += 1
         }
       }
     }

@@ -49,10 +49,15 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
       case OptimizeRe(ref, _, zorder) => resolved(ref).map(p =>
         VintageOptimizeCommand(p,
           Option(zorder).toSeq.flatMap(_.split(',')).map(unquote).filter(_.nonEmpty)))
-      case VacuumRe(ref, _, hours) => resolved(ref).map(p =>
-        VintageVacuumCommand(p, Option(hours).map(_.toDouble)))
+      case VacuumRe(ref, _, hours, dry) => resolved(ref).map(p =>
+        VintageVacuumCommand(p, Option(hours).map(_.toDouble), dry != null))
       case RestoreRe(ref, version) => resolved(ref).map(p =>
         VintageRestoreCommand(p, version.toLong))
+      case RestoreTsRe(ref, ts) => resolved(ref).map { p =>
+        val millis = java.sql.Timestamp.valueOf(ts).getTime
+        VintageRestoreCommand(p,
+          graft.vintage.VintageLog.versionAtTimestamp(p, millis))
+      }
       case HistoryRe(ref) => resolved(ref).map(VintageHistoryCommand)
       case DetailRe(ref) => resolved(ref).map(VintageDetailCommand)
       case CloneRe(dest, src) =>
@@ -81,9 +86,11 @@ object VintageMaintenanceParser {
   private[connector] val OptimizeRe =
     (s"""(?is)^\\s*OPTIMIZE\\s+$Ref(\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
   private[connector] val VacuumRe =
-    (s"""(?is)^\\s*VACUUM\\s+$Ref(\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?\\s*;?\\s*$$""").r
+    (s"""(?is)^\\s*VACUUM\\s+$Ref(\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""").r
   private[connector] val RestoreRe =
     (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+(?:TO\\s+)?VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$$""").r
+  private[connector] val RestoreTsRe =
+    (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?$Ref\\s+(?:TO\\s+)?TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*$$""").r
   private[connector] val HistoryRe =
     (s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*$$""").r
   private[connector] val DetailRe =
@@ -134,17 +141,16 @@ case class VintageOptimizeCommand(path: String, zorderBy: Seq[String])
   }
 }
 
-case class VintageVacuumCommand(path: String, retainHours: Option[Double])
-    extends LeafRunnableCommand {
+case class VintageVacuumCommand(path: String, retainHours: Option[Double],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("filesDeleted", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val deleted = retainHours match {
-      case Some(h) => VintageTable.forPath(spark, path).vacuum(h)
-      case None => VintageTable.forPath(spark, path).vacuum()
-    }
+    val t = VintageTable.forPath(spark, path)
+    val h = retainHours.getOrElse(VintageTable.MinSafeRetentionHours)
+    val deleted = t.vacuum(h, dryRun)
     Seq(Row(path, deleted))
   }
 }

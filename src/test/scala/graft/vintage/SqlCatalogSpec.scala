@@ -148,14 +148,26 @@ class SqlCatalogSpec extends AnyFunSuite {
       spark.sql("VACUUM vin.mnt RETAIN 0 HOURS").collect()
     }
     spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
-    val del =
-      try spark.sql("VACUUM vin.mnt RETAIN 0 HOURS").collect().head.getLong(1)
-      finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
+    val (dry, del) =
+      try {
+        // DRY RUN reports the same count without deleting anything
+        val d = spark.sql("VACUUM vin.mnt RETAIN 0 HOURS DRY RUN")
+          .collect().head.getLong(1)
+        (d, spark.sql("VACUUM vin.mnt RETAIN 0 HOURS").collect().head.getLong(1))
+      } finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
+    assert(dry == del, s"dry run must predict the real deletion count ($dry vs $del)")
+
+    // RESTORE ... TIMESTAMP AS OF resolves through commit timestamps
+    val preTs = new java.sql.Timestamp(
+      t.snapshot.commits.sortBy(_.version).last.timestamp)
+    spark.sql(s"RESTORE TABLE vin.mnt TO TIMESTAMP AS OF '$preTs'")
+    assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
     assert(del > 0, "vacuum must delete the compacted-away files")
     assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
 
-    // quoted-path form resolves without the catalog
-    assert(spark.sql(s"DESCRIBE HISTORY '$wh/mnt'").count() == hist.length + 2)
+    // quoted-path form resolves without the catalog (+3: the DELETE,
+    // version restore, and timestamp restore commits since `hist`)
+    assert(spark.sql(s"DESCRIBE HISTORY '$wh/mnt'").count() == hist.length + 3)
 
     // DESCRIBE DETAIL: one row of table-level metadata
     val detail = spark.sql("DESCRIBE DETAIL vin.mnt").collect()
