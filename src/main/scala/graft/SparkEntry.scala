@@ -51,6 +51,7 @@ object SparkEntry {
     "q30_contamination"    -> (PipelineQueries.q30Contamination _),
     "q31_chunk_spans"      -> (PipelineQueries.q31ChunkSpans _),
     "q32_rare_tokens"      -> (PipelineQueries.q32RareTokens _),
+    "q33_dedup_groups"     -> (PipelineQueries.q33DedupGroups _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -90,5 +91,6 @@ object SparkEntry {
     "q30_contamination"    -> PipelineQueries.q30Sql,
     "q31_chunk_spans"      -> PipelineQueries.q31Sql,
     "q32_rare_tokens"      -> PipelineQueries.q32Sql,
+    "q33_dedup_groups"     -> PipelineQueries.q33Sql,
   )
 }

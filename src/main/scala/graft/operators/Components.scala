@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair/edge list — the step
+  * that turns near-duplicate PAIRS into transitive duplicate GROUPS
+  * (a ~ b, b ~ c means a, b, c are one cluster even when a and c do
+  * not match each other directly).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14), which
+  * converges in O(log n) rounds on any graph — unlike naive min-label
+  * propagation whose round count is the graph DIAMETER (a 1M-link
+  * duplicate chain would need 1M shuffles).
+  *
+  * 100 TB design notes:
+  *   - each half-round is one groupBy (min-neighbor aggregation) plus
+  *     one equi-join back to the edges — neighbor lists are NEVER
+  *     collected into a row (a star center at web scale has millions of
+  *     neighbors; `collect_list` there is the classic OOM), so degree
+  *     skew only costs a hot aggregation key, which Spark's map-side
+  *     partial aggregation absorbs.
+  *   - each round's edge set is CHECKPOINTED (reliable when the session
+  *     has a checkpoint dir, local otherwise) — persist alone is not
+  *     enough for an iterative DataFrame program, because each round's
+  *     logical plan would still embed the previous round's plan several
+  *     times over, growing the plan tree exponentially in the round
+  *     count (the driver OOMs stringifying it long before any data
+  *     moves). Checkpointing resets the plan to a leaf each round;
+  *     superseded round RDDs are released by Spark's ContextCleaner
+  *     once dereferenced.
+  *   - convergence is detected by an order-independent checksum
+  *     (count + sum of per-edge hashes) — one lightweight job per
+  *     round, no set-difference join.
+  */
+object Components {
+
+  /** Connected components of the undirected graph given by the edge
+    * list `(aCol, bCol)` (long ids). Returns one row per distinct node
+    * appearing in any edge: `(id, component)` where `component` is the
+    * SMALLEST node id in the component — deterministic and stable
+    * across engines, so downstream "keep the min-id survivor" dedup is
+    * reproducible.
+    *
+    * Nodes with no edges simply do not appear; callers wanting
+    * singletons join the result back to the full node set.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    // Self-loops and duplicate edges are harmless to the algorithm but
+    // free to drop once up front.
+    var edges = Dedup.materializeSmall(pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter($"src" =!= $"dst")
+      .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
+      .distinct())
+
+    var sum = checksum(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val next = Dedup.materializeSmall(smallStar(largeStar(edges)))
+      val nextSum = checksum(next)
+      converged = nextSum == sum
+      edges = next
+      sum = nextSum
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
+
+    // Converged edge set is a union of stars (v, center): every
+    // non-center node points at its component min. Centers are added
+    // back as their own component members.
+    edges.select($"src".as("id"), $"dst".as("component"))
+      .union(edges.select($"dst".as("id"), $"dst".as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+  }
+
+  /** Large-star: connect every neighbor v > u to m(u) = min(Γ(u) ∪ u).
+    * Computed as (min aggregation over the symmetric edge list) ⋈ edges
+    * — no neighbor list ever materializes in a row.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sym = edges.select($"src", $"dst")
+      .union(edges.select($"dst".as("src"), $"src".as("dst")))
+    val mins = sym.groupBy($"src")
+      .agg(least(min($"dst"), first($"src")).as("m"))
+    sym.join(mins, "src")
+      .filter($"dst" > $"src")
+      .select($"dst".as("src"), $"m".as("dst"))
+      .filter($"src" =!= $"dst")
+      .distinct()
+  }
+
+  /** Small-star: orient edges (hi, lo); connect every smaller neighbor
+    * (and hi itself) to m(hi) = min of hi's smaller neighbors.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val oriented = edges.select(
+      greatest($"src", $"dst").as("hi"), least($"src", $"dst").as("lo"))
+    val mins = oriented.groupBy($"hi").agg(min($"lo").as("m"))
+    val relink = oriented.join(mins, "hi")
+      .filter($"lo" =!= $"m")
+      .select($"lo".as("src"), $"m".as("dst"))
+    relink.union(mins.select($"hi".as("src"), $"m".as("dst")))
+      .filter($"src" =!= $"dst")
+      .distinct()
+  }
+
+  /** Order-independent edge-set checksum: (count, XOR of edge hashes).
+    * XOR never overflows (ANSI-safe, unlike a long sum) and cannot
+    * cancel here because the edge set is distinct. Equal checksums
+    * across rounds ⇒ converged (hash-collision odds at 64 bits are
+    * negligible, and a false "converged" is additionally impossible
+    * here because the edge set is monotonically contracting toward the
+    * star fixpoint).
+    */
+  private def checksum(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("h"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+}

@@ -158,8 +158,42 @@ object Dedup {
     }
   }
 
+  /** Transitive near-duplicate GROUPS: LSH pairs (see [[nearDupPairs]])
+    * closed under connectivity by [[Components.connectedComponents]] —
+    * a ~ b, b ~ c puts a, b, c in one group even when a and c do not
+    * match directly. Returns `(idCol, group)` for every doc that is in
+    * at least one pair; `group` is the smallest id of the cluster.
+    */
+  def nearDupGroups(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 10000): DataFrame =
+    Components.connectedComponents(
+      nearDupPairs(df, idCol, textCol, shingleSize, numHashes, bands,
+        threshold, maxBucketSize), "id_a", "id_b")
+      .select(col("id").as(idCol), col("component").as("group"))
+
+  /** Cluster-aware near-dup removal: keeps exactly ONE doc (the
+    * smallest id) per transitive duplicate cluster, plus all docs in no
+    * cluster. Unlike the greedy [[dropNearDuplicates]], a chain
+    * a ~ b ~ c keeps only a (greedy would also keep c, whose only match
+    * b was itself dropped).
+    */
+  def dropNearDuplicatesTransitive(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val losers = nearDupGroups(df, idCol, textCol, shingleSize, numHashes,
+        bands, threshold)
+      .filter(col(idCol) =!= col("group"))
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Greedy near-dup removal: drops every doc that near-matches a doc
-    * with a smaller id.
+    * with a smaller id. Cheaper than the transitive variant (no
+    * component iteration) but over-keeps on chains — see
+    * [[dropNearDuplicatesTransitive]].
     */
   def dropNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,

@@ -485,6 +485,68 @@ object PipelineQueries {
       |FROM toks JOIN rare USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Transitive near-duplicate groups: LSH pairs over a corpus with
+    * planted truncation CHAINS (doc → −6 chars → −12 chars), closed
+    * under connectivity by alternating large-star/small-star. The
+    * oracle recomputes exact all-pairs Jaccard and closes it with a
+    * recursive CTE — so both the pair recall and the component
+    * structure are checked end-to-end.
+    */
+  def q33DedupGroups(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .filter(col("doc_id") < 40).select(col("doc_id"), col("text"))
+    val p1 = docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 6, 1))").as("text"))
+    val p2 = docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 12, 1))").as("text"))
+    val pairs = Dedup.nearDupPairs(
+      docs.unionByName(p1).unionByName(p2), "doc_id", "text",
+      shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.8)
+    graft.operators.Components.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component").as("group_id"))
+      .orderBy("doc_id")
+  }
+
+  val q33Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substring(text, 1, greatest(length(text) - 6, 1)) AS text
+      |  FROM documents WHERE doc_id < 20
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |         substring(text, 1, greatest(length(text) - 12, 1)) AS text
+      |  FROM documents WHERE doc_id < 10
+      |),
+      |sh AS (SELECT DISTINCT doc_id, substring(text, i, 5) AS s
+      |       FROM (SELECT doc_id, text,
+      |               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      |             FROM d)),
+      |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN card ca ON ca.doc_id = id_a
+      |  JOIN card cb ON cb.doc_id = id_b
+      |  WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8
+      |),
+      |edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |),
+      |reach(id, r) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, t.r FROM edges e JOIN reach t ON t.id = e.v
+      |)
+      |SELECT id AS doc_id, min(r) AS group_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ComponentsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("components-spec")
+    .getOrCreate()
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Reference model: textbook union-find with path compression. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize: every node -> min id of its set
+    val roots = parent.keys.map(k => k -> find(k)).toMap
+    val minOf = roots.groupBy(_._2).map { case (r, kvs) =>
+      r -> kvs.keys.min.min(r)
+    }
+    roots.map { case (k, r) => k -> minOf(r) }
+  }
+
+  test("chain is transitively grouped; separate components stay separate") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("long chain converges in logarithmic rounds, not diameter") {
+    // 120-link chain: naive min-propagation would need 120 rounds; the
+    // large-star/small-star alternation must finish within maxRounds=25
+    val chain = (0L until 120L).map(i => (i, i + 1))
+    val got = components(chain)
+    assert(got.size == 121 && got.values.forall(_ == 0L))
+  }
+
+  test("high-degree star and duplicate/self edges are handled") {
+    val star = (1L to 500L).map(i => (0L, i)) ++
+      Seq((7L, 7L), (0L, 3L), (3L, 0L)) // self loop + dup + reversed dup
+    val got = components(star)
+    assert(got.size == 501 && got.values.forall(_ == 0L))
+  }
+
+  test("matches union-find on a pseudorandom graph") {
+    // deterministic LCG so the test is reproducible
+    var s = 12345L
+    def next(n: Long): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.floorMod(s, n) }
+    val edges = Seq.fill(300)((next(200), next(200))).filter(e => e._1 != e._2)
+    assert(components(edges) == unionFind(edges))
+  }
+
+  test("ids far above Int range keep exact component mins") {
+    val big = 1L << 40
+    val got = components(Seq((big + 5, big + 9), (big + 9, big + 1)))
+    assert(got == Map(big + 5 -> (big + 1), big + 9 -> (big + 1),
+      big + 1 -> (big + 1)))
+  }
+
+  test("nearDupGroups clusters a planted chain of truncations") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep dark forest tonight with friends"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(4)),   // near-dup of 1
+      (3L, base.dropRight(8)),   // near-dup of 2 (and likely 1)
+      (50L, "completely unrelated content about spark shuffles and " +
+        "partitioned columnar storage formats for large scale analytics")
+    ).toDF("doc_id", "text")
+    val groups = Dedup.nearDupGroups(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.keySet == Set(1L, 2L, 3L))
+    assert(groups.values.toSet == Set(1L))
+
+    val kept = Dedup.dropNearDuplicatesTransitive(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 50L))
+  }
+}
