@@ -684,6 +684,95 @@ object VintageTable {
     new VintageTable(spark, abs, None)
   }
 
+  /** In-place conversion of an existing Parquet directory into a
+    * vintage table (Delta's `CONVERT TO DELTA`): commits AddFiles that
+    * reference the files WHERE THEY ARE — no row is read or rewritten,
+    * so a 100 TB directory converts in one distributed footer-stat task
+    * wave plus a single commit. Hive-partitioned layouts
+    * (`p=v/part-*.parquet`) are detected from the paths; partition
+    * column types come from Spark's partition inference unless
+    * overridden via `partitionSchema` (values are stored as path
+    * strings in the log either way, so an override only changes the
+    * read-side cast).
+    */
+  def convert(spark: SparkSession, path: String,
+              partitionSchema: StructType = new StructType(),
+              properties: Map[String, String] = Map.empty): VintageTable = {
+    val abs = absolutize(path)
+    require(!VintageLog.exists(abs), s"already a vintage table: $abs")
+    VintageLog.invalidate(abs)
+    val dir = new HPath(abs)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(dir) && fs.getFileStatus(dir).isDirectory,
+      s"not a directory: $abs")
+
+    // discover data files; descend only into hive `k=v` partition dirs
+    // (same convention as the write path) and skip hidden/metadata files
+    def discover(d: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq.flatMap {
+        case s if s.isDirectory && s.getPath.getName.contains("=") =>
+          discover(s.getPath)
+        case s if s.isFile && s.getPath.getName.endsWith(".parquet") &&
+                  !s.getPath.getName.startsWith("_") &&
+                  !s.getPath.getName.startsWith(".") => Seq(s)
+        case _ => Nil
+      }
+    val found = discover(dir)
+    require(found.nonEmpty, s"no parquet files to convert under $abs")
+    val dirUri = fs.makeQualified(dir).toUri
+    val rels = found.map { s =>
+      val rel = dirUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
+      (rel, s.getLen, s.getModificationTime)
+    }
+
+    // schema: Spark's reader gives data columns + inferred partition
+    // columns (from the hive dirs); caller-provided partitionSchema
+    // overrides inferred partition types
+    val inferred = spark.read.parquet(abs).schema
+    val schema = StructType(inferred.map { f =>
+      partitionSchema.fields.find(_.name.equalsIgnoreCase(f.name))
+        .map(p => f.copy(dataType = p.dataType)).getOrElse(f)
+    })
+    val partCols = {
+      val fromPaths = PartitionPaths.parsePartitionValues(rels.head._1).keySet
+      schema.fieldNames.filter(n => fromPaths.exists(_.equalsIgnoreCase(n))).toSeq
+    }
+    val badOverride = partitionSchema.fieldNames.filterNot(n =>
+      partCols.exists(_.equalsIgnoreCase(n)))
+    require(badOverride.isEmpty,
+      s"partitionSchema columns not found in the directory layout: " +
+      badOverride.mkString(","))
+    rels.foreach { case (rel, _, _) =>
+      val keys = PartitionPaths.parsePartitionValues(rel).keySet
+      require(partCols.forall(c => keys.exists(_.equalsIgnoreCase(c))),
+        s"inconsistent partition layout at $rel (expected ${partCols.mkString(",")})")
+    }
+
+    // distributed footer-stat read — the only per-file work, never a
+    // row scan and never a driver loop
+    val statCols = ParquetStats.statsColumns(schema)
+    val absStr = abs
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val adds = spark.sparkContext
+      .parallelize(rels, math.min(rels.size, 256))
+      .map { case (rel, size, modTime) =>
+        val conf = confBc.value.value
+        val (numRecords, stats) =
+          ParquetStats.read(new HPath(absStr, rel), conf, statCols)
+        AddFile(rel, size, modTime, dataChange = true, Some(numRecords),
+          stats, PartitionPaths.parsePartitionValues(rel))
+      }.collect().toSeq
+
+    val info = CommitInfo(0L, System.currentTimeMillis(), "CONVERT",
+      Map("numFiles" -> adds.size.toString,
+          "partitionBy" -> partCols.mkString("[", ",", "]")))
+    VintageLog.commit(abs, 0L,
+      Seq(info, Metadata(schema.json, properties, partCols)) ++ adds)
+    new VintageTable(spark, abs, None)
+  }
+
   /** Create if absent, else overwrite as a new version. */
   def createOrOverwrite(spark: SparkSession, path: String, df: DataFrame): VintageTable =
     if (isVintageTable(path)) {

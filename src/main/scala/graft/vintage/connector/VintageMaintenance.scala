@@ -63,6 +63,8 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
       case CloneRe(dest, src) =>
         for (d <- resolved(dest); s <- resolved(src))
           yield VintageCloneCommand(d, s)
+      case ConvertRe(ref, _, partDdl) => resolved(ref).map(p =>
+        VintageConvertCommand(p, Option(partDdl).map(_.trim).filter(_.nonEmpty)))
       case _ => None
     }
   }
@@ -97,6 +99,8 @@ object VintageMaintenanceParser {
     (s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*$$""").r
   private[connector] val CloneRe =
     (s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref\\s*;?\\s*$$""").r
+  private[connector] val ConvertRe =
+    (s"""(?is)^\\s*CONVERT\\s+TO\\s+VINTAGE\\s+$Ref(\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
 
   private def unquote(s: String): String = {
     val t = s.trim
@@ -198,6 +202,24 @@ case class VintageDetailCommand(path: String) extends LeafRunnableCommand {
     val snap = VintageTable.forPath(spark, path).snapshot
     Seq(Row("vintage", path, snap.version, snap.files.size.toLong,
       snap.files.map(_.size).sum, snap.partitionColumns, snap.properties))
+  }
+}
+
+/** `CONVERT TO VINTAGE 'path' [PARTITIONED BY (col type, ...)]` —
+  * in-place, metadata-only import of an existing Parquet directory
+  * (see [[graft.vintage.VintageTable.convert]]).
+  */
+case class VintageConvertCommand(path: String, partitionDdl: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("numFiles", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val partSchema = partitionDdl.map(StructType.fromDDL)
+      .getOrElse(new StructType())
+    val t = VintageTable.convert(spark, path, partSchema)
+    Seq(Row(path, t.snapshot.files.size.toLong))
   }
 }
 
