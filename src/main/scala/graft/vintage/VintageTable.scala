@@ -369,6 +369,47 @@ class VintageTable private (
       adds, removes, Some(meta), FullRead)
   }
 
+  /** Add a CHECK constraint: existing rows are validated (one scan,
+    * stats-pruned like any filter), then the predicate is stored as the
+    * `vintage.constraints.<name>` table property and enforced inline on
+    * every subsequent data-changing write (fluent, SQL INSERT/MERGE,
+    * and the native DSv2 path alike). A concurrent write that adds
+    * violating rows conflicts via the FullRead commit scope — the
+    * validation read covers the whole table.
+    */
+  def addConstraint(name: String, predicateSql: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"invalid constraint name '$name'")
+    val snap = snapshot
+    val key = Constraints.Prefix + name
+    require(!snap.properties.contains(key), s"constraint $name already exists")
+    val violating = toDF.filter(!Constraints.passes(predicateSql)).limit(1)
+    require(violating.isEmpty,
+      s"cannot add CHECK constraint $name ($predicateSql): existing rows violate it, " +
+      s"e.g. ${violating.collect().headOption.getOrElse("")}")
+    commitOp(snap, "ADD CONSTRAINT",
+      Map("name" -> name, "expr" -> predicateSql), Nil, Nil,
+      Some(Metadata(snap.schema.json, snap.properties + (key -> predicateSql),
+        snap.partitionColumns)),
+      FullRead)
+  }
+
+  /** Drop a CHECK constraint by name (no-op commit if absent and
+    * `ifExists`).
+    */
+  def dropConstraint(name: String, ifExists: Boolean = false): Unit = {
+    val snap = snapshot
+    val key = Constraints.Prefix + name
+    if (!snap.properties.contains(key)) {
+      if (ifExists) return
+      throw new IllegalArgumentException(s"no such constraint: $name")
+    }
+    commitOp(snap, "DROP CONSTRAINT", Map("name" -> name), Nil, Nil,
+      Some(Metadata(snap.schema.json, snap.properties - key,
+        snap.partitionColumns)),
+      NoRead)
+  }
+
   /** Physically delete files that are no longer referenced by the
     * current snapshot and were removed more than `retentionHours` ago
     * (README.md:415). Past versions older than the retention window
@@ -802,7 +843,12 @@ object VintageTable {
       if (tableProps != null) tableProps
       else if (VintageLog.exists(tableDir)) VintageLog.replay(tableDir).properties
       else Map.empty[String, String]
-    var writer = df.write.mode("overwrite")
+    // CHECK constraints ride inside the write plan (codegen'd filter
+    // that raises on violation) — layout-only rewrites (compaction,
+    // clustering) skip the check: their rows were validated when first
+    // written
+    val checked = if (dataChange) Constraints.enforce(df, props) else df
+    var writer = checked.write.mode("overwrite")
     // `vintage.bloom.columns` table property: write parquet bloom
     // filters for the listed columns — at 100 TB min/max stats cannot
     // prune point lookups on high-cardinality unsorted keys, but the

@@ -65,6 +65,10 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
           yield VintageCloneCommand(d, s)
       case ConvertRe(ref, _, partDdl) => resolved(ref).map(p =>
         VintageConvertCommand(p, Option(partDdl).map(_.trim).filter(_.nonEmpty)))
+      case AddConstraintRe(ref, name, predicate) => resolved(ref).map(p =>
+        VintageAddConstraintCommand(p, name, predicate.trim))
+      case DropConstraintRe(ref, ifExists, name) => resolved(ref).map(p =>
+        VintageDropConstraintCommand(p, name, ifExists != null))
       case _ => None
     }
   }
@@ -101,6 +105,10 @@ object VintageMaintenanceParser {
     (s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref\\s*;?\\s*$$""").r
   private[connector] val ConvertRe =
     (s"""(?is)^\\s*CONVERT\\s+TO\\s+VINTAGE\\s+$Ref(\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
+  private[connector] val AddConstraintRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""").r
+  private[connector] val DropConstraintRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$$""").r
 
   private def unquote(s: String): String = {
     val t = s.trim
@@ -220,6 +228,26 @@ case class VintageConvertCommand(path: String, partitionDdl: Option[String])
       .getOrElse(new StructType())
     val t = VintageTable.convert(spark, path, partSchema)
     Seq(Row(path, t.snapshot.files.size.toLong))
+  }
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (predicate)` — validates
+  * existing rows, then enforces the predicate on every future write
+  * (see [[graft.vintage.VintageTable.addConstraint]]).
+  */
+case class VintageAddConstraintCommand(path: String, name: String,
+    predicate: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VintageTable.forPath(spark, path).addConstraint(name, predicate)
+    Seq.empty
+  }
+}
+
+case class VintageDropConstraintCommand(path: String, name: String,
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    VintageTable.forPath(spark, path).dropConstraint(name, ifExists)
+    Seq.empty
   }
 }
 

@@ -9,7 +9,8 @@ import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BindReferences, BoundReference, Coalesce, Expression, Literal, Predicate, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.connector.{distributions, expressions}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
@@ -77,9 +78,30 @@ class VintageWrite(
     val factory = ParquetUtils.prepareWrite(
       spark.sessionState.conf, job, dataSchema,
       new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
+    // CHECK constraints: resolve each predicate against the table
+    // schema ONCE here (analyzer pass over an empty frame), wrap for
+    // SQL null semantics (NULL passes), bind to row ordinals, and ship
+    // the bound expression to tasks — each task compiles it to a
+    // codegen'd Predicate and checks rows inline as they stream into
+    // parquet. No second pass, no driver involvement per row.
+    val constraints: Seq[(String, String, Expression)] =
+      graft.vintage.Constraints.fromProperties(tableProperties)
+        .toSeq.sortBy(_._1).map { case (name, sql) =>
+          val empty = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), tableSchema)
+          val analyzed = empty.filter(
+            org.apache.spark.sql.functions.expr(sql)).queryExecution.analyzed
+          val (cond, out) = analyzed match {
+            case f: Filter => (f.condition, f.child.output)
+            case other => throw new IllegalStateException(
+              s"unexpected plan for constraint $name: $other")
+          }
+          (name, sql, BindReferences.bindReference(
+            Coalesce(Seq(cond, Literal(true))), out))
+        }
     new VintageBatchWrite(tablePath, tableSchema.json, dataSchema.json,
       partitionCols, overwrite, factory,
-      new SerializableConfiguration(job.getConfiguration))
+      new SerializableConfiguration(job.getConfiguration), constraints)
   }
 }
 
@@ -89,12 +111,13 @@ private[graftshim] case class VintageCommitMessage(adds: Seq[AddFile])
 class VintageBatchWrite(
     tablePath: String, tableSchemaJson: String, dataSchemaJson: String,
     partitionCols: Seq[String], overwrite: Boolean,
-    factory: OutputWriterFactory, conf: SerializableConfiguration)
+    factory: OutputWriterFactory, conf: SerializableConfiguration,
+    constraints: Seq[(String, String, Expression)] = Nil)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new VintageWriterFactory(tablePath, tableSchemaJson, dataSchemaJson,
-      partitionCols, factory, conf)
+      partitionCols, factory, conf, constraints)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = messages.toSeq.flatMap {
@@ -121,13 +144,15 @@ class VintageBatchWrite(
 class VintageWriterFactory(
     tableDir: String, tableSchemaJson: String, dataSchemaJson: String,
     partitionCols: Seq[String], factory: OutputWriterFactory,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+    conf: SerializableConfiguration,
+    constraints: Seq[(String, String, Expression)] = Nil)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new VintageDataWriter(tableDir,
       DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
-      partitionCols, factory, conf, partitionId, taskId)
+      partitionCols, factory, conf, partitionId, taskId, constraints)
 }
 
 /** Task-side writer: one open parquet `OutputWriter` per partition
@@ -138,10 +163,16 @@ class VintageWriterFactory(
 class VintageDataWriter(
     tableDir: String, tableSchema: StructType, dataSchema: StructType,
     partitionCols: Seq[String], factory: OutputWriterFactory,
-    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    conf: SerializableConfiguration, partitionId: Int, taskId: Long,
+    constraints: Seq[(String, String, Expression)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val hconf = conf.value
+  // bound constraint expressions arrive null-safe (NULL passes);
+  // compiled once per task, evaluated per row inline
+  private val checks = constraints.map { case (n, sql, e) =>
+    (n, sql, Predicate.create(e))
+  }
   private val statCols = ParquetStats.statsColumns(dataSchema)
   private val dataProj = UnsafeProjection.create(
     dataSchema.map { f =>
@@ -247,8 +278,17 @@ class VintageDataWriter(
     }
   }
 
-  override def write(row: InternalRow): Unit =
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < checks.length) {
+      val (name, sql, p) = checks(i)
+      if (!p.eval(row))
+        throw new IllegalArgumentException(
+          s"CHECK constraint $name ($sql) violated by a written row")
+      i += 1
+    }
     writerFor(row).write(dataProj(row))
+  }
 
   override def commit(): WriterCommitMessage = {
     writers.values.foreach(_.close())
