@@ -52,6 +52,7 @@ object SparkEntry {
     "q31_chunk_spans"      -> (PipelineQueries.q31ChunkSpans _),
     "q32_rare_tokens"      -> (PipelineQueries.q32RareTokens _),
     "q33_dedup_groups"     -> (PipelineQueries.q33DedupGroups _),
+    "q34_decontaminate"    -> (PipelineQueries.q34Decontaminate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,5 +93,6 @@ object SparkEntry {
     "q31_chunk_spans"      -> PipelineQueries.q31Sql,
     "q32_rare_tokens"      -> PipelineQueries.q32Sql,
     "q33_dedup_groups"     -> PipelineQueries.q33Sql,
+    "q34_decontaminate"    -> PipelineQueries.q34Sql,
   )
 }

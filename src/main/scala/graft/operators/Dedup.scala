@@ -262,6 +262,85 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus near-duplicates: corpus docs that near-match ANY
+    * document of `reference` — the fuzzy-decontamination primitive of a
+    * pretraining pipeline (drop training docs that near-duplicate an
+    * eval/benchmark set, or a previously-trained corpus). Same banded
+    * MinHash-LSH as [[nearDupPairs]], but the bucket join runs BETWEEN
+    * the two corpora (never within either), so cost is driven by the
+    * bucket co-occurrence of the two sets — with a small reference set
+    * (the common case: benchmarks) the grouped reference side is tiny
+    * and broadcasts. Candidates are verified with exact shingle-set
+    * Jaccard. Returns (corpus_id, ref_id, jaccard).
+    *
+    * Buckets larger than `maxBucketSize` on EITHER side are dropped on
+    * that side before any pair forms (degenerate-content skew guard, as
+    * in [[nearDupPairs]]).
+    */
+  def nearDupAgainst(
+      corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 10000,
+      materialize: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+
+    def prep(df: DataFrame): DataFrame = {
+      val withSh = df.select(col(idCol).as("__id"),
+          shingles(textCol, shingleSize).as("__sh"))
+        .withColumn("__sig", minHashSignature("__sh", numHashes))
+      if (materialize) withSh.persist(StorageLevel.MEMORY_AND_DISK) else withSh
+    }
+    def banded(withSh: DataFrame): DataFrame = {
+      val b = withSh.select(col("__id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"xxhash64(concat_ws(',', b, slice(__sig, b * $r + 1, $r))))"))
+        .as(Seq("__band", "__bucket")))
+      b.join(
+        b.groupBy("__band", "__bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize).select("__band", "__bucket"),
+        Seq("__band", "__bucket"))
+    }
+
+    val cSh = prep(corpus); val rSh = prep(reference)
+    val pairs = banded(cSh).as("c")
+      .join(banded(rSh).as("r"),
+        col("c.__band") === col("r.__band") &&
+        col("c.__bucket") === col("r.__bucket"))
+      .select(col("c.__id").as("corpus_id"), col("r.__id").as("ref_id"))
+      .distinct()
+    val verified = pairs
+      .join(cSh.select(col("__id").as("corpus_id"), col("__sh").as("__sh_c")),
+        "corpus_id")
+      .join(rSh.select(col("__id").as("ref_id"), col("__sh").as("__sh_r")),
+        "ref_id")
+      .withColumn("jaccard",
+        expr("size(array_intersect(__sh_c, __sh_r)) / " +
+             "cast(size(__sh_c) + size(__sh_r) - size(array_intersect(__sh_c, __sh_r)) as double)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("ref_id"), col("jaccard"))
+    if (!materialize) verified
+    else {
+      val out = materializeSmall(verified)
+      cSh.unpersist(blocking = false)
+      rSh.unpersist(blocking = false)
+      out
+    }
+  }
+
+  /** Decontaminate: corpus minus every doc that near-duplicates any
+    * reference doc (anti-join on [[nearDupAgainst]] hits).
+    */
+  def removeNearDuplicatesOf(
+      corpus: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val hits = nearDupAgainst(corpus, reference, idCol, textCol,
+        shingleSize, numHashes, bands, threshold)
+      .select(col("corpus_id").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Distinct word n-grams of a text column (Scala lambda variant of
     * `transform` — still a codegen'd expression, no UDF).
     */

@@ -547,6 +547,53 @@ object PipelineQueries {
       |SELECT id AS doc_id, min(r) AS group_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Cross-corpus fuzzy decontamination: training docs (doc_id < 60,
+    * plus 20 planted truncations of benchmark docs) that near-duplicate
+    * any benchmark doc (doc_id >= 450) at Jaccard >= 0.8. The oracle
+    * computes exact cross-corpus all-pairs Jaccard, so LSH recall must
+    * be perfect at this threshold (as for q15).
+    */
+  def q34Decontaminate(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val bench = docs.filter(col("doc_id") >= 450)
+    val planted = docs.filter(col("doc_id").between(450, 469))
+      .select((col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 6, 1))").as("text"))
+    val corpus = docs.filter(col("doc_id") < 60).unionByName(planted)
+    Dedup.nearDupAgainst(corpus, bench, "doc_id", "text",
+        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.8)
+      .select(col("corpus_id"), col("ref_id"))
+      .orderBy("corpus_id", "ref_id")
+  }
+
+  val q34Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substring(text, 1, greatest(length(text) - 6, 1)) AS text
+      |  FROM documents WHERE doc_id BETWEEN 450 AND 469
+      |),
+      |bench AS (SELECT doc_id, text FROM documents WHERE doc_id >= 450),
+      |shc AS (SELECT DISTINCT doc_id, substring(text, i, 5) AS s
+      |        FROM (SELECT doc_id, text,
+      |                unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      |              FROM corpus)),
+      |shr AS (SELECT DISTINCT doc_id, substring(text, i, 5) AS s
+      |        FROM (SELECT doc_id, text,
+      |                unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      |              FROM bench)),
+      |cc AS (SELECT doc_id, count(*) AS c FROM shc GROUP BY 1),
+      |cr AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id, count(*) AS i
+      |          FROM shc a JOIN shr b ON a.s = b.s
+      |          GROUP BY 1, 2)
+      |SELECT corpus_id, ref_id FROM inter
+      |JOIN cc ON cc.doc_id = corpus_id
+      |JOIN cr ON cr.doc_id = ref_id
+      |WHERE i * 1.0 / (cc.c + cr.c - i) >= 0.8
+      |ORDER BY corpus_id, ref_id""".stripMargin
+
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)

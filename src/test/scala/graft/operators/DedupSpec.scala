@@ -35,6 +35,24 @@ class DedupSpec extends AnyFunSuite {
     assert(j >= 0.8 && j <= 1.0)
   }
 
+  test("nearDupAgainst finds only cross-corpus matches and decontaminates") {
+    val reference = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (102L, "benchmark question about the capital of france and its rivers ok"))
+      .toDF("id", "text")
+    // corpus doc 1 near-matches ref 101; 4 is a near-dup of 1 so it
+    // matches 101 too; nothing matches 102
+    val hits = Dedup.nearDupAgainst(base, reference, "id", "text",
+      threshold = 0.8)
+    val got = hits.select("corpus_id", "ref_id").as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 101L), (4L, 101L)), s"got $got")
+
+    val clean = Dedup.removeNearDuplicatesOf(base, reference, "id", "text")
+    assert(clean.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 5L))
+  }
+
   test("near-dup plan contains no cartesian product") {
     val plan = Dedup.nearDupPairs(base, "id", "text", materialize = false)
       .queryExecution.executedPlan.toString
