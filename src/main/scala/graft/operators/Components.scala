@@ -21,15 +21,20 @@ import org.apache.spark.sql.functions._
   *     neighbors; `collect_list` there is the classic OOM), so degree
   *     skew only costs a hot aggregation key, which Spark's map-side
   *     partial aggregation absorbs.
-  *   - each round's edge set is CHECKPOINTED (reliable when the session
-  *     has a checkpoint dir, local otherwise) — persist alone is not
-  *     enough for an iterative DataFrame program, because each round's
-  *     logical plan would still embed the previous round's plan several
-  *     times over, growing the plan tree exponentially in the round
-  *     count (the driver OOMs stringifying it long before any data
-  *     moves). Checkpointing resets the plan to a leaf each round;
-  *     superseded round RDDs are released by Spark's ContextCleaner
-  *     once dereferenced.
+  *   - each round's edge set is rebuilt as a fresh DataFrame over a
+  *     persisted RDD — persist alone is not enough for an iterative
+  *     DataFrame program, because each round's logical plan would still
+  *     embed the previous round's plan several times over, growing the
+  *     plan tree exponentially in the round count (the driver OOMs
+  *     stringifying it long before any data moves). The RDD hop resets
+  *     the Catalyst plan to a leaf every round while keeping a
+  *     recompute path through RDD lineage (depth = rounds, i.e.
+  *     O(log n), so no stack risk), and the previous round is
+  *     explicitly unpersisted — memory holds at most two edge sets and
+  *     nothing accumulates in a checkpoint directory (`df.checkpoint()`
+  *     files are never auto-deleted under default cleaner settings;
+  *     O(log n) full edge-set copies per call would pile up on exactly
+  *     the 100 TB runs this targets).
   *   - convergence is detected by an order-independent checksum
   *     (count + sum of per-edge hashes) — one lightweight job per
   *     round, no set-difference join.
@@ -52,9 +57,21 @@ object Components {
     val spark = pairs.sparkSession
     import spark.implicits._
 
+    // One round-hop: persist the edge set's RDD (materialized by the
+    // checksum job right after) and wrap it in a fresh leaf DataFrame.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    def hop(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (spark.createDataFrame(rdd, schema), rdd)
+    }
+
     // Self-loops and duplicate edges are harmless to the algorithm but
     // free to drop once up front.
-    var edges = Dedup.materializeSmall(pairs
+    var (edges, cached) = hop(pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .filter($"src" =!= $"dst")
       .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
@@ -64,23 +81,31 @@ object Components {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val next = Dedup.materializeSmall(smallStar(largeStar(edges)))
-      val nextSum = checksum(next)
+      val (next, nextCached) = hop(smallStar(largeStar(edges)))
+      val nextSum = checksum(next) // materializes nextCached
       converged = nextSum == sum
+      cached.unpersist(blocking = false)
       edges = next
+      cached = nextCached
       sum = nextSum
       rounds += 1
     }
-    if (!converged)
+    if (!converged) {
+      cached.unpersist(blocking = false)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds")
+    }
 
     // Converged edge set is a union of stars (v, center): every
     // non-center node points at its component min. Centers are added
-    // back as their own component members.
-    edges.select($"src".as("id"), $"dst".as("component"))
-      .union(edges.select($"dst".as("id"), $"dst".as("component")))
-      .groupBy("id").agg(min("component").as("component"))
+    // back as their own component members. The result is materialized
+    // (see materializeSmall) so the last round's cache can be freed.
+    val out = Dedup.materializeSmall(
+      edges.select($"src".as("id"), $"dst".as("component"))
+        .union(edges.select($"dst".as("id"), $"dst".as("component")))
+        .groupBy("id").agg(min("component").as("component")))
+    cached.unpersist(blocking = false)
+    out
   }
 
   /** Large-star: connect every neighbor v > u to m(u) = min(Γ(u) ∪ u).

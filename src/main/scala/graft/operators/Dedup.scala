@@ -91,6 +91,43 @@ object Dedup {
     * recomputing it 5× is strictly worse. Pass `materialize = false` to
     * get the pure lazy plan (used by plan-shape tests).
     */
+  /** (`__id`, `__sh`, `__sig`) projection — the shared expensive stage
+    * of every MinHash pipeline (shingling + signature); callers persist
+    * it when they reference it more than once.
+    */
+  private def signatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("__id"), shingles(textCol, shingleSize).as("__sh"))
+      .withColumn("__sig", minHashSignature("__sh", numHashes))
+
+  /** Banded bucket rows (`__id`, `__band`, `__bucket`) of a signature
+    * frame, keeping only buckets whose size is in [minSize,
+    * maxBucketSize] — oversized (degenerate-content) buckets are
+    * dropped BEFORE any pair can form, the skew guard of every
+    * LSH join here. `minSize` is 2 for self-joins (a singleton bucket
+    * cannot pair) and 1 for cross-corpus joins (the partner comes from
+    * the other side).
+    */
+  private def bandedBuckets(
+      withSh: DataFrame, bands: Int, rowsPerBand: Int,
+      minSize: Int, maxBucketSize: Int): DataFrame = {
+    val b = withSh.select(col("__id"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), b -> " +
+      s"xxhash64(concat_ws(',', b, slice(__sig, b * $rowsPerBand + 1, $rowsPerBand))))"))
+      .as(Seq("__band", "__bucket")))
+    val sizes = b.groupBy("__band", "__bucket")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(minSize, maxBucketSize))
+      .select("__band", "__bucket")
+    b.join(sizes, Seq("__band", "__bucket"))
+  }
+
+  /** Exact shingle-set Jaccard of the `__sh_a`/`__sh_b` columns. */
+  private val exactJaccard =
+    expr("size(array_intersect(__sh_a, __sh_b)) / " +
+         "cast(size(__sh_a) + size(__sh_b) - size(array_intersect(__sh_a, __sh_b)) as double)")
+
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
@@ -99,18 +136,10 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
-    val withSh0 = df.select(col(idCol).as("__id"),
-        shingles(textCol, shingleSize).as("__sh"))
-      .withColumn("__sig", minHashSignature("__sh", numHashes))
+    val withSh0 = signatures(df, idCol, textCol, shingleSize, numHashes)
     val withSh =
       if (materialize) withSh0.persist(StorageLevel.MEMORY_AND_DISK)
       else withSh0
-
-    // (doc, band) -> bucket hash of the band's signature slice
-    val banded = withSh.select(col("__id"), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> " +
-      s"xxhash64(concat_ws(',', b, slice(__sig, b * $r + 1, $r))))"))
-      .as(Seq("__band", "__bucket")))
 
     // candidate pairs: a bucket-key SELF-JOIN, so pair generation
     // distributes across tasks — materializing each bucket's pair list
@@ -118,11 +147,7 @@ object Dedup {
     // (multi-GB at the default cap). The size filter drops degenerate
     // buckets before any pair forms; the per-bucket count table is one
     // row per bucket and broadcasts.
-    val sizes = banded.groupBy("__band", "__bucket")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n").between(2, maxBucketSize))
-      .select("__band", "__bucket")
-    val eligible0 = banded.join(sizes, Seq("__band", "__bucket"))
+    val eligible0 = bandedBuckets(withSh, bands, r, minSize = 2, maxBucketSize)
     val eligible =
       if (materialize) eligible0.persist(StorageLevel.MEMORY_AND_DISK)
       else eligible0
@@ -139,9 +164,7 @@ object Dedup {
     val verified = pairs
       .join(sets.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), "id_b")
-      .withColumn("jaccard",
-        expr("size(array_intersect(__sh_a, __sh_b)) / " +
-             "cast(size(__sh_a) + size(__sh_b) - size(array_intersect(__sh_a, __sh_b)) as double)"))
+      .withColumn("jaccard", exactJaccard)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     if (!materialize) verified
@@ -286,37 +309,23 @@ object Dedup {
     val r = numHashes / bands
 
     def prep(df: DataFrame): DataFrame = {
-      val withSh = df.select(col(idCol).as("__id"),
-          shingles(textCol, shingleSize).as("__sh"))
-        .withColumn("__sig", minHashSignature("__sh", numHashes))
+      val withSh = signatures(df, idCol, textCol, shingleSize, numHashes)
       if (materialize) withSh.persist(StorageLevel.MEMORY_AND_DISK) else withSh
     }
-    def banded(withSh: DataFrame): DataFrame = {
-      val b = withSh.select(col("__id"), posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"xxhash64(concat_ws(',', b, slice(__sig, b * $r + 1, $r))))"))
-        .as(Seq("__band", "__bucket")))
-      b.join(
-        b.groupBy("__band", "__bucket").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucketSize).select("__band", "__bucket"),
-        Seq("__band", "__bucket"))
-    }
-
     val cSh = prep(corpus); val rSh = prep(reference)
-    val pairs = banded(cSh).as("c")
-      .join(banded(rSh).as("r"),
+    // minSize = 1: a singleton bucket can still pair with the OTHER side
+    val pairs = bandedBuckets(cSh, bands, r, minSize = 1, maxBucketSize).as("c")
+      .join(bandedBuckets(rSh, bands, r, minSize = 1, maxBucketSize).as("r"),
         col("c.__band") === col("r.__band") &&
         col("c.__bucket") === col("r.__bucket"))
       .select(col("c.__id").as("corpus_id"), col("r.__id").as("ref_id"))
       .distinct()
     val verified = pairs
-      .join(cSh.select(col("__id").as("corpus_id"), col("__sh").as("__sh_c")),
+      .join(cSh.select(col("__id").as("corpus_id"), col("__sh").as("__sh_a")),
         "corpus_id")
-      .join(rSh.select(col("__id").as("ref_id"), col("__sh").as("__sh_r")),
+      .join(rSh.select(col("__id").as("ref_id"), col("__sh").as("__sh_b")),
         "ref_id")
-      .withColumn("jaccard",
-        expr("size(array_intersect(__sh_c, __sh_r)) / " +
-             "cast(size(__sh_c) + size(__sh_r) - size(array_intersect(__sh_c, __sh_r)) as double)"))
+      .withColumn("jaccard", exactJaccard)
       .filter(col("jaccard") >= threshold)
       .select(col("corpus_id"), col("ref_id"), col("jaccard"))
     if (!materialize) verified

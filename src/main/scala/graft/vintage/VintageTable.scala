@@ -482,7 +482,11 @@ class VintageTable private (
       val name = s.getPath.getName
       if (s.isDirectory) {
         if (name != VintageLog.LogDirName && !name.startsWith(".tmp-")) walk(s.getPath)
-      } else if (name.startsWith("part-")) {
+      } else if (name.endsWith(".parquet") && !name.startsWith("_") &&
+                 !name.startsWith(".")) {
+        // any parquet data file is reclaimable — CONVERT TO VINTAGE
+        // imports externally-named files (data_0001.parquet etc.) that
+        // must not survive vacuum once rewritten out of the snapshot
         val rel = dirUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
         val expired = removedAt.get(rel) match {
           case Some(t) => t < cutoff // removed in the tail
@@ -571,8 +575,19 @@ class VintageTable private (
     * wins the version race, re-read the log and re-commit at the next
     * version iff the transactions are logically disjoint:
     *
-    *  - none of the files this commit removes were already removed and
-    *    no concurrent schema change happened (write/write conflict);
+    *  - none of the files this commit removes were already removed
+    *    (write/write conflict);
+    *  - no concurrent commit CHANGED the table metadata — schema,
+    *    properties, or partitioning (Delta's ConcurrentMetadata class
+    *    of conflicts). This covers every scope including NoRead: a
+    *    blind append planned before `ALTER TABLE ADD CONSTRAINT`
+    *    committed was not constraint-checked and must fail rather than
+    *    slip violating rows past the new constraint; and a
+    *    metadata-carrying commit built from a stale snapshot would
+    *    silently undo the other writer's property change (lost
+    *    update). A concurrent commit whose Metadata equals the
+    *    snapshot's (a plain overwrite re-stamping identical metadata)
+    *    does NOT conflict.
     *  - no file was concurrently ADDED that this operation should have
     *    read (read/write conflict, Delta's ConcurrentAppendException):
     *    an overwrite/restore conflicts with any concurrent data add, a
@@ -607,17 +622,21 @@ class VintageTable private (
           Thread.sleep(
             scala.util.Random.nextInt(math.min(10 * attempt, 200)).toLong)
           val current = VintageLog.replay(path)
+          val rangeActions = ((snap.version + 1) to current.version)
+            .flatMap(v => VintageLog.readVersion(path, v))
           val liveNow = current.files.map(_.path).toSet
           val removedConcurrently = removes.exists(r => !liveNow.contains(r.path))
-          val schemaChanged = current.schema != snap.schema
-          val addConflict = conflictingAdds(snap.version, current.version,
-            snap.schema, scope)
-          if (removedConcurrently || (schemaChanged && meta.isEmpty) ||
-              addConflict.nonEmpty)
+          val metaChanged = rangeActions.collect { case m: Metadata => m }
+            .exists(m => m.schema != snap.schema ||
+              m.properties != snap.properties ||
+              m.partitionColumns != snap.partitionColumns)
+          val addConflict = conflictingAdds(rangeActions, snap.schema, scope)
+          if (removedConcurrently || metaChanged || addConflict.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"conflicting concurrent update to $path: " +
               (if (removedConcurrently) "files this commit rewrites were already rewritten"
-               else if (schemaChanged && meta.isEmpty) "table schema changed concurrently"
+               else if (metaChanged) "table metadata (schema, properties, or " +
+                 "partitioning) changed concurrently"
                else s"files were concurrently added that this ${op.toLowerCase} " +
                  s"should have read: ${addConflict.take(3).mkString(",")}") +
               s" (caused by: $e)")
@@ -627,20 +646,18 @@ class VintageTable private (
     -1L // unreachable
   }
 
-  /** Paths of files added with dataChange=true in (readVersion,
-    * currentVersion] that the given read scope should have seen.
+  /** Paths of files added with dataChange=true in the concurrent
+    * commit range that the given read scope should have seen.
     * Stats-based: a predicate op conflicts only when an added file's
     * min/max range may contain matching rows (degrades to conflict when
     * stats are missing — sound, never silently non-serializable).
     */
   private def conflictingAdds(
-      readVersion: Long, currentVersion: Long,
+      rangeActions: Seq[Action],
       schema: StructType, scope: ReadScope): Seq[String] = scope match {
     case NoRead | LayoutOnly => Nil
     case _ =>
-      val added = ((readVersion + 1) to currentVersion)
-        .flatMap(v => VintageLog.readVersion(path, v))
-        .collect { case a: AddFile if a.dataChange => a }
+      val added = rangeActions.collect { case a: AddFile if a.dataChange => a }
       scope match {
         case FullRead => added.map(_.path)
         case PredicateRead(cond) =>
@@ -857,8 +874,16 @@ object VintageTable {
     bloomColumns(props).foreach { c =>
       writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
     }
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(tmp.toString)
+    // on ANY staging failure (constraint violation is a routine one)
+    // the tmp dir must go: vacuum deliberately skips .tmp- dirs, so a
+    // leak here would never be reclaimed
+    try {
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(tmp.toString)
+    } catch { case e: Throwable =>
+      try fs.delete(tmp, true) catch { case _: java.io.IOException => () }
+      throw e
+    }
     // collect staged files (recursively under partition dirs), keeping
     // each file's partition subpath
     val tmpUri = fs.makeQualified(tmp).toUri
@@ -884,7 +909,7 @@ object VintageTable {
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
-    val adds =
+    try {
       if (moves.isEmpty) Nil
       else spark.sparkContext
         .parallelize(moves, math.min(moves.size, 256))
@@ -902,7 +927,8 @@ object VintageTable {
             Some(numRecords), stats,
             PartitionPaths.parsePartitionValues(name))
         }.collect().toSeq
-    fs.delete(tmp, true)
-    adds
+      // a failure mid-rename-wave leaves already-renamed files at final
+      // part-* paths: never committed → vacuum reclaims them by age
+    } finally fs.delete(tmp, true)
   }
 }

@@ -53,11 +53,10 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
         VintageVacuumCommand(p, Option(hours).map(_.toDouble), dry != null))
       case RestoreRe(ref, version) => resolved(ref).map(p =>
         VintageRestoreCommand(p, version.toLong))
-      case RestoreTsRe(ref, ts) => resolved(ref).map { p =>
-        val millis = java.sql.Timestamp.valueOf(ts).getTime
-        VintageRestoreCommand(p,
-          graft.vintage.VintageLog.versionAtTimestamp(p, millis))
-      }
+      // timestamp parsing AND version resolution happen at RUN time,
+      // not parse time (EXPLAIN must not pin a version or do log IO)
+      case RestoreTsRe(ref, ts) => resolved(ref).map(p =>
+        VintageRestoreTsCommand(p, ts))
       case HistoryRe(ref) => resolved(ref).map(VintageHistoryCommand)
       case DetailRe(ref) => resolved(ref).map(VintageDetailCommand)
       case CloneRe(dest, src) =>
@@ -118,7 +117,11 @@ object VintageMaintenanceParser {
   }
 
   /** A quoted ref is a filesystem path; a dotted ref resolves through
-    * the named (or current) catalog's warehouse directory.
+    * the named (or current) catalog's warehouse directory. The catalog
+    * must actually BE a VintageCatalog — a foreign catalog (Iceberg,
+    * Delta, …) that merely happens to have a `warehouse` conf must
+    * fall through to the parser that owns its tables, especially for
+    * core-grammar statements like ALTER TABLE … ADD CONSTRAINT.
     */
   private[connector] def resolvePath(session: SparkSession, ref: String): String = {
     val r = unquote(ref)
@@ -127,6 +130,9 @@ object VintageMaintenanceParser {
     val parts = r.split('.')
     require(parts.length >= 2,
       s"qualify the table as <catalog>.<name> or quote a path, got '$r'")
+    val impl = session.conf.getOption(s"spark.sql.catalog.${parts.head}")
+    require(impl.contains(classOf[VintageCatalog].getName),
+      s"'${parts.head}' is not a vintage catalog")
     val warehouse = session.conf.getOption(
       s"spark.sql.catalog.${parts.head}.warehouse").getOrElse(
       throw new IllegalArgumentException(
@@ -171,6 +177,20 @@ case class VintageRestoreCommand(path: String, version: Long)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     VintageTable.forPath(spark, path).restoreToVersion(version)
+    Seq.empty
+  }
+}
+
+/** `RESTORE … TIMESTAMP AS OF 'ts'` — accepts the same timestamp
+  * grammar as the read-side `timestampAsOf` option (epoch millis, SQL
+  * timestamp, ISO instant), resolved at execution time.
+  */
+case class VintageRestoreTsCommand(path: String, ts: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val millis = VintageSource.parseTs(ts)
+    VintageTable.forPath(spark, path).restoreToVersion(
+      graft.vintage.VintageLog.versionAtTimestamp(path, millis))
     Seq.empty
   }
 }

@@ -118,8 +118,15 @@ class VintageSource extends DataSourceRegister
     VintageTable.absolutize(parameters.getOrElse("path",
       throw new IllegalArgumentException("'path' is required for format(\"vintage\")")))
 
-  /** Epoch millis, or an ISO/SQL timestamp string. */
-  private def parseTs(s: String): Long =
+  private def parseTs(s: String): Long = VintageSource.parseTs(s)
+}
+
+object VintageSource {
+  /** Epoch millis, or an ISO/SQL timestamp string — the one timestamp
+    * grammar every `timestampAsOf`-shaped surface shares (connector
+    * option, streaming `startingTimestamp`, SQL RESTORE).
+    */
+  private[connector] def parseTs(s: String): Long =
     try s.toLong
     catch {
       case _: NumberFormatException =>

@@ -72,6 +72,33 @@ class ConstraintSpec extends AnyFunSuite {
     t.dropConstraint("nope", ifExists = true) // no-op
   }
 
+  test("violating append leaves no .tmp staging garbage behind") {
+    val t = freshTable("tmpclean")
+    t.addConstraint("amount_pos", "amount > 0")
+    intercept[Exception] { t.append(Seq((4L, -5.0)).toDF("id", "amount")) }
+    val leftovers = new java.io.File(new java.net.URI(t.path).getPath)
+      .listFiles().filter(_.getName.startsWith(".tmp-"))
+    assert(leftovers.isEmpty,
+      s"failed write must clean its staging dir, found ${leftovers.mkString(",")}")
+  }
+
+  test("a commit raced by a concurrent metadata change conflicts") {
+    val t = freshTable("metarace")
+    val stale = t.snapshot
+    t.addConstraint("amount_pos", "amount > 0") // concurrent property change
+    // a blind append planned against the stale snapshot must NOT slip
+    // past the new constraint silently
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t.commitOp(stale, "WRITE", Map("mode" -> "Append"), Nil, Nil, None, NoRead)
+    }
+    assert(e.getMessage.contains("metadata"))
+
+    // control: racing a plain append (no metadata action) is fine
+    val stale2 = t.snapshot
+    t.append(Seq((7L, 70.0)).toDF("id", "amount"))
+    t.commitOp(stale2, "WRITE", Map("mode" -> "Append"), Nil, Nil, None, NoRead)
+  }
+
   test("SQL: ADD CONSTRAINT enforces on native INSERT; DROP lifts it") {
     val s = spark
     s.conf.set("spark.sql.catalog.vinq", "graft.vintage.connector.VintageCatalog")

@@ -82,6 +82,48 @@ class ConvertSpec extends AnyFunSuite {
     assert(spark.sql(s"DESCRIBE HISTORY '$dir'").count() == 1)
   }
 
+  test("vacuum reclaims externally-named converted files once rewritten out") {
+    val dir = Files.createTempDirectory("vintage-convert").toString + "/ext"
+    spark.range(20).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(dir)
+    // give the imported file a non part-* name, as external tools do
+    val d = new java.io.File(dir)
+    d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach {
+      case (f, i) => assert(f.renameTo(new java.io.File(d, s"data_$i.parquet")))
+    }
+    val t = VintageTable.convert(spark, dir)
+    assert(t.snapshot.files.forall(_.path.startsWith("data_")))
+    t.overwrite(spark.range(5).selectExpr("id", "id * 2 AS v"))
+    spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
+    val deleted =
+      try t.vacuum(0.0)
+      finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
+    assert(deleted >= 1, "vacuum must reclaim non part-* data files")
+    assert(!d.listFiles().exists(_.getName.startsWith("data_")),
+      "rewritten-away converted files must be gone")
+    assert(t.toDF.count() == 5)
+  }
+
+  test("foreign catalogs' maintenance SQL falls through to Spark's parser") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.foreigncat", "some.other.CatalogImpl")
+    s.conf.set("spark.sql.catalog.foreigncat.warehouse", "/tmp/elsewhere")
+    try {
+      // must NOT be intercepted as a vintage command ("not a vintage
+      // table"); Spark's own parser rejects the Delta-flavored verb
+      val e = intercept[Exception] {
+        spark.sql("OPTIMIZE foreigncat.t").collect()
+      }
+      assert(!e.getMessage.contains("not a vintage table"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE foreigncat.t ADD CONSTRAINT c CHECK (x > 0)").collect()
+      }
+      assert(!e2.getMessage.contains("not a vintage table"), e2.getMessage)
+    } finally {
+      s.conf.unset("spark.sql.catalog.foreigncat")
+      s.conf.unset("spark.sql.catalog.foreigncat.warehouse")
+    }
+  }
+
   test("converting a vintage table or an empty dir fails cleanly") {
     val base = Files.createTempDirectory("vintage-convert").toString
     val t = VintageTable.create(spark, s"$base/already",

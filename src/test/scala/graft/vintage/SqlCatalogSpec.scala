@@ -157,17 +157,21 @@ class SqlCatalogSpec extends AnyFunSuite {
       } finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
     assert(dry == del, s"dry run must predict the real deletion count ($dry vs $del)")
 
-    // RESTORE ... TIMESTAMP AS OF resolves through commit timestamps
-    val preTs = new java.sql.Timestamp(
-      t.snapshot.commits.sortBy(_.version).last.timestamp)
-    spark.sql(s"RESTORE TABLE vin.mnt TO TIMESTAMP AS OF '$preTs'")
+    // RESTORE ... TIMESTAMP AS OF resolves through commit timestamps,
+    // in both SQL-timestamp and ISO-instant grammars (same parser as
+    // the read-side timestampAsOf option)
+    val lastMillis = t.snapshot.commits.sortBy(_.version).last.timestamp
+    spark.sql(s"RESTORE TABLE vin.mnt TO TIMESTAMP AS OF " +
+      s"'${new java.sql.Timestamp(lastMillis)}'")
+    assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
+    spark.sql(s"RESTORE TABLE vin.mnt TO TIMESTAMP AS OF " +
+      s"'${java.time.Instant.ofEpochMilli(lastMillis + 1)}'")
     assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
     assert(del > 0, "vacuum must delete the compacted-away files")
-    assert(spark.sql("SELECT * FROM vin.mnt").count() == 4)
 
-    // quoted-path form resolves without the catalog (+3: the DELETE,
-    // version restore, and timestamp restore commits since `hist`)
-    assert(spark.sql(s"DESCRIBE HISTORY '$wh/mnt'").count() == hist.length + 3)
+    // quoted-path form resolves without the catalog (+4: the DELETE,
+    // version restore, and two timestamp restore commits since `hist`)
+    assert(spark.sql(s"DESCRIBE HISTORY '$wh/mnt'").count() == hist.length + 4)
 
     // DESCRIBE DETAIL: one row of table-level metadata
     val detail = spark.sql("DESCRIBE DETAIL vin.mnt").collect()
