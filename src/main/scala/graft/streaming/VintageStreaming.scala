@@ -34,16 +34,30 @@ object VintageStreaming {
       upsertBatch(batch.sparkSession, batch, tablePath, mergeKey)
     }
 
-  /** Append-only vintage sink (one commit per micro-batch). */
-  def appendSink(stream: DataFrame, tablePath: String)
+  /** Append-only vintage sink (one commit per micro-batch).
+    *
+    * `txnAppId` makes the sink EXACTLY-ONCE across restarts: each
+    * micro-batch commits with the transaction watermark (`txnAppId`,
+    * batchId), so a batch replayed after a crash-between-commit-and-
+    * checkpoint is recognized in the log and skipped instead of
+    * appending its rows twice (Delta's `txnVersion` sink contract).
+    * Without it the sink is append-at-least-once on replay.
+    */
+  def appendSink(stream: DataFrame, tablePath: String,
+      txnAppId: Option[String] = None)
       : DataStreamWriter[org.apache.spark.sql.Row] =
-    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        if (VintageTable.isVintageTable(tablePath))
-          VintageTable.forPath(batch.sparkSession, tablePath).append(batch)
-        else VintageTable.create(batch.sparkSession, tablePath, batch)
-      }: Unit
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      appendBatch(batch, tablePath, txnAppId.map(a => (a, batchId)))
     }
+
+  private[graft] def appendBatch(
+      batch: DataFrame, tablePath: String,
+      txn: Option[(String, Long)]): Unit = {
+    if (batch.isEmpty) return
+    if (VintageTable.isVintageTable(tablePath))
+      VintageTable.forPath(batch.sparkSession, tablePath).append(batch, txn)
+    else VintageTable.create(batch.sparkSession, tablePath, batch, txn = txn): Unit
+  }
 
   /** One micro-batch upsert: dedupe the batch on the key, keeping the
     * lexicographically greatest row per key (max over the full-row

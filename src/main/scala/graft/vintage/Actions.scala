@@ -74,6 +74,15 @@ case class Metadata(
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
+/** Application-level transaction watermark (Delta's SetTransaction):
+  * records that writer `appId` has applied its transaction number
+  * `version`. A writer that commits with a Txn skips the write when the
+  * snapshot already carries `appId` at >= `version` — the idempotence
+  * primitive that makes streaming-sink batch replays and retried jobs
+  * exactly-once.
+  */
+case class Txn(appId: String, version: Long) extends Action
+
 /** Operation descriptor surfaced by `history()`; field names mirror the
   * history rows shown at /root/reference/README.md:307-319.
   */
@@ -111,12 +120,19 @@ object Action {
           ("version" -> c.version) ~ ("timestamp" -> c.timestamp) ~
           ("operation" -> c.operation) ~
           ("operationParameters" -> c.operationParameters))
+      case t: Txn =>
+        "txn" -> (("appId" -> t.appId) ~ ("version" -> t.version))
     }
     JsonMethods.compact(JsonMethods.render(j))
   }
 
   def fromJsonLine(line: String): Action = {
     val j = JsonMethods.parse(line)
+    (j \ "txn") match {
+      case t: JObject =>
+        return Txn((t \ "appId").extract[String], (t \ "version").extract[Long])
+      case _ => ()
+    }
     (j \ "add", j \ "remove", j \ "metaData", j \ "commitInfo") match {
       case (a: JObject, _, _, _) =>
         AddFile(

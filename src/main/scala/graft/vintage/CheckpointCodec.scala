@@ -40,6 +40,7 @@ private[vintage] object CheckpointCodec {
     case _: RemoveFile => "remove"
     case _: Metadata => "metadata"
     case _: CommitInfo => "commit"
+    case _: Txn => "txn"
   }
 
   def write(dest: Path, actions: Seq[Action], conf: Configuration): Unit = {

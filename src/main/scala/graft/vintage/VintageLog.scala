@@ -14,7 +14,8 @@ case class Snapshot(
     files: Seq[AddFile],
     properties: Map[String, String],
     commits: Seq[CommitInfo],
-    partitionColumns: Seq[String] = Nil) {
+    partitionColumns: Seq[String] = Nil,
+    txns: Map[String, Long] = Map.empty) {
   def filePaths(tableDir: String): Seq[String] =
     files.map(_.absolutePath(tableDir))
 
@@ -105,6 +106,7 @@ object VintageLog {
     val snap = replay(tableDir, Some(v))
     val actions: Seq[Action] =
       Seq(Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
+        snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
         snap.commits.sortBy(_.version) ++ snap.files
     CheckpointCodec.write(checkpointFile(tableDir, v), actions,
       store.hadoopConf)
@@ -146,7 +148,21 @@ object VintageLog {
     val f = versionFile(tableDir, v)
     if (!store.exists(f))
       throw new IOException(s"version $v not found for table $tableDir")
-    store.readLines(f).filter(_.nonEmpty).map(Action.fromJsonLine)
+    // a commit file is immutable once published, but on checksum-backed
+    // local filesystems the data/.crc pair is renamed non-atomically —
+    // a reader racing the publish can see a transient ChecksumException;
+    // the retry reads the settled file
+    var attempt = 0
+    while (true) {
+      try return store.readLines(f).filter(_.nonEmpty).map(Action.fromJsonLine)
+      catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt > 5) throw e
+          Thread.sleep(10L * attempt)
+      }
+    }
+    Nil // unreachable
   }
 
   /** Process-wide snapshot cache. A (tableDir, version) pair
@@ -203,30 +219,28 @@ object VintageLog {
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     var meta: Option[Metadata] = None
     val commits = scala.collection.mutable.ArrayBuffer[CommitInfo]()
-
+    val txns = scala.collection.mutable.Map[String, Long]()
+    def fold(a: Action, checkpoint: Boolean): Unit = a match {
+      case a: AddFile    => files(a.path) = a
+      case r: RemoveFile => if (!checkpoint) files.remove(r.path)
+      case m: Metadata   => meta = Some(m)
+      case c: CommitInfo => commits += c
+      case t: Txn        =>
+        txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+    }
     val start: Long = checkpointVersionFor(tableDir, until) match {
       case Some(cp) =>
-        readCheckpointActions(tableDir, cp).foreach {
-          case a: AddFile    => files(a.path) = a
-          case m: Metadata   => meta = Some(m)
-          case c: CommitInfo => commits += c
-          case _: RemoveFile => () // checkpoints carry only live files
-        }
+        readCheckpointActions(tableDir, cp).foreach(fold(_, checkpoint = true))
         cp + 1
       case None => 0L
     }
     (start to until).foreach { v =>
-      readVersion(tableDir, v).foreach {
-        case a: AddFile    => files(a.path) = a
-        case r: RemoveFile => files.remove(r.path)
-        case m: Metadata   => meta = Some(m)
-        case c: CommitInfo => commits += c
-      }
+      readVersion(tableDir, v).foreach(fold(_, checkpoint = false))
     }
     val m = meta.getOrElse(
       throw new IOException(s"no metaData action in log of $tableDir"))
     Snapshot(until, m.schema, files.values.toSeq, m.properties, commits.toSeq,
-      m.partitionColumns)
+      m.partitionColumns, txns.toMap)
   }
 
   /** Version whose commit timestamp is the latest <= `ts` (time travel

@@ -149,8 +149,17 @@ class VintageTable private (
   /** Overwrite with `dataChange=false` is the compaction contract
     * (README.md:403-412): same logical rows, different file layout.
     */
-  def overwrite(df: DataFrame, dataChange: Boolean): Unit = {
+  def overwrite(df: DataFrame, dataChange: Boolean): Unit =
+    overwrite(df, dataChange, None)
+
+  /** Overwrite carrying an application transaction watermark — see
+    * [[append(df:org\.apache\.spark\.sql\.DataFrame,txn:Option[(String,Long)])*]].
+    */
+  def overwrite(df: DataFrame, dataChange: Boolean,
+      txn: Option[(String, Long)]): Unit = {
     val snap = snapshot
+    val t = txn.map { case (a, v) => Txn(a, v) }
+    if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
     val adds = writeFiles(spark, df, path, dataChange, snap.partitionColumns)
     val meta = Metadata(df.schema.json, snap.properties, snap.partitionColumns)
     val params = Map("mode" -> "Overwrite",
@@ -161,12 +170,25 @@ class VintageTable private (
     // concurrent append survives it; a real overwrite conflicts with one
     commitOp(snap, "WRITE", params, adds,
       snap.files.map(f => RemoveFile(f.path, now, dataChange)), Some(meta),
-      if (dataChange) FullRead else LayoutOnly)
+      if (dataChange) FullRead else LayoutOnly, txn = t): Unit
   }
 
   /** Append without touching existing files. */
-  def append(df: DataFrame): Unit = {
+  def append(df: DataFrame): Unit = append(df, None)
+
+  /** Append carrying an application transaction watermark (Delta's
+    * `txnAppId`/`txnVersion`): when the table has already recorded
+    * `appId` at a version >= `version`, the append is SKIPPED — the
+    * idempotence contract that makes replayed streaming micro-batches
+    * and retried jobs exactly-once. The watermark is checked again
+    * inside the commit retry loop, so two racing attempts of the same
+    * (appId, version) commit the data exactly once. Files written by a
+    * skipped attempt are never committed; vacuum reclaims them by age.
+    */
+  def append(df: DataFrame, txn: Option[(String, Long)]): Unit = {
     val snap = snapshot
+    val t = txn.map { case (a, v) => Txn(a, v) }
+    if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
     val missing = snap.schema.fieldNames
       .filterNot(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     val extra = df.schema.fieldNames
@@ -178,8 +200,11 @@ class VintageTable private (
     commitOp(snap, "WRITE",
       Map("mode" -> "Append",
           "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")),
-      adds, Nil, None, NoRead)
+      adds, Nil, None, NoRead, txn = t): Unit
   }
+
+  /** Latest transaction number recorded for `appId`, if any. */
+  def txnVersion(appId: String): Option[Long] = snapshot.txns.get(appId)
 
   /** Row-level change feed for versions in `(fromVersion, toVersion]`
     * (the Delta CHANGE DATA FEED capability, computed from the log
@@ -599,7 +624,7 @@ class VintageTable private (
       snap: Snapshot, op: String, params: Map[String, String],
       adds: Seq[AddFile], removes: Seq[RemoveFile],
       meta: Option[Metadata], scope: ReadScope = FullRead,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20, txn: Option[Txn] = None): Long = {
     var readVersion = snap.version
     var attempt = 0
     // a NoRead commit (blind append) can lose a version race but can
@@ -611,7 +636,8 @@ class VintageTable private (
       val v = readVersion + 1
       val info = CommitInfo(v, System.currentTimeMillis(), op, params)
       try {
-        VintageLog.commit(path, v, Seq(info) ++ meta.toSeq ++ removes ++ adds)
+        VintageLog.commit(path, v,
+          Seq(info) ++ txn.toSeq ++ meta.toSeq ++ removes ++ adds)
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -622,15 +648,23 @@ class VintageTable private (
           Thread.sleep(
             scala.util.Random.nextInt(math.min(10 * attempt, 200)).toLong)
           val current = VintageLog.replay(path)
-          val rangeActions = ((snap.version + 1) to current.version)
-            .flatMap(v => VintageLog.readVersion(path, v))
+          // same-app race: another attempt of this very transaction won
+          // the version — the data is committed, so this attempt just
+          // succeeds without writing (idempotent, never an error)
+          txn.foreach { t =>
+            if (current.txns.get(t.appId).exists(_ >= t.version))
+              return current.version
+          }
           val liveNow = current.files.map(_.path).toSet
           val removedConcurrently = removes.exists(r => !liveNow.contains(r.path))
-          val metaChanged = rangeActions.collect { case m: Metadata => m }
-            .exists(m => m.schema != snap.schema ||
-              m.properties != snap.properties ||
-              m.partitionColumns != snap.partitionColumns)
-          val addConflict = conflictingAdds(rangeActions, snap.schema, scope)
+          // metadata conflicts are judged from the replayed snapshot
+          // (no extra per-version file reads — a NoRead append's retry
+          // must not race readers against a commit file mid-publish)
+          val metaChanged = current.schema != snap.schema ||
+            current.properties != snap.properties ||
+            current.partitionColumns != snap.partitionColumns
+          val addConflict = conflictingAdds(snap.version, current.version,
+            snap.schema, scope)
           if (removedConcurrently || metaChanged || addConflict.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"conflicting concurrent update to $path: " +
@@ -646,18 +680,20 @@ class VintageTable private (
     -1L // unreachable
   }
 
-  /** Paths of files added with dataChange=true in the concurrent
-    * commit range that the given read scope should have seen.
+  /** Paths of files added with dataChange=true in (readVersion,
+    * currentVersion] that the given read scope should have seen.
     * Stats-based: a predicate op conflicts only when an added file's
     * min/max range may contain matching rows (degrades to conflict when
     * stats are missing — sound, never silently non-serializable).
     */
   private def conflictingAdds(
-      rangeActions: Seq[Action],
+      readVersion: Long, currentVersion: Long,
       schema: StructType, scope: ReadScope): Seq[String] = scope match {
     case NoRead | LayoutOnly => Nil
     case _ =>
-      val added = rangeActions.collect { case a: AddFile if a.dataChange => a }
+      val added = ((readVersion + 1) to currentVersion)
+        .flatMap(v => VintageLog.readVersion(path, v))
+        .collect { case a: AddFile if a.dataChange => a }
       scope match {
         case FullRead => added.map(_.path)
         case PredicateRead(cond) =>
@@ -720,7 +756,8 @@ object VintageTable {
     */
   def create(spark: SparkSession, path: String, df: DataFrame,
              properties: Map[String, String] = Map.empty,
-             partitionBy: Seq[String] = Nil): VintageTable = {
+             partitionBy: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): VintageTable = {
     val abs = absolutize(path)
     val dir = new HPath(abs)
     dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
@@ -738,7 +775,8 @@ object VintageTable {
       Map("mode" -> "Overwrite",
           "partitionBy" -> partitionBy.mkString("[", ",", "]")))
     VintageLog.commit(abs, 0L,
-      Seq(info, Metadata(df.schema.json, properties, partitionBy)) ++ adds)
+      Seq(info, Metadata(df.schema.json, properties, partitionBy)) ++
+        txn.map { case (a, v) => Txn(a, v) }.toSeq ++ adds)
     new VintageTable(spark, abs, None)
   }
 

@@ -95,14 +95,24 @@ class VintageSource extends DataSourceRegister
     val partCols = parameters.get("partitionBy")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val exists = VintageTable.isVintageTable(abs)
-    def createNew() = VintageTable.create(spark, abs, df, Map.empty, partCols)
+    // `.option("txnAppId", id).option("txnVersion", n)` — idempotent
+    // writes (Delta's option pair): a (appId, version) already recorded
+    // in the log makes this save a no-op
+    val txn = (parameters.get("txnAppId"), parameters.get("txnVersion")) match {
+      case (Some(a), Some(v)) => Some((a, v.toLong))
+      case (None, None)       => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be set together")
+    }
+    def createNew() =
+      VintageTable.create(spark, abs, df, Map.empty, partCols, txn)
     mode match {
       case SaveMode.Overwrite =>
         if (!exists) createNew()
-        else VintageTable.forPath(spark, abs).overwrite(df, dataChange)
+        else VintageTable.forPath(spark, abs).overwrite(df, dataChange, txn)
       case SaveMode.Append =>
         if (!exists) createNew()
-        else VintageTable.forPath(spark, abs).append(df)
+        else VintageTable.forPath(spark, abs).append(df, txn)
       case SaveMode.ErrorIfExists =>
         if (exists)
           throw new IllegalArgumentException(s"vintage table already exists: $abs")
