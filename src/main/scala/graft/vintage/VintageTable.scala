@@ -341,6 +341,33 @@ class VintageTable private (
       None, LayoutOnly)
   }
 
+  /** Scoped compaction: rewrite ONLY the files whose stat/partition
+    * range may match `condition` (`OPTIMIZE t WHERE part = x`). At
+    * 100 TB a maintenance job compacts one partition's small files per
+    * run — a whole-table `compact` there would rewrite petabytes to fix
+    * one hot partition's fragmentation. The predicate selects FILES,
+    * not rows: every selected file is rewritten whole, so the logical
+    * row set never changes (`dataChange=false`).
+    */
+  def compactWhere(condition: Column, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val snap = snapshot
+    val selected = candidateFiles(snap, condition)
+    if (selected.isEmpty) return 0L
+    val sel = selected.map(_.path).toSet
+    val numFiles = math.max(1,
+      math.ceil(selected.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    val adds = writeFiles(spark,
+      readFiles(snap, sel).repartition(numFiles), path,
+      dataChange = false, snap.partitionColumns)
+    commitOp(snap, "WRITE",
+      Map("mode" -> "Overwrite", "dataChange" -> "false",
+          "predicate" -> condition.toString),
+      adds, selected.map(f =>
+        RemoveFile(f.path, System.currentTimeMillis(), dataChange = false)),
+      None, LayoutOnly)
+    selected.size.toLong
+  }
+
   /** Z-order clustering: rewrite the table laid out along a
     * space-filling curve over `cols` without changing the logical row
     * set (`dataChange=false`, like compaction). A single column

@@ -46,9 +46,10 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
       try Some(resolvePath(session, ref))
       catch { case _: IllegalArgumentException => None }
     sqlText match {
-      case OptimizeRe(ref, _, zorder) => resolved(ref).map(p =>
+      case OptimizeRe(ref, _, where, _, zorder) => resolved(ref).map(p =>
         VintageOptimizeCommand(p,
-          Option(zorder).toSeq.flatMap(_.split(',')).map(unquote).filter(_.nonEmpty)))
+          Option(zorder).toSeq.flatMap(_.split(',')).map(unquote).filter(_.nonEmpty),
+          Option(where).map(_.trim).filter(_.nonEmpty)))
       case VacuumRe(ref, _, hours, dry) => resolved(ref).map(p =>
         VintageVacuumCommand(p, Option(hours).map(_.toDouble), dry != null))
       case RestoreRe(ref, version) => resolved(ref).map(p =>
@@ -89,7 +90,7 @@ object VintageMaintenanceParser {
   // table ref: quoted path ('…' or `…`) or a dotted identifier
   private val Ref = """('[^']+'|`[^`]+`|[\w.]+)"""
   private[connector] val OptimizeRe =
-    (s"""(?is)^\\s*OPTIMIZE\\s+$Ref(\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
+    (s"""(?is)^\\s*OPTIMIZE\\s+$Ref(\\s+WHERE\\s+(.+?))?(\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
   private[connector] val VacuumRe =
     (s"""(?is)^\\s*VACUUM\\s+$Ref(\\s+RETAIN\\s+([\\d.]+)\\s+HOURS)?(\\s+DRY\\s+RUN)?\\s*;?\\s*$$""").r
   private[connector] val RestoreRe =
@@ -141,20 +142,27 @@ object VintageMaintenanceParser {
   }
 }
 
-case class VintageOptimizeCommand(path: String, zorderBy: Seq[String])
-    extends LeafRunnableCommand {
+case class VintageOptimizeCommand(path: String, zorderBy: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("path", StringType, nullable = false)(),
     AttributeReference("filesBefore", LongType, nullable = false)(),
     AttributeReference("filesAfter", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    require(where.isEmpty || zorderBy.isEmpty,
+      "OPTIMIZE ... WHERE cannot be combined with ZORDER BY")
     val t = VintageTable.forPath(spark, path)
     val before = t.snapshot.files.size
-    // target ~128 MB output files, the classic compaction sweet spot
-    val totalBytes = t.snapshot.files.map(_.size).sum
-    val target = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
-    if (zorderBy.isEmpty) t.compact(target) else t.cluster(target, zorderBy: _*)
+    where match {
+      case Some(pred) =>
+        t.compactWhere(org.apache.spark.sql.functions.expr(pred)): Unit
+      case None =>
+        // target ~128 MB output files, the classic compaction sweet spot
+        val totalBytes = t.snapshot.files.map(_.size).sum
+        val target = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+        if (zorderBy.isEmpty) t.compact(target) else t.cluster(target, zorderBy: _*)
+    }
     Seq(Row(path, before.toLong, t.snapshot.files.size.toLong))
   }
 }

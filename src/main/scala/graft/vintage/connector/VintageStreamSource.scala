@@ -33,6 +33,8 @@ import graft.vintage.{AddFile, CommitInfo, Metadata, RemoveFile, Snapshot, Vinta
   *    idempotent on the merge key — same contract as Delta).
   *  - `maxVersionsPerTrigger`: rate-limit a micro-batch to at most this
   *    many commits.
+  *  - `maxFilesPerTrigger`: rate-limit a micro-batch to at most this
+  *    many data files (at least one commit always flows).
   *
   * At scale this is log-metadata work only: planning a batch reads the
   * JSON actions of the commit range — never a table scan — and the data
@@ -49,6 +51,8 @@ class VintageStreamSource(
     options.get("ignoreChanges").exists(_.toBoolean)
   private val maxVersionsPerTrigger =
     options.get("maxVersionsPerTrigger").map(_.toLong)
+  private val maxFilesPerTrigger =
+    options.get("maxFilesPerTrigger").map(_.toLong)
 
   /** Version *before* the first commit the stream should emit as a
     * change, or None → first batch is a full snapshot.
@@ -99,9 +103,28 @@ class VintageStreamSource(
     // (startingTimestamp before the first commit, startingVersion 0, or
     // the initial-snapshot batch) must not replay the whole log in one
     // unbounded micro-batch when a trigger limit was configured
-    val capped = maxVersionsPerTrigger match {
+    val vCapped = maxVersionsPerTrigger match {
       case Some(n) => math.min(latest, plannedVersion + n)
       case None    => latest
+    }
+    // maxFilesPerTrigger (Delta's primary rate-limit knob): walk the
+    // candidate commit range summing dataChange AddFiles — log-metadata
+    // reads only — and stop before the version that would cross the
+    // budget. Always admits at least one version, so an oversized
+    // single commit still flows (same behavior as Delta).
+    val capped = maxFilesPerTrigger match {
+      case None => vCapped
+      case Some(budget) =>
+        var v = plannedVersion
+        var files = 0L
+        var stop = false
+        while (!stop && v < vCapped) {
+          val n = VintageLog.readVersion(tablePath, v + 1)
+            .count { case a: AddFile => a.dataChange; case _ => false }
+          if (files + n > budget && v > plannedVersion) stop = true
+          else { v += 1; files += n }
+        }
+        v
     }
     if (capped > plannedVersion) plannedVersion = capped
     if (capped < 0) None else Some(LongOffset(capped))

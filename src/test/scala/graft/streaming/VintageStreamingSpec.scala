@@ -120,6 +120,46 @@ class VintageStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source: maxFilesPerTrigger bounds each micro-batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/rate"
+    VintageTable.create(spark, dir,
+      Seq((0, "z")).toDF("id", "s").coalesce(1))
+    val t = VintageTable.forPath(spark, dir)
+    // 4 single-file append commits beyond the initial snapshot
+    (1 to 4).foreach(i =>
+      t.append(Seq((i, s"v$i")).toDF("id", "s").coalesce(1)))
+
+    // startingVersion=0 → all 5 commits are change batches; with a
+    // 2-file budget the planner must split them across >= 3 batches
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val source = new graft.vintage.connector.VintageStreamSource(
+      spark, t.path, Map("startingVersion" -> "0", "maxFilesPerTrigger" -> "2"))
+    def ver(o: org.apache.spark.sql.execution.streaming.Offset): Long =
+      o.asInstanceOf[LongOffset].offset
+    def filesIn(lo: Long, hi: Long): Long = (lo to hi).map(v =>
+      graft.vintage.VintageLog.readVersion(t.path, v)
+        .count { case a: graft.vintage.AddFile => a.dataChange; case _ => false }
+        .toLong).sum
+    // drive the planner like the engine would: each getOffset is one
+    // micro-batch boundary; every batch's commit span must respect the
+    // 2-file budget, and the spans must drain the whole log
+    var spans = Seq.empty[(Long, Long)]
+    var last = -1L
+    var off = source.getOffset
+    while (off.isDefined && ver(off.get) != last) {
+      spans :+= (last + 1, ver(off.get))
+      last = ver(off.get)
+      off = source.getOffset
+    }
+    assert(last == 4, s"planner must drain all commits, stopped at $last")
+    assert(spans.size >= 3,
+      s"2-file budget over 5 single-file commits needs >= 3 batches, got $spans")
+    spans.foreach { case (lo, hi) =>
+      assert(filesIn(lo, hi) <= 2, s"batch ($lo,$hi) exceeds the file budget")
+    }
+  }
+
   test("streaming source: delete commit fails without ignoreDeletes, passes with it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vintage-src").toString + "/d"

@@ -57,6 +57,39 @@ class PartitionedTableSpec extends AnyFunSuite {
       s"scan read ${scan.metrics("numFiles").value} files, expected $expected")
   }
 
+  test("compactWhere rewrites only the selected partition's files") {
+    val dir = Files.createTempDirectory("vintage-part").toString + "/cw"
+    val t = VintageTable.create(spark, dir, sampleDf, partitionBy = Seq("day"))
+    // fragment one partition with extra single-row appends
+    import spark.implicits._
+    (10L to 13L).foreach { i =>
+      t.append(Seq((i, "2024-01-01", s"p$i")).toDF("id", "day", "payload")
+        .coalesce(1))
+    }
+    val before = t.snapshot.files
+    val hotBefore = before.filter(_.partitionValues("day") == "2024-01-01")
+    val coldBefore = before.filterNot(_.partitionValues("day") == "2024-01-01")
+    assert(hotBefore.size >= 5)
+
+    val rewritten = t.compactWhere(col("day") === "2024-01-01")
+    assert(rewritten == hotBefore.size)
+    val after = t.snapshot.files
+    // untouched partitions keep their exact files
+    assert(after.filterNot(_.partitionValues("day") == "2024-01-01")
+      .map(_.path).toSet == coldBefore.map(_.path).toSet)
+    // the hot partition is compacted into fewer files, rows intact
+    val hotAfter = after.filter(_.partitionValues("day") == "2024-01-01")
+    assert(hotAfter.size < hotBefore.size)
+    assert(hotAfter.forall(!_.dataChange), "scoped compaction is layout-only")
+    assert(t.toDF.count() == 9)
+
+    // SQL surface
+    spark.sql(s"OPTIMIZE '$dir' WHERE day = '2024-01-02'").collect()
+    assert(t.toDF.count() == 9)
+    // change feed sees nothing from either compaction
+    assert(t.changes(t.version - 2, t.version).count() == 0)
+  }
+
   test("delete/update/merge rewrite only the touched partition") {
     val dir = Files.createTempDirectory("vintage-part").toString + "/d"
     val t = VintageTable.create(spark, dir, sampleDf, partitionBy = Seq("day"))
