@@ -24,17 +24,22 @@ object VectorOps {
     dt match {
       case FloatType => s"(double) $arr.getFloat($i)"
       case DoubleType => s"$arr.getDouble($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
       case other => throw new IllegalStateException(s"unsupported element type $other")
     }
 
   private[functions] def checkVec(name: String, dt: DataType): TypeCheckResult = dt match {
-    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    // byte arrays are the int8-quantized representation ([[Quantize8]]);
+    // cosine over them needs no dequantization — the per-vector scale
+    // cancels in the ratio
+    case ArrayType(FloatType | DoubleType | ByteType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$name needs array<float>/array<double>, got ${other.sql}")
+      s"$name needs array<float>/array<double>/array<tinyint>, got ${other.sql}")
   }
 
   private[functions] def elemAt(dt: DataType, arr: ArrayData, i: Int): Double = dt match {
     case FloatType => arr.getFloat(i).toDouble
+    case ByteType => arr.getByte(i).toDouble
     case _ => arr.getDouble(i)
   }
 }
@@ -115,6 +120,75 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** Symmetric per-vector int8 scalar quantization:
+  * q[i] = round(127 * v[i] / max|v|), clamped to [-127, 127] — the
+  * standard embedding-compression step that cuts vector storage and
+  * shuffle bytes 4× (float32 → int8). COSINE ranking needs no
+  * dequantization: the per-vector scale cancels in the ratio, so
+  * [[CosineSimilarity]] accepts the byte arrays directly. An all-zero
+  * vector quantizes to all zeros (its cosine is null downstream, as
+  * with the float form).
+  */
+case class Quantize8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<float>/array<double>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quantize8"
+
+  @transient private lazy val elem =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Shared by interpreted and generated paths (the loop is quantization
+    * itself, not a per-row hot path worth inlining further).
+    */
+  def quantize(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = Math.abs(VectorOps.elemAt(elem, arr, i))
+      if (v > mx) mx = v
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mx > 0.0) {
+      i = 0
+      while (i < n) {
+        val q = Math.rint(127.0 * VectorOps.elemAt(elem, arr, i) / mx)
+        out(i) = Math.max(-127.0, Math.min(127.0, q)).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    quantize(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("quantize8", this, classOf[Quantize8].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      val res = ctx.freshName("res")
+      s"""
+         |Object $res = $self.quantize($arr);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $res; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Quantize8 =
+    copy(child = newChild)
 }
 
 /** Sign-bit LSH sketch of `planes` random hyperplanes (hash table

@@ -56,6 +56,52 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine_sim"))
   }
 
+  /** Symmetric per-vector int8 quantization of an embedding column
+    * ([[graft.functions.Quantize8]]): 4× smaller vectors; cosine over
+    * the byte arrays needs no dequantization (scales cancel).
+    */
+  def quantize8(vecCol: Column): Column =
+    ColumnExpr.column(graft.functions.Quantize8(ColumnExpr.expr(vecCol)))
+
+  /** Exact-shape top-k over int8-quantized vectors with full-precision
+    * rescoring — the memory-bandwidth scale path for exact search: the
+    * corpus-wide scoring pass streams 4×-smaller byte vectors, then only
+    * the `k × rescoreFactor` survivors per query are re-ranked with the
+    * original floats (a broadcast semi-join back to the corpus — rows
+    * touched are |queries| × k × rescoreFactor, never the corpus).
+    * Same output shape as [[bruteForceTopK]]; recall is governed by
+    * `rescoreFactor` (int8 cosine error is ~1e-3, so the true top-k
+    * almost always sit inside the top 4k quantized candidates).
+    */
+  def bruteForceTopKQuantized(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      rescoreFactor: Int = 4): DataFrame = {
+    require(k > 0 && rescoreFactor >= 1)
+    val c8 = corpus.select(col(idCol).as("neighbor_id"),
+      quantize8(col(vecCol)).as("__c8"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), quantize8(col(vecCol)).as("__q8"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("__qsim").desc, col("neighbor_id").asc)
+    val candidates = c8.join(broadcast(q.select(col("query_id"), col("__q8"))),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__qsim", cosine(col("__q8"), col("__c8")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k.toLong * rescoreFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // rescore survivors with the full-precision vectors
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val rescored = cv.join(broadcast(candidates), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("__qv"))), Seq("query_id"))
+      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    rescored.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine_sim"))
+  }
+
   /** Sign-bit sketch of `planes` random hyperplanes (hash table
     * `salt`): bit j is set iff the dot product with hyperplane j is
     * positive. Hyperplane components are deterministic pseudo-random

@@ -75,6 +75,13 @@ object VintageFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "minhash_signature(shingles, numHashes)")
         graft.functions.MinHashSignature(args(0), intArg(args(1), "numHashes"))
+      }),
+    (FunctionIdentifier("quantize8"),
+      new ExpressionInfo(classOf[graft.functions.Quantize8].getName,
+        "quantize8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "quantize8(vec)")
+        graft.functions.Quantize8(args(0))
       }))
 }
 

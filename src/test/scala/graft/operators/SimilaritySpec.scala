@@ -51,6 +51,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
   }
 
+  test("quantize8: scale symmetry, clamp, zero vector, cosine fidelity") {
+    val df = Seq((Array(0.5f, -1.0f, 0.25f), Array(0.0f, 0.0f)))
+      .toDF("v", "z")
+    val r = df.select(Similarity.quantize8(col("v")),
+      Similarity.quantize8(col("z"))).head()
+    assert(r.getSeq[Byte](0) == Seq[Byte](64, -127, 32))
+    assert(r.getSeq[Byte](1) == Seq[Byte](0, 0))
+    // int8 cosine tracks float cosine closely on real embeddings
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val err = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") === col("b.vec_id") - 1)
+      .select(abs(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")) -
+        Similarity.cosine(Similarity.quantize8(col("a.embedding")),
+          Similarity.quantize8(col("b.embedding")))).as("e"))
+      .agg(max("e")).head().getDouble(0)
+    assert(err < 0.01, f"int8 cosine error $err%.4f too large")
+  }
+
+  test("quantized top-k with rescoring reaches recall >= 0.95 vs exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 10
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.bruteForceTopKQuantized(
+        queries, emb, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    info(f"quantized recall@$k = $recall%.3f")
+    assert(recall >= 0.95, f"recall $recall%.3f below 0.95")
+  }
+
   test("LSH plan has no cartesian product; exact plan broadcasts queries") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 5)

@@ -261,6 +261,9 @@ class SqlCatalogSpec extends AnyFunSuite {
     val sig = spark.sql(
       "SELECT minhash_signature(array('abc', 'def'), 16) AS s").head()
     assert(sig.getSeq[Long](0).length == 16)
+    val q8 = spark.sql(
+      "SELECT quantize8(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))) AS q").head()
+    assert(q8.getSeq[Byte](0) == Seq[Byte](64, -127))
     // non-literal plane count is rejected with a clear error
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_sketch(array(CAST(1.0 AS FLOAT)), id + 1, 0) " +
