@@ -120,6 +120,46 @@ class VintageStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vintage source composes with watermarks and windowed aggregation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/win"
+    val cp = Files.createTempDirectory("vintage-src-cp").toString
+    def ev(sec: Int, u: String) =
+      (new java.sql.Timestamp(1700000000000L + sec * 1000L), u)
+
+    VintageTable.create(spark, dir,
+      Seq(ev(1, "a"), ev(3, "b"), ev(8, "a")).toDF("ts", "user"))
+    val t = VintageTable.forPath(spark, dir)
+
+    // event-time tumbling windows with a watermark: append mode emits a
+    // window only once the watermark passes its end — the standard
+    // Structured Streaming pattern, running on our source unchanged
+    val q = spark.readStream.format("vintage").load(dir)
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .count()
+      .writeStream.format("memory").queryName("vwin")
+      .outputMode("append")
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vwin").count() == 0) // nothing finalized yet
+
+      // events at t=21s push the watermark past the first window's end
+      t.append(Seq(ev(21, "c"), ev(22, "d")).toDF("ts", "user"))
+      q.processAllAvailable()
+      // one more batch so the new watermark finalizes [0,10)
+      t.append(Seq(ev(25, "e")).toDF("ts", "user"))
+      q.processAllAvailable()
+      val done = spark.table("vwin")
+        .select(col("window.start").cast("long"), col("count")).collect()
+        .map(r => (r.getLong(0) - 1700000000L, r.getLong(1))).toMap
+      assert(done.get(0L).contains(3L),
+        s"window [0,10) must finalize with 3 events, got $done")
+    } finally q.stop()
+  }
+
   test("streaming source: maxFilesPerTrigger bounds each micro-batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vintage-src").toString + "/rate"
