@@ -129,7 +129,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * dequantization: the per-vector scale cancels in the ratio, so
   * [[CosineSimilarity]] accepts the byte arrays directly. An all-zero
   * vector quantizes to all zeros (its cosine is null downstream, as
-  * with the float form).
+  * with the float form). A vector containing NaN or ±Infinity
+  * quantizes to NULL — silently mapping non-finite elements to 0 (or
+  * zeroing every OTHER element, when an Inf becomes the scale) would
+  * make quantized ranking silently diverge from exact ranking on
+  * exactly the malformed vectors a pipeline most needs to notice.
   */
 case class Quantize8(child: Expression) extends UnaryExpression {
 
@@ -157,6 +161,7 @@ case class Quantize8(child: Expression) extends UnaryExpression {
     while (i < n) {
       if (arr.isNullAt(i)) return null
       val v = Math.abs(VectorOps.elemAt(elem, arr, i))
+      if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) return null
       if (v > mx) mx = v
       i += 1
     }

@@ -351,13 +351,25 @@ class VintageTable private (
     */
   def compactWhere(condition: Column, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val snap = snapshot
+    // fail fast on unresolvable predicates: FileSkipping degrades an
+    // unknown column to "matches everything", which would silently turn
+    // a typo'd WHERE into a whole-table rewrite
+    toDF.filter(condition).queryExecution.analyzed
     val selected = candidateFiles(snap, condition)
     if (selected.isEmpty) return 0L
     val sel = selected.map(_.path).toSet
     val numFiles = math.max(1,
       math.ceil(selected.map(_.size).sum.toDouble / targetFileBytes).toInt)
-    val adds = writeFiles(spark,
-      readFiles(snap, sel).repartition(numFiles), path,
+    // partitioned tables cluster by the partition columns, so each
+    // selected hive partition's rows land in ONE task and the write
+    // emits one file per partition value — a round-robin repartition
+    // would spread every partition over every task and emit up to
+    // numFiles × partitions files, fragmenting what it set out to fix
+    val rows = readFiles(snap, sel)
+    val arranged =
+      if (snap.partitionColumns.isEmpty) rows.repartition(numFiles)
+      else rows.repartition(numFiles, snap.partitionColumns.map(col): _*)
+    val adds = writeFiles(spark, arranged, path,
       dataChange = false, snap.partitionColumns)
     commitOp(snap, "WRITE",
       Map("mode" -> "Overwrite", "dataChange" -> "false",

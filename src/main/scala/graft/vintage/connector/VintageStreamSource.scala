@@ -34,7 +34,10 @@ import graft.vintage.{AddFile, CommitInfo, Metadata, RemoveFile, Snapshot, Vinta
   *  - `maxVersionsPerTrigger`: rate-limit a micro-batch to at most this
   *    many commits.
   *  - `maxFilesPerTrigger`: rate-limit a micro-batch to at most this
-  *    many data files (at least one commit always flows).
+  *    many data files (at least one commit always flows). Both limits
+  *    govern INCREMENTAL batches; the initial-snapshot batch is one
+  *    snapshot read and is never split (splitting it into per-commit
+  *    change batches would replay row-level history).
   *
   * At scale this is log-metadata work only: planning a batch reads the
   * JSON actions of the commit range — never a table scan — and the data
@@ -99,10 +102,17 @@ class VintageStreamSource(
   override def getOffset: Option[Offset] = {
     val latest = VintageLog.latestVersion(tablePath)
     if (latest < 0) return None
-    // the cap applies from the FIRST batch too: plannedVersion = -1
-    // (startingTimestamp before the first commit, startingVersion 0, or
-    // the initial-snapshot batch) must not replay the whole log in one
-    // unbounded micro-batch when a trigger limit was configured
+    // The INITIAL-SNAPSHOT batch (no startingVersion, nothing planned
+    // yet) is never capped: it is one snapshot read however it is
+    // bounded, and capping it at an earlier version would instead
+    // REPLAY subsequent row-level commits as change batches — emitting
+    // rows the snapshot would have excluded and tripping the
+    // ignoreDeletes guard on histories that contain deletes. Rate
+    // limits govern the incremental batches that follow.
+    if (changesFromExclusive.isEmpty && plannedVersion < 0) {
+      plannedVersion = latest
+      return Some(LongOffset(latest))
+    }
     val vCapped = maxVersionsPerTrigger match {
       case Some(n) => math.min(latest, plannedVersion + n)
       case None    => latest
@@ -132,6 +142,13 @@ class VintageStreamSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
+    // RESTART RECOVERY: the engine replays the last uncommitted batch
+    // from its checkpoint by calling getBatch with the recovered
+    // offsets before any getOffset planning. A rate-limited planner
+    // that still thought plannedVersion = start-of-stream would then
+    // hand out offsets BELOW the recovered end — regressing the
+    // stream and re-emitting delivered versions. Clamp forward.
+    if (endV > plannedVersion) plannedVersion = endV
     start.map(versionOf) match {
       case None =>
         changesFromExclusive match {

@@ -58,6 +58,12 @@ class SimilaritySpec extends AnyFunSuite {
       Similarity.quantize8(col("z"))).head()
     assert(r.getSeq[Byte](0) == Seq[Byte](64, -127, 32))
     assert(r.getSeq[Byte](1) == Seq[Byte](0, 0))
+    // non-finite vectors quantize to null, never to silent zeros
+    val bad = Seq((Array(Float.NaN, 1.0f), Array(Float.PositiveInfinity, 1.0f)))
+      .toDF("nan", "inf")
+      .select(Similarity.quantize8(col("nan")), Similarity.quantize8(col("inf")))
+      .head()
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
     // int8 cosine tracks float cosine closely on real embeddings
     val emb = Tables.embeddings(spark, sf).limit(200)
     val err = emb.as("a").join(emb.as("b"),

@@ -198,6 +198,16 @@ class VintageStreamingSpec extends AnyFunSuite {
     spans.foreach { case (lo, hi) =>
       assert(filesIn(lo, hi) <= 2, s"batch ($lo,$hi) exceeds the file budget")
     }
+
+    // RESTART: a fresh source instance first replays the recovered
+    // batch via getBatch — the planner must clamp forward to the
+    // recovered offset, never hand out an offset below it (which would
+    // re-emit already-delivered versions)
+    val restarted = new graft.vintage.connector.VintageStreamSource(
+      spark, t.path, Map("startingVersion" -> "0", "maxFilesPerTrigger" -> "2"))
+    restarted.getBatch(Some(LongOffset(3L)), LongOffset(4L))
+    assert(ver(restarted.getOffset.get) >= 4L,
+      "restarted planner must not regress below the recovered offset")
   }
 
   test("streaming source: delete commit fails without ignoreDeletes, passes with it") {

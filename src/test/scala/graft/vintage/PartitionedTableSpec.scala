@@ -88,6 +88,21 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(t.toDF.count() == 9)
     // change feed sees nothing from either compaction
     assert(t.changes(t.version - 2, t.version).count() == 0)
+
+    // a typo'd column must fail analysis, not rewrite the whole table
+    val vBefore = t.version
+    intercept[org.apache.spark.sql.AnalysisException] {
+      t.compactWhere(col("dya") === "2024-01-01")
+    }
+    assert(t.version == vBefore)
+
+    // multi-partition selection stays one-file-per-partition: a
+    // round-robin shuffle would emit numFiles x partitions fragments
+    t.compactWhere(col("day") >= "2024-01-01")
+    val perPart = t.snapshot.files.groupBy(_.partitionValues("day"))
+      .map { case (_, fs) => fs.size }
+    assert(perPart.forall(_ == 1),
+      s"whole-range compaction must not fragment partitions: $perPart")
   }
 
   test("delete/update/merge rewrite only the touched partition") {
