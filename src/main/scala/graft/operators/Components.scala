@@ -48,12 +48,20 @@ object Components {
     * across engines, so downstream "keep the min-id survivor" dedup is
     * reproducible.
     *
+    * Adaptive execution, the same small-side threshold pattern as
+    * Spark's broadcast join: an edge set at or under `localThreshold`
+    * (default 4M edges ≈ 64 MB — driver-trivial) is solved with an
+    * in-memory union-find in one collect instead of O(log n) distributed
+    * rounds, each of which costs several full Spark jobs of fixed
+    * overhead. Web-scale pair sets take the large-star/small-star loop.
+    * Pass `localThreshold = 0` to force the distributed path.
+    *
     * Nodes with no edges simply do not appear; callers wanting
     * singletons join the result back to the full node set.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 25): DataFrame = {
+      maxRounds: Int = 25, localThreshold: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -78,6 +86,11 @@ object Components {
       .distinct())
 
     var sum = checksum(edges)
+    if (sum._1 <= localThreshold) {
+      val local = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      cached.unpersist(blocking = false)
+      return unionFind(local).toSeq.toDF("id", "component")
+    }
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -106,6 +119,27 @@ object Components {
         .groupBy("id").agg(min("component").as("component")))
     cached.unpersist(blocking = false)
     out
+  }
+
+  /** Driver-side union-find with path compression for the small-graph
+    * fast path: node -> smallest id of its component.
+    */
+  private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find: union-by-min (needed for the min-id contract) can
+    // build deep trees, so recursion would overflow on adversarial input
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
   }
 
   /** Large-star: connect every neighbor v > u to m(u) = min(Γ(u) ∪ u).

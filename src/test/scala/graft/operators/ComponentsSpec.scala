@@ -12,9 +12,14 @@ class ComponentsSpec extends AnyFunSuite {
     .appName("components-spec")
     .getOrCreate()
 
+  /** localThreshold = 0 forces the distributed large-star/small-star
+    * loop — the algorithm under test; the small-graph fast path is
+    * plain union-find and is covered by the agreement test below.
+    */
   private def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -64,6 +69,17 @@ class ComponentsSpec extends AnyFunSuite {
     def next(n: Long): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.floorMod(s, n) }
     val edges = Seq.fill(300)((next(200), next(200))).filter(e => e._1 != e._2)
     assert(components(edges) == unionFind(edges))
+  }
+
+  test("local fast path agrees with the distributed loop") {
+    import spark.implicits._
+    var s = 777L
+    def next(n: Long): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.floorMod(s, n) }
+    val edges = Seq.fill(250)((next(150), next(150))).filter(e => e._1 != e._2)
+    val local = Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b") // default threshold → union-find
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == components(edges))
   }
 
   test("ids far above Int range keep exact component mins") {
