@@ -144,6 +144,29 @@ object VintageLog {
       .collect { case CheckpointFileRe(v) => v.toLong }
       .toSeq.distinct.sorted
 
+  /** Delete commit JSONs and checkpoints strictly below `base` (which
+    * must itself be a checkpoint version — it becomes the oldest replay
+    * base). Returns the number of log files removed. Cached snapshots
+    * of truncated versions are dropped.
+    */
+  private[vintage] def deleteSegmentsBefore(tableDir: String, base: Long): Long = {
+    require(checkpointExists(tableDir, base),
+      s"log truncation base $base has no checkpoint in $tableDir")
+    var removed = 0L
+    store.list(logDir(tableDir)).foreach { s =>
+      val keep = s.getPath.getName match {
+        case VersionFileRe(v) => v.toLong >= base
+        case CheckpointFileRe(v) => v.toLong >= base
+        case _ => true // _last_checkpoint and unknown files stay
+      }
+      if (!keep) { store.delete(s.getPath); removed += 1 }
+    }
+    snapshotCache.synchronized {
+      snapshotCache.keySet.removeIf(k => k._1 == tableDir && k._2 < base)
+    }
+    removed
+  }
+
   def readVersion(tableDir: String, v: Long): Seq[Action] = {
     val f = versionFile(tableDir, v)
     if (!store.exists(f))

@@ -536,12 +536,12 @@ class VintageTable private (
         case _ => ()
       }
     }
-    var deleted = 0L
     val dir = new HPath(path)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val dirUri = fs.makeQualified(dir).toUri
     // walk recursively: partitioned tables keep data files in
     // p1=v1/... subdirectories (the log dir and tmp dirs are skipped)
+    val toDelete = Seq.newBuilder[String]
     def walk(d: HPath): Unit = fs.listStatus(d).foreach { s =>
       val name = s.getPath.getName
       if (s.isDirectory) {
@@ -556,14 +556,53 @@ class VintageTable private (
           case Some(t) => t < cutoff // removed in the tail
           case None => s.getModificationTime < cutoff // pre-horizon or orphan
         }
-        if (!live.contains(rel) && expired) {
-          if (!dryRun) fs.delete(s.getPath, false)
-          deleted += 1
-        }
+        if (!live.contains(rel) && expired) toDelete += s.getPath.toString
       }
     }
     walk(dir)
-    deleted
+    val victims = toDelete.result()
+    if (!dryRun && victims.nonEmpty) {
+      // deletes fan out as one task wave — a serial driver loop over
+      // 100k reclaimable files (months of churn on a large table) is
+      // the classic vacuum bottleneck; small sets skip the job overhead
+      if (victims.size < 64) victims.foreach(p => fs.delete(new HPath(p), false))
+      else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        spark.sparkContext
+          .parallelize(victims, math.min(victims.size, 256))
+          .foreach { p =>
+            val hp = new HPath(p)
+            hp.getFileSystem(confBc.value.value).delete(hp, false): Unit
+          }
+      }
+    }
+    victims.size.toLong
+  }
+
+  /** Delete log segments no longer needed to reconstruct any
+    * retained version: commit JSONs and checkpoints strictly OLDER than
+    * the newest checkpoint whose commit predates the retention cutoff.
+    * That checkpoint stays as the replay base, and since checkpoints
+    * carry the full commit history, `history()` and timestamp
+    * resolution keep working across the truncation. Replay of versions
+    * older than the base becomes impossible — the same contract as
+    * [[vacuum]], which makes their data unreadable anyway (Delta's
+    * logRetentionDuration). At one checkpoint per 10 commits a
+    * never-cleaned log directory grows unboundedly; this keeps it
+    * O(retention window).
+    */
+  def cleanupLog(retentionHours: Double = 168.0): Long = {
+    require(!retentionHours.isNaN && retentionHours >= 0.0,
+      s"retentionHours must be a non-negative number, got $retentionHours")
+    val snap = snapshot
+    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val commitTs = snap.commits.map(c => c.version -> c.timestamp).toMap
+    val base = VintageLog.checkpointVersions(path)
+      .filter(v => commitTs.get(v).exists(_ < cutoff))
+      .maxOption.getOrElse(return 0L)
+    VintageLog.deleteSegmentsBefore(path, base)
   }
 
   // ------------------------------------------------------------ internals

@@ -108,6 +108,34 @@ class CheckpointSpec extends AnyFunSuite {
     assert(t.toDF.count() == 1) // current snapshot untouched
   }
 
+  test("cleanupLog truncates pre-base segments; history and replay survive") {
+    val dir = Files.createTempDirectory("vintage-cp").toString + "/clean"
+    val t = VintageTable.create(spark, dir, Seq((0, "v0")).toDF("id", "s").coalesce(1))
+    (1 to 25).foreach { i =>
+      t.append(Seq((i, s"v$i")).toDF("id", "s").coalesce(1))
+    }
+    val removed = t.cleanupLog(0.0) // cutoff = now → base = checkpoint 20
+    assert(removed > 0)
+    val store = LogStore.default
+    val logDir = VintageLog.logDir(t.path)
+    assert(!store.exists(new HPath(logDir, f"${0L}%020d.json")))
+    assert(!store.exists(new HPath(logDir, f"${19L}%020d.json")))
+    assert(!store.exists(new HPath(logDir, f"${10L}%020d.checkpoint.parquet")))
+    assert(store.exists(new HPath(logDir, f"${20L}%020d.checkpoint.parquet")))
+    assert(store.exists(new HPath(logDir, f"${25L}%020d.json")))
+
+    // current state, history, and post-base time travel all intact
+    VintageLog.invalidate(t.path)
+    assert(t.toDF.count() == 26)
+    assert(t.snapshot.commits.size == 26, "checkpointed history must survive")
+    assert(t.toDFAsOf(22).count() == 23)
+    // pre-base versions are gone — the vacuum-style contract
+    intercept[Exception](t.toDFAsOf(5).count())
+    // the table keeps working
+    t.append(Seq((99, "new")).toDF("id", "s").coalesce(1))
+    assert(t.toDF.count() == 27)
+  }
+
   test("re-create after raw-FS delete serves the new table, not cached snapshots") {
     val dir = Files.createTempDirectory("vintage-cp").toString + "/recreate"
     val t1 = VintageTable.create(spark, dir,
