@@ -83,6 +83,13 @@ case class Metadata(
   */
 case class Txn(appId: String, version: Long) extends Action
 
+/** Marker that an external source file has been ingested by COPY INTO:
+  * committed atomically with the data it produced, so a re-run (or a
+  * crashed-and-retried job) skips the file instead of duplicating its
+  * rows. Carried through checkpoints like every other snapshot fact.
+  */
+case class IngestedFile(source: String) extends Action
+
 /** Operation descriptor surfaced by `history()`; field names mirror the
   * history rows shown at /root/reference/README.md:307-319.
   */
@@ -122,6 +129,8 @@ object Action {
           ("operationParameters" -> c.operationParameters))
       case t: Txn =>
         "txn" -> (("appId" -> t.appId) ~ ("version" -> t.version))
+      case i: IngestedFile =>
+        "ingest" -> JObject("source" -> JString(i.source))
     }
     JsonMethods.compact(JsonMethods.render(j))
   }
@@ -131,6 +140,10 @@ object Action {
     (j \ "txn") match {
       case t: JObject =>
         return Txn((t \ "appId").extract[String], (t \ "version").extract[Long])
+      case _ => ()
+    }
+    (j \ "ingest") match {
+      case i: JObject => return IngestedFile((i \ "source").extract[String])
       case _ => ()
     }
     (j \ "add", j \ "remove", j \ "metaData", j \ "commitInfo") match {

@@ -41,6 +41,7 @@ private[vintage] object CheckpointCodec {
     case _: Metadata => "metadata"
     case _: CommitInfo => "commit"
     case _: Txn => "txn"
+    case _: IngestedFile => "ingest"
   }
 
   def write(dest: Path, actions: Seq[Action], conf: Configuration): Unit = {

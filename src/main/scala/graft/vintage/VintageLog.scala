@@ -15,7 +15,8 @@ case class Snapshot(
     properties: Map[String, String],
     commits: Seq[CommitInfo],
     partitionColumns: Seq[String] = Nil,
-    txns: Map[String, Long] = Map.empty) {
+    txns: Map[String, Long] = Map.empty,
+    ingested: Set[String] = Set.empty) {
   def filePaths(tableDir: String): Seq[String] =
     files.map(_.absolutePath(tableDir))
 
@@ -107,6 +108,7 @@ object VintageLog {
     val actions: Seq[Action] =
       Seq(Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
+        snap.ingested.toSeq.sorted.map(IngestedFile(_)) ++
         snap.commits.sortBy(_.version) ++ snap.files
     CheckpointCodec.write(checkpointFile(tableDir, v), actions,
       store.hadoopConf)
@@ -243,6 +245,7 @@ object VintageLog {
     var meta: Option[Metadata] = None
     val commits = scala.collection.mutable.ArrayBuffer[CommitInfo]()
     val txns = scala.collection.mutable.Map[String, Long]()
+    val ingested = scala.collection.mutable.Set[String]()
     def fold(a: Action, checkpoint: Boolean): Unit = a match {
       case a: AddFile    => files(a.path) = a
       case r: RemoveFile => if (!checkpoint) files.remove(r.path)
@@ -250,6 +253,7 @@ object VintageLog {
       case c: CommitInfo => commits += c
       case t: Txn        =>
         txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
+      case i: IngestedFile => ingested += i.source
     }
     val start: Long = checkpointVersionFor(tableDir, until) match {
       case Some(cp) =>
@@ -263,7 +267,7 @@ object VintageLog {
     val m = meta.getOrElse(
       throw new IOException(s"no metaData action in log of $tableDir"))
     Snapshot(until, m.schema, files.values.toSeq, m.properties, commits.toSeq,
-      m.partitionColumns, txns.toMap)
+      m.partitionColumns, txns.toMap, ingested.toSet)
   }
 
   /** Version whose commit timestamp is the latest <= `ts` (time travel

@@ -206,6 +206,60 @@ class VintageTable private (
   /** Latest transaction number recorded for `appId`, if any. */
   def txnVersion(appId: String): Option[Long] = snapshot.txns.get(appId)
 
+  /** Incremental, idempotent file ingestion (Delta's `COPY INTO`):
+    * load every file under `sourceDir` that has NOT been ingested
+    * before, append its rows, and record per-file ingest markers in
+    * the SAME commit — a re-run (cron job, crashed-and-retried
+    * pipeline) skips already-loaded files instead of duplicating rows.
+    * Returns the number of files ingested.
+    *
+    * `format` is any Spark batch reader (`parquet`, `csv`, `json`);
+    * non-parquet sources read with the TABLE's schema enforced (plus
+    * `options`, e.g. `header -> true` for CSV). Ingestion goes through
+    * the normal write path: stats, bloom filters, and CHECK
+    * constraints all apply. Two concurrent COPY INTO runs of the same
+    * source serialize on the commit version — the loser detects the
+    * overlap and fails with a retryable conflict (the re-run then
+    * skips what the winner loaded).
+    */
+  def copyInto(sourceDir: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty): Long = {
+    val snap = snapshot
+    val srcAbs = VintageTable.absolutize(sourceDir)
+    val src = new HPath(srcAbs)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(src), s"COPY INTO source not found: $srcAbs")
+    def discover(d: HPath): Seq[String] =
+      fs.listStatus(d).toSeq.flatMap {
+        case s if s.isDirectory && s.getPath.getName.contains("=") =>
+          discover(s.getPath)
+        case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+                  !s.getPath.getName.startsWith(".") =>
+          Seq(fs.makeQualified(s.getPath).toString)
+        case _ => Nil
+      }
+    val found =
+      if (fs.getFileStatus(src).isFile) Seq(fs.makeQualified(src).toString)
+      else discover(src)
+    val fresh = found.filterNot(f =>
+      snap.ingested.contains(VintageTable.canonicalKey(f)))
+    if (fresh.isEmpty) return 0L
+
+    val reader = spark.read.format(format).options(options)
+    val df =
+      if (format == "parquet") reader.load(fresh: _*)
+      else reader.schema(snap.schema).load(fresh: _*)
+    val aligned = df.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    val adds = writeFiles(spark, aligned, path, dataChange = true,
+      snap.partitionColumns)
+    val markers = fresh.map(f => IngestedFile(VintageTable.canonicalKey(f)))
+    commitOp(snap, "COPY INTO",
+      Map("source" -> srcAbs, "numFiles" -> fresh.size.toString,
+          "format" -> format),
+      adds, Nil, None, NoRead, extra = markers)
+    fresh.size.toLong
+  }
+
   /** Row-level change feed for versions in `(fromVersion, toVersion]`
     * (the Delta CHANGE DATA FEED capability, computed from the log
     * rather than persisted change files): the result carries every
@@ -702,7 +756,8 @@ class VintageTable private (
       snap: Snapshot, op: String, params: Map[String, String],
       adds: Seq[AddFile], removes: Seq[RemoveFile],
       meta: Option[Metadata], scope: ReadScope = FullRead,
-      maxRetries: Int = 20, txn: Option[Txn] = None): Long = {
+      maxRetries: Int = 20, txn: Option[Txn] = None,
+      extra: Seq[Action] = Nil): Long = {
     var readVersion = snap.version
     var attempt = 0
     // a NoRead commit (blind append) can lose a version race but can
@@ -715,7 +770,7 @@ class VintageTable private (
       val info = CommitInfo(v, System.currentTimeMillis(), op, params)
       try {
         VintageLog.commit(path, v,
-          Seq(info) ++ txn.toSeq ++ meta.toSeq ++ removes ++ adds)
+          Seq(info) ++ txn.toSeq ++ extra ++ meta.toSeq ++ removes ++ adds)
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -733,6 +788,17 @@ class VintageTable private (
             if (current.txns.get(t.appId).exists(_ >= t.version))
               return current.version
           }
+          // COPY INTO overlap: a concurrent run ingested (some of) the
+          // same source files — committing would duplicate their rows.
+          // Fail retryably: the caller's re-run skips what's ingested.
+          val ingestOverlap = extra.collect {
+            case i: IngestedFile if current.ingested.contains(i.source) => i.source
+          }
+          if (ingestOverlap.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"source files were concurrently ingested into $path: " +
+              s"${ingestOverlap.take(3).mkString(",")} — re-run COPY INTO " +
+              s"(already-ingested files are skipped) (caused by: $e)")
           val liveNow = current.files.map(_.path).toSet
           val removedConcurrently = removes.exists(r => !liveNow.contains(r.path))
           // metadata conflicts are judged from the replayed snapshot

@@ -65,6 +65,10 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
           yield VintageCloneCommand(d, s)
       case ConvertRe(ref, _, partDdl) => resolved(ref).map(p =>
         VintageConvertCommand(p, Option(partDdl).map(_.trim).filter(_.nonEmpty)))
+      case CopyIntoRe(ref, source, _, fmt, _, opts) => resolved(ref).map(p =>
+        VintageCopyIntoCommand(p, source,
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+          parseOptions(Option(opts).getOrElse(""))))
       case AddConstraintRe(ref, name, predicate) => resolved(ref).map(p =>
         VintageAddConstraintCommand(p, name, predicate.trim))
       case DropConstraintRe(ref, ifExists, name) => resolved(ref).map(p =>
@@ -105,10 +109,17 @@ object VintageMaintenanceParser {
     (s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref\\s*;?\\s*$$""").r
   private[connector] val ConvertRe =
     (s"""(?is)^\\s*CONVERT\\s+TO\\s+VINTAGE\\s+$Ref(\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
+  private[connector] val CopyIntoRe =
+    (s"""(?is)^\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'(\\s+FILEFORMAT\\s*=\\s*(\\w+))?(\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
   private[connector] val AddConstraintRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""").r
   private[connector] val DropConstraintRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$$""").r
+
+  /** `'k' = 'v', 'k2' = 'v2'` → Map (FORMAT_OPTIONS body). */
+  private[connector] def parseOptions(s: String): Map[String, String] =
+    """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2)).toMap
 
   private def unquote(s: String): String = {
     val t = s.trim
@@ -256,6 +267,22 @@ case class VintageConvertCommand(path: String, partitionDdl: Option[String])
       .getOrElse(new StructType())
     val t = VintageTable.convert(spark, path, partSchema)
     Seq(Row(path, t.snapshot.files.size.toLong))
+  }
+}
+
+/** `COPY INTO t FROM 'src' [FILEFORMAT = PARQUET|CSV|JSON]
+  * [FORMAT_OPTIONS('k'='v', …)]` — incremental idempotent ingestion
+  * (see [[graft.vintage.VintageTable.copyInto]]).
+  */
+case class VintageCopyIntoCommand(path: String, source: String,
+    format: String, options: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("filesIngested", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val n = VintageTable.forPath(spark, path).copyInto(source, format, options)
+    Seq(Row(path, n))
   }
 }
 
