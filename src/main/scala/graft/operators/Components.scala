@@ -50,18 +50,21 @@ object Components {
     *
     * Adaptive execution, the same small-side threshold pattern as
     * Spark's broadcast join: an edge set at or under `localThreshold`
-    * (default 4M edges ≈ 64 MB — driver-trivial) is solved with an
-    * in-memory union-find in one collect instead of O(log n) distributed
-    * rounds, each of which costs several full Spark jobs of fixed
-    * overhead. Web-scale pair sets take the large-star/small-star loop.
-    * Pass `localThreshold = 0` to force the distributed path.
+    * is solved with an in-memory union-find in one collect instead of
+    * O(log n) distributed rounds, each of which costs several full
+    * Spark jobs of fixed overhead. The default of 1M edges budgets for
+    * the REAL driver footprint — collected Rows plus a specialized
+    * LongMap of up to 2M node entries, ~100-150 MB transient — safe on
+    * a default 1g driver, not just the raw 16 bytes/edge. Web-scale
+    * pair sets take the large-star/small-star loop. Pass
+    * `localThreshold = 0` to force the distributed path.
     *
     * Nodes with no edges simply do not appear; callers wanting
     * singletons join the result back to the full node set.
     */
   def connectedComponents(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 25, localThreshold: Long = 4000000L): DataFrame = {
+      maxRounds: Int = 25, localThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 
@@ -125,7 +128,9 @@ object Components {
     * fast path: node -> smallest id of its component.
     */
   private def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
-    val parent = scala.collection.mutable.Map[Long, Long]()
+    // LongMap: specialized, no per-entry boxing — the whole point of
+    // the local path is a small driver footprint
+    val parent = scala.collection.mutable.LongMap[Long]()
     // iterative find: union-by-min (needed for the min-id contract) can
     // build deep trees, so recursion would overflow on adversarial input
     def find(x: Long): Long = {
@@ -139,7 +144,9 @@ object Components {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    parent.keys.map(k => k -> find(k)).toMap
+    val out = Map.newBuilder[Long, Long]
+    parent.keys.toArray.foreach(k => out += (k -> find(k)))
+    out.result()
   }
 
   /** Large-star: connect every neighbor v > u to m(u) = min(Γ(u) ∪ u).

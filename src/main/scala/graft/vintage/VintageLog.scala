@@ -91,6 +91,15 @@ object VintageLog {
       .collect { case VersionFileRe(v) => v.toLong }
       .foldLeft(-1L)(math.max)
 
+  /** Smallest commit JSON still on disk (None for an empty log) —
+    * versions below it were truncated by [[VintageTable.cleanupLog]].
+    */
+  private[vintage] def oldestVersionFile(tableDir: String): Option[Long] =
+    store.list(logDir(tableDir)).iterator
+      .map(_.getPath.getName)
+      .collect { case VersionFileRe(v) => v.toLong }
+      .minOption
+
   /** Atomically publish version `v`; fails if `v` already exists.
     * Writes a checkpoint when `v` crosses the checkpoint interval.
     */

@@ -229,18 +229,23 @@ class VintageTable private (
     val src = new HPath(srcAbs)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(src), s"COPY INTO source not found: $srcAbs")
-    def discover(d: HPath): Seq[String] =
-      fs.listStatus(d).toSeq.flatMap {
+    // flat landing layout only: a hive k=v subdirectory encodes column
+    // values in PATHS, which per-file loading would silently drop
+    // (nulls for csv/json) — reject rather than corrupt; partitioned
+    // layouts are CONVERT TO VINTAGE territory
+    val found =
+      if (fs.getFileStatus(src).isFile) Seq(fs.makeQualified(src).toString)
+      else fs.listStatus(src).toSeq.flatMap {
         case s if s.isDirectory && s.getPath.getName.contains("=") =>
-          discover(s.getPath)
+          throw new IllegalArgumentException(
+            s"COPY INTO source $srcAbs has a hive-partitioned layout " +
+            s"(${s.getPath.getName}/) — path-encoded values would be lost; " +
+            "use CONVERT TO VINTAGE or read+append for partitioned sources")
         case s if s.isFile && !s.getPath.getName.startsWith("_") &&
                   !s.getPath.getName.startsWith(".") =>
           Seq(fs.makeQualified(s.getPath).toString)
         case _ => Nil
       }
-    val found =
-      if (fs.getFileStatus(src).isFile) Seq(fs.makeQualified(src).toString)
-      else discover(src)
     val fresh = found.filterNot(f =>
       snap.ingested.contains(VintageTable.canonicalKey(f)))
     if (fresh.isEmpty) return 0L
@@ -249,7 +254,11 @@ class VintageTable private (
     val df =
       if (format == "parquet") reader.load(fresh: _*)
       else reader.schema(snap.schema).load(fresh: _*)
-    val aligned = df.select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+    // cast to the TABLE's types, not just reorder: a landing file with
+    // e.g. int32 ids in a bigint table would otherwise commit files the
+    // vectorized reader can no longer decode under the table schema
+    val aligned = df.select(snap.schema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
     val adds = writeFiles(spark, aligned, path, dataChange = true,
       snap.partitionColumns)
     val markers = fresh.map(f => IngestedFile(VintageTable.canonicalKey(f)))
@@ -577,13 +586,15 @@ class VintageTable private (
     // newest checkpoint whose commit predates the cutoff: removals at
     // or before it are strictly older than the cutoff, so the tail
     // replay below is the only part of the log that can PROTECT a file
-    val commitTs = snap.commits.map(c => c.version -> c.timestamp).toMap
-    val horizon = VintageLog.checkpointVersions(path)
-      .filter(v => commitTs.get(v).exists(_ < cutoff))
-      .maxOption.getOrElse(-1L)
-    // latest removal timestamp per path across the tail commits
+    val horizon = horizonCheckpoint(snap, cutoff).getOrElse(-1L)
+    // latest removal timestamp per path across the tail commits. A
+    // prior cleanupLog may have truncated commit JSONs below its own
+    // base — start at the oldest one still on disk; truncated versions'
+    // removals fall back to the mod-time guard, same as pre-horizon.
+    val tailStart = math.max(horizon + 1,
+      VintageLog.oldestVersionFile(path).getOrElse(0L))
     val removedAt = scala.collection.mutable.Map[String, Long]()
-    ((horizon + 1) to snap.version).foreach { v =>
+    (tailStart to snap.version).foreach { v =>
       VintageLog.readVersion(path, v).foreach {
         case r: RemoveFile => removedAt(r.path) =
           math.max(r.deletionTimestamp, removedAt.getOrElse(r.path, 0L))
@@ -650,13 +661,35 @@ class VintageTable private (
   def cleanupLog(retentionHours: Double = 168.0): Long = {
     require(!retentionHours.isNaN && retentionHours >= 0.0,
       s"retentionHours must be a non-negative number, got $retentionHours")
+    // same duration check as vacuum: truncating recent log segments can
+    // fail a concurrent reader mid-tail-replay or a streaming query's
+    // next batch — short retention needs the explicit opt-out
+    if (retentionHours < MinSafeRetentionHours) {
+      val checkEnabled = spark.conf
+        .getOption("spark.vintage.retentionDurationCheck.enabled")
+        .forall(_.toBoolean)
+      require(!checkEnabled,
+        s"retentionHours=$retentionHours is below the safe minimum " +
+        s"($MinSafeRetentionHours h): concurrent readers replaying the " +
+        "tail could lose their commit files mid-read. Set " +
+        "spark.vintage.retentionDurationCheck.enabled=false to override.")
+    }
     val snap = snapshot
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
-    val commitTs = snap.commits.map(c => c.version -> c.timestamp).toMap
-    val base = VintageLog.checkpointVersions(path)
-      .filter(v => commitTs.get(v).exists(_ < cutoff))
-      .maxOption.getOrElse(return 0L)
+    val base = horizonCheckpoint(snap, cutoff).getOrElse(return 0L)
     VintageLog.deleteSegmentsBefore(path, base)
+  }
+
+  /** Newest checkpoint whose commit predates `cutoff` — the shared
+    * retention horizon of [[vacuum]] and [[cleanupLog]] (their
+    * contracts must agree: vacuum makes pre-horizon DATA unreadable,
+    * cleanupLog drops the matching log segments).
+    */
+  private def horizonCheckpoint(snap: Snapshot, cutoff: Long): Option[Long] = {
+    val commitTs = snap.commits.map(c => c.version -> c.timestamp).toMap
+    VintageLog.checkpointVersions(path)
+      .filter(v => commitTs.get(v).exists(_ < cutoff))
+      .maxOption
   }
 
   // ------------------------------------------------------------ internals

@@ -109,8 +109,10 @@ object VintageMaintenanceParser {
     (s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref\\s*;?\\s*$$""").r
   private[connector] val ConvertRe =
     (s"""(?is)^\\s*CONVERT\\s+TO\\s+VINTAGE\\s+$Ref(\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
+  // FORMAT_OPTIONS body is captured greedily to the LAST ')' so quoted
+  // values may themselves contain parentheses
   private[connector] val CopyIntoRe =
-    (s"""(?is)^\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'(\\s+FILEFORMAT\\s*=\\s*(\\w+))?(\\s+FORMAT_OPTIONS\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
+    (s"""(?is)^\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'(\\s+FILEFORMAT\\s*=\\s*(\\w+))?(\\s+FORMAT_OPTIONS\\s*\\((.*)\\))?\\s*;?\\s*$$""").r
   private[connector] val AddConstraintRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""").r
   private[connector] val DropConstraintRe =

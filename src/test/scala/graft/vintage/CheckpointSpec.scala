@@ -114,7 +114,12 @@ class CheckpointSpec extends AnyFunSuite {
     (1 to 25).foreach { i =>
       t.append(Seq((i, s"v$i")).toDF("id", "s").coalesce(1))
     }
-    val removed = t.cleanupLog(0.0) // cutoff = now → base = checkpoint 20
+    // short retention needs the same opt-out as vacuum
+    intercept[IllegalArgumentException] { t.cleanupLog(0.0) }
+    spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
+    val removed =
+      try t.cleanupLog(0.0) // cutoff = now → base = checkpoint 20
+      finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
     assert(removed > 0)
     val store = LogStore.default
     val logDir = VintageLog.logDir(t.path)
@@ -133,6 +138,17 @@ class CheckpointSpec extends AnyFunSuite {
     intercept[Exception](t.toDFAsOf(5).count())
     // the table keeps working
     t.append(Seq((99, "new")).toDF("id", "s").coalesce(1))
+    assert(t.toDF.count() == 27)
+
+    // vacuum still works on the truncated log (its tail replay must
+    // start at the oldest surviving commit JSON, not version 0) and
+    // reclaims the files the appends rewrote away
+    t.compact(1)
+    spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
+    val vacuumed =
+      try t.vacuum(0.0)
+      finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
+    assert(vacuumed > 0, "vacuum after cleanupLog must reclaim files")
     assert(t.toDF.count() == 27)
   }
 

@@ -59,6 +59,25 @@ class CopyIntoSpec extends AnyFunSuite {
     assert(t.toDF.count() == 3)
   }
 
+  test("parquet sources are cast to the table schema; hive layouts rejected") {
+    val base = Files.createTempDirectory("vintage-copy").toString
+    // landing file writes id as INT (not the table's BIGINT)
+    val srcDir = s"$base/narrow"
+    Seq((7, "n")).toDF("id", "v").coalesce(1).write.parquet(srcDir)
+    val t = VintageTable.create(spark, s"$base/t3",
+      Seq((1L, "a")).toDF("id", "v"))
+    assert(t.copyInto(srcDir) == 1)
+    // every committed file decodes under the table schema
+    assert(t.toDF.orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 7L))
+
+    val partDir = s"$base/parts"
+    Seq((1L, "x", "p1")).toDF("id", "v", "p").coalesce(1)
+      .write.partitionBy("p").parquet(partDir)
+    val e = intercept[IllegalArgumentException] { t.copyInto(partDir) }
+    assert(e.getMessage.contains("hive-partitioned"))
+  }
+
   test("ingest markers survive checkpoint replay") {
     val base = Files.createTempDirectory("vintage-copy").toString
     val t = VintageTable.create(spark, s"$base/cp",
@@ -90,5 +109,9 @@ class CopyIntoSpec extends AnyFunSuite {
     // idempotent via SQL too
     assert(spark.sql(s"COPY INTO vcp.t FROM '$srcDir' FILEFORMAT = CSV " +
       "FORMAT_OPTIONS('header' = 'true')").collect().head.getLong(1) == 0)
+    // option values containing ')' parse (greedy body capture)
+    assert(spark.sql(s"COPY INTO vcp.t FROM '$srcDir' FILEFORMAT = CSV " +
+      "FORMAT_OPTIONS('header' = 'true', 'comment' = ')')")
+      .collect().head.getLong(1) == 0)
   }
 }
