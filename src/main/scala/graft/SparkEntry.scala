@@ -53,6 +53,7 @@ object SparkEntry {
     "q32_rare_tokens"      -> (PipelineQueries.q32RareTokens _),
     "q33_dedup_groups"     -> (PipelineQueries.q33DedupGroups _),
     "q34_decontaminate"    -> (PipelineQueries.q34Decontaminate _),
+    "q35_length_quantiles" -> (PipelineQueries.q35LengthQuantiles _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,5 +95,6 @@ object SparkEntry {
     "q32_rare_tokens"      -> PipelineQueries.q32Sql,
     "q33_dedup_groups"     -> PipelineQueries.q33Sql,
     "q34_decontaminate"    -> PipelineQueries.q34Sql,
+    "q35_length_quantiles" -> PipelineQueries.q35Sql,
   )
 }

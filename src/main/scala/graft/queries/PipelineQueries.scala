@@ -594,6 +594,34 @@ object PipelineQueries {
       |WHERE i * 1.0 / (cc.c + cr.c - i) >= 0.8
       |ORDER BY corpus_id, ref_id""".stripMargin
 
+  /** Per-source token-length distribution: doc counts and EXACT
+    * interpolated p50/p90 (corpus length profiling — the shape behind
+    * "truncate to the p99 length" training decisions). Exact
+    * `percentile`, not approx: engines agree bit-for-bit on the
+    * interpolation, approx sketches would not.
+    */
+  def q35LengthQuantiles(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d)
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n, 0.5)").as("p50_tokens"),
+        expr("percentile(n, 0.9)").as("p90_tokens"))
+      .orderBy("source")
+
+  val q35Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                    x -> x <> '')) AS n
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  quantile_cont(n, 0.5) AS p50_tokens,
+      |  quantile_cont(n, 0.9) AS p90_tokens
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
