@@ -185,22 +185,44 @@ class VintageTable private (
     * (appId, version) commit the data exactly once. Files written by a
     * skipped attempt are never committed; vacuum reclaims them by age.
     */
-  def append(df: DataFrame, txn: Option[(String, Long)]): Unit = {
+  def append(df: DataFrame, txn: Option[(String, Long)]): Unit =
+    append(df, txn, mergeSchema = false)
+
+  /** Append with optional write-time schema evolution (Delta's
+    * `mergeSchema` option): source-only columns widen the table schema
+    * as nullable fields in the same commit; existing files read the
+    * new columns as null. Columns the TABLE has but the source lacks
+    * are still an error — silently null-filling a forgotten column is
+    * the bug this check exists to catch.
+    */
+  def append(df: DataFrame, txn: Option[(String, Long)],
+      mergeSchema: Boolean): Unit = {
     val snap = snapshot
     val t = txn.map { case (a, v) => Txn(a, v) }
     if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
     val missing = snap.schema.fieldNames
       .filterNot(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-    val extra = df.schema.fieldNames
-      .filterNot(c => snap.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-    require(missing.isEmpty && extra.isEmpty,
-      s"append schema mismatch: missing=${missing.mkString(",")} extra=${extra.mkString(",")}")
-    val adds = writeFiles(spark, df.select(snap.schema.fieldNames.map(col).toIndexedSeq: _*),
+    val extra = df.schema.fields
+      .filterNot(f => snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+    require(missing.isEmpty && (extra.isEmpty || mergeSchema),
+      s"append schema mismatch: missing=${missing.mkString(",")} " +
+      s"extra=${extra.map(_.name).mkString(",")}" +
+      (if (extra.nonEmpty) " (set mergeSchema=true to widen the table)" else ""))
+    val finalSchema =
+      if (extra.isEmpty) snap.schema
+      else StructType(snap.schema.fields ++ extra.map(_.copy(nullable = true)))
+    val meta =
+      if (extra.isEmpty) None
+      else Some(Metadata(finalSchema.json, snap.properties, snap.partitionColumns))
+    val adds = writeFiles(spark,
+      df.select(finalSchema.fieldNames.map(col).toIndexedSeq: _*),
       path, dataChange = true, snap.partitionColumns)
     commitOp(snap, "WRITE",
       Map("mode" -> "Append",
-          "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")),
-      adds, Nil, None, NoRead, txn = t): Unit
+          "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
+        (if (extra.isEmpty) Map.empty
+         else Map("newColumns" -> extra.map(_.name).mkString(","))),
+      adds, Nil, meta, NoRead, txn = t): Unit
   }
 
   /** Latest transaction number recorded for `appId`, if any. */

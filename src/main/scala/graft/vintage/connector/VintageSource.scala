@@ -112,7 +112,8 @@ class VintageSource extends DataSourceRegister
         else VintageTable.forPath(spark, abs).overwrite(df, dataChange, txn)
       case SaveMode.Append =>
         if (!exists) createNew()
-        else VintageTable.forPath(spark, abs).append(df, txn)
+        else VintageTable.forPath(spark, abs).append(df, txn,
+          parameters.get("mergeSchema").exists(_.toBoolean))
       case SaveMode.ErrorIfExists =>
         if (exists)
           throw new IllegalArgumentException(s"vintage table already exists: $abs")

@@ -102,6 +102,36 @@ class ConnectorSpec extends AnyFunSuite {
       s"expected pruned read schema [s], got ${proj.schema.fieldNames.mkString(",")}")
   }
 
+  test("mergeSchema append widens the table; old rows read null") {
+    val dir = java.nio.file.Files.createTempDirectory("vintage-ms").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v").write.format("vintage").save(dir)
+
+    // extra column without the option → error naming the fix
+    val e = intercept[Exception] {
+      Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+        .write.format("vintage").mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+
+    Seq((2L, "b", 9.5)).toDF("id", "v", "score")
+      .write.format("vintage").mode("append")
+      .option("mergeSchema", "true").save(dir)
+    val back = spark.read.format("vintage").load(dir).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(back(0).isNullAt(2), "pre-evolution rows read the new column as null")
+    assert(back(1).getDouble(2) == 9.5)
+    // time travel to v0 still shows the ORIGINAL two-column schema
+    assert(spark.read.format("vintage").option("versionAsOf", 0)
+      .load(dir).schema.fieldNames.toSeq == Seq("id", "v"))
+
+    // a MISSING table column stays an error even with mergeSchema
+    val e2 = intercept[Exception] {
+      Seq((3L, 1.0)).toDF("id", "score").write.format("vintage")
+        .mode("append").option("mergeSchema", "true").save(dir)
+    }
+    assert(e2.getMessage.contains("missing=v"))
+  }
+
   test("error modes: ErrorIfExists throws, Ignore no-ops") {
     val dir = Files.createTempDirectory("vintage-conn").toString + "/e"
     Seq((1, "a")).toDF("id", "s").write.format("vintage").mode("overwrite").save(dir)
