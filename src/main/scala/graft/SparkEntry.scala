@@ -54,6 +54,8 @@ object SparkEntry {
     "q33_dedup_groups"     -> (PipelineQueries.q33DedupGroups _),
     "q34_decontaminate"    -> (PipelineQueries.q34Decontaminate _),
     "q35_length_quantiles" -> (PipelineQueries.q35LengthQuantiles _),
+    "q36_bigram_top"       -> (PipelineQueries.q36BigramTop _),
+    "q37_vocab_coverage"   -> (PipelineQueries.q37VocabCoverage _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,5 +98,7 @@ object SparkEntry {
     "q33_dedup_groups"     -> PipelineQueries.q33Sql,
     "q34_decontaminate"    -> PipelineQueries.q34Sql,
     "q35_length_quantiles" -> PipelineQueries.q35Sql,
+    "q36_bigram_top"       -> PipelineQueries.q36Sql,
+    "q37_vocab_coverage"   -> PipelineQueries.q37Sql,
   )
 }

@@ -134,6 +134,72 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_rare_tokens"))
   }
 
+  /** Space-joined word n-grams of the lowercased text; empty when the
+    * text has fewer than `n` tokens. (Guarded: Spark's `sequence(1, x)`
+    * counts DOWN when x < 1, so the short-text case must short-circuit
+    * before the sequence is built.)
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    val t = tokens(c)
+    if (n == 1) t
+    else when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
+      .otherwise(array())
+  }
+
+  /** Per-group top-`k` word n-grams by count — the head of an n-gram
+    * language model, the usual first look at a new corpus slice.
+    * Ties break on the gram string, so the result is deterministic and
+    * oracle-comparable across engines.
+    *
+    * Scale shape: the explode feeds a map-side-combinable count
+    * shuffled on (group, gram); the rank window then runs over the
+    * distinct-gram set only — vocabulary-sized, tiny next to the
+    * corpus — so the second shuffle is negligible.
+    */
+  def topNgrams(df: DataFrame, groupCol: String, textCol: String,
+                n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be positive, got $k")
+    val rk = s"__rk_${java.util.UUID.randomUUID().toString.take(8)}"
+    df.select(col(groupCol), explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .groupBy(col(groupCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+      .withColumn(rk, row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("cnt").desc, col("ngram"))))
+      .filter(col(rk) <= k).drop(rk)
+  }
+
+  /** Out-of-vocabulary statistics against the corpus' own top-
+    * `vocabSize` unigrams (ties at the cutoff break on the token
+    * string): per document, total tokens, OOV tokens, and the OOV
+    * ratio — the cheap proxy for "how much of this document will a
+    * fixed tokenizer vocabulary shred into rare pieces".
+    *
+    * Scale shape: one map-side-combinable groupBy builds the frequency
+    * table, a TakeOrdered head picks the vocabulary (vocabSize rows —
+    * always broadcastable), and the per-document OOV count is an
+    * explode + broadcast anti-join, shuffled once on the id.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val tok = s"__tok_$tag"; val freq = s"__freq_$tag"
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as(tok))
+    val vocab = toks.groupBy(tok).agg(count(lit(1)).as(freq))
+      .orderBy(col(freq).desc, col(tok)).limit(vocabSize).select(tok)
+    val oov = toks.join(broadcast(vocab), Seq(tok), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_oov"))
+    df.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .join(oov, Seq(idCol), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_ratio", when(col("n_tokens") === 0, lit(0.0))
+        .otherwise(col("n_oov") / col("n_tokens").cast("double")))
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.
     * Identical prose with differing spacing/casing collides — the usual
     * "url-level vs content-level" middle ground.

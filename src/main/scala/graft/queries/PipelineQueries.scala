@@ -622,6 +622,65 @@ object PipelineQueries {
       |  quantile_cont(n, 0.9) AS p90_tokens
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** Top-5 word bigrams per source (n-gram LM head): explode →
+    * map-side-combinable count on (source, bigram) → rank over the
+    * distinct-bigram set, ties broken on the gram string.
+    */
+  def q36BigramTop(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.topNgrams(
+      Tables.documents(spark, d).select(col("source"), col("text")),
+      "source", "text", n = 2, k = 5)
+      .orderBy(col("source"), col("cnt").desc, col("ngram"))
+
+  val q36Sql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT source,
+      |    unnest(list_transform(range(1, len(toks)),
+      |                          i -> toks[i] || ' ' || toks[i+1])) AS ngram
+      |  FROM t
+      |),
+      |c AS (SELECT source, ngram, count(*) AS cnt FROM g GROUP BY 1, 2)
+      |SELECT source, ngram, cnt FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY cnt DESC, ngram) AS rn FROM c)
+      |WHERE rn <= 5
+      |ORDER BY source, cnt DESC, ngram""".stripMargin
+
+  /** Per-document OOV rate against the corpus' own top-10 unigram
+    * vocabulary — tokenizer-coverage profiling.
+    */
+  def q37VocabCoverage(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.vocabCoverage(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", vocabSize = 10)
+      .orderBy("doc_id")
+
+  val q37Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |v AS (SELECT tok FROM (
+      |        SELECT tok, count(*) AS c FROM tok GROUP BY 1)
+      |      ORDER BY c DESC, tok LIMIT 10),
+      |o AS (SELECT doc_id, count(*) AS n_oov FROM tok
+      |      WHERE tok NOT IN (SELECT tok FROM v) GROUP BY 1)
+      |SELECT t.doc_id, len(toks) AS n_tokens,
+      |  coalesce(o.n_oov, 0) AS n_oov,
+      |  CASE WHEN len(toks) = 0 THEN 0.0
+      |       ELSE coalesce(o.n_oov, 0) / CAST(len(toks) AS DOUBLE)
+      |  END AS oov_ratio
+      |FROM t LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("wordNgrams: short and empty texts yield empty arrays, not a descending sequence") {
+    val df = Seq("a b c d", "a b", "a", "", "  ").toDF("t")
+      .select(col("t"), TextAnalysis.wordNgrams(col("t"), 3).as("g"))
+    val got = df.collect().map(r => r.getSeq[String](1).toList)
+    assert(got(0) == List("a b c", "b c d"))
+    assert(got(1) == Nil) // 2 tokens < n=3
+    assert(got(2) == Nil)
+    assert(got(3) == Nil)
+    assert(got(4) == Nil)
+  }
+
+  test("topNgrams: counts and deterministic tie-break on the gram string") {
+    val docs = Seq(
+      ("g1", "x y x y z"),   // bigrams: x y, y x, x y, y z
+      ("g1", "y z"),          // y z  → g1: "x y"×2, "y z"×2, "y x"×1
+      ("g2", "a b a b a b")  // a b ×3, b a ×2
+    ).toDF("grp", "text")
+    val top = TextAnalysis.topNgrams(docs, "grp", "text", n = 2, k = 2)
+      .orderBy("grp", "ngram").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toList
+    // g1 top-2 by (cnt desc, gram asc): "x y"(2), "y z"(2) — "y x"(1) out
+    assert(top == List(("g1", "x y", 2L), ("g1", "y z", 2L),
+      ("g2", "a b", 3L), ("g2", "b a", 2L)))
+  }
+
+  test("vocabCoverage: oov counted against top-V vocab; empty docs read 0") {
+    // corpus counts: a×4, b×3, c×2, d×1 → vocab(2) = {a, b}
+    val docs = Seq((1L, "a a b c"), (2L, "a b d"), (3L, "a b c"), (4L, ""))
+      .toDF("doc_id", "text")
+    val cov = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toList
+    assert(cov == List(
+      (1L, 4, 1L, 0.25), (2L, 3, 1L, 1.0 / 3.0), (3L, 3, 1L, 1.0 / 3.0),
+      (4L, 0, 0L, 0.0)))
+  }
+
+  test("vocabCoverage: vocab cutoff tie breaks on the token string") {
+    // b and c tie at 2; vocab(2) must pick {a, b} (freq desc, token asc)
+    val docs = Seq((1L, "a a a b b c c")).toDF("doc_id", "text")
+    val cov = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .collect().head
+    assert(cov.getLong(2) == 2L) // the two c's are OOV
+  }
+}
