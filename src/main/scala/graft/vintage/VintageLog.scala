@@ -24,9 +24,15 @@ case class Snapshot(
     * feed THESE to [[FileSkipping]] so partition predicates prune with
     * the same machinery as data stats.
     */
-  lazy val statFiles: Seq[AddFile] =
-    if (partitionColumns.isEmpty) files
-    else files.map(PartitionPaths.augment(schema, _))
+  lazy val statFiles: Seq[AddFile] = {
+    // under column mapping, file stats and partition values are keyed
+    // by PHYSICAL names — remap to logical once here so every pruning
+    // consumer (file skipping, partition pruning, metadata aggregates)
+    // keeps operating in logical space
+    val logical = ColumnMapping.statsToLogical(schema, files)
+    if (partitionColumns.isEmpty) logical
+    else logical.map(PartitionPaths.augment(schema, _))
+  }
 }
 
 /** The transaction log: ordered JSON commit files under

@@ -70,7 +70,9 @@ class VintageMergeBuilder private[vintage] (
         "schema; enable spark.vintage.schema.autoMerge.enabled for schema evolution")
     val finalSchema: StructType =
       if (autoMerge && sourceOnly.nonEmpty)
-        StructType(targetFields ++ sourceOnly.map(_.copy(nullable = true)))
+        ColumnMapping.evolve(snap.schema,
+          StructType(targetFields ++ sourceOnly.map(_.copy(nullable = true))),
+          ColumnMapping.active(snap.properties))
       else snap.schema
 
     // ---- phase 1: touched-file discovery. Stats pruning first: the
@@ -105,7 +107,7 @@ class VintageMergeBuilder private[vintage] (
         val candDf = table.readerFor(snap)
           .parquet(candidates.map(_.absolutePath(table.path)): _*)
         val tRaw = candDf.select(
-          col("_metadata.file_path").as(VintageTable.FileCol) +: targetCols.map(col): _*)
+          col("_metadata.file_path").as(VintageTable.FileCol) +: table.logicalCols(snap): _*)
         aliased(tRaw, targetAlias)
           .join(aliased(source, srcAlias), condition, "left_semi")
           .select(VintageTable.FileCol).distinct()
@@ -184,7 +186,7 @@ class VintageMergeBuilder private[vintage] (
     val adds =
       if (touched.isEmpty && notMatchedClauses.isEmpty) Nil
       else VintageTable.writeFiles(spark, toWrite, table.path, dataChange = true,
-        snap.partitionColumns)
+        snap.partitionColumns, tableSchema = finalSchema)
     val meta =
       if (finalSchema != snap.schema)
         Some(Metadata(finalSchema.json, snap.properties, snap.partitionColumns))

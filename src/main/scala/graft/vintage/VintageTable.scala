@@ -58,10 +58,11 @@ class VintageTable private (
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     else
       // the select restores the declared column order, which partition
-      // discovery moves to the end
+      // discovery moves to the end, and maps physical file columns back
+      // to their logical names under column mapping
       readerFor(s)
         .parquet(s.filePaths(path): _*)
-        .select(s.schema.fieldNames.toIndexedSeq.map(col): _*)
+        .select(logicalCols(s): _*)
 
   /** Version history, newest first — reproduces the operation log shape
     * at README.md:307-319.
@@ -160,8 +161,14 @@ class VintageTable private (
     val snap = snapshot
     val t = txn.map { case (a, v) => Txn(a, v) }
     if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
-    val adds = writeFiles(spark, df, path, dataChange, snap.partitionColumns)
-    val meta = Metadata(df.schema.json, snap.properties, snap.partitionColumns)
+    // overwrite replaces the schema with the frame's; under column
+    // mapping, same-named fields keep their physical names and new
+    // fields get fresh ones, so history stays readable
+    val newSchema = ColumnMapping.evolve(snap.schema, df.schema,
+      ColumnMapping.active(snap.properties))
+    val adds = writeFiles(spark, df, path, dataChange, snap.partitionColumns,
+      tableSchema = newSchema)
+    val meta = Metadata(newSchema.json, snap.properties, snap.partitionColumns)
     val params = Map("mode" -> "Overwrite",
       "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
       (if (dataChange) Map.empty else Map("dataChange" -> "false"))
@@ -210,13 +217,16 @@ class VintageTable private (
       (if (extra.nonEmpty) " (set mergeSchema=true to widen the table)" else ""))
     val finalSchema =
       if (extra.isEmpty) snap.schema
-      else StructType(snap.schema.fields ++ extra.map(_.copy(nullable = true)))
+      else ColumnMapping.evolve(snap.schema,
+        StructType(snap.schema.fields ++ extra.map(_.copy(nullable = true))),
+        ColumnMapping.active(snap.properties))
     val meta =
       if (extra.isEmpty) None
       else Some(Metadata(finalSchema.json, snap.properties, snap.partitionColumns))
     val adds = writeFiles(spark,
       df.select(finalSchema.fieldNames.map(col).toIndexedSeq: _*),
-      path, dataChange = true, snap.partitionColumns)
+      path, dataChange = true, snap.partitionColumns,
+      tableSchema = finalSchema)
     commitOp(snap, "WRITE",
       Map("mode" -> "Append",
           "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
@@ -559,6 +569,93 @@ class VintageTable private (
       NoRead)
   }
 
+  /** Enable column mapping ("name" mode): stamps `physical = current
+    * logical` on every field so all existing files stay readable, and
+    * unlocks [[renameColumn]]/[[dropColumn]] as metadata-only commits.
+    * Idempotent. See [[ColumnMapping]] for the design.
+    */
+  def enableColumnMapping(): Unit = {
+    val snap = snapshot
+    if (ColumnMapping.active(snap.properties)) return
+    commitOp(snap, "SET COLUMN MAPPING", Map("mode" -> "name"), Nil, Nil,
+      Some(Metadata(ColumnMapping.stamp(snap.schema).json,
+        snap.properties + (ColumnMapping.ModeProp -> "name"),
+        snap.partitionColumns)),
+      NoRead): Unit
+  }
+
+  /** RENAME COLUMN as a metadata-only commit (requires column
+    * mapping): the logical name changes, the physical name inside
+    * every file stays — zero data rewritten at any table size. Blocked
+    * when a CHECK constraint references the column (the stored
+    * predicate text would silently stop matching).
+    */
+  def renameColumn(existing: String, newName: String): Unit = {
+    val snap = snapshot
+    require(ColumnMapping.active(snap.properties),
+      "RENAME COLUMN requires column mapping: run enableColumnMapping() or " +
+      s"ALTER TABLE … SET TBLPROPERTIES('${ColumnMapping.ModeProp}'='name') first")
+    val resolved = ColumnMapping.resolveName(snap.schema, existing)
+    requireNotInConstraints(snap, resolved, "rename")
+    val schema2 = ColumnMapping.renameColumnIn(snap.schema, existing, newName)
+    val parts2 = snap.partitionColumns.map(c =>
+      if (c.equalsIgnoreCase(resolved)) newName else c)
+    val props2 = rewriteBloomProp(snap.properties, resolved, Some(newName))
+    commitOp(snap, "RENAME COLUMN", Map("from" -> resolved, "to" -> newName),
+      Nil, Nil, Some(Metadata(schema2.json, props2, parts2)), NoRead): Unit
+  }
+
+  /** DROP COLUMN as a metadata-only commit (requires column mapping —
+    * without the physical-name indirection a later re-add of the same
+    * name would resurrect the old values from surviving files). The
+    * orphaned physical column ages out as files are rewritten.
+    */
+  def dropColumn(name: String): Unit = {
+    val snap = snapshot
+    require(ColumnMapping.active(snap.properties),
+      "DROP COLUMN requires column mapping: run enableColumnMapping() or " +
+      s"ALTER TABLE … SET TBLPROPERTIES('${ColumnMapping.ModeProp}'='name') first")
+    val resolved = ColumnMapping.resolveName(snap.schema, name)
+    require(!snap.partitionColumns.exists(_.equalsIgnoreCase(resolved)),
+      s"cannot drop partition column $resolved")
+    requireNotInConstraints(snap, resolved, "drop")
+    val schema2 = ColumnMapping.dropColumnIn(snap.schema, resolved)
+    val props2 = rewriteBloomProp(snap.properties, resolved, None)
+    commitOp(snap, "DROP COLUMNS", Map("columns" -> resolved),
+      Nil, Nil, Some(Metadata(schema2.json, props2, snap.partitionColumns)),
+      NoRead): Unit
+  }
+
+  /** Reject rename/drop of a column a stored CHECK-constraint
+    * predicate references by name.
+    */
+  private def requireNotInConstraints(snap: Snapshot, colName: String,
+      verb: String): Unit =
+    Constraints.fromProperties(snap.properties).foreach { case (n, sql) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last
+      }
+      require(!refs.exists(_.equalsIgnoreCase(colName)),
+        s"cannot $verb column $colName: CHECK constraint $n references it ($sql)")
+    }
+
+  /** Keep `vintage.bloom.columns` aligned across rename (Some) or drop
+    * (None) of a column.
+    */
+  private def rewriteBloomProp(props: Map[String, String], from: String,
+      to: Option[String]): Map[String, String] =
+    props.get("vintage.bloom.columns") match {
+      case None => props
+      case Some(v) =>
+        val cols = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val updated = cols.flatMap(c =>
+          if (c.equalsIgnoreCase(from)) to.toSeq else Seq(c))
+        if (updated == cols) props
+        else if (updated.isEmpty) props - "vintage.bloom.columns"
+        else props + ("vintage.bloom.columns" -> updated.mkString(","))
+    }
+
   /** Physically delete files that are no longer referenced by the
     * current snapshot and were removed more than `retentionHours` ago
     * (README.md:415). Past versions older than the retention window
@@ -735,8 +832,9 @@ class VintageTable private (
     else {
       readerFor(snap)
         .parquet(cands.map(_.absolutePath(path)): _*)
-        .select(col("_metadata.file_path").as(FileCol))
+        .select(col("_metadata.file_path").as(FileCol) +: logicalCols(snap): _*)
         .where(condition)
+        .select(col(FileCol))
         .distinct()
         .collect()
         .map(r => relativize(r.getString(0)))
@@ -747,16 +845,26 @@ class VintageTable private (
   private[vintage] def readFiles(snap: Snapshot, rel: Set[String]): DataFrame =
     readerFor(snap)
       .parquet(rel.map(r => AddFile.resolve(path, r)).toSeq: _*)
-      .select(snap.schema.fieldNames.toIndexedSeq.map(col): _*)
+      .select(logicalCols(snap): _*)
 
-  /** Parquet reader for this table's files. `basePath` (hive partition
-    * inference) is set only for partitioned tables: a shallow clone's
-    * files live OUTSIDE the table root, which basePath would reject —
-    * and partitioned tables never hold cloned absolute files
-    * (shallowClone rejects them).
+  /** Declared-order projection restoring LOGICAL names over a frame
+    * read with the snapshot's physical schema (identity rename when
+    * column mapping is off).
+    */
+  private[vintage] def logicalCols(snap: Snapshot): IndexedSeq[Column] =
+    snap.schema.fields.toIndexedSeq.map(f =>
+      col(ColumnMapping.physicalName(f)).as(f.name))
+
+  /** Parquet reader for this table's files — requests the PHYSICAL
+    * schema (what is actually inside the files under column mapping;
+    * identical to the logical one otherwise). `basePath` (hive
+    * partition inference) is set only for partitioned tables: a
+    * shallow clone's files live OUTSIDE the table root, which basePath
+    * would reject — and partitioned tables never hold cloned absolute
+    * files (shallowClone rejects them).
     */
   private[vintage] def readerFor(snap: Snapshot): org.apache.spark.sql.DataFrameReader = {
-    val rd = spark.read.schema(snap.schema)
+    val rd = spark.read.schema(ColumnMapping.physicalSchema(snap.schema))
     if (snap.partitionColumns.nonEmpty) rd.option("basePath", path) else rd
   }
 
@@ -968,13 +1076,18 @@ object VintageTable {
     val missing = partitionBy.filterNot(c =>
       df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty, s"partition columns not in schema: $missing")
+    // creating directly in column-mapping mode: stamp physical names up
+    // front so the first files are already written under them
+    val schema0 =
+      if (ColumnMapping.active(properties)) ColumnMapping.stamp(df.schema)
+      else df.schema
     val adds = writeFiles(spark, df, abs, dataChange = true, partitionBy,
-      tableProps = properties)
+      tableProps = properties, tableSchema = schema0)
     val info = CommitInfo(0L, System.currentTimeMillis(), "WRITE",
       Map("mode" -> "Overwrite",
           "partitionBy" -> partitionBy.mkString("[", ",", "]")))
     VintageLog.commit(abs, 0L,
-      Seq(info, Metadata(df.schema.json, properties, partitionBy)) ++
+      Seq(info, Metadata(schema0.json, properties, partitionBy)) ++
         txn.map { case (a, v) => Txn(a, v) }.toSeq ++ adds)
     new VintageTable(spark, abs, None)
   }
@@ -1089,7 +1202,8 @@ object VintageTable {
   private[vintage] def writeFiles(
       spark: SparkSession, df: DataFrame, tableDir: String,
       dataChange: Boolean, partitionBy: Seq[String] = Nil,
-      tableProps: Map[String, String] = null): Seq[AddFile] = {
+      tableProps: Map[String, String] = null,
+      tableSchema: StructType = null): Seq[AddFile] = {
     val dir = new HPath(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new HPath(tableDir, s".tmp-${UUID.randomUUID().toString.take(8)}")
@@ -1097,25 +1211,41 @@ object VintageTable {
       if (tableProps != null) tableProps
       else if (VintageLog.exists(tableDir)) VintageLog.replay(tableDir).properties
       else Map.empty[String, String]
+    // column mapping: the incoming frame is in LOGICAL names (that is
+    // what constraints and callers speak); the files must store
+    // PHYSICAL names. The mapping source is the table schema — passed
+    // by schema-evolving callers, replayed otherwise.
+    val mapSchema =
+      if (tableSchema != null) tableSchema
+      else if (VintageLog.exists(tableDir)) VintageLog.replay(tableDir).schema
+      else null
+    val mappingOn = mapSchema != null && ColumnMapping.mapped(mapSchema)
+    def phys(c: String): String =
+      if (mappingOn) ColumnMapping.toPhysical(mapSchema, c) else c
     // CHECK constraints ride inside the write plan (codegen'd filter
     // that raises on violation) — layout-only rewrites (compaction,
     // clustering) skip the check: their rows were validated when first
     // written
     val checked = if (dataChange) Constraints.enforce(df, props) else df
-    var writer = checked.write.mode("overwrite")
+    val physDf =
+      if (!mappingOn) checked
+      else checked.select(checked.schema.fieldNames.toIndexedSeq
+        .map(c => col(c).as(phys(c))): _*)
+    val physPartitionBy = partitionBy.map(phys)
+    var writer = physDf.write.mode("overwrite")
     // `vintage.bloom.columns` table property: write parquet bloom
     // filters for the listed columns — at 100 TB min/max stats cannot
     // prune point lookups on high-cardinality unsorted keys, but the
     // parquet reader's row-group bloom check can (applied automatically
     // under pushed equality filters)
     bloomColumns(props).foreach { c =>
-      writer = writer.option(s"parquet.bloom.filter.enabled#$c", "true")
+      writer = writer.option(s"parquet.bloom.filter.enabled#${phys(c)}", "true")
     }
     // on ANY staging failure (constraint violation is a routine one)
     // the tmp dir must go: vacuum deliberately skips .tmp- dirs, so a
     // leak here would never be reclaimed
     try {
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      (if (physPartitionBy.nonEmpty) writer.partitionBy(physPartitionBy: _*) else writer)
         .parquet(tmp.toString)
     } catch { case e: Throwable =>
       try fs.delete(tmp, true) catch { case _: java.io.IOException => () }
@@ -1138,7 +1268,7 @@ object VintageTable {
       (s.getPath.toString,
        s"${prefix}part-${UUID.randomUUID().toString}.snappy.parquet")
     }
-    val statCols = ParquetStats.statsColumns(df.schema)
+    val statCols = ParquetStats.statsColumns(physDf.schema)
     val tableDirStr = tableDir
     // ship the session Hadoop conf to the executors: object stores and
     // custom filesystems are configured there (credentials, fs.* impls),
