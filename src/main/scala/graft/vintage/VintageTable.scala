@@ -629,7 +629,7 @@ class VintageTable private (
   /** Reject rename/drop of a column a stored CHECK-constraint
     * predicate references by name.
     */
-  private def requireNotInConstraints(snap: Snapshot, colName: String,
+  private[vintage] def requireNotInConstraints(snap: Snapshot, colName: String,
       verb: String): Unit =
     Constraints.fromProperties(snap.properties).foreach { case (n, sql) =>
       val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
@@ -643,7 +643,7 @@ class VintageTable private (
   /** Keep `vintage.bloom.columns` aligned across rename (Some) or drop
     * (None) of a column.
     */
-  private def rewriteBloomProp(props: Map[String, String], from: String,
+  private[vintage] def rewriteBloomProp(props: Map[String, String], from: String,
       to: Option[String]): Map[String, String] =
     props.get("vintage.bloom.columns") match {
       case None => props

@@ -121,36 +121,79 @@ class VintageCatalog extends TableCatalog {
 
   /** ALTER TABLE … ADD COLUMN(S) widens the schema; SET/UNSET
     * TBLPROPERTIES edits table properties (e.g.
-    * `vintage.bloom.columns`). Both are metadata-only commits (new
-    * columns nullable; existing files read them as null — the same
-    * mechanics as merge schema evolution). Other changes are rejected.
+    * `vintage.bloom.columns`; setting
+    * `vintage.columnMapping.mode = name` stamps physical names —
+    * see [[graft.vintage.ColumnMapping]]); RENAME COLUMN and DROP
+    * COLUMN are metadata-only under column mapping. All are
+    * metadata-only commits. Other changes are rejected.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import graft.vintage.ColumnMapping
     val p = pathFor(ident)
     if (!VintageLog.exists(p)) throw new NoSuchTableException(ident)
     val snap = VintageLog.replay(p)
+    val t = VintageTable.forPath(spark, p)
     var schema = snap.schema
     var props = snap.properties
+    var parts = snap.partitionColumns
+    def requireMapping(what: String): Unit =
+      require(ColumnMapping.active(props),
+        s"$what requires column mapping: ALTER TABLE … SET TBLPROPERTIES" +
+        s"('${ColumnMapping.ModeProp}'='name') first")
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "nested ADD COLUMN not supported for vintage tables")
-        schema = schema.add(add.fieldNames()(0),
-          add.dataType(), nullable = true, add.comment())
+        schema = ColumnMapping.evolve(schema,
+          schema.add(add.fieldNames()(0),
+            add.dataType(), nullable = true, add.comment()),
+          ColumnMapping.active(props))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "nested RENAME COLUMN not supported for vintage tables")
+        requireMapping("RENAME COLUMN")
+        val resolved = ColumnMapping.resolveName(schema, ren.fieldNames()(0))
+        t.requireNotInConstraints(snap, resolved, "rename")
+        schema = ColumnMapping.renameColumnIn(schema, resolved, ren.newName())
+        parts = parts.map(c =>
+          if (c.equalsIgnoreCase(resolved)) ren.newName() else c)
+        props = t.rewriteBloomProp(props, resolved, Some(ren.newName()))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "nested DROP COLUMN not supported for vintage tables")
+        requireMapping("DROP COLUMN")
+        val resolved = ColumnMapping.resolveName(schema, del.fieldNames()(0))
+        require(!parts.exists(_.equalsIgnoreCase(resolved)),
+          s"cannot drop partition column $resolved")
+        t.requireNotInConstraints(snap, resolved, "drop")
+        schema = ColumnMapping.dropColumnIn(schema, resolved)
+        props = t.rewriteBloomProp(props, resolved, None)
+      case set: TableChange.SetProperty
+          if set.property() == ColumnMapping.ModeProp =>
+        require(set.value().equalsIgnoreCase("name"),
+          s"${ColumnMapping.ModeProp} supports only 'name' " +
+          "(and cannot be disabled once files are written under it)")
+        schema = ColumnMapping.stamp(schema)
+        props = props + (set.property() -> set.value())
       case set: TableChange.SetProperty =>
         props = props + (set.property() -> set.value())
       case rm: TableChange.RemoveProperty =>
+        require(rm.property() != ColumnMapping.ModeProp ||
+            !ColumnMapping.active(props),
+          "cannot disable column mapping: files already reference " +
+          "physical column names")
         props = props - rm.property()
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE change $other not supported for vintage tables")
     }
-    if (schema != snap.schema || props != snap.properties) {
+    if (schema != snap.schema || props != snap.properties ||
+        parts != snap.partitionColumns) {
       // metadata-only commit routed through the optimistic retry loop:
       // racing another writer re-commits at the next version instead of
       // surfacing a raw ConcurrentModificationException
-      VintageTable.forPath(spark, p).commitOp(snap, "ALTER TABLE",
+      t.commitOp(snap, "ALTER TABLE",
         Map("changes" -> changes.mkString(",")), Nil, Nil,
-        Some(graft.vintage.Metadata(schema.json, props, snap.partitionColumns)),
+        Some(graft.vintage.Metadata(schema.json, props, parts)),
         graft.vintage.NoRead)
     }
     loadTable(ident)

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 import org.apache.parquet.hadoop.ParquetInputFormat
 
-import graft.vintage.{FileSkipping, PartitionPaths, Snapshot}
+import graft.vintage.{ColumnMapping, FileSkipping, PartitionPaths, Snapshot}
 
 /** Native DSv2 scan over a vintage snapshot: plans one task set from
   * the log-derived, stats-pruned file list and reads through Spark's
@@ -79,15 +79,30 @@ class VintageNativeScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // column mapping: the parquet reader is the ONE seam that must see
+    // PHYSICAL names — schemas are renamed field-for-field (positions,
+    // hence row layout, unchanged) and filter references translated;
+    // untranslatable filters are dropped (they stay residual above)
+    val mappingOn = ColumnMapping.mapped(snapshot.schema)
+    def toPhys(s: StructType): StructType =
+      if (!mappingOn) s
+      else StructType(s.fields.map(f =>
+        f.copy(name = ColumnMapping.toPhysical(snapshot.schema, f.name))))
     // row-group-level pushdown: only filters over data columns reach
     // parquet (partition columns do not exist inside the files)
-    val dataFilters = pushedFilters.filter(
+    val dataFilters0 = pushedFilters.filter(
       _.references.forall(r => !isPartCol(r)))
+    val dataFilters =
+      if (!mappingOn) dataFilters0
+      else dataFilters0.flatMap(Filters.renameRefs(_,
+        n => ColumnMapping.toPhysical(snapshot.schema, n)))
     // the same conf preparation ParquetScan.createReaderFactory does:
     // the reader instantiates ParquetReadSupport from these keys
     val conf = spark.sessionState.conf
     val hadoopConf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
-    val readDataSchemaJson = readDataSchema.json
+    val physDataSchema = toPhys(dataSchema)
+    val physReadDataSchema = toPhys(readDataSchema)
+    val readDataSchemaJson = physReadDataSchema.json
     hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)
     hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchemaJson)
@@ -109,8 +124,8 @@ class VintageNativeScan(
     ParquetPartitionReaderFactory(
       conf,
       spark.sparkContext.broadcast(new SerializableConfiguration(hadoopConf)),
-      dataSchema,
-      readDataSchema,
+      physDataSchema,
+      physReadDataSchema,
       readPartitionSchema,
       dataFilters,
       None,

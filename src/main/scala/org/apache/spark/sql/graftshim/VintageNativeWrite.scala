@@ -19,7 +19,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.vintage.{AddFile, ParquetStats, PartitionPaths, VintageTable}
+import graft.vintage.{AddFile, ColumnMapping, ParquetStats, PartitionPaths, VintageTable}
 
 /** Native DSv2 write path for vintage tables — the write-side twin of
   * [[VintageNativeScan]].
@@ -69,14 +69,21 @@ class VintageWrite(
     val spark = SparkSession.active
     val dataSchema = StructType(tableSchema.filterNot(f =>
       partitionCols.exists(_.equalsIgnoreCase(f.name))))
+    // column mapping: projections, constraints, and partition-ordinal
+    // lookups all speak LOGICAL names; only what touches the files —
+    // the parquet writer schema, footer stat keys, bloom options, and
+    // hive directory names — is renamed to the PHYSICAL names
+    val physDataSchema = ColumnMapping.physicalSchema(dataSchema)
+    val physPartitionCols = partitionCols.map(ColumnMapping.toPhysical(tableSchema, _))
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     // honor the vintage.bloom.columns table property on the native
     // path too (see VintageTable.writeFiles); properties come from the
     // enclosing table's snapshot — no extra log replay per write
     graft.vintage.VintageTable.bloomColumns(tableProperties)
-      .foreach(c => job.getConfiguration.set(s"parquet.bloom.filter.enabled#$c", "true"))
+      .foreach(c => job.getConfiguration.set(
+        s"parquet.bloom.filter.enabled#${ColumnMapping.toPhysical(tableSchema, c)}", "true"))
     val factory = ParquetUtils.prepareWrite(
-      spark.sessionState.conf, job, dataSchema,
+      spark.sessionState.conf, job, physDataSchema,
       new ParquetOptions(Map.empty[String, String], spark.sessionState.conf))
     // CHECK constraints: resolve each predicate against the table
     // schema ONCE here (analyzer pass over an empty frame), wrap for
@@ -100,7 +107,7 @@ class VintageWrite(
             Coalesce(Seq(cond, Literal(true))), out))
         }
     new VintageBatchWrite(tablePath, tableSchema.json, dataSchema.json,
-      partitionCols, overwrite, factory,
+      physDataSchema.json, partitionCols, physPartitionCols, overwrite, factory,
       new SerializableConfiguration(job.getConfiguration), constraints)
   }
 }
@@ -110,14 +117,17 @@ private[graftshim] case class VintageCommitMessage(adds: Seq[AddFile])
 
 class VintageBatchWrite(
     tablePath: String, tableSchemaJson: String, dataSchemaJson: String,
-    partitionCols: Seq[String], overwrite: Boolean,
+    physDataSchemaJson: String,
+    partitionCols: Seq[String], physPartitionCols: Seq[String],
+    overwrite: Boolean,
     factory: OutputWriterFactory, conf: SerializableConfiguration,
     constraints: Seq[(String, String, Expression)] = Nil)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new VintageWriterFactory(tablePath, tableSchemaJson, dataSchemaJson,
-      partitionCols, factory, conf, constraints)
+      physDataSchemaJson, partitionCols, physPartitionCols, factory, conf,
+      constraints)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = messages.toSeq.flatMap {
@@ -143,7 +153,9 @@ class VintageBatchWrite(
 
 class VintageWriterFactory(
     tableDir: String, tableSchemaJson: String, dataSchemaJson: String,
-    partitionCols: Seq[String], factory: OutputWriterFactory,
+    physDataSchemaJson: String,
+    partitionCols: Seq[String], physPartitionCols: Seq[String],
+    factory: OutputWriterFactory,
     conf: SerializableConfiguration,
     constraints: Seq[(String, String, Expression)] = Nil)
     extends DataWriterFactory {
@@ -152,7 +164,9 @@ class VintageWriterFactory(
     new VintageDataWriter(tableDir,
       DataType.fromJson(tableSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
-      partitionCols, factory, conf, partitionId, taskId, constraints)
+      DataType.fromJson(physDataSchemaJson).asInstanceOf[StructType],
+      partitionCols, physPartitionCols, factory, conf, partitionId, taskId,
+      constraints)
 }
 
 /** Task-side writer: one open parquet `OutputWriter` per partition
@@ -162,7 +176,9 @@ class VintageWriterFactory(
   */
 class VintageDataWriter(
     tableDir: String, tableSchema: StructType, dataSchema: StructType,
-    partitionCols: Seq[String], factory: OutputWriterFactory,
+    physDataSchema: StructType,
+    partitionCols: Seq[String], physPartitionCols: Seq[String],
+    factory: OutputWriterFactory,
     conf: SerializableConfiguration, partitionId: Int, taskId: Long,
     constraints: Seq[(String, String, Expression)] = Nil)
     extends DataWriter[InternalRow] {
@@ -173,7 +189,7 @@ class VintageDataWriter(
   private val checks = constraints.map { case (n, sql, e) =>
     (n, sql, Predicate.create(e))
   }
-  private val statCols = ParquetStats.statsColumns(dataSchema)
+  private val statCols = ParquetStats.statsColumns(physDataSchema)
   private val dataProj = UnsafeProjection.create(
     dataSchema.map { f =>
       val i = tableSchema.fieldIndex(f.name)
@@ -250,7 +266,7 @@ class VintageDataWriter(
   private def writerFor(row: InternalRow): OutputWriter = {
     val key =
       if (partFields.isEmpty) ""
-      else partFields.zip(partitionCols).map { case ((i, dt), c) =>
+      else partFields.zip(physPartitionCols).map { case ((i, dt), c) =>
         s"${escapePathName(c)}=${partitionValueString(row, i, dt)}"
       }.mkString("/")
     writers.get(key) match {
@@ -271,7 +287,7 @@ class VintageDataWriter(
         val target = new HPath(tableDir, rel)
         val fs = target.getFileSystem(hconf)
         if (rel.contains('/')) fs.mkdirs(target.getParent)
-        val w = factory.newInstance(target.toString, dataSchema, attemptContext())
+        val w = factory.newInstance(target.toString, physDataSchema, attemptContext())
         openPaths(key) = rel
         writers(key) = w
         w

@@ -11,7 +11,7 @@ import org.apache.spark.sql.sources.BaseRelation
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.vintage.{AddFile, FileSkipping, PartitionPaths, Snapshot}
+import graft.vintage.{AddFile, ColumnMapping, FileSkipping, PartitionPaths, Snapshot}
 
 /** FileIndex over a vintage snapshot: the live file list comes from
   * transaction-log replay (version-pinned for time travel) and
@@ -82,12 +82,20 @@ object VintageRelation {
     val index = new VintageFileIndex(spark, tablePath, snapshot)
     val dataSchema = StructType(snapshot.schema.filterNot(f =>
       snapshot.partitionColumns.exists(_.equalsIgnoreCase(f.name))))
+    // under column mapping the whole relation speaks LOGICAL names;
+    // only the parquet reader boundary translates to the physical
+    // names inside the files (rows are positional, so nothing else
+    // needs to know)
+    val format =
+      if (!ColumnMapping.mapped(snapshot.schema)) new ParquetFileFormat()
+      else new MappedParquetFileFormat(snapshot.schema.fields
+        .map(f => f.name -> ColumnMapping.physicalName(f)).toMap)
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      fileFormat = format,
       options = Map.empty)(ClassicConversions.castToImpl(spark))
   }
 }

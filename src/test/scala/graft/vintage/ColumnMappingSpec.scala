@@ -118,6 +118,68 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.toDF.filter(col("region") === "eu").count() == 3)
   }
 
+  test("format(\"vintage\") read path translates physical names (filter + pruned projection)") {
+    val d = dir("conn")
+    val t = VintageTable.create(spark, d,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "name", "amount"))
+    t.enableColumnMapping()
+    t.renameColumn("amount", "price")
+    t.append(Seq((4L, "d", 40.0)).toDF("id", "name", "price"))
+
+    val df = spark.read.format("vintage").load(d)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "price"))
+    assert(df.filter(col("price") > 15.0).count() == 3)
+    assert(df.select("price").orderBy("price").collect().map(_.getDouble(0)).toSeq ==
+      Seq(10.0, 20.0, 30.0, 40.0))
+    // time travel through the connector keeps the pre-rename schema
+    assert(spark.read.format("vintage").option("versionAsOf", 0).load(d)
+      .schema.fieldNames.toSeq == Seq("id", "name", "amount"))
+  }
+
+  test("SQL catalog: ALTER TABLE RENAME/DROP COLUMN, reads and INSERT after rename") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.vmap", "graft.vintage.connector.VintageCatalog")
+    s.conf.set("spark.sql.catalog.vmap.warehouse",
+      Files.createTempDirectory("vintage-colmap-wh").toString)
+
+    s.sql("CREATE TABLE vmap.t (id BIGINT, name STRING, amount DOUBLE)")
+    s.sql("INSERT INTO vmap.t VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+
+    val e = intercept[Exception] {
+      s.sql("ALTER TABLE vmap.t RENAME COLUMN amount TO price") }
+    assert(e.getMessage.contains("columnMapping"))
+
+    s.sql("ALTER TABLE vmap.t SET TBLPROPERTIES" +
+      "('vintage.columnMapping.mode'='name')")
+    s.sql("ALTER TABLE vmap.t RENAME COLUMN amount TO price")
+
+    assert(s.sql("SELECT * FROM vmap.t").schema.fieldNames.toSeq ==
+      Seq("id", "name", "price"))
+    // native columnar scan reads the physical column under the new name
+    assert(s.sql("SELECT price FROM vmap.t WHERE price > 15.0").collect()
+      .map(_.getDouble(0)).toSeq == Seq(20.0))
+    // native DSv2 write speaks logical names, stores physical
+    s.sql("INSERT INTO vmap.t VALUES (3, 'c', 30.0)")
+    assert(s.sql("SELECT sum(price) FROM vmap.t").head().getDouble(0) == 60.0)
+
+    // metadata-only aggregate over the remapped stats
+    assert(s.sql("SELECT count(*), min(price), max(price) FROM vmap.t").head()
+      .toSeq == Seq(3L, 10.0, 30.0))
+
+    s.sql("ALTER TABLE vmap.t DROP COLUMN name")
+    assert(s.sql("SELECT * FROM vmap.t").schema.fieldNames.toSeq ==
+      Seq("id", "price"))
+    // re-added name starts from null, not the dropped values
+    s.sql("ALTER TABLE vmap.t ADD COLUMN name STRING")
+    assert(s.sql("SELECT name FROM vmap.t WHERE name IS NOT NULL").count() == 0)
+
+    // mapping cannot be disabled once on
+    assert(intercept[Exception] {
+      s.sql("ALTER TABLE vmap.t UNSET TBLPROPERTIES" +
+        "('vintage.columnMapping.mode')") }
+      .getMessage.contains("disable"))
+  }
+
   test("guard rails: mapping required, duplicate names, partition drop, constraint refs") {
     val t = VintageTable.create(spark, dir("guard"),
       Seq((1L, "x", 5.0)).toDF("id", "name", "amount"))
