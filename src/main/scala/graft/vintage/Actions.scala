@@ -26,6 +26,15 @@ sealed trait Action
   *        (unescaped; a null partition value is the hive default
   *        sentinel). Empty for unpartitioned tables. `path` is then
   *        relative to the table root including the partition dirs.
+  * @param dv sorted file-row positions logically DELETED from this file
+  *        (a merge-on-read deletion vector, stored inline in the log —
+  *        Delta's DV concept sized for its sweet spot: sparse deletes,
+  *        where rewriting a 1 GB file to drop 50 rows is the thing to
+  *        avoid at 100 TB). Empty = every physical row is live. Readers
+  *        subtract these positions via the parquet `_metadata.row_index`
+  *        column, which Spark keeps stable under splits and row-group
+  *        skipping. Dense deletes rewrite the file instead (see
+  *        `vintage.deletionVectors.maxInline`).
   */
 case class AddFile(
     path: String,
@@ -34,7 +43,11 @@ case class AddFile(
     dataChange: Boolean,
     numRecords: Option[Long] = None,
     stats: Map[String, ColStats] = Map.empty,
-    partitionValues: Map[String, String] = Map.empty) extends Action {
+    partitionValues: Map[String, String] = Map.empty,
+    dv: Seq[Long] = Nil) extends Action {
+  /** Live (undeleted) row count, when the footer count is known. */
+  def liveRecords: Option[Long] = numRecords.map(_ - dv.size)
+
   /** Resolved location: `path` is normally relative to the table root,
     * but a SHALLOW CLONE records the source's files by absolute
     * path/URI (Delta's convention) — those resolve as-is.
@@ -113,7 +126,11 @@ object Action {
           ("stats" -> f.stats.map { case (c, s) =>
             c -> (("min" -> s.min) ~ ("max" -> s.max) ~ ("nullCount" -> s.nullCount))
           }) ~
-          ("partitionValues" -> f.partitionValues))
+          ("partitionValues" -> f.partitionValues) ~
+          // omitted when empty: the common no-deletions case costs zero
+          // bytes, and pre-DV readers of such logs see identical lines
+          ("dv" -> (if (f.dv.isEmpty) JNothing else JArray(
+            f.dv.map(JLong(_)).toList))))
       case f: RemoveFile =>
         "remove" -> (
           ("path" -> f.path) ~ ("deletionTimestamp" -> f.deletionTimestamp) ~
@@ -165,6 +182,10 @@ object Action {
           partitionValues = (a \ "partitionValues") match {
             case o: JObject => o.obj.map { case (k, v) => k -> v.extract[String] }.toMap
             case _ => Map.empty
+          },
+          dv = (a \ "dv") match {
+            case JArray(xs) => xs.map(_.extract[Long])
+            case _ => Nil
           })
       case (_, r: JObject, _, _) =>
         RemoveFile(

@@ -53,16 +53,19 @@ class VintageTable private (
   def toDFAsOfTimestamp(ts: Long): DataFrame =
     dfForSnapshot(snapshotAt(VintageLog.versionAtTimestamp(path, ts)))
 
-  private def dfForSnapshot(s: Snapshot): DataFrame =
+  private[graft] def dfForSnapshot(s: Snapshot): DataFrame =
     if (s.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     else
       // the select restores the declared column order, which partition
       // discovery moves to the end, and maps physical file columns back
-      // to their logical names under column mapping
-      readerFor(s)
-        .parquet(s.filePaths(path): _*)
-        .select(logicalCols(s): _*)
+      // to their logical names under column mapping; files carrying
+      // deletion vectors lose their deleted positions via the broadcast
+      // anti-join in [[DeletionVectors.applyTo]] (no-op wrapper when no
+      // file has one)
+      DeletionVectors.applyTo(
+        readerFor(s).parquet(s.filePaths(path): _*),
+        path, s.files, logicalCols(s))
 
   /** Version history, newest first — reproduces the operation log shape
     * at README.md:307-319.
@@ -95,6 +98,10 @@ class VintageTable private (
 
   def delete(condition: Column): Unit = {
     val snap = snapshot
+    if (DeletionVectors.enabled(snap.properties)) {
+      deleteWithDvs(snap, condition)
+      return
+    }
     val touched = touchedFiles(snap, condition)
     val scope = PredicateRead(ColumnExpr.expr(condition))
     if (touched.isEmpty) {
@@ -108,6 +115,73 @@ class VintageTable private (
       snap.partitionColumns)
     commitOp(snap, "DELETE", Map("predicate" -> condition.toString),
       adds, removesFor(snap, touched), None, scope)
+  }
+
+  /** Merge-on-read delete (`vintage.deletionVectors.enabled`): instead
+    * of rewriting every touched file, record the matching rows' file
+    * positions as inline deletion vectors — commit cost is
+    * O(deleted rows), not O(touched bytes), the decisive difference for
+    * sparse deletes at 100 TB. Per-file hybrid: a file whose DV would
+    * exceed `vintage.deletionVectors.maxInline` positions is rewritten
+    * copy-on-write instead (when most of a file dies, rewriting the
+    * survivors is the cheaper plan AND keeps the log small). Reads
+    * subtract DVs via [[DeletionVectors.applyTo]]; OPTIMIZE/compaction
+    * rewrites purge them.
+    */
+  private def deleteWithDvs(snap: Snapshot, condition: Column): Unit = {
+    val scope = PredicateRead(ColumnExpr.expr(condition))
+    val params = Map("predicate" -> condition.toString, "mode" -> "merge-on-read")
+    val cands = candidateFiles(snap, condition)
+    if (cands.isEmpty) {
+      commitOp(snap, "DELETE", params, Nil, Nil, None, scope)
+      return
+    }
+    // (fileKey, position) of LIVE rows matching the predicate — rows
+    // already in a DV are excluded so positions never double-count
+    val matches = DeletionVectors.livePositionsMatching(
+      readerFor(snap).parquet(cands.map(_.absolutePath(path)): _*),
+      path, cands, logicalCols(snap), coalesce(condition, lit(false)))
+    val counts = matches.groupBy(col(DeletionVectors.FileKeyCol))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) {
+      commitOp(snap, "DELETE", params, Nil, Nil, None, scope)
+      return
+    }
+    val byKey = cands.map(f =>
+      DeletionVectors.fileKey(f.absolutePath(path)) -> f).toMap
+    val cap = DeletionVectors.maxInline(snap.properties)
+    val (dvKeys, rewriteKeys) = counts.keys.toSeq.partition { k =>
+      byKey(k).dv.size + counts(k) <= cap
+    }
+    // inline-DV side: union new positions into each file's vector
+    val dvAdds =
+      if (dvKeys.isEmpty) Nil
+      else {
+        val dvKeySet = dvKeys.toSet
+        val newPositions = matches
+          .filter(col(DeletionVectors.FileKeyCol).isInCollection(dvKeySet))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2) }
+        dvKeys.map { k =>
+          val f = byKey(k)
+          f.copy(dataChange = true,
+            dv = (f.dv ++ newPositions(k)).distinct.sorted)
+        }
+      }
+    // over-cap side: classic copy-on-write rewrite of the survivors
+    val rewriteFiles = rewriteKeys.map(byKey)
+    val rewriteAdds =
+      if (rewriteFiles.isEmpty) Nil
+      else writeFiles(spark,
+        readFilesExact(snap, rewriteFiles).filter(!coalesce(condition, lit(false))),
+        path, dataChange = true, snap.partitionColumns)
+    val touched = (dvKeys ++ rewriteKeys).map(k => byKey(k).path).toSet
+    commitOp(snap, "DELETE",
+      params + ("deletionVectors" -> dvKeys.size.toString,
+                "rewrittenFiles" -> rewriteKeys.size.toString),
+      dvAdds ++ rewriteAdds, removesFor(snap, touched), None, scope)
   }
 
   /** Conditional column update (README.md:290
@@ -334,11 +408,14 @@ class VintageTable private (
         val removedFiles =
           if (removedPaths.isEmpty) Nil
           else snapshotAt(v - 1).files.filter(f => removedPaths.contains(f.path))
+        // exact AddFiles, not just paths: a deletion-vector commit
+        // re-adds the SAME path with a larger DV, and the diff below is
+        // only position-exact if each side reads with ITS dv state
         def readOrEmpty(files: Seq[AddFile]): DataFrame =
           if (files.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapV.schema)
-          else readFiles(snapV, files.map(_.path).toSet)
+          else readFilesExact(snapV, files)
         val a = readOrEmpty(adds)
         val r = readOrEmpty(removedFiles)
         val ins = if (removedFiles.isEmpty) a else a.exceptAll(r)
@@ -518,9 +595,12 @@ class VintageTable private (
   def restoreToVersion(v: Long): Unit = {
     val snap = snapshot
     val old = snapshotAt(v)
-    val current = snap.files.map(_.path).toSet
+    // identity compare: a path present in both versions may still need
+    // re-adding when its deletion vector differs (re-add replaces the
+    // entry on replay, restoring the old DV state)
+    val current = snap.files.map(f => f.path -> f).toMap
     val wanted = old.files.map(_.path).toSet
-    val adds = old.files.filterNot(f => current.contains(f.path))
+    val adds = old.files.filterNot(f => current.get(f.path).contains(f))
     val removes = snap.files.filterNot(f => wanted.contains(f.path))
       .map(f => RemoveFile(f.path, System.currentTimeMillis(), dataChange = true))
     val meta = Metadata(old.schema.json, old.properties, old.partitionColumns)
@@ -843,9 +923,18 @@ class VintageTable private (
   }
 
   private[vintage] def readFiles(snap: Snapshot, rel: Set[String]): DataFrame =
-    readerFor(snap)
-      .parquet(rel.map(r => AddFile.resolve(path, r)).toSeq: _*)
-      .select(logicalCols(snap): _*)
+    readFilesExact(snap,
+      snap.files.filter(f =>
+        rel.contains(f.path) || rel.contains(VintageTable.canonicalKey(f.path))))
+
+  /** Read exactly these AddFiles (which need not be live in `snap` —
+    * the change feed reads a REMOVED file with the deletion vector it
+    * had before removal), applying each file's DV.
+    */
+  private[vintage] def readFilesExact(snap: Snapshot, files: Seq[AddFile]): DataFrame =
+    DeletionVectors.applyTo(
+      readerFor(snap).parquet(files.map(_.absolutePath(path)): _*),
+      path, files, logicalCols(snap))
 
   /** Declared-order projection restoring LOGICAL names over a frame
     * read with the snapshot's physical schema (identity rename when
@@ -962,8 +1051,16 @@ class VintageTable private (
               s"source files were concurrently ingested into $path: " +
               s"${ingestOverlap.take(3).mkString(",")} — re-run COPY INTO " +
               s"(already-ingested files are skipped) (caused by: $e)")
-          val liveNow = current.files.map(_.path).toSet
-          val removedConcurrently = removes.exists(r => !liveNow.contains(r.path))
+          // IDENTITY compare, not path membership: a deletion-vector
+          // commit re-adds the same path with a new DV, so two racing
+          // DV deletes of one file would both see the path "live" —
+          // the second must fail (its DV union was computed from the
+          // stale vector: committing it would silently UNDELETE the
+          // winner's rows)
+          val liveNow = current.files.map(f => f.path -> f).toMap
+          val snapByPath = snap.files.map(f => f.path -> f).toMap
+          val removedConcurrently =
+            removes.exists(r => liveNow.get(r.path) != snapByPath.get(r.path))
           // metadata conflicts are judged from the replayed snapshot
           // (no extra per-version file reads — a NoRead append's retry
           // must not race readers against a commit file mid-publish)

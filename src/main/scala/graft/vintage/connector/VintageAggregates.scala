@@ -106,16 +106,24 @@ object VintageAggregates {
       case _ => None
     }
 
-  /** Evaluate one aggregate over a file group; None aborts the pushdown. */
+  /** Evaluate one aggregate over a file group; None aborts the pushdown.
+    *
+    * Deletion vectors: `count(*)` stays metadata-answerable
+    * (`liveRecords` = footer count minus DV cardinality — exact by
+    * construction). `count(col)`, min, and max REFUSE files carrying a
+    * DV: the footer null count and min/max include the deleted rows,
+    * so the stats may over- or under-state the live answer.
+    */
   private def evalAgg(schema: StructType, files: Seq[AddFile],
                       fn: AggregateFunc): Option[Any] = fn match {
     case _: CountStar =>
-      traverse(files)(_.numRecords).map(_.sum)
+      traverse(files)(_.liveRecords).map(_.sum)
     case c: Count if !c.isDistinct =>
       singleField(schema, c.column).flatMap { f =>
         traverse(files) { file =>
           for {
             n <- file.numRecords
+            if file.dv.isEmpty
             nulls <- colStats(file, f.name).flatMap(_.nullCount)
           } yield n - nulls
         }.map(_.sum)
@@ -129,16 +137,20 @@ object VintageAggregates {
                      col: VExpr, isMin: Boolean): Option[Any] =
     singleField(schema, col).filter(f => exactStatType(f.dataType)).flatMap { f =>
       // each file contributes Some(ordKey -> value), or None for an
-      // all-null file; a file with no usable stat kills the pushdown
+      // all-null file; a file with no usable stat kills the pushdown —
+      // as does a deletion vector (the extremum may be a deleted row)
       val perFile = traverse(files) { file =>
-        val st = colStats(file, f.name)
-        val bound = st.flatMap(s => if (isMin) s.min else s.max)
-        bound.flatMap(decode(f.dataType, _)) match {
-          case Some(kv) => Some(Some(kv))
-          case None =>
-            val allNull = for {n <- file.numRecords; s <- st; nc <- s.nullCount}
-              yield nc == n
-            if (allNull.contains(true)) Some(None) else None
+        if (file.dv.nonEmpty) None
+        else {
+          val st = colStats(file, f.name)
+          val bound = st.flatMap(s => if (isMin) s.min else s.max)
+          bound.flatMap(decode(f.dataType, _)) match {
+            case Some(kv) => Some(Some(kv))
+            case None =>
+              val allNull = for {n <- file.numRecords; s <- st; nc <- s.nullCount}
+                yield nc == n
+              if (allNull.contains(true)) Some(None) else None
+          }
         }
       }
       perFile.map { contribs =>

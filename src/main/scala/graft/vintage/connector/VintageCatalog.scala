@@ -273,7 +273,15 @@ class VintageSqlTable(
       override def build(): Scan = aggResult match {
         case Some(r) => new VintageMetadataScan(r, ident)
         case None =>
-          new VintageNativeScan(spark, tablePath, snapshot, required, pushed)
+          // merge-on-read: deletion vectors subtract rows via a plan-
+          // level anti-join, which the columnar native scan cannot
+          // express — route through the V1 bridge until OPTIMIZE
+          // purges the DVs (VintageAggregates stays in charge of the
+          // metadata-answerable cases either way)
+          if (graft.vintage.DeletionVectors.hasDvs(snapshot.files))
+            new DvRelations.DvV1Scan(tablePath, snapshot, required, pushed)
+          else
+            new VintageNativeScan(spark, tablePath, snapshot, required, pushed)
       }
     }
 

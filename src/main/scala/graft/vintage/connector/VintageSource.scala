@@ -81,6 +81,12 @@ class VintageSource extends DataSourceRegister
         VintageLog.replay(abs, Some(VintageLog.versionAtTimestamp(abs, parseTs(ts))))
       case (None, None) => VintageLog.replay(abs)
     }
+    // merge-on-read: a snapshot with deletion vectors reads through the
+    // DV anti-join plan (still the vectorized parquet scan underneath;
+    // file pruning via the pushed filters, residual re-check by Spark).
+    // Compaction/OPTIMIZE purges DVs and restores the plain relation.
+    if (graft.vintage.DeletionVectors.hasDvs(snap.files))
+      return DvRelations.pruned(sqlContext, abs, snap)
     VintageRelation(sqlContext.sparkSession, abs, snap)
   }
 

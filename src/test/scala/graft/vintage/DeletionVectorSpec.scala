@@ -1,0 +1,239 @@
+package graft.vintage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Merge-on-read deletes via inline deletion vectors
+  * (`vintage.deletionVectors.enabled`): a sparse DELETE records row
+  * positions in the log instead of rewriting the touched files.
+  */
+class DeletionVectorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val DvProps = Map(DeletionVectors.EnabledProp -> "true")
+
+  private def newDir(tag: String): String =
+    Files.createTempDirectory(s"vintage-dv-$tag").toString + "/t"
+
+  test("DV delete removes rows without rewriting files") {
+    val dir = newDir("basic")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").repartition(3),
+      properties = DvProps)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+
+    t.delete(col("id") % 10 === 0) // 10 rows spread over all 3 files
+
+    val snap = t.snapshot
+    assert(snap.files.map(_.path).toSet == filesBefore,
+      "a sparse DV delete must keep the same physical files")
+    assert(snap.files.map(_.dv.size).sum == 10)
+    assert(snap.files.forall(f => f.dv == f.dv.distinct.sorted))
+    assert(t.toDF.count() == 90)
+    assert(t.toDF.filter(col("id") % 10 === 0).count() == 0)
+
+    // time travel to before the delete still sees every row
+    assert(t.toDFAsOf(0).count() == 100)
+    // history records the merge-on-read delete
+    val h = t.history().filter(col("operation") === "DELETE").collect()
+    assert(h.length == 1)
+    assert(h(0).getAs[Map[String, String]]("operationParameters")
+      .get("mode").contains("merge-on-read"))
+  }
+
+  test("stacked DV deletes union positions; re-delete is a no-op") {
+    val dir = newDir("stack")
+    val t = VintageTable.create(spark, dir,
+      (1L to 50L).map(i => (i, i % 5)).toDF("id", "k").coalesce(1),
+      properties = DvProps)
+    t.delete(col("k") === 0) // 10 rows
+    assert(t.toDF.count() == 40)
+    t.delete(col("k") === 1) // 10 more
+    assert(t.toDF.count() == 30)
+    val dvSize = t.snapshot.files.head.dv.size
+    assert(dvSize == 20)
+    // deleting already-deleted rows adds no positions
+    t.delete(col("k") === 0)
+    assert(t.snapshot.files.head.dv.size == 20)
+    assert(t.toDF.count() == 30)
+  }
+
+  test("per-file hybrid: dense file rewrites, sparse file keeps a DV") {
+    val dir = newDir("hybrid")
+    // two files via partition-ish repartition on a marker column:
+    // file A holds k=0 (50 rows), file B holds k=1 (50 rows)
+    val df = (1L to 100L).map(i => (i, i % 2)).toDF("id", "k")
+      .repartitionByRange(2, col("k"))
+    val t = VintageTable.create(spark, dir, df,
+      properties = DvProps + (DeletionVectors.MaxInlineProp -> "10"))
+    // delete 50 rows of one parity (dense: over the 10-position cap →
+    // rewrite) and 1 row of the other (sparse: DV)
+    t.delete(col("k") === 0 || col("id") === 1)
+    assert(t.toDF.count() == 49)
+    val snap = t.snapshot
+    assert(snap.files.exists(_.dv.size == 1), "sparse side should carry a DV")
+    assert(snap.files.filter(_.dv.nonEmpty).map(_.dv.size).sum == 1)
+    val params = t.history().filter(col("operation") === "DELETE")
+      .collect()(0).getAs[Map[String, String]]("operationParameters")
+    assert(params.get("deletionVectors").contains("1"))
+    assert(params.get("rewrittenFiles").contains("1"))
+  }
+
+  test("all read surfaces agree: toDF, format read, SQL catalog, time travel") {
+    val dir = newDir("surfaces")
+    val t = VintageTable.create(spark, dir,
+      (1L to 60L).map(i => (i, s"v$i")).toDF("id", "name").repartition(2),
+      properties = DvProps)
+    t.delete(col("id") <= 5)
+
+    assert(t.toDF.count() == 55)
+    val viaFormat = spark.read.format("vintage").load(dir)
+    assert(viaFormat.count() == 55)
+    assert(viaFormat.filter(col("id") <= 5).count() == 0)
+    // filter + projection through the fallback relation
+    assert(viaFormat.filter(col("id") === 6).select("name")
+      .as[String].collect().toSeq == Seq("v6"))
+    // version pin: the pre-delete snapshot ignores the DV
+    assert(spark.read.format("vintage").option("versionAsOf", 0)
+      .load(dir).count() == 60)
+  }
+
+  test("DV rows vanish from SQL catalog reads; count(*) pushdown stays exact") {
+    val dir = Files.createTempDirectory("vintage-dv-sql").toString
+    spark.conf.set("spark.sql.catalog.dvcat",
+      "graft.vintage.connector.VintageCatalog")
+    spark.conf.set("spark.sql.catalog.dvcat.warehouse", dir)
+    try {
+      VintageTable.create(spark, s"$dir/t",
+        (1L to 40L).map(i => (i, i % 4)).toDF("id", "k").coalesce(1),
+        properties = DvProps)
+      spark.sql("DELETE FROM dvcat.t WHERE k = 0") // 10 rows
+      assert(spark.sql("SELECT count(*) FROM dvcat.t").as[Long].head() == 30,
+        "metadata count(*) must subtract DV cardinality")
+      assert(spark.sql("SELECT sum(id) FROM dvcat.t").as[Long].head() ==
+        (1L to 40L).filter(_ % 4 != 0).sum)
+      // min over a DV file must NOT be answered from (stale) stats
+      assert(spark.sql("SELECT min(id) FROM dvcat.t").as[Long].head() == 1L)
+      spark.sql("DELETE FROM dvcat.t WHERE id = 1")
+      assert(spark.sql("SELECT min(id) FROM dvcat.t").as[Long].head() == 2L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dvcat")
+      spark.conf.unset("spark.sql.catalog.dvcat.warehouse")
+    }
+  }
+
+  test("change feed reports exactly the DV-deleted rows") {
+    val dir = newDir("cdf")
+    val t = VintageTable.create(spark, dir,
+      (1L to 20L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = DvProps)
+    t.delete(col("id") === 3 || col("id") === 7) // v1
+    t.delete(col("id") === 9)                    // v2 (stacked DV)
+    val ch = t.changes(0)
+      .select("id", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ch == Set((3L, "delete", 1L), (7L, "delete", 1L),
+      (9L, "delete", 2L)))
+  }
+
+  test("compaction purges DVs and restores full-file reads") {
+    val dir = newDir("compact")
+    val t = VintageTable.create(spark, dir,
+      (1L to 30L).map(i => (i, i % 3)).toDF("id", "k").repartition(2),
+      properties = DvProps)
+    t.delete(col("k") === 0)
+    assert(t.snapshot.files.exists(_.dv.nonEmpty))
+    t.compact(1)
+    val snap = t.snapshot
+    assert(snap.files.forall(_.dv.isEmpty), "compaction must purge DVs")
+    assert(t.toDF.count() == 20)
+    // and time travel across the compaction still applies the old DV
+    assert(t.toDFAsOf(1).count() == 20)
+    assert(t.toDFAsOf(0).count() == 30)
+  }
+
+  test("restore to a pre-delete version revives DV-deleted rows") {
+    val dir = newDir("restore")
+    val t = VintageTable.create(spark, dir,
+      (1L to 25L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = DvProps)
+    t.delete(col("id") > 20) // v1: DV on the single file
+    assert(t.toDF.count() == 20)
+    t.restoreToVersion(0)    // v2: must re-add the DV-free AddFile
+    assert(t.toDF.count() == 25)
+    assert(t.snapshot.files.forall(_.dv.isEmpty))
+    // and restore FORWARD to the deleted state works symmetrically
+    t.restoreToVersion(1)
+    assert(t.toDF.count() == 20)
+  }
+
+  test("racing DV deletes of the same file: loser fails instead of undeleting") {
+    val dir = newDir("race")
+    val t = VintageTable.create(spark, dir,
+      (1L to 30L).map(i => (i, i % 3)).toDF("id", "k").coalesce(1),
+      properties = DvProps)
+    // simulate a stale-snapshot race: both writers read v0, writer A
+    // commits a DV delete, then writer B (still on v0) tries its own
+    val snapBefore = t.snapshot
+    t.delete(col("k") === 0)
+    val stale = new VintageTable2(spark, t.path) // helper view below
+    intercept[java.util.ConcurrentModificationException] {
+      stale.commitStaleDvDelete(snapBefore)
+    }
+    // the winner's deletions survive
+    assert(t.toDF.count() == 20)
+  }
+
+  test("vacuum keeps DV-bearing data files alive") {
+    val dir = newDir("vacuum")
+    val t = VintageTable.create(spark, dir,
+      (1L to 40L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = DvProps)
+    t.delete(col("id") <= 3)
+    spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
+    try t.vacuum(0.0)
+    finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
+    // the (DV-carrying) file is still the live one — it must survive
+    assert(t.toDF.count() == 37)
+  }
+
+  test("merge and update on a DV table do not resurrect deleted rows") {
+    val dir = newDir("merge")
+    val t = VintageTable.create(spark, dir,
+      (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = DvProps)
+    t.delete(col("id") === 5)
+    // update touches the file: rewrite must keep row 5 gone
+    t.update(col("id") === 6, Map("name" -> lit("upd")))
+    assert(t.toDF.count() == 9)
+    assert(t.toDF.filter(col("id") === 5).count() == 0)
+    assert(t.toDF.filter(col("name") === "upd").count() == 1)
+    // merge-upsert over the survivors
+    t.as("m").merge(Seq((5L, "back"), (7L, "upd7")).toDF("id", "name").as("s"),
+        "m.id = s.id")
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    val out = t.toDF.orderBy("id").as[(Long, String)].collect().toMap
+    assert(out(5L) == "back" && out(7L) == "upd7")
+    assert(t.toDF.count() == 10)
+  }
+
+  /** Test-only window into commitOp for the stale-race scenario. */
+  private class VintageTable2(spark: org.apache.spark.sql.SparkSession,
+      path: String) {
+    def commitStaleDvDelete(stale: Snapshot): Unit = {
+      val t = VintageTable.forPath(spark, path)
+      val f = stale.files.head
+      t.commitOp(stale, "DELETE", Map("predicate" -> "test-stale"),
+        Seq(f.copy(dv = Seq(0L))),
+        Seq(RemoveFile(f.path, System.currentTimeMillis(), dataChange = true)),
+        None, PredicateRead(org.apache.spark.sql.graftshim.ColumnExpr.expr(lit(true))))
+    }
+  }
+}
