@@ -139,9 +139,19 @@ object TextAnalysis {
     * counts DOWN when x < 1, so the short-text case must short-circuit
     * before the sequence is built.)
     */
-  def wordNgrams(c: Column, n: Int): Column = {
+  def wordNgrams(c: Column, n: Int): Column =
+    ngramsOfTokens(tokens(c), n)
+
+  /** N-grams over an ALREADY-TOKENIZED array column. Callers that can
+    * should project the token array into its own column first and pass
+    * the attribute: the lambda below references the token expression
+    * 2n+2 times, and expressions inlined into a lambda are re-evaluated
+    * per reference — with a raw `tokens(text)` argument the
+    * split-lower-trim runs per GRAM ELEMENT, turning a linear scan
+    * into O(tokens²) per document.
+    */
+  def ngramsOfTokens(t: Column, n: Int): Column = {
     require(n >= 1, s"n must be positive, got $n")
-    val t = tokens(c)
     if (n == 1) t
     else when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)), i =>
@@ -155,18 +165,35 @@ object TextAnalysis {
     * oracle-comparable across engines.
     *
     * Scale shape: the explode feeds a map-side-combinable count
-    * shuffled on (group, gram); the rank window then runs over the
-    * distinct-gram set only — vocabulary-sized, tiny next to the
-    * corpus — so the second shuffle is negligible.
+    * shuffled on (group, gram). Ranking is a SALTED TWO-PHASE top-k:
+    * with few groups (the common case — sources, languages) a single
+    * `Window.partitionBy(group)` would sort each group's ENTIRE
+    * vocabulary in one task; instead phase 1 takes the top-k within
+    * `salts` hash buckets of each group in parallel (a global top-k
+    * gram is, a fortiori, top-k within its bucket — never lost), and
+    * phase 2 ranks only the <= salts × k survivors per group — a
+    * driver-trivial final window however large the corpus.
     */
   def topNgrams(df: DataFrame, groupCol: String, textCol: String,
-                n: Int, k: Int): DataFrame = {
+                n: Int, k: Int, salts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"k must be positive, got $k")
-    val rk = s"__rk_${java.util.UUID.randomUUID().toString.take(8)}"
-    df.select(col(groupCol), explode(wordNgrams(col(textCol), n)).as("ngram"))
+    require(salts >= 1, s"salts must be positive, got $salts")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val rk = s"__rk_$tag"; val bucket = s"__b_$tag"; val toks = s"__toks_$tag"
+    // tokenize ONCE per row in its own projection — see ngramsOfTokens
+    // on why inlining tokens() into the gram lambda is quadratic
+    val counts = df
+      .select(col(groupCol), tokens(col(textCol)).as(toks))
+      .select(col(groupCol), explode(ngramsOfTokens(col(toks), n)).as("ngram"))
       .groupBy(col(groupCol), col("ngram")).agg(count(lit(1)).as("cnt"))
+    val survivors = counts
+      .withColumn(bucket, pmod(xxhash64(col("ngram")), lit(salts)))
       .withColumn(rk, row_number().over(
+        Window.partitionBy(col(groupCol), col(bucket))
+          .orderBy(col("cnt").desc, col("ngram"))))
+      .filter(col(rk) <= k).drop(rk, bucket)
+    survivors.withColumn(rk, row_number().over(
         Window.partitionBy(groupCol).orderBy(col("cnt").desc, col("ngram"))))
       .filter(col(rk) <= k).drop(rk)
   }
