@@ -191,6 +191,10 @@ class VintageTable private (
     val snap = snapshot
     val bad = set.keySet.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"update of unknown columns: $bad")
+    if (DeletionVectors.enabled(snap.properties)) {
+      updateWithDvs(snap, condition, set)
+      return
+    }
     val touched = touchedFiles(snap, condition)
     val scope = PredicateRead(ColumnExpr.expr(condition))
     if (touched.isEmpty) {
@@ -199,18 +203,99 @@ class VintageTable private (
       return
     }
     val updated = readFiles(snap, touched).select(
-      snap.schema.fieldNames.toIndexedSeq.map { c =>
-        set.get(c) match {
-          case Some(e) =>
-            when(coalesce(condition, lit(false)), e.cast(snap.schema(c).dataType))
-              .otherwise(col(c)).as(c)
-          case None => col(c)
-        }
-      }: _*)
+      updateProjection(snap, condition, set): _*)
     val adds = writeFiles(spark, updated, path, dataChange = true,
       snap.partitionColumns)
     commitOp(snap, "UPDATE", Map("predicate" -> condition.toString),
       adds, removesFor(snap, touched), None, scope)
+  }
+
+  /** `when(cond, set).otherwise(col)` per column, in declared order. */
+  private def updateProjection(snap: Snapshot, condition: Column,
+      set: Map[String, Column]): IndexedSeq[Column] =
+    snap.schema.fieldNames.toIndexedSeq.map { c =>
+      set.get(c) match {
+        case Some(e) =>
+          when(coalesce(condition, lit(false)), e.cast(snap.schema(c).dataType))
+            .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+
+  /** Merge-on-read UPDATE (`vintage.deletionVectors.enabled`): DV-mark
+    * the matched rows' positions and append their updated copies as new
+    * files — write cost O(matched rows), never O(touched bytes). The
+    * same per-file inline cap as [[deleteWithDvs]] sends densely-
+    * matched files down the classic whole-file rewrite instead.
+    */
+  private def updateWithDvs(snap: Snapshot, condition: Column,
+      set: Map[String, Column]): Unit = {
+    val scope = PredicateRead(ColumnExpr.expr(condition))
+    val params = Map("predicate" -> condition.toString, "mode" -> "merge-on-read")
+    val cands = candidateFiles(snap, condition)
+    if (cands.isEmpty) {
+      commitOp(snap, "UPDATE", params, Nil, Nil, None, scope)
+      return
+    }
+    val matches = DeletionVectors.livePositionsMatching(
+      readerFor(snap).parquet(cands.map(_.absolutePath(path)): _*),
+      path, cands, logicalCols(snap), coalesce(condition, lit(false)))
+    val counts = matches.groupBy(col(DeletionVectors.FileKeyCol))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) {
+      commitOp(snap, "UPDATE", params, Nil, Nil, None, scope)
+      return
+    }
+    val byKey = cands.map(f =>
+      DeletionVectors.fileKey(f.absolutePath(path)) -> f).toMap
+    val cap = DeletionVectors.maxInline(snap.properties)
+    val (dvKeys, rewriteKeys) = counts.keys.toSeq.partition { k =>
+      byKey(k).dv.size + counts(k) <= cap
+    }
+    val dvKeySet = dvKeys.toSet
+    // DV side: mark old positions deleted, append the updated copies
+    val (dvAdds, updatedAdds) =
+      if (dvKeys.isEmpty) (Nil, Nil)
+      else {
+        val newPositions = matches
+          .filter(col(DeletionVectors.FileKeyCol).isInCollection(dvKeySet))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2) }
+        val marked = dvKeys.map { k =>
+          val f = byKey(k)
+          f.copy(dataChange = true,
+            dv = (f.dv ++ newPositions(k)).distinct.sorted)
+        }
+        // matched LIVE rows of the DV-side files, with the SET applied
+        val dvFiles = dvKeys.map(byKey)
+        val updatedRows = readFilesExact(snap, dvFiles)
+          .filter(coalesce(condition, lit(false)))
+          .select(snap.schema.fieldNames.toIndexedSeq.map { c =>
+            set.get(c) match {
+              case Some(e) => e.cast(snap.schema(c).dataType).as(c)
+              case None => col(c)
+            }
+          }: _*)
+        (marked,
+         writeFiles(spark, updatedRows, path, dataChange = true,
+           snap.partitionColumns))
+      }
+    // dense side: classic whole-file rewrite
+    val rewriteFiles = rewriteKeys.map(byKey)
+    val rewriteAdds =
+      if (rewriteFiles.isEmpty) Nil
+      else writeFiles(spark,
+        readFilesExact(snap, rewriteFiles)
+          .select(updateProjection(snap, condition, set): _*),
+        path, dataChange = true, snap.partitionColumns)
+    val touched = (dvKeys ++ rewriteKeys).map(k => byKey(k).path).toSet
+    commitOp(snap, "UPDATE",
+      params + ("deletionVectors" -> dvKeys.size.toString,
+                "rewrittenFiles" -> rewriteKeys.size.toString),
+      dvAdds ++ updatedAdds ++ rewriteAdds, removesFor(snap, touched),
+      None, scope)
   }
 
   // ------------------------------------------------------------ overwrite

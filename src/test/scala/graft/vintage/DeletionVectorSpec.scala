@@ -224,6 +224,45 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.toDF.count() == 10)
   }
 
+  test("merge-on-read UPDATE: DV-marks old rows, appends updated copies") {
+    val dir = newDir("mor-update")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").repartition(2),
+      properties = DvProps)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    t.update(col("id") % 25 === 0, Map("name" -> lit("upd"))) // 4 rows
+    val snap = t.snapshot
+    assert(filesBefore.subsetOf(snap.files.map(_.path).toSet),
+      "original files must survive a sparse merge-on-read update")
+    assert(snap.files.map(_.dv.size).sum == 4)
+    assert(t.toDF.count() == 100)
+    assert(t.toDF.filter(col("name") === "upd").count() == 4)
+    assert(t.toDF.filter(col("id") === 25 && col("name") =!= "upd").count() == 0)
+    val params = t.history().filter(col("operation") === "UPDATE")
+      .collect()(0).getAs[Map[String, String]]("operationParameters")
+    assert(params.get("mode").contains("merge-on-read"))
+    // change feed: update = delete of old values + insert of new ones
+    val ch = t.changes(0, 1)
+      .select("id", "name", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch == (Set(25L, 50L, 75L, 100L).flatMap(i =>
+      Set((i, s"n$i", "delete"), (i, "upd", "insert")))))
+    // time travel to before the update
+    assert(t.toDFAsOf(0).filter(col("name") === "upd").count() == 0)
+  }
+
+  test("merge-on-read UPDATE falls back to rewrite past the inline cap") {
+    val dir = newDir("mor-update-cap")
+    val t = VintageTable.create(spark, dir,
+      (1L to 60L).map(i => (i, i % 2, "x")).toDF("id", "k", "v").coalesce(1),
+      properties = DvProps + (DeletionVectors.MaxInlineProp -> "5"))
+    t.update(col("k") === 0, Map("v" -> lit("y"))) // 30 matches > cap 5
+    val snap = t.snapshot
+    assert(snap.files.forall(_.dv.isEmpty), "dense update must rewrite, not DV")
+    assert(t.toDF.filter(col("v") === "y").count() == 30)
+    assert(t.toDF.count() == 60)
+  }
+
   /** Test-only window into commitOp for the stale-race scenario. */
   private class VintageTable2(spark: org.apache.spark.sql.SparkSession,
       path: String) {
