@@ -56,6 +56,8 @@ object SparkEntry {
     "q35_length_quantiles" -> (PipelineQueries.q35LengthQuantiles _),
     "q36_bigram_top"       -> (PipelineQueries.q36BigramTop _),
     "q37_vocab_coverage"   -> (PipelineQueries.q37VocabCoverage _),
+    "q38_bm25"             -> (PipelineQueries.q38Bm25 _),
+    "q39_quality_filter"   -> (PipelineQueries.q39QualityFilter _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,5 +102,7 @@ object SparkEntry {
     "q35_length_quantiles" -> PipelineQueries.q35Sql,
     "q36_bigram_top"       -> PipelineQueries.q36Sql,
     "q37_vocab_coverage"   -> PipelineQueries.q37Sql,
+    "q38_bm25"             -> PipelineQueries.q38Sql,
+    "q39_quality_filter"   -> PipelineQueries.q39Sql,
   )
 }

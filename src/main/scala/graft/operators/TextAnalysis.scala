@@ -159,6 +159,89 @@ object TextAnalysis {
       .otherwise(array())
   }
 
+  /** BM25 keyword relevance of each document for a bag of query
+    * `terms` — the classic lexical retrieval scorer (k1/b are the
+    * standard Robertson parameters). Returns `(idCol, bm25)` for every
+    * document matching at least one term; callers order/limit for
+    * top-k retrieval.
+    *
+    * Scale shape: one corpus pass explodes tokens and keeps only the
+    * query terms (a broadcast-sized literal set), term frequencies and
+    * document frequencies are map-side-combinable groupBys over
+    * O(matched doc-terms) rows, the corpus statistics (N, total
+    * length) are one 1-row aggregate cross-joined in, and the final
+    * score is a per-row expression — no corpus-sized shuffle
+    * anywhere except the doc-length join, which shuffles only the
+    * MATCHED documents.
+    *
+    * Determinism: per-term scores are double arithmetic in a fixed
+    * expression order, then cast to `decimal(20,6)` BEFORE the
+    * per-document sum — decimal addition is exact and
+    * order-independent, so the result hash-matches any engine that
+    * mirrors the expression (the last-ulp `ln` difference between
+    * libm implementations vanishes in the 1e-6 rounding).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
+    val stats = lens.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tl"))
+    val matched = toks
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .filter(col("__tok").isInCollection(terms))
+    val tf = matched.groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val score = idf * ((col("__tf") * (lit(k1) + lit(1))) /
+      (col("__tf") + lit(k1) * ((lit(1) - lit(b)) +
+        lit(b) * (col("__dl") / (col("__tl").cast("double") / col("__n"))))))
+    tf.join(broadcast(dfreq), "__tok")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), score.cast("decimal(20,6)").as("__s"))
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("bm25"))
+  }
+
+  /** Gopher/C4-style document quality filter: per-document structural
+    * signals plus the combined `keep` verdict — the standard first
+    * cleaning gate of a pretraining pipeline (word-count window, mean
+    * word length window, symbol-token ratio cap, minimum stopword
+    * presence). All signals are per-row rational arithmetic rounded to
+    * `decimal(20,6)`, so the verdicts are deterministic and
+    * engine-portable.
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String],
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minStopwordHits: Int = 2): DataFrame = {
+    require(stopwords.nonEmpty, "qualityFilter needs a stopword list")
+    val t = col("__toks")
+    val nw = size(t).cast("long")
+    val meanLen = when(size(t) === 0, lit(0.0)).otherwise(
+      aggregate(transform(t, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+        .cast("double") / size(t))
+    val symbolRatio = when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, x => !x.rlike("[a-z0-9]"))).cast("double") / size(t))
+    val stopHits = size(array_intersect(t,
+      array(stopwords.map(lit): _*))).cast("long")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        nw.as("n_words"),
+        meanLen.cast("decimal(20,6)").as("mean_wlen"),
+        symbolRatio.cast("decimal(20,6)").as("symbol_ratio"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_wlen") >= minMeanWordLen &&
+        col("mean_wlen") <= maxMeanWordLen &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("stop_hits") >= minStopwordHits)
+  }
+
   /** Per-group top-`k` word n-grams by count — the head of an n-gram
     * language model, the usual first look at a new corpus slice.
     * Ties break on the gram string, so the result is deterministic and

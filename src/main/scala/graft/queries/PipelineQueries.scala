@@ -681,6 +681,86 @@ object PipelineQueries {
       |  END AS oov_ratio
       |FROM t LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Top-20 documents by BM25 relevance for a 3-term keyword query —
+    * lexical retrieval over the corpus. Per-term scores round to
+    * decimal(20,6) before the per-doc sum so the result is exact on
+    * any engine (see [[TextAnalysis.bm25]]).
+    */
+  def q38Bm25(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", terms = Seq("hash", "merge", "vector"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  val q38Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS t
+      |  FROM documents
+      |),
+      |lens AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+      |stats AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS tl FROM lens),
+      |term AS (
+      |  SELECT doc_id, tok FROM toks, LATERAL unnest(t) AS u(tok)
+      |  WHERE tok IN ('hash', 'merge', 'vector')
+      |),
+      |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM term GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |    CAST(ln(1.0::DOUBLE +
+      |        (stats.n - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE)) *
+      |      ((tf.tf * (1.2::DOUBLE + 1)) /
+      |       (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) +
+      |          0.75::DOUBLE * (lens.dl / (stats.tl::DOUBLE / stats.n)))))
+      |      AS DECIMAL(20,6)) AS s
+      |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
+      |)
+      |SELECT doc_id, sum(s) AS bm25 FROM scored GROUP BY 1
+      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Gopher/C4-style quality gate: structural signals + keep verdict
+    * per document (word-count window, mean-word-length window,
+    * symbol-token cap, stopword presence).
+    */
+  def q39QualityFilter(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.qualityFilter(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "doc_id", "text",
+      stopwords = Seq("data", "join", "row", "scan", "table", "key"),
+      minWords = 25L, maxWords = 100000L,
+      minMeanWordLen = 3.5, maxMeanWordLen = 5.5,
+      maxSymbolRatio = 0.1, minStopwordHits = 4)
+      .orderBy("doc_id")
+
+  val q39Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS t
+      |  FROM documents
+      |),
+      |sig AS (
+      |  SELECT doc_id,
+      |    len(t)::BIGINT AS n_words,
+      |    CAST(CASE WHEN len(t) = 0 THEN 0.0 ELSE
+      |      coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'),
+      |               0)::DOUBLE / len(t) END AS DECIMAL(20,6)) AS mean_wlen,
+      |    CAST(CASE WHEN len(t) = 0 THEN 0.0 ELSE
+      |      len(list_filter(t, x -> NOT regexp_matches(x, '[a-z0-9]')))::DOUBLE
+      |        / len(t) END AS DECIMAL(20,6)) AS symbol_ratio,
+      |    len(list_intersect(t,
+      |      ['data','join','row','scan','table','key']))::BIGINT AS stop_hits
+      |  FROM toks
+      |)
+      |SELECT doc_id, n_words, mean_wlen, symbol_ratio, stop_hits,
+      |  (n_words >= 25 AND n_words <= 100000 AND
+      |   mean_wlen >= 3.5 AND mean_wlen <= 5.5 AND
+      |   symbol_ratio <= 0.1 AND stop_hits >= 4) AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin
+
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)

@@ -53,4 +53,51 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().head
     assert(cov.getLong(2) == 2L) // the two c's are OOV
   }
+
+  test("bm25: ranks the term-dense short doc first; non-matching docs absent") {
+    val docs = Seq(
+      (1L, "cat cat cat"),                   // tf=3, short → highest
+      (2L, "cat dog bird fish mouse wolf"),  // tf=1, longer
+      (3L, "dog dog dog dog"),               // no query term → absent
+      (4L, "cat")                            // tf=1, shortest
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"))
+      .orderBy(col("bm25").desc, col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue())).toList
+    assert(r.map(_._1) == List(1L, 4L, 2L))
+    // manual check for doc 4: N=4, df=3, dl=1, avgdl=14/4
+    val idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
+    val s4 = idf * ((1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (1 / (14.0 / 4)))))
+    assert(math.abs(r.find(_._1 == 4L).get._2 - s4) < 1e-6)
+  }
+
+  test("bm25: multi-term scores sum per document") {
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat")).toDF("doc_id", "text")
+    val one = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val two = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(two(1L).compareTo(one(1L)) > 0, "adding a matched term raises doc 1")
+    assert(two(2L) == one(2L), "doc 2 has no 'dog' — score unchanged")
+  }
+
+  test("qualityFilter: signals and keep verdict, empty doc safe") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat with the dog and the fox"), // 12 words
+      (2L, "supercalifragilistic"),                            // 1 long word
+      (3L, "")                                                 // empty
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFilter(docs, "doc_id", "text",
+        stopwords = Seq("the", "and", "with", "on"),
+        minWords = 5L, maxWords = 100L,
+        minMeanWordLen = 2.0, maxMeanWordLen = 8.0,
+        maxSymbolRatio = 0.1, minStopwordHits = 3)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("keep"))
+    assert(r(0).getLong(r(0).fieldIndex("n_words")) == 12L)
+    assert(r(0).getLong(r(0).fieldIndex("stop_hits")) == 4L)
+    assert(!r(1).getAs[Boolean]("keep")) // too few words, word too long
+    assert(!r(2).getAs[Boolean]("keep")) // empty
+    assert(r(2).getLong(r(2).fieldIndex("n_words")) == 0L)
+  }
 }
