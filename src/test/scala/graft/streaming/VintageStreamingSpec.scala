@@ -246,6 +246,32 @@ class VintageStreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming source: deletion-vector table snapshot excludes deleted rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/dv"
+    VintageTable.create(spark, dir,
+      (1L to 20L).map(i => (i, s"n$i")).toDF("id", "s").coalesce(1),
+      properties = Map(graft.vintage.DeletionVectors.EnabledProp -> "true"))
+    val t = VintageTable.forPath(spark, dir)
+    t.delete(col("id") <= 5) // merge-on-read: same file, DV of 5 positions
+    assert(t.snapshot.files.exists(_.dv.nonEmpty))
+
+    val cp = Files.createTempDirectory("vintage-src-cp").toString
+    val q = spark.readStream.format("vintage").load(dir)
+      .writeStream.format("memory").queryName("vdvsnap")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vdvsnap").count() == 15,
+        "initial snapshot must subtract DV positions")
+      assert(spark.table("vdvsnap").filter(col("id") <= 5).count() == 0)
+      // post-start appends still flow
+      t.append(Seq((21L, "n21")).toDF("id", "s"))
+      q.processAllAvailable()
+      assert(spark.table("vdvsnap").count() == 16)
+    } finally q.stop()
+  }
+
   test("streaming source: startingVersion=latest emits only post-start commits") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vintage-src").toString + "/l"
