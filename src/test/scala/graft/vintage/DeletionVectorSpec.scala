@@ -224,6 +224,25 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.toDF.count() == 10)
   }
 
+  test("DV delete on a hive-partitioned table prunes and reads correctly") {
+    val dir = newDir("part")
+    val t = VintageTable.create(spark, dir,
+      (1L to 60L).map(i => (i, i % 3, s"n$i")).toDF("id", "p", "name"),
+      properties = DvProps, partitionBy = Seq("p"))
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    // partition-scoped sparse delete: only p=1 files are candidates
+    t.delete(col("p") === 1 && col("id") <= 10)
+    val snap = t.snapshot
+    assert(snap.files.map(_.path).toSet == filesBefore)
+    assert(snap.files.filter(_.dv.nonEmpty)
+      .forall(_.partitionValues.get("p").contains("1")),
+      "only p=1 files may carry DVs")
+    assert(t.toDF.count() == 60 - 4) // ids 1,4,7,10 have p=1 and id<=10
+    assert(t.toDF.filter(col("p") === 1).count() == 20 - 4)
+    // partition pruning still works through the DV read path
+    assert(t.toDF.filter(col("p") === 2).count() == 20)
+  }
+
   test("merge-on-read UPDATE: DV-marks old rows, appends updated copies") {
     val dir = newDir("mor-update")
     val t = VintageTable.create(spark, dir,

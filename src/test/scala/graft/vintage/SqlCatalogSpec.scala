@@ -370,6 +370,41 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(strMin.head().getString(0) == "a")
   }
 
+  test("scan reports log-derived statistics; pruning shrinks them; joins broadcast") {
+    spark.sql("CREATE TABLE vin.stats_t (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO vin.stats_t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(1000)")
+
+    // full-scan stats come from the log: exact row count, real bytes
+    val full = spark.table("vin.stats_t")
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    assert(fullStats.rowCount.contains(BigInt(1000)) ||
+      fullStats.sizeInBytes < Long.MaxValue / 4,
+      s"expected log-derived stats, got $fullStats")
+
+    // a partition predicate prunes files BEFORE the estimate
+    val prunedDf = spark.sql("SELECT * FROM vin.stats_t WHERE p = 'a'")
+    val prunedSize = prunedDf.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats.sizeInBytes
+    }
+    val fullSize = full.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.stats.sizeInBytes
+    }
+    assert(prunedSize.get < fullSize.get,
+      s"pruned scan must report smaller size: $prunedSize vs $fullSize")
+
+    // a small catalog table joined to a big one plans a broadcast join
+    spark.sql("CREATE TABLE vin.stats_dim (p STRING, label STRING)")
+    spark.sql("INSERT INTO vin.stats_dim VALUES ('a', 'even'), ('b', 'odd')")
+    val joined = spark.sql(
+      "SELECT t.id, d.label FROM vin.stats_t t JOIN vin.stats_dim d ON t.p = d.p")
+    val planStr = joined.queryExecution.sparkPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"expected broadcast join for the 2-row dimension, got:\n$planStr")
+  }
+
   test("a stats-less file forces metadata aggregates to fall back to a scan") {
     spark.sql("CREATE TABLE vin.agg2 (id BIGINT)")
     spark.sql("INSERT INTO vin.agg2 SELECT id FROM range(10)")
