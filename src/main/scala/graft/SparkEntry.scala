@@ -58,6 +58,7 @@ object SparkEntry {
     "q37_vocab_coverage"   -> (PipelineQueries.q37VocabCoverage _),
     "q38_bm25"             -> (PipelineQueries.q38Bm25 _),
     "q39_quality_filter"   -> (PipelineQueries.q39QualityFilter _),
+    "q40_semantic_dedup"   -> (PipelineQueries.q40SemanticDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,9 +92,10 @@ object SparkEntry {
     "q25_stratified_sample" -> PipelineQueries.q25Sql,
     "q26_sample_topk"      -> PipelineQueries.q26Sql,
     "q27_repetition"       -> PipelineQueries.q27Sql,
-    // q28_ann_ivf / q29_simhash_pairs: no SQL oracle (quantizer- and
-    // hamming-band-dependent); driver records rows-only checks, exact
-    // semantics pinned by SimilaritySpec / DedupSpec
+    // q28_ann_ivf / q29_simhash_pairs / q40_semantic_dedup: no SQL
+    // oracle (quantizer- and hamming-band-dependent); driver records
+    // rows-only checks, exact semantics pinned by SimilaritySpec /
+    // DedupSpec
     "q30_contamination"    -> PipelineQueries.q30Sql,
     "q31_chunk_spans"      -> PipelineQueries.q31Sql,
     "q32_rare_tokens"      -> PipelineQueries.q32Sql,

@@ -179,24 +179,27 @@ object Similarity {
     *     (`limit(maxFitRows)`, no sampling). Only safe when file order
     *     is content-neutral.
     */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int,
-      numCells: Int = 16, nprobe: Int = 6, seed: Long = 42L,
-      maxFitRows: Long = 100000L, fitFraction: Double = 0.0): DataFrame = {
+  /** Fit a coarse KMeans quantizer on a bounded sample of `corpusVec`
+    * (which must carry a `__feat` vector column). Fit-sample policy —
+    * `fitFraction`:
+    *   - `0.0` ("auto", the safe default): one `count()`, then a
+    *     corpus-wide uniform sample capped at `maxFitRows` — unbiased
+    *     on any physical layout;
+    *   - `(0, 1)`: skip the count, `sample(f).limit(maxFitRows)`;
+    *   - `1.0`: fast-but-biased head fit (`limit` only).
+    * A coarse quantizer only needs roughly-placed centroids — recall
+    * comes from probing/verification, not KMeans convergence, so 10
+    * iterations is the training budget.
+    */
+  private def fitQuantizer(
+      corpusVec: DataFrame, numCells: Int, seed: Long,
+      maxFitRows: Long, fitFraction: Double,
+      predictionCol: String): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(maxFitRows > 0 && maxFitRows <= Int.MaxValue,
       s"maxFitRows must be in (0, ${Int.MaxValue}], got $maxFitRows")
     require(fitFraction >= 0.0 && fitFraction <= 1.0,
       s"fitFraction must be in [0, 1] (0 = auto), got $fitFraction")
-    require(k > 0, s"k must be positive, got $k")
-    require(numCells > 0 && nprobe > 0 && nprobe <= numCells,
-      s"need 0 < nprobe <= numCells, got nprobe=$nprobe numCells=$numCells")
-    val spark = corpus.sparkSession
-
-    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("__feat"))
     val fitInput =
       if (fitFraction == 0.0) {
         val n = corpusVec.count()
@@ -208,12 +211,26 @@ object Similarity {
       } else if (fitFraction >= 1.0) corpusVec.limit(maxFitRows.toInt)
       else corpusVec.sample(withReplacement = false, fitFraction, seed)
         .limit(maxFitRows.toInt)
-    // a COARSE quantizer only needs roughly-placed centroids — recall
-    // comes from nprobe, not from KMeans convergence; 10 iterations is
-    // the usual IVF training budget and halves index-build time
-    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__feat").setPredictionCol("__cell")
+    new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__feat").setPredictionCol(predictionCol)
       .fit(fitInput)
+  }
+
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numCells: Int = 16, nprobe: Int = 6, seed: Long = 42L,
+      maxFitRows: Long = 100000L, fitFraction: Double = 0.0): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    require(k > 0, s"k must be positive, got $k")
+    require(numCells > 0 && nprobe > 0 && nprobe <= numCells,
+      s"need 0 < nprobe <= numCells, got nprobe=$nprobe numCells=$numCells")
+    val spark = corpus.sparkSession
+
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("__feat"))
+    val model = fitQuantizer(corpusVec, numCells, seed, maxFitRows,
+      fitFraction, "__cell")
     val assigned = model.transform(corpusVec)
       .select(col("neighbor_id"), col("__cv"), col("__cell"))
 
@@ -290,5 +307,77 @@ object Similarity {
       eligible.unpersist(blocking = false)
       out
     }
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs: a KMeans coarse
+    * quantizer partitions the corpus into `numClusters` cells, and
+    * exact cosine runs only WITHIN each cell — the published recipe
+    * for web-scale semantic dedup (cluster first, compare locally).
+    * Returns (id_a, id_b, cosine_sim) with id_a < id_b and
+    * cosine_sim >= threshold.
+    *
+    * Versus [[cosineNearDupPairs]] (LSH buckets): clustering adapts to
+    * the corpus' own density — a topically-clumped corpus lands clumps
+    * in dedicated cells instead of overflowing generic hash buckets —
+    * at the cost of the quantizer fit and of missing pairs that
+    * straddle a cell boundary (inherent to the method; raise
+    * `numClusters` resolution or fall back to LSH when recall
+    * dominates). Cells larger than `maxClusterSize` are dropped with
+    * the same skew guard as every bucket join here.
+    *
+    * Scale shape: fit on a bounded sample ([[fitQuantizer]]), one
+    * assignment pass, then a self-join shuffled on the cell id — no
+    * cartesian anywhere, and per-cell cost is bounded by the cap.
+    */
+  def semanticDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numClusters: Int = 64, seed: Long = 42L,
+      maxFitRows: Long = 100000L, fitFraction: Double = 0.0,
+      maxClusterSize: Int = 10000, materialize: Boolean = true): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    require(numClusters > 0, s"numClusters must be positive, got $numClusters")
+    val corpusVec = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      array_to_vector(col(vecCol)).as("__feat"))
+    val model = fitQuantizer(corpusVec, numClusters, seed, maxFitRows,
+      fitFraction, "__cell")
+    val assigned0 = model.transform(corpusVec)
+      .select(col("__id"), col("__v"), col("__cell"))
+    val assigned =
+      if (materialize)
+        assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else assigned0
+    val sizes = assigned.groupBy("__cell")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxClusterSize))
+      .select("__cell")
+    val eligible = assigned.join(sizes, Seq("__cell"))
+    val result = eligible.as("l")
+      .join(eligible.as("r"),
+        col("l.__cell") === col("r.__cell") && col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        cosine(col("l.__v"), col("r.__v")).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+    if (!materialize) result
+    else {
+      val out = graft.operators.Dedup.materializeSmall(result)
+      assigned.unpersist(blocking = false)
+      out
+    }
+  }
+
+  /** Semantic dedup: keep ONE representative (smallest id) per
+    * transitive cluster of semantic near-duplicates
+    * ([[semanticDedupPairs]] closed under connectivity), plus every
+    * unpaired document.
+    */
+  def dropSemanticDuplicates(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      numClusters: Int = 64, seed: Long = 42L): DataFrame = {
+    val losers = Components.connectedComponents(
+        semanticDedupPairs(df, idCol, vecCol, threshold, numClusters, seed),
+        "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }

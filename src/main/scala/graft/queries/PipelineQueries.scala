@@ -381,6 +381,21 @@ object PipelineQueries {
       .orderBy("query_id", "rk")
   }
 
+  /** SemDeDup-style semantic dedup pairs on planted duplicate vectors
+    * (no SQL oracle — the KMeans quantizer isn't ANSI-expressible;
+    * SimilaritySpec pins exact-recall/precision semantics; driver
+    * checks rows).
+    */
+  def q40SemanticDedup(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    Similarity.semanticDedupPairs(emb.unionByName(planted),
+        "vec_id", "embedding", threshold = 0.999, numClusters = 16)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** SimHash near-dup pairs on planted near-duplicates (no SQL oracle —
     * hamming banding isn't ANSI-expressible; DedupSpec pins semantics;
     * driver checks rows).

@@ -167,4 +167,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r4 >= r1, "OR-amplification must not lose pairs")
     assert(r4 >= 0.9, f"4-table recall $r4%.2f below 0.9")
   }
+
+  test("semanticDedupPairs finds planted duplicates; precision is exact") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(col("vec_id") < 300)
+    val planted = emb.filter(col("vec_id") < 30)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val df = emb.unionByName(planted)
+    val found = Similarity.semanticDedupPairs(df, "vec_id", "embedding",
+        threshold = 0.999, numClusters = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // an identical copy lands in the same KMeans cell by construction,
+    // so exact-duplicate recall is 1.0; cosine >= threshold is verified
+    // exactly, so precision is 1.0 too
+    val wanted = (0L until 30L).map(i => (i, i + 10000)).toSet
+    assert(found == wanted, s"expected exactly the planted pairs, got $found")
+  }
+
+  test("dropSemanticDuplicates keeps one representative per duplicate group") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(col("vec_id") < 100)
+    // two extra copies of vector 7: ids 10007 and 20007 form a chain
+    val p1 = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val p2 = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+    val df = emb.unionByName(p1).unionByName(p2)
+    val kept = Similarity.dropSemanticDuplicates(df, "vec_id", "embedding",
+        threshold = 0.999, numClusters = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(7L) && !kept.contains(10007L) && !kept.contains(20007L))
+    assert(kept.size == 100, "exactly the 100 originals survive")
+  }
+
+  test("semanticDedupPairs plan has no cartesian; oversized cells dropped") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(col("vec_id") < 200)
+    val plan = Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+        threshold = 0.9, numClusters = 8, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"))
+    // cap of 1: every >=2-member cell is dropped, so no pair survives
+    val capped = Similarity.semanticDedupPairs(emb, "vec_id", "embedding",
+      threshold = 0.0, numClusters = 2, maxClusterSize = 1)
+    assert(capped.isEmpty)
+  }
 }
