@@ -202,6 +202,26 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.toDF.count() == 37)
   }
 
+  test("DVs survive parquet checkpoint replay") {
+    val dir = newDir("checkpoint")
+    val t = VintageTable.create(spark, dir,
+      (1L to 30L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = DvProps)
+    t.delete(col("id") <= 3) // v1: DV of 3 positions
+    // push past the checkpoint interval (10) with blind appends
+    import spark.implicits._
+    (1 to 10).foreach(i =>
+      t.append(Seq((100L + i, s"x$i")).toDF("id", "name").coalesce(1)))
+    assert(t.version >= VintageLog.checkpointInterval)
+    // force a cache-free replay: the snapshot must come from the
+    // checkpoint + tail and still carry the inline vector
+    VintageLog.clearSnapshotCache()
+    val snap = t.snapshot
+    assert(snap.files.exists(_.dv.size == 3),
+      "checkpoint replay must preserve the deletion vector")
+    assert(t.toDF.count() == 27 + 10)
+  }
+
   test("merge and update on a DV table do not resurrect deleted rows") {
     val dir = newDir("merge")
     val t = VintageTable.create(spark, dir,
