@@ -59,6 +59,8 @@ object SparkEntry {
     "q38_bm25"             -> (PipelineQueries.q38Bm25 _),
     "q39_quality_filter"   -> (PipelineQueries.q39QualityFilter _),
     "q40_semantic_dedup"   -> (PipelineQueries.q40SemanticDedup _),
+    "q41_pii_redact"       -> (PipelineQueries.q41PiiRedact _),
+    "q42_token_entropy"    -> (PipelineQueries.q42TokenEntropy _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -106,5 +108,7 @@ object SparkEntry {
     "q37_vocab_coverage"   -> PipelineQueries.q37Sql,
     "q38_bm25"             -> PipelineQueries.q38Sql,
     "q39_quality_filter"   -> PipelineQueries.q39Sql,
+    "q41_pii_redact"       -> PipelineQueries.q41Sql,
+    "q42_token_entropy"    -> PipelineQueries.q42Sql,
   )
 }

@@ -242,6 +242,69 @@ object TextAnalysis {
         col("stop_hits") >= minStopwordHits)
   }
 
+  /** PII patterns shared by [[redactPii]] and [[piiCounts]] — written
+    * in the common subset of Java regex and RE2 so any engine scrubs
+    * identically (no lookaround, no backrefs).
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Scrub PII from a text column: every pattern occurrence is
+    * replaced with its placeholder, in [[PiiPatterns]] order (email
+    * before phone matters: a phone regex must not eat the digits of an
+    * address already scheduled for redaction — ordering is the
+    * contract). Pure per-row codegen'd `regexp_replace` chain — scrubs
+    * at parquet-scan speed, the standard compliance pass before a
+    * corpus leaves the trust boundary.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, re, repl)) =>
+      regexp_replace(acc, re, repl)
+    }
+
+  /** Per-pattern PII occurrence counts, as one column per pattern
+    * name (`n_email`, `n_phone`, `n_ipv4`) — the audit side of
+    * [[redactPii]]: counts are taken on the SAME progressively-scrubbed
+    * text, so overlapping patterns never double-count.
+    */
+  def piiCounts(c: Column): Seq[(String, Column)] = {
+    var cur = c
+    PiiPatterns.map { case (name, re, repl) =>
+      val n = size(regexp_extract_all(cur, lit(re), lit(0)))
+      cur = regexp_replace(cur, re, repl)
+      (s"n_$name", n.cast("long"))
+    }
+  }
+
+  /** Per-document Shannon entropy (nats) of the token distribution —
+    * the information-density quality signal: boilerplate and
+    * keyword-stuffed documents read low, natural prose reads high.
+    * Per-distinct-token contributions round to decimal(20,6) before
+    * the sum, so the score is exact on any engine (see [[bm25]] for
+    * the determinism argument).
+    *
+    * Scale shape: explode → map-side-combinable (doc, token) count →
+    * per-doc sum; both shuffles carry one row per distinct (doc,
+    * token), bounded by corpus token count.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__n"))
+    val counts = toks
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+    val p = col("__c") / col("__n").cast("double")
+    val contrib = (-p * log(p)).cast("decimal(20,6)")
+    val ent = counts.join(lens, idCol)
+      .select(col(idCol), contrib.as("__e"))
+      .groupBy(col(idCol)).agg(sum(col("__e")).as("entropy"))
+    lens.join(ent, Seq(idCol), "left")
+      .select(col(idCol), col("__n").as("n_tokens"),
+        coalesce(col("entropy"), lit(0).cast("decimal(20,6)")).as("entropy"))
+  }
+
   /** Per-group top-`k` word n-grams by count — the head of an n-gram
     * language model, the usual first look at a new corpus slice.
     * Ties break on the gram string, so the result is deterministic and

@@ -776,6 +776,92 @@ object PipelineQueries {
       |   symbol_ratio <= 0.1 AND stop_hits >= 4) AS keep
       |FROM sig ORDER BY doc_id""".stripMargin
 
+  /** PII scrub audit: plant one email / phone / IP per document (the
+    * corpus itself is synthetic and PII-free), then count and redact
+    * them. The md5 of the scrubbed text proves both engines produced
+    * byte-identical redactions.
+    */
+  def q41PiiRedact(spark: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(spark, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1 555 123 4567 at 192.168.0."),
+        pmod(col("doc_id"), lit(256)).cast("string")).as("aug"))
+    val counted = TextAnalysis.piiCounts(col("aug"))
+      .foldLeft(aug) { case (df, (name, c)) => df.withColumn(name, c) }
+    counted
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ipv4"),
+        md5(TextAnalysis.redactPii(col("aug"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q41Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id::VARCHAR ||
+      |    '@example.com or +1 555 123 4567 at 192.168.0.' ||
+      |    (doc_id % 256)::VARCHAR AS aug
+      |  FROM documents
+      |),
+      |s1 AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(aug,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+      |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '<EMAIL>', 'g') AS t1
+      |  FROM aug
+      |),
+      |s2 AS (
+      |  SELECT doc_id, n_email,
+      |    len(regexp_extract_all(t1,
+      |      '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}'))::BIGINT AS n_phone,
+      |    regexp_replace(t1, '\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}',
+      |      '<PHONE>', 'g') AS t2
+      |  FROM s1
+      |),
+      |s3 AS (
+      |  SELECT doc_id, n_email, n_phone,
+      |    len(regexp_extract_all(t2,
+      |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::BIGINT AS n_ipv4,
+      |    regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+      |      '<IP>', 'g') AS t3
+      |  FROM s2
+      |)
+      |SELECT doc_id, n_email, n_phone, n_ipv4, md5(t3) AS redacted_md5
+      |FROM s3 ORDER BY doc_id""".stripMargin
+
+  /** Per-document Shannon entropy of the token distribution
+    * (information-density quality signal). Per-distinct-token
+    * contributions round to decimal(20,6) before the sum for
+    * engine-exact results.
+    */
+  def q42TokenEntropy(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.tokenEntropy(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q42Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS t
+      |  FROM documents
+      |),
+      |lens AS (SELECT doc_id, len(t)::BIGINT AS n FROM toks),
+      |c AS (
+      |  SELECT doc_id, tok, count(*)::BIGINT AS c
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+      |),
+      |e AS (
+      |  SELECT c.doc_id,
+      |    sum(CAST(-(c.c / lens.n::DOUBLE) * ln(c.c / lens.n::DOUBLE)
+      |        AS DECIMAL(20,6))) AS entropy
+      |  FROM c JOIN lens USING (doc_id) GROUP BY 1
+      |)
+      |SELECT lens.doc_id, lens.n AS n_tokens,
+      |  coalesce(e.entropy, 0::DECIMAL(20,6)) AS entropy
+      |FROM lens LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin
+
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)

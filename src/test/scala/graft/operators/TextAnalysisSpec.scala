@@ -81,6 +81,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(two(2L) == one(2L), "doc 2 has no 'dog' — score unchanged")
   }
 
+  test("redactPii scrubs emails, phones, IPs; piiCounts audits them") {
+    val docs = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org or +44 123 456 7890"),
+      (2L, "server 10.0.0.1 and 192.168.100.200 are up"),
+      (3L, "nothing personal here")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("red"))
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail me at <EMAIL> or <PHONE>")
+    assert(out(2L) == "server <IP> and <IP> are up")
+    assert(out(3L) == "nothing personal here")
+    val counts = TextAnalysis.piiCounts(col("text"))
+      .foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
+      .orderBy("doc_id")
+      .select("n_email", "n_phone", "n_ipv4").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(counts == List((1L, 1L, 0L), (0L, 0L, 2L), (0L, 0L, 0L)))
+  }
+
+  test("tokenEntropy: uniform > skewed > constant; empty doc reads 0") {
+    val docs = Seq(
+      (1L, "a b c d"),       // uniform over 4 → ln 4
+      (2L, "a a a b"),       // skewed
+      (3L, "a a a a"),       // constant → 0
+      (4L, "")               // empty → 0
+    ).toDF("doc_id", "text")
+    val e = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getDecimal(2).doubleValue()).toMap
+    assert(math.abs(e(1L) - math.log(4.0)) < 1e-5)
+    assert(e(1L) > e(2L) && e(2L) > e(3L))
+    assert(e(3L) == 0.0 && e(4L) == 0.0)
+    val n = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1)).toList
+    assert(n == List(4L, 4L, 4L, 0L))
+  }
+
   test("qualityFilter: signals and keep verdict, empty doc safe") {
     val docs = Seq(
       (1L, "the cat sat on the mat with the dog and the fox"), // 12 words
