@@ -68,6 +68,17 @@ object Components {
     val spark = pairs.sparkSession
     import spark.implicits._
 
+    // ids are cast to long below; a non-integral id column (strings,
+    // uuids) would cast to NULL, silently filter every edge, and
+    // return an empty result — fail loudly instead
+    Seq(aCol, bCol).foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = pairs.schema(pairs.schema.fieldIndex(c)).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"connectedComponents needs integral ids; column '$c' is $dt — " +
+        "map string ids to longs (e.g. a dense rank or xxhash64) first")
+    }
+
     // One round-hop: persist the edge set's RDD (materialized by the
     // checksum job right after) and wrap it in a fresh leaf DataFrame.
     val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -184,12 +184,15 @@ object TextAnalysis {
   def bm25(df: DataFrame, idCol: String, textCol: String,
            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // tokens() lowercases the corpus — normalize the query the same
+    // way, or a mixed-case term would silently match nothing
+    val lcTerms = terms.map(_.toLowerCase)
     val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__dl"))
     val stats = lens.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tl"))
     val matched = toks
       .select(col(idCol), explode(col("__toks")).as("__tok"))
-      .filter(col("__tok").isInCollection(terms))
+      .filter(col("__tok").isInCollection(lcTerms))
     val tf = matched.groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy("__tok").agg(count(lit(1)).as("__df"))
@@ -219,6 +222,8 @@ object TextAnalysis {
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minStopwordHits: Int = 2): DataFrame = {
     require(stopwords.nonEmpty, "qualityFilter needs a stopword list")
+    // match the lowercased token stream (see bm25)
+    val lcStopwords = stopwords.map(_.toLowerCase)
     val t = col("__toks")
     val nw = size(t).cast("long")
     val meanLen = when(size(t) === 0, lit(0.0)).otherwise(
@@ -227,7 +232,7 @@ object TextAnalysis {
     val symbolRatio = when(size(t) === 0, lit(0.0)).otherwise(
       size(filter(t, x => !x.rlike("[a-z0-9]"))).cast("double") / size(t))
     val stopHits = size(array_intersect(t,
-      array(stopwords.map(lit): _*))).cast("long")
+      array(lcStopwords.map(lit): _*))).cast("long")
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         nw.as("n_words"),

@@ -43,40 +43,49 @@ object DeletionVectors {
 
   def hasDvs(files: Seq[AddFile]): Boolean = files.exists(_.dv.nonEmpty)
 
-  /** Canonical file key used on BOTH join sides: local-FS URIs reduce
-    * to a plain path (`file:///a/b` and `file:/a/b` → `/a/b`), other
-    * schemes pass through — mirroring
-    * [[VintageTable.canonicalKey]] so the log's AddFile paths and the
-    * scan's `_metadata.file_path` strings meet on equal terms.
+  /** Canonical file key used on BOTH join sides — the SQL mirror of
+    * [[VintageTable.canonicalKey]]: local-FS URIs reduce to a plain
+    * path (`file:///a`, `file:/a`, and authority-carrying
+    * `file://host/a` all → `/a`), other schemes pass through — so the
+    * log's AddFile paths and the scan's `_metadata.file_path` strings
+    * meet on equal terms.
     */
   private[vintage] def fileKeyExpr(filePathCol: Column): Column =
-    regexp_replace(filePathCol, "^file:/+", "/")
+    regexp_replace(
+      regexp_replace(filePathCol, "^file://[^/]*/", "/"),
+      "^file:/+", "/")
 
   private[vintage] def fileKey(absPath: String): String =
-    if (!absPath.contains(":")) absPath
-    else absPath.replaceFirst("^file:/+", "/")
+    VintageTable.canonicalKey(absPath)
 
   /** The deleted (fileKey, position) set of `files` as a local
     * DataFrame — bounded by the per-file inline cap, so always
-    * broadcastable.
+    * broadcastable. Column names are caller-supplied so they can be
+    * collision-proofed against the table schema.
     */
   private def dvFrame(spark: SparkSession, tablePath: String,
-      files: Seq[AddFile]): DataFrame = {
+      files: Seq[AddFile], fileCol: String, posCol: String): DataFrame = {
     import spark.implicits._
     files.filter(_.dv.nonEmpty)
       .flatMap(f => f.dv.map(p => (fileKey(f.absolutePath(tablePath)), p)))
-      .toDF("__dv_file", "__dv_pos")
+      .toDF(fileCol, posCol)
   }
 
-  private[vintage] val FileKeyCol = "__dv_file"
-  private[vintage] val PosCol = "__dv_pos"
+  /** Fresh helper-column names per call: a table column named
+    * `__dv_file` must not break DV reads.
+    */
+  private def freshNames(): (String, String) = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    (s"__dv_file_$tag", s"__dv_pos_$tag")
+  }
 
   /** Scan columns + the canonical file key and in-file position. */
-  private def withKeys(df: DataFrame, outputCols: Seq[Column]): DataFrame =
+  private def withKeys(df: DataFrame, outputCols: Seq[Column],
+      fileCol: String, posCol: String): DataFrame =
     df.select(
       (outputCols :+
-        fileKeyExpr(col("_metadata.file_path")).as(FileKeyCol) :+
-        col("_metadata.row_index").as(PosCol)): _*)
+        fileKeyExpr(col("_metadata.file_path")).as(fileCol) :+
+        col("_metadata.row_index").as(posCol)): _*)
 
   /** Wrap `df` (a scan over exactly `files`, any of which may carry a
     * DV) so deleted positions vanish. No-op when no file has a DV. The
@@ -86,26 +95,30 @@ object DeletionVectors {
   def applyTo(df: DataFrame, tablePath: String, files: Seq[AddFile],
       outputCols: Seq[Column]): DataFrame = {
     if (!hasDvs(files)) return df.select(outputCols: _*)
-    val spark = df.sparkSession
-    withKeys(df, outputCols)
-      .join(broadcast(dvFrame(spark, tablePath, files)),
-        Seq(FileKeyCol, PosCol), "left_anti")
-      .drop(FileKeyCol, PosCol)
+    val (fileCol, posCol) = freshNames()
+    withKeys(df, outputCols, fileCol, posCol)
+      .join(broadcast(dvFrame(df.sparkSession, tablePath, files, fileCol, posCol)),
+        Seq(fileCol, posCol), "left_anti")
+      .drop(fileCol, posCol)
   }
 
   /** `(fileKey, position)` of the LIVE rows of `df` matching
-    * `condition` — the write-side primitive of a merge-on-read delete:
-    * rows already in a file's DV are excluded first, so a repeated
-    * delete never double-counts a position.
+    * `condition` — the write-side primitive of a merge-on-read
+    * delete/update: rows already in a file's DV are excluded first, so
+    * a repeated delete never double-counts a position. Output columns
+    * are named `fileCol`/`posCol` (pass fresh names via
+    * [[VintageTable]]'s merge-on-read planner).
     */
   private[vintage] def livePositionsMatching(
       df: DataFrame, tablePath: String, files: Seq[AddFile],
-      outputCols: Seq[Column], condition: Column): DataFrame = {
-    val keyed = withKeys(df, outputCols)
+      outputCols: Seq[Column], condition: Column,
+      fileCol: String, posCol: String): DataFrame = {
+    val keyed = withKeys(df, outputCols, fileCol, posCol)
     val live =
       if (!hasDvs(files)) keyed
-      else keyed.join(broadcast(dvFrame(df.sparkSession, tablePath, files)),
-        Seq(FileKeyCol, PosCol), "left_anti")
-    live.filter(condition).select(col(FileKeyCol), col(PosCol))
+      else keyed.join(
+        broadcast(dvFrame(df.sparkSession, tablePath, files, fileCol, posCol)),
+        Seq(fileCol, posCol), "left_anti")
+    live.filter(condition).select(col(fileCol), col(posCol))
   }
 }

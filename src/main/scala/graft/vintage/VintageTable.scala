@@ -128,60 +128,81 @@ class VintageTable private (
     * subtract DVs via [[DeletionVectors.applyTo]]; OPTIMIZE/compaction
     * rewrites purge them.
     */
+  /** Shared planning of a merge-on-read row-level op: find the LIVE
+    * rows matching `condition` in the stats-pruned candidate files,
+    * then split the touched files by the inline cap — files whose
+    * grown vector fits get a DV-marked AddFile (`marked`), the rest
+    * rewrite copy-on-write (`rewriteFiles`). `None` = nothing matched.
+    * The matches frame is persisted for the two collect jobs (counts,
+    * positions) so candidates are scanned once, and unpersisted before
+    * returning.
+    */
+  private case class MorPlan(marked: Seq[AddFile], dvFiles: Seq[AddFile],
+      rewriteFiles: Seq[AddFile]) {
+    def touchedPaths: Set[String] = (dvFiles ++ rewriteFiles).map(_.path).toSet
+  }
+
+  private def planMergeOnRead(
+      snap: Snapshot, cands: Seq[AddFile], condition: Column): Option[MorPlan] = {
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val fileCol = s"__mor_file_$tag"; val posCol = s"__mor_pos_$tag"
+    // (fileKey, position) of LIVE rows matching the predicate — rows
+    // already in a DV are excluded so positions never double-count
+    val matches = DeletionVectors.livePositionsMatching(
+        readerFor(snap).parquet(cands.map(_.absolutePath(path)): _*),
+        path, cands, logicalCols(snap), coalesce(condition, lit(false)),
+        fileCol, posCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = matches.groupBy(col(fileCol))
+        .agg(count(lit(1)).as("__n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) return None
+      val byKey = cands.map(f =>
+        DeletionVectors.fileKey(f.absolutePath(path)) -> f).toMap
+      val cap = DeletionVectors.maxInline(snap.properties)
+      val (dvKeys, rewriteKeys) = counts.keys.toSeq.partition { k =>
+        byKey(k).dv.size + counts(k) <= cap
+      }
+      val marked =
+        if (dvKeys.isEmpty) Nil
+        else {
+          val dvKeySet = dvKeys.toSet
+          val newPositions = matches
+            .filter(col(fileCol).isInCollection(dvKeySet))
+            .collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+            .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2) }
+          dvKeys.map { k =>
+            val f = byKey(k)
+            f.copy(dataChange = true,
+              dv = (f.dv ++ newPositions(k)).distinct.sorted)
+          }
+        }
+      Some(MorPlan(marked, dvKeys.map(byKey), rewriteKeys.map(byKey)))
+    } finally matches.unpersist(blocking = false)
+  }
+
   private def deleteWithDvs(snap: Snapshot, condition: Column): Unit = {
     val scope = PredicateRead(ColumnExpr.expr(condition))
     val params = Map("predicate" -> condition.toString, "mode" -> "merge-on-read")
     val cands = candidateFiles(snap, condition)
-    if (cands.isEmpty) {
-      commitOp(snap, "DELETE", params, Nil, Nil, None, scope)
-      return
+    val plan = if (cands.isEmpty) None else planMergeOnRead(snap, cands, condition)
+    plan match {
+      case None => commitOp(snap, "DELETE", params, Nil, Nil, None, scope): Unit
+      case Some(p) =>
+        // over-cap side: classic copy-on-write rewrite of the survivors
+        val rewriteAdds =
+          if (p.rewriteFiles.isEmpty) Nil
+          else writeFiles(spark,
+            readFilesExact(snap, p.rewriteFiles)
+              .filter(!coalesce(condition, lit(false))),
+            path, dataChange = true, snap.partitionColumns)
+        commitOp(snap, "DELETE",
+          params + ("deletionVectors" -> p.dvFiles.size.toString,
+                    "rewrittenFiles" -> p.rewriteFiles.size.toString),
+          p.marked ++ rewriteAdds, removesFor(snap, p.touchedPaths), None, scope)
     }
-    // (fileKey, position) of LIVE rows matching the predicate — rows
-    // already in a DV are excluded so positions never double-count
-    val matches = DeletionVectors.livePositionsMatching(
-      readerFor(snap).parquet(cands.map(_.absolutePath(path)): _*),
-      path, cands, logicalCols(snap), coalesce(condition, lit(false)))
-    val counts = matches.groupBy(col(DeletionVectors.FileKeyCol))
-      .agg(count(lit(1)).as("__n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) {
-      commitOp(snap, "DELETE", params, Nil, Nil, None, scope)
-      return
-    }
-    val byKey = cands.map(f =>
-      DeletionVectors.fileKey(f.absolutePath(path)) -> f).toMap
-    val cap = DeletionVectors.maxInline(snap.properties)
-    val (dvKeys, rewriteKeys) = counts.keys.toSeq.partition { k =>
-      byKey(k).dv.size + counts(k) <= cap
-    }
-    // inline-DV side: union new positions into each file's vector
-    val dvAdds =
-      if (dvKeys.isEmpty) Nil
-      else {
-        val dvKeySet = dvKeys.toSet
-        val newPositions = matches
-          .filter(col(DeletionVectors.FileKeyCol).isInCollection(dvKeySet))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2) }
-        dvKeys.map { k =>
-          val f = byKey(k)
-          f.copy(dataChange = true,
-            dv = (f.dv ++ newPositions(k)).distinct.sorted)
-        }
-      }
-    // over-cap side: classic copy-on-write rewrite of the survivors
-    val rewriteFiles = rewriteKeys.map(byKey)
-    val rewriteAdds =
-      if (rewriteFiles.isEmpty) Nil
-      else writeFiles(spark,
-        readFilesExact(snap, rewriteFiles).filter(!coalesce(condition, lit(false))),
-        path, dataChange = true, snap.partitionColumns)
-    val touched = (dvKeys ++ rewriteKeys).map(k => byKey(k).path).toSet
-    commitOp(snap, "DELETE",
-      params + ("deletionVectors" -> dvKeys.size.toString,
-                "rewrittenFiles" -> rewriteKeys.size.toString),
-      dvAdds ++ rewriteAdds, removesFor(snap, touched), None, scope)
   }
 
   /** Conditional column update (README.md:290
@@ -233,69 +254,37 @@ class VintageTable private (
     val scope = PredicateRead(ColumnExpr.expr(condition))
     val params = Map("predicate" -> condition.toString, "mode" -> "merge-on-read")
     val cands = candidateFiles(snap, condition)
-    if (cands.isEmpty) {
-      commitOp(snap, "UPDATE", params, Nil, Nil, None, scope)
-      return
+    val plan = if (cands.isEmpty) None else planMergeOnRead(snap, cands, condition)
+    plan match {
+      case None => commitOp(snap, "UPDATE", params, Nil, Nil, None, scope): Unit
+      case Some(p) =>
+        // DV side: old positions are marked deleted (p.marked); append
+        // the matched LIVE rows with the SET applied as new files
+        val updatedAdds =
+          if (p.dvFiles.isEmpty) Nil
+          else writeFiles(spark,
+            readFilesExact(snap, p.dvFiles)
+              .filter(coalesce(condition, lit(false)))
+              .select(snap.schema.fieldNames.toIndexedSeq.map { c =>
+                set.get(c) match {
+                  case Some(e) => e.cast(snap.schema(c).dataType).as(c)
+                  case None => col(c)
+                }
+              }: _*),
+            path, dataChange = true, snap.partitionColumns)
+        // dense side: classic whole-file rewrite
+        val rewriteAdds =
+          if (p.rewriteFiles.isEmpty) Nil
+          else writeFiles(spark,
+            readFilesExact(snap, p.rewriteFiles)
+              .select(updateProjection(snap, condition, set): _*),
+            path, dataChange = true, snap.partitionColumns)
+        commitOp(snap, "UPDATE",
+          params + ("deletionVectors" -> p.dvFiles.size.toString,
+                    "rewrittenFiles" -> p.rewriteFiles.size.toString),
+          p.marked ++ updatedAdds ++ rewriteAdds,
+          removesFor(snap, p.touchedPaths), None, scope)
     }
-    val matches = DeletionVectors.livePositionsMatching(
-      readerFor(snap).parquet(cands.map(_.absolutePath(path)): _*),
-      path, cands, logicalCols(snap), coalesce(condition, lit(false)))
-    val counts = matches.groupBy(col(DeletionVectors.FileKeyCol))
-      .agg(count(lit(1)).as("__n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (counts.isEmpty) {
-      commitOp(snap, "UPDATE", params, Nil, Nil, None, scope)
-      return
-    }
-    val byKey = cands.map(f =>
-      DeletionVectors.fileKey(f.absolutePath(path)) -> f).toMap
-    val cap = DeletionVectors.maxInline(snap.properties)
-    val (dvKeys, rewriteKeys) = counts.keys.toSeq.partition { k =>
-      byKey(k).dv.size + counts(k) <= cap
-    }
-    val dvKeySet = dvKeys.toSet
-    // DV side: mark old positions deleted, append the updated copies
-    val (dvAdds, updatedAdds) =
-      if (dvKeys.isEmpty) (Nil, Nil)
-      else {
-        val newPositions = matches
-          .filter(col(DeletionVectors.FileKeyCol).isInCollection(dvKeySet))
-          .collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2) }
-        val marked = dvKeys.map { k =>
-          val f = byKey(k)
-          f.copy(dataChange = true,
-            dv = (f.dv ++ newPositions(k)).distinct.sorted)
-        }
-        // matched LIVE rows of the DV-side files, with the SET applied
-        val dvFiles = dvKeys.map(byKey)
-        val updatedRows = readFilesExact(snap, dvFiles)
-          .filter(coalesce(condition, lit(false)))
-          .select(snap.schema.fieldNames.toIndexedSeq.map { c =>
-            set.get(c) match {
-              case Some(e) => e.cast(snap.schema(c).dataType).as(c)
-              case None => col(c)
-            }
-          }: _*)
-        (marked,
-         writeFiles(spark, updatedRows, path, dataChange = true,
-           snap.partitionColumns))
-      }
-    // dense side: classic whole-file rewrite
-    val rewriteFiles = rewriteKeys.map(byKey)
-    val rewriteAdds =
-      if (rewriteFiles.isEmpty) Nil
-      else writeFiles(spark,
-        readFilesExact(snap, rewriteFiles)
-          .select(updateProjection(snap, condition, set): _*),
-        path, dataChange = true, snap.partitionColumns)
-    val touched = (dvKeys ++ rewriteKeys).map(k => byKey(k).path).toSet
-    commitOp(snap, "UPDATE",
-      params + ("deletionVectors" -> dvKeys.size.toString,
-                "rewrittenFiles" -> rewriteKeys.size.toString),
-      dvAdds ++ updatedAdds ++ rewriteAdds, removesFor(snap, touched),
-      None, scope)
   }
 
   // ------------------------------------------------------------ overwrite
@@ -490,9 +479,26 @@ class VintageTable private (
       if (adds.isEmpty && removedPaths.isEmpty) None
       else {
         val snapV = snapshotAt(v)
+        // the "before" side: explicitly removed files, PLUS the prior
+        // state of any re-added still-live path whose entry changed —
+        // a RESTORE that flips a file's deletion-vector state commits
+        // only the AddFile (replay replaces by path, no RemoveFile),
+        // and without the prior state here the whole file's live rows
+        // would read as inserts and DV re-deletions would never be
+        // reported as deletes
+        // pure appends (the common case) never re-add a live path, so
+        // only commits with removes — or a RESTORE, the one op that
+        // replaces entries without removing — pay the v-1 replay
+        val op = actions.collect { case c: CommitInfo => c.operation }
+          .headOption.getOrElse("")
+        val prevByPath =
+          if (removedPaths.isEmpty && op != "RESTORE") Map.empty[String, AddFile]
+          else snapshotAt(v - 1).files.map(f => f.path -> f).toMap
+        val readdedOld = adds.flatMap(a =>
+          prevByPath.get(a.path).filterNot(_ == a))
         val removedFiles =
-          if (removedPaths.isEmpty) Nil
-          else snapshotAt(v - 1).files.filter(f => removedPaths.contains(f.path))
+          prevByPath.values.filter(f => removedPaths.contains(f.path)).toSeq ++
+            readdedOld.filterNot(f => removedPaths.contains(f.path))
         // exact AddFiles, not just paths: a deletion-vector commit
         // re-adds the SAME path with a larger DV, and the diff below is
         // only position-exact if each side reads with ITS dv state

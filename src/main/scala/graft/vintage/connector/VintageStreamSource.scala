@@ -176,7 +176,21 @@ class VintageStreamSource(
             s"schema of $tablePath changed at version $v; restart the stream " +
             s"to pick up the new schema")
       }
-      if (vRemoves.isEmpty) adds ++= vAdds
+      // a RESTORE can replace a still-live path's entry (deletion-
+      // vector state) with AddFiles only — no RemoveFile — which
+      // re-emits the file's whole live row set and may retract rows;
+      // route it through the same ignoreChanges gate as rewrites
+      // instead of letting it pass as a plain append
+      val silentReAdd = vRemoves.isEmpty && vAdds.nonEmpty && {
+        val op = actions.collect { case c: CommitInfo => c.operation }
+          .headOption.getOrElse("")
+        op == "RESTORE" && {
+          val prevLive = VintageLog.replay(tablePath, Some(v - 1))
+            .files.map(_.path).toSet
+          vAdds.exists(a => prevLive.contains(a.path))
+        }
+      }
+      if (vRemoves.isEmpty && !silentReAdd) adds ++= vAdds
       else {
         // Removes present → a row-level op. The CommitInfo operation
         // disambiguates (finer than Delta's file-shape heuristic): a

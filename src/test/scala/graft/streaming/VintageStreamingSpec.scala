@@ -272,6 +272,34 @@ class VintageStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming source: a RESTORE flipping DV state needs ignoreChanges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/dvr"
+    VintageTable.create(spark, dir,
+      (1L to 10L).map(i => (i, s"n$i")).toDF("id", "s").coalesce(1),
+      properties = Map(graft.vintage.DeletionVectors.EnabledProp -> "true"))
+    val t = VintageTable.forPath(spark, dir)
+
+    val cp = Files.createTempDirectory("vintage-src-cp").toString
+    val q = spark.readStream.format("vintage")
+      .option("ignoreDeletes", "true").load(dir)
+      .writeStream.format("memory").queryName("vdvrestore")
+      .option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vdvrestore").count() == 10)
+      t.delete(col("id") > 8)  // v1: DV commit — tolerated by ignoreDeletes
+      t.restoreToVersion(0)    // v2: adds-only re-add of a live path
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+      assert(messages.exists(_.contains("ignoreChanges")),
+        s"a DV-state restore must demand ignoreChanges, got: $messages")
+    } finally q.stop()
+  }
+
   test("streaming source: startingVersion=latest emits only post-start commits") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vintage-src").toString + "/l"

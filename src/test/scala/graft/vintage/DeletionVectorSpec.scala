@@ -141,6 +141,23 @@ class DeletionVectorSpec extends AnyFunSuite {
       (9L, "delete", 2L)))
   }
 
+  test("change feed across RESTOREs that flip a file's DV state") {
+    val dir = newDir("cdf-restore")
+    val t = VintageTable.create(spark, dir,
+      (1L to 25L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = DvProps)
+    t.delete(col("id") > 20)  // v1: DV of 5 positions
+    t.restoreToVersion(0)     // v2: re-adds the path with dv=[] (no remove)
+    t.restoreToVersion(1)     // v3: re-adds the path with the DV again
+    def ch(from: Long, to: Long): Set[(Long, String)] =
+      t.changes(from, to).select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    // v2 revives exactly the 5 deleted rows — not 25 phantom inserts
+    assert(ch(1, 2) == (21L to 25L).map(i => (i, "insert")).toSet)
+    // v3 re-deletes exactly those rows — and reports them as deletes
+    assert(ch(2, 3) == (21L to 25L).map(i => (i, "delete")).toSet)
+  }
+
   test("compaction purges DVs and restores full-file reads") {
     val dir = newDir("compact")
     val t = VintageTable.create(spark, dir,
