@@ -604,6 +604,43 @@ class VintageTable private (
       None, LayoutOnly)
   }
 
+  /** Bin-packing compaction — Delta's actual OPTIMIZE semantics:
+    * rewrite ONLY the files below `minFileBytes` (default: half the
+    * target) into ~`targetFileBytes` outputs, plus any file carrying a
+    * deletion vector (rewriting materializes the deletions and returns
+    * the file to the native scan path). Well-sized clean files are
+    * NEVER touched — on a 100 TB table the maintenance job pays for
+    * the small-file tail of recent ingestion, not for petabytes that
+    * are already laid out right (`compact` rewrites everything and
+    * remains the reference-choreography primitive). Layout-only
+    * (`dataChange=false`); returns the number of files rewritten.
+    */
+  def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
+               minFileBytes: Long = -1L): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    val minBytes = if (minFileBytes >= 0) minFileBytes else targetFileBytes / 2
+    val snap = snapshot
+    val selected = snap.files.filter(f => f.size < minBytes || f.dv.nonEmpty)
+    // one small clean file alone cannot be packed any better
+    if (selected.size < 2 && !selected.exists(_.dv.nonEmpty)) return 0L
+    val sel = selected.map(_.path).toSet
+    val numFiles = math.max(1,
+      math.ceil(selected.map(_.size).sum.toDouble / targetFileBytes).toInt)
+    val rows = readFiles(snap, sel)
+    val arranged =
+      if (snap.partitionColumns.isEmpty) rows.repartition(numFiles)
+      else rows.repartition(numFiles, snap.partitionColumns.map(col): _*)
+    val adds = writeFiles(spark, arranged, path,
+      dataChange = false, snap.partitionColumns)
+    commitOp(snap, "OPTIMIZE",
+      Map("dataChange" -> "false", "filesRewritten" -> selected.size.toString,
+          "targetFileBytes" -> targetFileBytes.toString),
+      adds, selected.map(f =>
+        RemoveFile(f.path, System.currentTimeMillis(), dataChange = false)),
+      None, LayoutOnly)
+    selected.size.toLong
+  }
+
   /** Scoped compaction: rewrite ONLY the files whose stat/partition
     * range may match `condition` (`OPTIMIZE t WHERE part = x`). At
     * 100 TB a maintenance job compacts one partition's small files per

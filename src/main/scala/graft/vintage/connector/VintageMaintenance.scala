@@ -171,10 +171,14 @@ case class VintageOptimizeCommand(path: String, zorderBy: Seq[String],
       case Some(pred) =>
         t.compactWhere(org.apache.spark.sql.functions.expr(pred)): Unit
       case None =>
-        // target ~128 MB output files, the classic compaction sweet spot
-        val totalBytes = t.snapshot.files.map(_.size).sum
-        val target = math.max(1, math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
-        if (zorderBy.isEmpty) t.compact(target) else t.cluster(target, zorderBy: _*)
+        // target ~128 MB files, the classic compaction sweet spot
+        if (zorderBy.isEmpty) t.optimize(): Unit // bin-pack small files only
+        else {
+          val totalBytes = t.snapshot.files.map(_.size).sum
+          val target = math.max(1,
+            math.ceil(totalBytes / (128.0 * 1024 * 1024)).toInt)
+          t.cluster(target, zorderBy: _*)
+        }
     }
     Seq(Row(path, before.toLong, t.snapshot.files.size.toLong))
   }
