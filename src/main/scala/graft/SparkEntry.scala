@@ -61,6 +61,7 @@ object SparkEntry {
     "q40_semantic_dedup"   -> (PipelineQueries.q40SemanticDedup _),
     "q41_pii_redact"       -> (PipelineQueries.q41PiiRedact _),
     "q42_token_entropy"    -> (PipelineQueries.q42TokenEntropy _),
+    "q43_resample_ffill"   -> (PipelineQueries.q43Resample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,5 +111,6 @@ object SparkEntry {
     "q39_quality_filter"   -> PipelineQueries.q39Sql,
     "q41_pii_redact"       -> PipelineQueries.q41Sql,
     "q42_token_entropy"    -> PipelineQueries.q42Sql,
+    "q43_resample_ffill"   -> PipelineQueries.q43Sql,
   )
 }

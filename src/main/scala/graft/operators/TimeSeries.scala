@@ -64,4 +64,54 @@ object TimeSeries {
       .select(col(keyCol), col("__us").as("ts_us"),
         col("__lid").as(leftIdCol), col("__match").as(rightIdCol))
   }
+
+  /** Regular-grid resampling with forward fill: one output row per
+    * (key, grid tick) between each key's first and last observation,
+    * ticks at multiples of `stepMicros`, each carrying the latest
+    * observed value at or before the tick — the standard
+    * irregular-to-regular series conversion (dashboarding, feature
+    * grids, gap-filling before window math). Multiple observations in
+    * one microsecond collapse to their max value, so the fill is
+    * deterministic on any engine.
+    *
+    * Scale shape: the grid is generated per key from a 1-row-per-key
+    * bounds aggregate (never materialized corpus-wide), and the fill
+    * is the same single-shuffle union trick as [[asofJoin]] — one
+    * window over (key, time), no join explosion. Output: key,
+    * `tick_us` (epoch micros), `valueCol`.
+    */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, stepMicros: Long): DataFrame = {
+    require(stepMicros > 0, s"stepMicros must be positive, got $stepMicros")
+    val vType = df.schema(valueCol).dataType
+    val obs = df.select(col(keyCol), unix_micros(col(tsCol)).as("__us"),
+      col(valueCol))
+    val dedup = obs.groupBy(col(keyCol), col("__us"))
+      .agg(max(col(valueCol)).as("__v"))
+    val bounds = dedup.groupBy(keyCol)
+      .agg(min(col("__us")).as("__lo"), max(col("__us")).as("__hi"))
+    // integer ceil to the next tick: `div` is integer division (the
+    // SQL mirror uses // — identical for the positive epoch domain).
+    // Keys whose span contains no tick are dropped BEFORE the
+    // sequence: Spark's sequence(start, stop) throws on start > stop
+    // (DuckDB's range returns empty) — one sub-step key would
+    // otherwise kill the whole job.
+    val firstTick = expr(
+      s"((__lo + ${stepMicros - 1}L) div ${stepMicros}L) * ${stepMicros}L")
+    val grid = bounds
+      .withColumn("__first", firstTick)
+      .filter(col("__first") <= col("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__first"), col("__hi"), lit(stepMicros))).as("__us"))
+    val g = grid.select(col(keyCol), col("__us"),
+      lit(null).cast(vType).as("__v"), lit(1).as("__side"))
+    val o = dedup.select(col(keyCol), col("__us"), col("__v"), lit(0).as("__side"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__us"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    g.unionByName(o)
+      .withColumn("__fill", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__fill").isNotNull)
+      .select(col(keyCol), col("__us").as("tick_us"), col("__fill").as(valueCol))
+  }
 }

@@ -862,6 +862,31 @@ object PipelineQueries {
       |  coalesce(e.entropy, 0::DECIMAL(20,6)) AS entropy
       |FROM lens LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Daily-grid forward-filled resampling of each user's event value
+    * series — irregular-to-regular conversion with gap filling
+    * ([[TimeSeries.resampleFfill]]; verified against DuckDB's native
+    * ASOF JOIN over a generated grid).
+    */
+  def q43Resample(spark: SparkSession, d: String): DataFrame =
+    TimeSeries.resampleFfill(
+      Tables.events(spark, d).select(col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", "value", stepMicros = 86400000000L)
+      .orderBy("user_id", "tick_us")
+
+  val q43Sql: String =
+    """WITH o AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+      |d AS (SELECT user_id, us, max(value) AS v FROM o GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM d GROUP BY 1),
+      |g AS (
+      |  SELECT user_id,
+      |    unnest(range(((lo + 86399999999) // 86400000000) * 86400000000,
+      |                 hi + 1, 86400000000)) AS tick_us
+      |  FROM b
+      |)
+      |SELECT g.user_id, g.tick_us, d.v AS value
+      |FROM g ASOF JOIN d ON g.user_id = d.user_id AND g.tick_us >= d.us
+      |ORDER BY g.user_id, g.tick_us""".stripMargin
+
   /** Content fingerprints (md5 of normalized text). */
   def q19Fingerprint(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
