@@ -48,6 +48,18 @@ class VintagePropertySpec extends AnyFunSuite {
   }
 
   test("random op sequences match an in-memory model, incl. time travel") {
+    randomOpsMatchModel(Map.empty)
+  }
+
+  test("random op sequences on a DELETION-VECTOR table match the model") {
+    // same seed and sequence; delete/update take the merge-on-read
+    // path, so the model equivalence (incl. time travel and the change
+    // feed) now exercises DV write, DV read, and DV change-diffing
+    // under arbitrary interleavings
+    randomOpsMatchModel(Map(DeletionVectors.EnabledProp -> "true"))
+  }
+
+  private def randomOpsMatchModel(properties: Map[String, String]): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     val dir = Files.createTempDirectory("vintage-prop").toString + "/t"
@@ -55,7 +67,7 @@ class VintagePropertySpec extends AnyFunSuite {
     def df(m: Map[Long, Double]) = m.toSeq.toDF("k", "v").coalesce(2)
 
     var model = (1L to 20L).map(k => k -> rnd.nextDouble()).toMap
-    val t = VintageTable.create(spark, dir, df(model))
+    val t = VintageTable.create(spark, dir, df(model), properties = properties)
     val history = scala.collection.mutable.ArrayBuffer[Map[Long, Double]](model)
 
     (1 to 15).foreach { step =>
