@@ -97,8 +97,12 @@ object SparkEntry {
     "q27_repetition"       -> PipelineQueries.q27Sql,
     // q28_ann_ivf / q29_simhash_pairs / q40_semantic_dedup: no SQL
     // oracle (quantizer- and hamming-band-dependent); driver records
-    // rows-only checks, exact semantics pinned by SimilaritySpec /
-    // DedupSpec
+    // rows-only checks. The outputs are SELF-CERTIFYING instead: each
+    // embeds an exact in-Spark quality signal (q28 recall@k vs
+    // brute-force, q29 independent n-gram Jaccard + planted flags,
+    // q40 exact cosine + planted recall), so a scoring regression
+    // changes the rows even when cardinality holds. Exact semantics
+    // pinned by SimilaritySpec / DedupSpec / PipelineSelfCertSpec.
     "q30_contamination"    -> PipelineQueries.q30Sql,
     "q31_chunk_spans"      -> PipelineQueries.q31Sql,
     "q32_rare_tokens"      -> PipelineQueries.q32Sql,

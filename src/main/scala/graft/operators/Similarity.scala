@@ -350,7 +350,13 @@ object Similarity {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxClusterSize))
       .select("__cell")
-    val eligible = assigned.join(sizes, Seq("__cell"))
+    val eligible0 = assigned.join(sizes, Seq("__cell"))
+    // persisted like the other pair pipelines: both self-join sides
+    // read it, and recomputing would redo the cell-size join twice
+    val eligible =
+      if (materialize)
+        eligible0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else eligible0
     val result = eligible.as("l")
       .join(eligible.as("r"),
         col("l.__cell") === col("r.__cell") && col("l.__id") < col("r.__id"))
@@ -360,6 +366,7 @@ object Similarity {
     if (!materialize) result
     else {
       val out = graft.operators.Dedup.materializeSmall(result)
+      eligible.unpersist(blocking = false)
       assigned.unpersist(blocking = false)
       out
     }

@@ -12,8 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of the lowercased text (empty-token-free). */
+  /** Whitespace tokens of the lowercased text (empty-token-free).
+    * Backed by the codegen'd [[graft.functions.WhitespaceTokens]] —
+    * bit-identical to `filter(split(lower(trim(c)), "\\s+"), _ != "")`
+    * (WhitespaceTokensSpec pins the equality) but a single byte scan
+    * instead of a regex NFA over every character of the corpus; the
+    * tokenizer is the hot loop of every text query here.
+    */
   def tokens(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.WhitespaceTokens(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(c)))
+
+  /** The declarative regex formulation of [[tokens]] — kept as the
+    * reference semantics (the oracle SQL mirrors it) and compared
+    * bit-for-bit in WhitespaceTokensSpec.
+    */
+  def tokensRegex(c: Column): Column =
     filter(split(lower(trim(c)), "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
@@ -286,9 +301,12 @@ object TextAnalysis {
   /** Per-document Shannon entropy (nats) of the token distribution —
     * the information-density quality signal: boilerplate and
     * keyword-stuffed documents read low, natural prose reads high.
-    * Per-distinct-token contributions round to decimal(20,6) before
-    * the sum, so the score is exact on any engine (see [[bm25]] for
-    * the determinism argument).
+    * Per-distinct-token contributions round to decimal(20,4) before
+    * the sum, so the score is exact on any engine: a 1-ulp libm `ln`
+    * difference (~1e-16 relative) cannot cross a 1e-4 rounding
+    * boundary at realistic trial counts (see [[bm25]] for the
+    * determinism argument; the coarser scale here buys a 100× margin
+    * because entropy sums ~10^5 transcendental terms per corpus).
     *
     * Scale shape: explode → map-side-combinable (doc, token) count →
     * per-doc sum; both shuffles carry one row per distinct (doc,
@@ -301,13 +319,13 @@ object TextAnalysis {
       .select(col(idCol), explode(col("__toks")).as("__tok"))
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
     val p = col("__c") / col("__n").cast("double")
-    val contrib = (-p * log(p)).cast("decimal(20,6)")
+    val contrib = (-p * log(p)).cast("decimal(20,4)")
     val ent = counts.join(lens, idCol)
       .select(col(idCol), contrib.as("__e"))
       .groupBy(col(idCol)).agg(sum(col("__e")).as("entropy"))
     lens.join(ent, Seq(idCol), "left")
       .select(col(idCol), col("__n").as("n_tokens"),
-        coalesce(col("entropy"), lit(0).cast("decimal(20,6)")).as("entropy"))
+        coalesce(col("entropy"), lit(0).cast("decimal(20,4)")).as("entropy"))
   }
 
   /** Per-group top-`k` word n-grams by count — the head of an n-gram

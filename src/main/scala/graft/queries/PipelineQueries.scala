@@ -369,36 +369,67 @@ object PipelineQueries {
       |  END AS dup_trigram_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
-  /** IVF approximate nearest neighbors (no SQL oracle — the result
-    * depends on the KMeans quantizer; recall vs exact is pinned by
-    * SimilaritySpec instead; driver checks rows).
+  /** IVF approximate nearest neighbors, SELF-CERTIFYING (no SQL
+    * oracle — the result depends on the KMeans quantizer). Each output
+    * row joins the IVF answer against the in-Spark brute-force exact
+    * top-k: `in_exact` flags a true neighbor, `recall_k` is the
+    * per-query recall@5. Deterministic under the fixed seed, so the
+    * driver's rows-only gate now pins QUALITY — a quantizer or scoring
+    * regression flips `in_exact` bits even when cardinality holds.
     */
   def q28AnnIvf(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
-    Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    val perQuery = Window.partitionBy("query_id")
+    ivf.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("in_exact", coalesce(col("__hit"), lit(0L)))
+      .withColumn("recall_k",
+        (sum(col("in_exact")).over(perQuery) / 5.0).cast("decimal(10,4)"))
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        col("in_exact"), col("recall_k"))
       .orderBy("query_id", "rk")
   }
 
-  /** SemDeDup-style semantic dedup pairs on planted duplicate vectors
-    * (no SQL oracle — the KMeans quantizer isn't ANSI-expressible;
-    * SimilaritySpec pins exact-recall/precision semantics; driver
-    * checks rows).
+  /** SemDeDup-style semantic dedup pairs on planted duplicate vectors,
+    * SELF-CERTIFYING (no SQL oracle — the KMeans quantizer isn't
+    * ANSI-expressible). The 20 planted pairs (vec_id+1000000 copies)
+    * are ground truth: `is_planted` marks them, `planted_recall` is the
+    * fraction recovered, and `cosine_sim` carries the exact recomputed
+    * score — a quantizer/cosine regression changes values even when the
+    * row count holds. Identical vectors always quantize to the same
+    * cell, so recall is deterministically 1.0 when the pipeline is
+    * healthy.
     */
   def q40SemanticDedup(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
     val planted = emb.filter(col("vec_id") < 20)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val all = Window.partitionBy() // output is tiny (≈20 pairs), global window is fine
     Similarity.semanticDedupPairs(emb.unionByName(planted),
         "vec_id", "embedding", threshold = 0.999, numClusters = 16)
-      .select(col("id_a"), col("id_b"))
+      .withColumn("is_planted",
+        (col("id_b") - col("id_a") === 1000000L).cast("long"))
+      .withColumn("planted_recall",
+        (sum(col("is_planted")).over(all) / 20.0).cast("decimal(10,4)"))
+      .select(col("id_a"), col("id_b"),
+        col("cosine_sim").cast("decimal(10,6)").as("cosine_sim"),
+        col("is_planted"), col("planted_recall"))
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup pairs on planted near-duplicates (no SQL oracle —
-    * hamming banding isn't ANSI-expressible; DedupSpec pins semantics;
-    * driver checks rows).
+  /** SimHash near-dup pairs on planted near-duplicates,
+    * SELF-CERTIFYING (no SQL oracle — hamming banding isn't
+    * ANSI-expressible). Each reported pair carries the exact word
+    * 3-gram Jaccard of the two texts, recomputed INDEPENDENTLY of the
+    * SimHash fingerprints — a fingerprinting regression that emits
+    * unrelated pairs surfaces as low `jaccard3` values, and
+    * `planted_hit` flags the known perturbation pairs
+    * (doc_id+100000 ↔ doc_id). Deterministic, so the driver's
+    * rows-only gate pins pair QUALITY, not just cardinality.
     */
   def q29SimhashPairs(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
@@ -406,8 +437,16 @@ object PipelineQueries {
     val perturbed = docs.filter(col("doc_id") < 30)
       .select((col("doc_id") + 100000).as("doc_id"),
         expr("concat(text, ' x')").as("text"))
-    Dedup.simHashPairs(docs.unionByName(perturbed), "doc_id", "text")
+    val corpus = docs.unionByName(perturbed)
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text")
       .select(col("id_a"), col("id_b"), col("hamming"))
+    val ta = corpus.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+    val tb = corpus.select(col("doc_id").as("id_b"), col("text").as("__tb"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        Dedup.ngramJaccard(col("__ta"), col("__tb"), 3)
+          .cast("decimal(10,6)").as("jaccard3"),
+        (col("id_b") - col("id_a") === 100000L).cast("long").as("planted_hit"))
       .orderBy("id_a", "id_b")
   }
 
@@ -766,8 +805,8 @@ object PipelineQueries {
       |    CAST(CASE WHEN len(t) = 0 THEN 0.0 ELSE
       |      len(list_filter(t, x -> NOT regexp_matches(x, '[a-z0-9]')))::DOUBLE
       |        / len(t) END AS DECIMAL(20,6)) AS symbol_ratio,
-      |    len(list_intersect(t,
-      |      ['data','join','row','scan','table','key']))::BIGINT AS stop_hits
+      |    len(list_filter(list_distinct(t),
+      |      x -> x IN ('data','join','row','scan','table','key')))::BIGINT AS stop_hits
       |  FROM toks
       |)
       |SELECT doc_id, n_words, mean_wlen, symbol_ratio, stop_hits,
@@ -855,11 +894,11 @@ object PipelineQueries {
       |e AS (
       |  SELECT c.doc_id,
       |    sum(CAST(-(c.c / lens.n::DOUBLE) * ln(c.c / lens.n::DOUBLE)
-      |        AS DECIMAL(20,6))) AS entropy
+      |        AS DECIMAL(20,4))) AS entropy
       |  FROM c JOIN lens USING (doc_id) GROUP BY 1
       |)
       |SELECT lens.doc_id, lens.n AS n_tokens,
-      |  coalesce(e.entropy, 0::DECIMAL(20,6)) AS entropy
+      |  coalesce(e.entropy, 0::DECIMAL(20,4)) AS entropy
       |FROM lens LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Daily-grid forward-filled resampling of each user's event value
