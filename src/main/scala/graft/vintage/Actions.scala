@@ -33,8 +33,18 @@ sealed trait Action
   *        avoid at 100 TB). Empty = every physical row is live. Readers
   *        subtract these positions via the parquet `_metadata.row_index`
   *        column, which Spark keeps stable under splits and row-group
-  *        skipping. Dense deletes rewrite the file instead (see
-  *        `vintage.deletionVectors.maxInline`).
+  *        skipping. Vectors past the inline cap move to a parquet
+  *        SIDECAR file referenced by `dvRef` (mutually exclusive with
+  *        `dv`); truly dense deletes rewrite the file (see
+  *        `vintage.deletionVectors.maxInline` /
+  *        `.maxDeletedFraction`).
+  * @param dvRef external deletion-vector reference (sidecar parquet
+  *        under `_vintage_dv/`, rows `(file_key, pos)`) for vectors too
+  *        large to inline in the log — the wide-but-sparse GDPR-sweep
+  *        case: 1% of a 1 GB file is ~100k positions, which must cost
+  *        one small sidecar file, not a log line megabytes long and not
+  *        a 1 GB rewrite. Identity/conflict/restore semantics are the
+  *        case-class equality of this field, exactly like inline `dv`.
   */
 case class AddFile(
     path: String,
@@ -44,9 +54,18 @@ case class AddFile(
     numRecords: Option[Long] = None,
     stats: Map[String, ColStats] = Map.empty,
     partitionValues: Map[String, String] = Map.empty,
-    dv: Seq[Long] = Nil) extends Action {
+    dv: Seq[Long] = Nil,
+    dvRef: Option[DvRef] = None) extends Action {
+  /** Number of deleted positions, inline or sidecar (sidecars carry
+    * their cardinality in the log so planning never opens them).
+    */
+  def dvCount: Long = dvRef.map(_.count).getOrElse(dv.size.toLong)
+
+  /** True when any deletion vector (inline or sidecar) applies. */
+  def hasDv: Boolean = dv.nonEmpty || dvRef.nonEmpty
+
   /** Live (undeleted) row count, when the footer count is known. */
-  def liveRecords: Option[Long] = numRecords.map(_ - dv.size)
+  def liveRecords: Option[Long] = numRecords.map(_ - dvCount)
 
   /** Resolved location: `path` is normally relative to the table root,
     * but a SHALLOW CLONE records the source's files by absolute
@@ -67,6 +86,14 @@ object AddFile {
 }
 
 case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
+
+/** Reference to an external deletion-vector sidecar: a parquet
+  * directory of `(file_key string, pos long)` rows, `path` relative to
+  * the table root (absolute for shallow clones, like [[AddFile.path]]),
+  * `count` the number of positions belonging to the referencing file
+  * (so log replay and planning never read the sidecar).
+  */
+case class DvRef(path: String, count: Long)
 
 /** Logical removal of a file from the snapshot (the physical file stays
   * until vacuum so past versions remain readable).
@@ -130,7 +157,9 @@ object Action {
           // omitted when empty: the common no-deletions case costs zero
           // bytes, and pre-DV readers of such logs see identical lines
           ("dv" -> (if (f.dv.isEmpty) JNothing else JArray(
-            f.dv.map(JLong(_)).toList))))
+            f.dv.map(JLong(_)).toList))) ~
+          ("dvFile" -> f.dvRef.map(r =>
+            ("path" -> r.path) ~ ("count" -> r.count))))
       case f: RemoveFile =>
         "remove" -> (
           ("path" -> f.path) ~ ("deletionTimestamp" -> f.deletionTimestamp) ~
@@ -186,6 +215,11 @@ object Action {
           dv = (a \ "dv") match {
             case JArray(xs) => xs.map(_.extract[Long])
             case _ => Nil
+          },
+          dvRef = (a \ "dvFile") match {
+            case r: JObject => Some(DvRef(
+              (r \ "path").extract[String], (r \ "count").extract[Long]))
+            case _ => None
           })
       case (_, r: JObject, _, _) =>
         RemoveFile(

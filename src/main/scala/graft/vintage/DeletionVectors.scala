@@ -4,36 +4,60 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Merge-on-read deletion vectors: subtract per-file deleted row
-  * positions ([[AddFile.dv]]) from a scan WITHOUT rewriting data files.
+  * positions ([[AddFile.dv]] / [[AddFile.dvRef]]) from a scan WITHOUT
+  * rewriting data files.
   *
   * Read-side mechanics (the whole trick): Spark's parquet source
   * exposes `_metadata.row_index` — the physical position of each row
   * inside its file, kept correct under file splits and row-group/page
-  * skipping. A table's deletion state is therefore exactly a
-  * broadcast ANTI-JOIN of the scan against the (file, position) set
-  * from the log. The join is a plan-level wrapper: the vectorized
-  * parquet reader, pushed filters, and column pruning underneath are
-  * untouched, and the DV set is tiny by construction (inline DVs are
-  * capped per file — dense deletes rewrite the file copy-on-write,
-  * where a rewrite is the cheaper plan anyway).
+  * skipping. A table's deletion state is therefore exactly an
+  * ANTI-JOIN of the scan against the (file, position) set from the
+  * log. The join is a plan-level wrapper: the vectorized parquet
+  * reader, pushed filters, and column pruning underneath are untouched.
+  *
+  * DV storage is three-tier per file, graded by cardinality:
+  *   - INLINE (<= `maxInline` positions): positions live in the log
+  *     line; the lookup side is driver-local and broadcast.
+  *   - SIDECAR (> cap but sparse relative to the file): positions live
+  *     in a parquet sidecar under `_vintage_dv/`, read DISTRIBUTED and
+  *     never materialized on the driver — the wide-but-sparse GDPR
+  *     sweep (1% of every file of a 100 TB table) costs one small
+  *     sidecar per commit, not a rewrite of everything. No broadcast
+  *     hint on this path: the set's size is data-dependent, so the
+  *     join strategy is left to AQE.
+  *   - REWRITE (>= `maxDeletedFraction` of the file's rows dead):
+  *     copy-on-write — when most of a file dies, rewriting the
+  *     survivors is the cheaper plan AND keeps the table small.
   *
   * Capability parity note: the reference's own delete
   * (/root/reference/README.md:281) is copy-on-write via Delta 0.6.1;
   * deletion vectors are the scale path modern Delta added for the
-  * identical operation — at 100 TB a GDPR-style sparse delete must not
-  * rewrite a terabyte of survivors to drop a few thousand rows.
+  * identical operation (Delta stores RoaringBitmap sidecars; parquet
+  * position-lists here keep the sidecar scannable by the same engine
+  * that reads everything else).
   */
 object DeletionVectors {
 
   /** Table property enabling merge-on-read deletes. */
   val EnabledProp = "vintage.deletionVectors.enabled"
 
-  /** Table property bounding the inline DV size per file; a delete
-    * that would push a file's DV beyond this rewrites that file
-    * instead (per-file hybrid).
+  /** Table property bounding the inline DV size per file; a vector
+    * past this cap moves to a sidecar file (or a rewrite, when dense
+    * enough — see [[MaxDeletedFractionProp]]).
     */
   val MaxInlineProp = "vintage.deletionVectors.maxInline"
   val DefaultMaxInline = 10000
+
+  /** Table property: a row-level op whose total deleted fraction of a
+    * file would reach this threshold rewrites the file copy-on-write
+    * instead of growing its DV (files with unknown footer counts never
+    * rewrite — they take the sidecar path).
+    */
+  val MaxDeletedFractionProp = "vintage.deletionVectors.maxDeletedFraction"
+  val DefaultMaxDeletedFraction = 0.5
+
+  /** Sidecar directory name under the table root. */
+  val SidecarDirName = "_vintage_dv"
 
   def enabled(props: Map[String, String]): Boolean =
     props.get(EnabledProp).exists(_.toBoolean)
@@ -41,7 +65,11 @@ object DeletionVectors {
   def maxInline(props: Map[String, String]): Int =
     props.get(MaxInlineProp).map(_.toInt).getOrElse(DefaultMaxInline)
 
-  def hasDvs(files: Seq[AddFile]): Boolean = files.exists(_.dv.nonEmpty)
+  def maxDeletedFraction(props: Map[String, String]): Double =
+    props.get(MaxDeletedFractionProp).map(_.toDouble)
+      .getOrElse(DefaultMaxDeletedFraction)
+
+  def hasDvs(files: Seq[AddFile]): Boolean = files.exists(_.hasDv)
 
   /** Canonical file key used on BOTH join sides — the SQL mirror of
     * [[VintageTable.canonicalKey]]: local-FS URIs reduce to a plain
@@ -58,17 +86,57 @@ object DeletionVectors {
   private[vintage] def fileKey(absPath: String): String =
     VintageTable.canonicalKey(absPath)
 
-  /** The deleted (fileKey, position) set of `files` as a local
-    * DataFrame — bounded by the per-file inline cap, so always
-    * broadcastable. Column names are caller-supplied so they can be
-    * collision-proofed against the table schema.
+  /** The deleted (fileKey, position) set of `files` as a DataFrame
+    * named (fileCol, posCol): the inline part is a driver-local
+    * broadcast frame (bounded by the per-file cap); sidecar parts are
+    * DISTRIBUTED parquet scans of the referenced `_vintage_dv/` dirs,
+    * semi-joined to the (sidecar, file) pairs the CURRENT files
+    * actually reference — a sidecar may also hold rows for files whose
+    * vector was superseded by a later commit, and those stale rows
+    * must not apply. When any sidecar is present the combined frame
+    * carries no broadcast hint (size is data-dependent; AQE picks).
     */
-  private def dvFrame(spark: SparkSession, tablePath: String,
+  private[vintage] def dvLookup(spark: SparkSession, tablePath: String,
       files: Seq[AddFile], fileCol: String, posCol: String): DataFrame = {
     import spark.implicits._
-    files.filter(_.dv.nonEmpty)
+    val inline = files.filter(_.dv.nonEmpty)
       .flatMap(f => f.dv.map(p => (fileKey(f.absolutePath(tablePath)), p)))
       .toDF(fileCol, posCol)
+    val refs = files.flatMap(f => f.dvRef.map(r =>
+      (fileKey(AddFile.resolve(tablePath, r.path)),
+       fileKey(f.absolutePath(tablePath)))))
+    if (refs.isEmpty) broadcast(inline)
+    else {
+      val scCol = s"${fileCol}_sc"
+      val valid = refs.toDF(scCol, fileCol)
+      val sidecars = spark.read
+        .parquet(refs.map(_._1).distinct: _*)
+        .select(
+          // parent dir of the part file == the referenced sidecar dir
+          fileKeyExpr(regexp_replace(col("_metadata.file_path"), "/[^/]+$", ""))
+            .as(scCol),
+          col("file_key").as(fileCol),
+          col("pos").as(posCol))
+        .join(broadcast(valid), Seq(scCol, fileCol), "left_semi")
+        .drop(scCol)
+      inline.unionByName(sidecars)
+    }
+  }
+
+  /** Write the full deletion vector of each file in `positions`
+    * (schema: (file_key, pos)) as ONE parquet sidecar dir per commit,
+    * returning its table-relative path. Distributed end to end — the
+    * position set never touches the driver (the sidecar tier exists
+    * precisely because it can be too big to collect). Rows cluster by
+    * file for row-group skipping on the read side.
+    */
+  private[vintage] def writeSidecar(positions: DataFrame, tablePath: String): String = {
+    val rel = s"$SidecarDirName/${java.util.UUID.randomUUID().toString}"
+    positions
+      .repartition(col("file_key"))
+      .sortWithinPartitions("file_key", "pos")
+      .write.parquet(s"$tablePath/$rel")
+    rel
   }
 
   /** Fresh helper-column names per call: a table column named
@@ -97,17 +165,17 @@ object DeletionVectors {
     if (!hasDvs(files)) return df.select(outputCols: _*)
     val (fileCol, posCol) = freshNames()
     withKeys(df, outputCols, fileCol, posCol)
-      .join(broadcast(dvFrame(df.sparkSession, tablePath, files, fileCol, posCol)),
+      .join(dvLookup(df.sparkSession, tablePath, files, fileCol, posCol),
         Seq(fileCol, posCol), "left_anti")
       .drop(fileCol, posCol)
   }
 
   /** `(fileKey, position)` of the LIVE rows of `df` matching
     * `condition` — the write-side primitive of a merge-on-read
-    * delete/update: rows already in a file's DV are excluded first, so
-    * a repeated delete never double-counts a position. Output columns
-    * are named `fileCol`/`posCol` (pass fresh names via
-    * [[VintageTable]]'s merge-on-read planner).
+    * delete/update: rows already in a file's DV (inline or sidecar)
+    * are excluded first, so a repeated delete never double-counts a
+    * position. Output columns are named `fileCol`/`posCol` (pass fresh
+    * names via [[VintageTable]]'s merge-on-read planner).
     */
   private[vintage] def livePositionsMatching(
       df: DataFrame, tablePath: String, files: Seq[AddFile],
@@ -117,7 +185,7 @@ object DeletionVectors {
     val live =
       if (!hasDvs(files)) keyed
       else keyed.join(
-        broadcast(dvFrame(df.sparkSession, tablePath, files, fileCol, posCol)),
+        dvLookup(df.sparkSession, tablePath, files, fileCol, posCol),
         Seq(fileCol, posCol), "left_anti")
     live.filter(condition).select(col(fileCol), col(posCol))
   }

@@ -119,26 +119,30 @@ class VintageTable private (
 
   /** Merge-on-read delete (`vintage.deletionVectors.enabled`): instead
     * of rewriting every touched file, record the matching rows' file
-    * positions as inline deletion vectors — commit cost is
-    * O(deleted rows), not O(touched bytes), the decisive difference for
-    * sparse deletes at 100 TB. Per-file hybrid: a file whose DV would
-    * exceed `vintage.deletionVectors.maxInline` positions is rewritten
-    * copy-on-write instead (when most of a file dies, rewriting the
-    * survivors is the cheaper plan AND keeps the log small). Reads
+    * positions as deletion vectors — commit cost is O(deleted rows),
+    * not O(touched bytes), the decisive difference for sparse deletes
+    * at 100 TB. Per-file three-tier hybrid, graded by cardinality:
+    * vectors within `vintage.deletionVectors.maxInline` inline in the
+    * log; wider-but-sparse vectors go to a parquet SIDECAR under
+    * `_vintage_dv/` (written distributed — positions never touch the
+    * driver); files with >= `maxDeletedFraction` of their rows dead
+    * rewrite copy-on-write (when most of a file dies, rewriting the
+    * survivors is the cheaper plan AND keeps the table small). Reads
     * subtract DVs via [[DeletionVectors.applyTo]]; OPTIMIZE/compaction
     * rewrites purge them.
     */
   /** Shared planning of a merge-on-read row-level op: find the LIVE
     * rows matching `condition` in the stats-pruned candidate files,
-    * then split the touched files by the inline cap — files whose
-    * grown vector fits get a DV-marked AddFile (`marked`), the rest
-    * rewrite copy-on-write (`rewriteFiles`). `None` = nothing matched.
-    * The matches frame is persisted for the two collect jobs (counts,
-    * positions) so candidates are scanned once, and unpersisted before
-    * returning.
+    * then split the touched files into the three tiers — inline
+    * DV-marked AddFiles (`marked`), sidecar-referencing AddFiles
+    * (`sidecarMarked`, whose shared sidecar this writes), and
+    * copy-on-write rewrites (`rewriteFiles`). `None` = nothing
+    * matched. The matches frame is persisted for the jobs that reuse
+    * it (counts, inline positions, sidecar write) so candidates are
+    * scanned once, and unpersisted before returning.
     */
-  private case class MorPlan(marked: Seq[AddFile], dvFiles: Seq[AddFile],
-      rewriteFiles: Seq[AddFile]) {
+  private case class MorPlan(marked: Seq[AddFile], sidecarMarked: Seq[AddFile],
+      dvFiles: Seq[AddFile], rewriteFiles: Seq[AddFile]) {
     def touchedPaths: Set[String] = (dvFiles ++ rewriteFiles).map(_.path).toSet
   }
 
@@ -161,25 +165,54 @@ class VintageTable private (
       val byKey = cands.map(f =>
         DeletionVectors.fileKey(f.absolutePath(path)) -> f).toMap
       val cap = DeletionVectors.maxInline(snap.properties)
-      val (dvKeys, rewriteKeys) = counts.keys.toSeq.partition { k =>
-        byKey(k).dv.size + counts(k) <= cap
+      val frac = DeletionVectors.maxDeletedFraction(snap.properties)
+      // three-tier split on the GROWN vector size: inline under the
+      // cap; past the cap, rewrite only when the file is dense-dead
+      // (fraction known and reached), else sidecar
+      val grown = counts.keys.toSeq
+        .map(k => k -> (byKey(k).dvCount + counts(k))).toMap
+      val (inlineKeys, overCap) =
+        counts.keys.toSeq.partition(k => grown(k) <= cap)
+      val (rewriteKeys, sidecarKeys) = overCap.partition { k =>
+        byKey(k).numRecords.exists(n => grown(k) >= frac * n)
       }
       val marked =
-        if (dvKeys.isEmpty) Nil
+        if (inlineKeys.isEmpty) Nil
         else {
-          val dvKeySet = dvKeys.toSet
+          val dvKeySet = inlineKeys.toSet
           val newPositions = matches
             .filter(col(fileCol).isInCollection(dvKeySet))
             .collect()
             .map(r => (r.getString(0), r.getLong(1)))
             .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2) }
-          dvKeys.map { k =>
+          inlineKeys.map { k =>
             val f = byKey(k)
             f.copy(dataChange = true,
               dv = (f.dv ++ newPositions(k)).distinct.sorted)
           }
         }
-      Some(MorPlan(marked, dvKeys.map(byKey), rewriteKeys.map(byKey)))
+      val sidecarMarked =
+        if (sidecarKeys.isEmpty) Nil
+        else {
+          val scSet = sidecarKeys.toSet
+          val scFiles = sidecarKeys.map(byKey)
+          // full grown vector per file = prior positions (inline or
+          // sidecar — disjoint from the new matches by construction of
+          // livePositionsMatching) ++ new matches, written distributed
+          val newPos = matches
+            .filter(col(fileCol).isInCollection(scSet))
+            .select(col(fileCol).as("file_key"), col(posCol).as("pos"))
+          val oldPos = DeletionVectors.dvLookup(
+            spark, path, scFiles, "file_key", "pos")
+          val rel = DeletionVectors.writeSidecar(
+            newPos.unionByName(oldPos), path)
+          sidecarKeys.map { k =>
+            byKey(k).copy(dataChange = true, dv = Nil,
+              dvRef = Some(DvRef(rel, grown(k))))
+          }
+        }
+      Some(MorPlan(marked, sidecarMarked,
+        (inlineKeys ++ sidecarKeys).map(byKey), rewriteKeys.map(byKey)))
     } finally matches.unpersist(blocking = false)
   }
 
@@ -201,7 +234,8 @@ class VintageTable private (
         commitOp(snap, "DELETE",
           params + ("deletionVectors" -> p.dvFiles.size.toString,
                     "rewrittenFiles" -> p.rewriteFiles.size.toString),
-          p.marked ++ rewriteAdds, removesFor(snap, p.touchedPaths), None, scope)
+          p.marked ++ p.sidecarMarked ++ rewriteAdds,
+          removesFor(snap, p.touchedPaths), None, scope)
     }
   }
 
@@ -282,7 +316,7 @@ class VintageTable private (
         commitOp(snap, "UPDATE",
           params + ("deletionVectors" -> p.dvFiles.size.toString,
                     "rewrittenFiles" -> p.rewriteFiles.size.toString),
-          p.marked ++ updatedAdds ++ rewriteAdds,
+          p.marked ++ p.sidecarMarked ++ updatedAdds ++ rewriteAdds,
           removesFor(snap, p.touchedPaths), None, scope)
     }
   }
@@ -555,8 +589,11 @@ class VintageTable private (
     // clone's creating write — cloning a freshly-compacted source
     // (whose live files are dataChange=false) must still emit every
     // row to the clone's change feed and streaming readers
+    // dvRef paths absolutize like data paths: the clone's reads must
+    // find the SOURCE's sidecars (same lifetime caveat as the data)
     val adds = snap.files.map(f =>
-      f.copy(path = f.absolutePath(path), dataChange = true))
+      f.copy(path = f.absolutePath(path), dataChange = true,
+        dvRef = f.dvRef.map(r => r.copy(path = AddFile.resolve(path, r.path)))))
     val info = CommitInfo(0L, now, "CLONE",
       Map("source" -> path, "sourceVersion" -> snap.version.toString))
     VintageLog.commit(abs, 0L,
@@ -620,9 +657,9 @@ class VintageTable private (
     require(targetFileBytes > 0, s"targetFileBytes must be positive")
     val minBytes = if (minFileBytes >= 0) minFileBytes else targetFileBytes / 2
     val snap = snapshot
-    val selected = snap.files.filter(f => f.size < minBytes || f.dv.nonEmpty)
+    val selected = snap.files.filter(f => f.size < minBytes || f.hasDv)
     // one small clean file alone cannot be packed any better
-    if (selected.size < 2 && !selected.exists(_.dv.nonEmpty)) return 0L
+    if (selected.size < 2 && !selected.exists(_.hasDv)) return 0L
     val sel = selected.map(_.path).toSet
     val numFiles = math.max(1,
       math.ceil(selected.map(_.size).sum.toDouble / targetFileBytes).toInt)
@@ -921,10 +958,39 @@ class VintageTable private (
     val tailStart = math.max(horizon + 1,
       VintageLog.oldestVersionFile(path).getOrElse(0L))
     val removedAt = scala.collection.mutable.Map[String, Long]()
+    // DV sidecars get the same lifetime contract as data files: a
+    // sidecar referenced by the live snapshot always survives; one
+    // whose reference was SUPERSEDED (the data file re-added with a
+    // different vector, rewritten, or removed) is reclaimable once the
+    // superseding commit predates the cutoff — mirroring removedAt.
+    // References only in pre-horizon versions fall to the mod-time
+    // guard, like pre-horizon data files.
+    val liveDv = snap.files.flatMap(_.dvRef.map(_.path)).toSet
+    // data-file path -> its sidecar in force during the tail replay
+    val curRef = scala.collection.mutable.Map[String, String]()
+    if (horizon >= 0)
+      snapshotAt(horizon).files.foreach(f =>
+        f.dvRef.foreach(r => curRef(f.path) = r.path))
+    val supersededAt = scala.collection.mutable.Map[String, Long]()
     (tailStart to snap.version).foreach { v =>
-      VintageLog.readVersion(path, v).foreach {
-        case r: RemoveFile => removedAt(r.path) =
-          math.max(r.deletionTimestamp, removedAt.getOrElse(r.path, 0L))
+      val acts = VintageLog.readVersion(path, v)
+      val commitTs = acts.collectFirst { case c: CommitInfo => c.timestamp }
+        .getOrElse(Long.MaxValue) // unknown timestamp must protect, not expire
+      def supersede(dataPath: String, unless: Option[String]): Unit =
+        curRef.remove(dataPath).filterNot(unless.contains).foreach { sc =>
+          supersededAt(sc) = math.max(commitTs, supersededAt.getOrElse(sc, 0L))
+        }
+      acts.foreach {
+        case r: RemoveFile =>
+          removedAt(r.path) =
+            math.max(r.deletionTimestamp, removedAt.getOrElse(r.path, 0L))
+          supersede(r.path, unless = None)
+        case a: AddFile =>
+          supersede(a.path, unless = a.dvRef.map(_.path))
+          a.dvRef.foreach { r =>
+            curRef(a.path) = r.path
+            supersededAt.remove(r.path) // a restore re-arms the reference
+          }
         case _ => ()
       }
     }
@@ -934,10 +1000,30 @@ class VintageTable private (
     // walk recursively: partitioned tables keep data files in
     // p1=v1/... subdirectories (the log dir and tmp dirs are skipped)
     val toDelete = Seq.newBuilder[String]
+    val dvDirsToDelete = Seq.newBuilder[String]
     def walk(d: HPath): Unit = fs.listStatus(d).foreach { s =>
       val name = s.getPath.getName
       if (s.isDirectory) {
-        if (name != VintageLog.LogDirName && !name.startsWith(".tmp-")) walk(s.getPath)
+        if (name == DeletionVectors.SidecarDirName) {
+          // sidecar dirs reclaim WHOLE (they are single-commit units):
+          // unreferenced by any retained version + past the mod-time
+          // guard (covers both superseded vectors and orphans of
+          // failed commits)
+          fs.listStatus(s.getPath).foreach { sc =>
+            if (sc.isDirectory) {
+              val rel = dirUri.relativize(
+                fs.makeQualified(sc.getPath).toUri).getPath
+              val expired = supersededAt.get(rel) match {
+                case Some(t) => t < cutoff // superseded in the tail
+                case None => sc.getModificationTime < cutoff // pre-horizon or orphan
+              }
+              if (!liveDv.contains(rel) && !curRef.values.exists(_ == rel) &&
+                  expired)
+                dvDirsToDelete += sc.getPath.toString
+            }
+          }
+        } else if (name != VintageLog.LogDirName && !name.startsWith(".tmp-"))
+          walk(s.getPath)
       } else if (name.endsWith(".parquet") && !name.startsWith("_") &&
                  !name.startsWith(".")) {
         // any parquet data file is reclaimable — CONVERT TO VINTAGE
@@ -952,6 +1038,9 @@ class VintageTable private (
       }
     }
     walk(dir)
+    val dvVictims = dvDirsToDelete.result()
+    if (!dryRun)
+      dvVictims.foreach(p => fs.delete(new HPath(p), true))
     val victims = toDelete.result()
     if (!dryRun && victims.nonEmpty) {
       // deletes fan out as one task wave — a serial driver loop over
@@ -970,7 +1059,7 @@ class VintageTable private (
           }
       }
     }
-    victims.size.toLong
+    victims.size.toLong + dvVictims.size
   }
 
   /** Delete log segments no longer needed to reconstruct any

@@ -55,7 +55,7 @@ private[connector] object DvRelations {
     override def readSchema(): StructType = required
     override def description(): String =
       s"VintageDvScan $tablePath v${snap.version} " +
-      s"dvFiles=${snap.files.count(_.dv.nonEmpty)}"
+      s"dvFiles=${snap.files.count(_.hasDv)}"
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
       val rel: BaseRelation with TableScan = new BaseRelation with TableScan {

@@ -123,7 +123,7 @@ object VintageAggregates {
         traverse(files) { file =>
           for {
             n <- file.numRecords
-            if file.dv.isEmpty
+            if !file.hasDv
             nulls <- colStats(file, f.name).flatMap(_.nullCount)
           } yield n - nulls
         }.map(_.sum)
@@ -140,7 +140,7 @@ object VintageAggregates {
       // all-null file; a file with no usable stat kills the pushdown —
       // as does a deletion vector (the extremum may be a deleted row)
       val perFile = traverse(files) { file =>
-        if (file.dv.nonEmpty) None
+        if (file.hasDv) None
         else {
           val st = colStats(file, f.name)
           val bound = st.flatMap(s => if (isMin) s.min else s.max)

@@ -319,6 +319,139 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.toDF.count() == 60)
   }
 
+  // ------------------------------------------------ external DV sidecars
+
+  private val SidecarProps =
+    DvProps + (DeletionVectors.MaxInlineProp -> "5")
+
+  test("delete past the inline cap but sparse writes a sidecar, not a rewrite") {
+    val dir = newDir("sidecar")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = SidecarProps)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+    t.delete(col("id") <= 20) // 20% of the file: over cap 5, under maxDeletedFraction
+    val snap = t.snapshot
+    assert(snap.files.map(_.path).toSet == filesBefore,
+      "a wide-but-sparse delete must NOT rewrite the file")
+    val f = snap.files.head
+    assert(f.dv.isEmpty && f.dvRef.nonEmpty, "vector must live in a sidecar")
+    assert(f.dvRef.get.count == 20)
+    assert(f.dvRef.get.path.startsWith(DeletionVectors.SidecarDirName + "/"))
+    assert(t.toDF.count() == 80)
+    assert(t.toDF.filter(col("id") <= 20).count() == 0)
+    assert(t.toDFAsOf(0).count() == 100)
+    val params = t.history().filter(col("operation") === "DELETE")
+      .collect()(0).getAs[Map[String, String]]("operationParameters")
+    assert(params.get("deletionVectors").contains("1"))
+    assert(params.get("rewrittenFiles").contains("0"))
+    // change feed reports exactly the sidecar-deleted rows
+    val ch = t.changes(0, 1).select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == (1L to 20L).map(i => (i, "delete")).toSet)
+  }
+
+  test("sidecar vectors stack: a further delete supersedes with the union") {
+    val dir = newDir("sidecar-stack")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = SidecarProps)
+    t.delete(col("id") <= 20)
+    val ref1 = t.snapshot.files.head.dvRef.get
+    t.delete(col("id").between(21, 30)) // grown vector 30 — still sparse
+    val f = t.snapshot.files.head
+    assert(f.dvRef.nonEmpty && f.dvRef.get.count == 30)
+    assert(f.dvRef.get.path != ref1.path,
+      "a grown vector must land in a NEW sidecar (the old one stays for time travel)")
+    assert(t.toDF.count() == 70)
+    assert(t.toDF.filter(col("id") <= 30).count() == 0)
+    // the superseded sidecar still serves the middle version
+    assert(t.toDFAsOf(1).count() == 80)
+    // re-deleting already-deleted rows adds nothing
+    t.delete(col("id") <= 30)
+    assert(t.snapshot.files.head.dvRef.get.count == 30)
+  }
+
+  test("inline vector grows past the cap into a sidecar") {
+    val dir = newDir("sidecar-grow")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = SidecarProps)
+    t.delete(col("id") <= 3) // inline: 3 <= cap
+    assert(t.snapshot.files.head.dv.size == 3)
+    assert(t.snapshot.files.head.dvRef.isEmpty)
+    t.delete(col("id").between(4, 13)) // grown 13 > cap, sparse -> sidecar
+    val f = t.snapshot.files.head
+    assert(f.dv.isEmpty && f.dvRef.exists(_.count == 13),
+      "the sidecar must absorb the prior inline positions")
+    assert(t.toDF.count() == 87)
+    assert(t.toDF.filter(col("id") <= 13).count() == 0)
+  }
+
+  test("compaction purges sidecar DVs; vacuum reclaims unreferenced sidecars") {
+    val dir = newDir("sidecar-vacuum")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = SidecarProps)
+    t.delete(col("id") <= 20) // v1: sidecar
+    t.compact(1)              // v2: rewrite purges the vector
+    assert(t.snapshot.files.forall(f => !f.hasDv))
+    assert(t.toDF.count() == 80)
+    // before vacuum, time travel still reads through the sidecar
+    assert(t.toDFAsOf(1).count() == 80)
+    val dvRoot = new java.io.File(dir, DeletionVectors.SidecarDirName)
+    assert(dvRoot.isDirectory && dvRoot.listFiles().nonEmpty)
+    spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
+    try t.vacuum(0.0)
+    finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
+    // the now-unreferenced sidecar dir is gone, current reads unharmed
+    assert(!dvRoot.isDirectory || dvRoot.listFiles().isEmpty)
+    assert(t.toDF.count() == 80)
+  }
+
+  test("vacuum keeps sidecars referenced by the live snapshot") {
+    val dir = newDir("sidecar-live")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = SidecarProps)
+    t.delete(col("id") <= 20)
+    spark.conf.set("spark.vintage.retentionDurationCheck.enabled", "false")
+    try t.vacuum(0.0)
+    finally spark.conf.unset("spark.vintage.retentionDurationCheck.enabled")
+    assert(t.toDF.count() == 80, "live sidecar must survive vacuum")
+    assert(t.toDF.filter(col("id") <= 20).count() == 0)
+  }
+
+  test("restore flips sidecar DV state both ways") {
+    val dir = newDir("sidecar-restore")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = SidecarProps)
+    t.delete(col("id") <= 20) // v1
+    t.restoreToVersion(0)     // v2: rows revive
+    assert(t.toDF.count() == 100)
+    assert(t.snapshot.files.forall(f => !f.hasDv))
+    t.restoreToVersion(1)     // v3: sidecar applies again
+    assert(t.toDF.count() == 80)
+    assert(t.snapshot.files.head.dvRef.exists(_.count == 20))
+  }
+
+  test("sidecar DVs survive parquet checkpoint replay") {
+    val dir = newDir("sidecar-checkpoint")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = SidecarProps)
+    t.delete(col("id") <= 20)
+    (1 to 10).foreach(i =>
+      t.append(Seq((1000L + i, s"x$i")).toDF("id", "name").coalesce(1)))
+    assert(t.version >= VintageLog.checkpointInterval)
+    VintageLog.clearSnapshotCache()
+    val snap = t.snapshot
+    assert(snap.files.exists(_.dvRef.exists(_.count == 20)),
+      "checkpoint replay must preserve the sidecar reference")
+    assert(t.toDF.count() == 80 + 10)
+  }
+
   /** Test-only window into commitOp for the stale-race scenario. */
   private class VintageTable2(spark: org.apache.spark.sql.SparkSession,
       path: String) {
