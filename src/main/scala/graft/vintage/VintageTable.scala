@@ -67,6 +67,30 @@ class VintageTable private (
         readerFor(s).parquet(s.filePaths(path): _*),
         path, s.files, logicalCols(s))
 
+  /** [[dfForSnapshot]] plus the position row-id columns (canonical
+    * file key, physical row index) the native row-level operations
+    * identify rows by — deletion vectors applied, so only LIVE rows
+    * appear and their positions are the pre-DV physical ones (exactly
+    * what a DV grow commit needs).
+    */
+  private[vintage] def dfForSnapshotWithRowId(
+      s: Snapshot, fileColName: String, posColName: String): DataFrame =
+    if (s.files.isEmpty) {
+      val schema = org.apache.spark.sql.types.StructType(s.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(fileColName,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(posColName,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      DeletionVectors.applyTo(
+        readerFor(s).parquet(s.filePaths(path): _*),
+        path, s.files,
+        logicalCols(s) :+
+          DeletionVectors.fileKeyExpr(col("_metadata.file_path")).as(fileColName) :+
+          col("_metadata.row_index").as(posColName))
+
   /** Version history, newest first — reproduces the operation log shape
     * at README.md:307-319.
     */
@@ -622,6 +646,78 @@ class VintageTable private (
       commitOp(snap, "WRITE", Map("mode" -> "Append") ++ partParam, adds,
         Nil, None, NoRead)
     }
+  }
+
+  /** Commit one native row-level (delta-based) operation: grow
+    * deletion vectors from the executor-written position files and add
+    * the executor-written insert files — the driver side of
+    * [[connector.VintageDeltaBatchWrite]]. Positions tier like every
+    * DV write: inline under the cap, sidecar past it (never a rewrite
+    * — the delta protocol already consumed the rows, and OPTIMIZE
+    * bin-packing reclaims dense-dead files later). Based on the
+    * SCAN-TIME snapshot so the optimistic retry sees exactly what the
+    * operation read (FullRead: a row-level SQL plan scans the table).
+    */
+  private[vintage] def commitDeltaRowLevel(
+      scanVersion: Long, op: String, insertAdds: Seq[AddFile],
+      positionFiles: Seq[String], countsByKey: Map[String, Long]): Unit = {
+    val snap = snapshotAt(scanVersion)
+    val params = Map("mode" -> "merge-on-read", "planner" -> "row-level")
+    if (countsByKey.isEmpty && insertAdds.isEmpty) {
+      commitOp(snap, op, params, Nil, Nil, None, FullRead): Unit
+      return
+    }
+    val byKey = snap.files.map(f =>
+      DeletionVectors.fileKey(f.absolutePath(path)) -> f).toMap
+    val unknown = countsByKey.keySet.filterNot(byKey.contains)
+    require(unknown.isEmpty,
+      s"row-level delta references files not in snapshot v$scanVersion: " +
+      unknown.take(3).mkString(","))
+    val cap = DeletionVectors.maxInline(snap.properties)
+    val grown = countsByKey.map { case (k, c) => k -> (byKey(k).dvCount + c) }
+    val (inlineKeys, sidecarKeys) =
+      countsByKey.keys.toSeq.partition(k => grown(k) <= cap)
+    def positions: DataFrame = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_key",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .parquet(positionFiles: _*)
+    val marked =
+      if (inlineKeys.isEmpty) Nil
+      else {
+        val set = inlineKeys.toSet
+        // bounded collect: <= cap positions per inline file
+        val perKey = positions.filter(col("file_key").isInCollection(set))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2) }
+        inlineKeys.map { k =>
+          val f = byKey(k)
+          f.copy(dataChange = true,
+            dv = (f.dv ++ perKey.getOrElse(k, Array.empty[Long])).distinct.sorted)
+        }
+      }
+    val sidecarMarked =
+      if (sidecarKeys.isEmpty) Nil
+      else {
+        val set = sidecarKeys.toSet
+        val newPos = positions.filter(col("file_key").isInCollection(set))
+          .select(col("file_key"), col("pos"))
+        val oldPos = DeletionVectors.dvLookup(
+          spark, path, sidecarKeys.map(byKey), "file_key", "pos")
+        val rel = DeletionVectors.writeSidecar(newPos.unionByName(oldPos), path)
+        sidecarKeys.map { k =>
+          byKey(k).copy(dataChange = true, dv = Nil,
+            dvRef = Some(DvRef(rel, grown(k))))
+        }
+      }
+    val dvPaths = (inlineKeys ++ sidecarKeys).map(byKey(_).path).toSet
+    commitOp(snap, op,
+      params + ("deletionVectors" -> dvPaths.size.toString,
+                "insertedFiles" -> insertAdds.size.toString),
+      marked ++ sidecarMarked ++ insertAdds,
+      removesFor(snap, dvPaths), None, FullRead): Unit
   }
 
   // --------------------------------------------------- maintenance utils

@@ -228,12 +228,46 @@ class VintageSqlTable(
     val tablePath: String, ident: String, snapshot: Snapshot,
     timeTravel: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String = ident
   override def schema(): StructType = snapshot.schema
+
+  /** Position row-id metadata columns (`_vintage_file`,
+    * `_vintage_pos`): what the native row-level operations identify
+    * rows by, and selectable from SQL for debugging
+    * (`SELECT _vintage_file, * FROM vin.t`).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = VintageRowLevel.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "canonical data file key of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = VintageRowLevel.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "physical row position inside its file"
+      })
+
+  /** Native row-level DELETE/UPDATE/MERGE (delta-based — see
+    * [[VintageRowLevelOperation]]).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(!timeTravel, "cannot modify a time-travel snapshot")
+    () => new VintageRowLevelOperation(tablePath, snapshot, info.command())
+  }
   override def partitioning(): Array[Transform] =
     snapshot.partitionColumns.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
@@ -273,12 +307,18 @@ class VintageSqlTable(
       override def build(): Scan = aggResult match {
         case Some(r) => new VintageMetadataScan(r, ident)
         case None =>
+          val wantsRowId = required.fieldNames.exists(n =>
+            n == VintageRowLevel.FileCol || n == VintageRowLevel.PosCol)
+          // row-id metadata columns ride the same V1 frame the
+          // row-level operations scan through
+          if (wantsRowId)
+            new VintageRowLevel.RowIdV1Scan(tablePath, snapshot, required, pushed)
           // merge-on-read: deletion vectors subtract rows via a plan-
           // level anti-join, which the columnar native scan cannot
           // express — route through the V1 bridge until OPTIMIZE
           // purges the DVs (VintageAggregates stays in charge of the
           // metadata-answerable cases either way)
-          if (graft.vintage.DeletionVectors.hasDvs(snapshot.files))
+          else if (graft.vintage.DeletionVectors.hasDvs(snapshot.files))
             new DvRelations.DvV1Scan(tablePath, snapshot, required, pushed)
           else
             new VintageNativeScan(spark, tablePath, snapshot, required, pushed)

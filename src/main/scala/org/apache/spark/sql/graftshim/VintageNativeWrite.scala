@@ -112,7 +112,9 @@ class VintageWrite(
   }
 }
 
-private[graftshim] case class VintageCommitMessage(adds: Seq[AddFile])
+// public: the native row-level delta write (graft.vintage.connector)
+// unwraps these from its wrapped insert writer's commits
+case class VintageCommitMessage(adds: Seq[AddFile])
     extends WriterCommitMessage
 
 class VintageBatchWrite(

@@ -44,7 +44,7 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM vin.exr VERSION AS OF 2").count() == 4)
   }
 
-  test("SQL UPDATE via the extension rule") {
+  test("SQL UPDATE (native row-level path)") {
     spark.sql("CREATE TABLE vin.upd (ccy STRING, decimals INT)")
     spark.sql("INSERT INTO vin.upd VALUES ('CHF', 4), ('NOK', 4), ('RUB', 2)")
     spark.sql("UPDATE vin.upd SET decimals = 5 WHERE ccy = 'CHF'")
@@ -58,7 +58,7 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM vin.upd VERSION AS OF 1").count() == 3)
   }
 
-  test("SQL MERGE INTO via the extension rule") {
+  test("SQL MERGE INTO (native row-level path)") {
     spark.sql("CREATE TABLE vin.mrg (k STRING, v DOUBLE)")
     spark.sql("INSERT INTO vin.mrg VALUES ('a', 1.0), ('b', 2.0), ('c', 3.0)")
     spark.sql(
@@ -95,6 +95,91 @@ class SqlCatalogSpec extends AnyFunSuite {
     val commits = VintageLog.replay(s"$wh/t2").commits
     val ts = new java.sql.Timestamp(commits.map(_.timestamp).max)
     assert(spark.sql(s"SELECT * FROM vin.t2 TIMESTAMP AS OF '$ts'").count() == 10)
+  }
+
+  test("SQL UPDATE and MERGE plan through the native row-level framework") {
+    spark.sql("CREATE TABLE vin.rl (k STRING, v INT)")
+    spark.sql("INSERT INTO vin.rl VALUES ('a', 1), ('b', 2)")
+    // the row-level-operation plan node (WriteDelta) appears — DML is
+    // planned by Spark's analyzer rewrites, not an injected rule
+    val upd = spark.sql("EXPLAIN UPDATE vin.rl SET v = v + 1 WHERE k = 'a'")
+      .collect()(0).getString(0)
+    assert(upd.contains("WriteDelta"), s"expected a WriteDelta plan node:\n$upd")
+    val mrg = spark.sql(
+      """EXPLAIN MERGE INTO vin.rl t
+        |USING (SELECT 'a' AS k, 5 AS v) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .collect()(0).getString(0)
+    assert(mrg.contains("WriteDelta"), s"expected a WriteDelta plan node:\n$mrg")
+    // the position row-id rides hidden metadata columns
+    val ids = spark.sql("SELECT _vintage_file, _vintage_pos, k FROM vin.rl")
+      .collect()
+    assert(ids.length == 2 && ids.forall(_.getString(0).nonEmpty))
+    // a non-filter-translatable predicate works (the old SupportsDelete
+    // path would have thrown "untranslatable delete predicates")
+    spark.sql("UPDATE vin.rl SET v = v * 10 WHERE length(k) = 1 AND v % 2 = 0")
+    val m = spark.sql("SELECT k, v FROM vin.rl").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("a" -> 1, "b" -> 20))
+    // the commit is merge-on-read: same physical file, grown DV
+    val wh = spark.conf.get("spark.sql.catalog.vin.warehouse")
+    val snap = VintageLog.replay(s"$wh/rl")
+    assert(snap.files.exists(_.hasDv),
+      "native UPDATE must commit deletion vectors, not rewrite")
+    val params = snap.commits.maxBy(_.version).operationParameters
+    assert(params.get("planner").contains("row-level"))
+    assert(params.get("mode").contains("merge-on-read"))
+  }
+
+  test("native row-level DELETE past the inline cap commits a sidecar vector") {
+    spark.sql("""CREATE TABLE vin.rlsc (id BIGINT, s STRING)
+      |TBLPROPERTIES ('vintage.deletionVectors.maxInline'='5')""".stripMargin)
+    spark.sql("INSERT INTO vin.rlsc SELECT id, concat('r', id) FROM range(100)")
+    // a condition filters can't express forces the row-level path, and
+    // 20 deleted positions exceed the inline cap of 5
+    spark.sql("DELETE FROM vin.rlsc WHERE id < 20 AND length(s) >= 2")
+    assert(spark.sql("SELECT count(*) FROM vin.rlsc").head().getLong(0) == 80)
+    assert(spark.sql("SELECT count(*) FROM vin.rlsc WHERE id < 20")
+      .head().getLong(0) == 0)
+    val wh = spark.conf.get("spark.sql.catalog.vin.warehouse")
+    val snap = VintageLog.replay(s"$wh/rlsc")
+    val withRef = snap.files.filter(_.dvRef.nonEmpty)
+    assert(withRef.map(_.dvRef.get.count).sum == 20,
+      "positions past the cap must land in sidecar references")
+    assert(snap.files.forall(_.dv.isEmpty))
+    // time travel to before the delete still reads through
+    assert(spark.sql("SELECT count(*) FROM vin.rlsc VERSION AS OF 1")
+      .head().getLong(0) == 100)
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE works on the native path") {
+    spark.sql("CREATE TABLE vin.nbs (k STRING, v INT)")
+    spark.sql("INSERT INTO vin.nbs VALUES ('a', 1), ('b', 2), ('c', 3)")
+    spark.sql(
+      """MERGE INTO vin.nbs t
+        |USING (SELECT 'a' AS k, 10 AS v) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.v > 2 THEN DELETE""".stripMargin)
+    val m = spark.sql("SELECT k, v FROM vin.nbs").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(m == Map("a" -> 10, "b" -> 2))
+  }
+
+  test("native row-level UPDATE routes partitions and SQL DELETE past filters") {
+    spark.sql("CREATE TABLE vin.rlp (id BIGINT, p INT, s STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO vin.rlp SELECT id, CAST(id % 3 AS INT), concat('r', id) FROM range(30)")
+    spark.sql("UPDATE vin.rlp SET s = concat(s, '!') WHERE p = 1 AND id < 10")
+    assert(spark.sql("SELECT count(*) FROM vin.rlp WHERE s LIKE '%!'")
+      .head().getLong(0) == 3) // ids 1,4,7
+    assert(spark.sql("SELECT count(*) FROM vin.rlp").head().getLong(0) == 30)
+    // updated copies landed in the right hive partition
+    assert(spark.sql("SELECT count(*) FROM vin.rlp WHERE p = 1").head().getLong(0) == 10)
+    // DELETE with a condition filters cannot express -> row-level path
+    spark.sql("DELETE FROM vin.rlp WHERE id % 7 = 0 AND length(s) >= 2")
+    assert(spark.sql("SELECT count(*) FROM vin.rlp").head().getLong(0) == 25)
+    assert(spark.sql("SELECT count(*) FROM vin.rlp WHERE id % 7 = 0")
+      .head().getLong(0) == 0)
   }
 
   test("ALTER TABLE ADD COLUMN widens schema; old rows read null") {
