@@ -54,7 +54,17 @@ class VintageTable private (
     dfForSnapshot(snapshotAt(VintageLog.versionAtTimestamp(path, ts)))
 
   private[graft] def dfForSnapshot(s: Snapshot): DataFrame =
-    if (s.files.isEmpty)
+    dfForFiles(s, s.files)
+
+  /** [[dfForSnapshot]] over an explicit (log-stats-PRUNED) file
+    * subset: the DV fallback and row-level scans pass the
+    * [[candidateFiles]] of their pushed filters, so a predicate scan
+    * of a DV-carrying 100 TB table opens the files whose stat range
+    * may match — not every footer in the table. The DV anti-join set
+    * is built from the same subset.
+    */
+  private[vintage] def dfForFiles(s: Snapshot, files: Seq[AddFile]): DataFrame =
+    if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
     else
       // the select restores the declared column order, which partition
@@ -64,8 +74,8 @@ class VintageTable private (
       // anti-join in [[DeletionVectors.applyTo]] (no-op wrapper when no
       // file has one)
       DeletionVectors.applyTo(
-        readerFor(s).parquet(s.filePaths(path): _*),
-        path, s.files, logicalCols(s))
+        readerFor(s).parquet(files.map(_.absolutePath(path)): _*),
+        path, files, logicalCols(s))
 
   /** [[dfForSnapshot]] plus the position row-id columns (canonical
     * file key, physical row index) the native row-level operations
@@ -75,7 +85,12 @@ class VintageTable private (
     */
   private[vintage] def dfForSnapshotWithRowId(
       s: Snapshot, fileColName: String, posColName: String): DataFrame =
-    if (s.files.isEmpty) {
+    dfForFilesWithRowId(s, s.files, fileColName, posColName)
+
+  private[vintage] def dfForFilesWithRowId(
+      s: Snapshot, files: Seq[AddFile],
+      fileColName: String, posColName: String): DataFrame =
+    if (files.isEmpty) {
       val schema = org.apache.spark.sql.types.StructType(s.schema.fields ++ Seq(
         org.apache.spark.sql.types.StructField(fileColName,
           org.apache.spark.sql.types.StringType, nullable = false),
@@ -85,8 +100,8 @@ class VintageTable private (
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else
       DeletionVectors.applyTo(
-        readerFor(s).parquet(s.filePaths(path): _*),
-        path, s.files,
+        readerFor(s).parquet(files.map(_.absolutePath(path)): _*),
+        path, files,
         logicalCols(s) :+
           DeletionVectors.fileKeyExpr(col("_metadata.file_path")).as(fileColName) :+
           col("_metadata.row_index").as(posColName))

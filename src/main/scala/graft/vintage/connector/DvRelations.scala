@@ -24,12 +24,22 @@ import graft.vintage.{Snapshot, VintageTable}
   */
 private[connector] object DvRelations {
 
-  /** The DV-applied frame for a snapshot, filtered and pruned. */
+  /** The DV-applied frame for a snapshot, filtered and pruned: the
+    * pushed filters prune the FILE LIST through log-stats skipping
+    * (partition predicates included) before the scan plan is built —
+    * a predicate read of a DV table opens candidate files only, same
+    * as the native columnar path — and are re-applied as row filters
+    * (Spark re-checks them above regardless).
+    */
   private def frame(spark: SparkSession, tablePath: String, snap: Snapshot,
       filters: Seq[Filter], columns: Seq[String]): DataFrame = {
-    val df = VintageTable.forPath(spark, tablePath).dfForSnapshot(snap)
-    val filtered = Filters.toColumnAll(filters).map(df.filter).getOrElse(df)
-    filtered.select(columns.map(col): _*)
+    val t = VintageTable.forPath(spark, tablePath)
+    val df = Filters.toColumnAll(filters) match {
+      case Some(cond) =>
+        t.dfForFiles(snap, t.candidateFiles(snap, cond)).filter(cond)
+      case None => t.dfForSnapshot(snap)
+    }
+    df.select(columns.map(col): _*)
   }
 
   /** V1 relation for `spark.read.format("vintage")` reads. */

@@ -273,7 +273,10 @@ class VintageSqlTable(
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      // MERGE ... WITH SCHEMA EVOLUTION: Spark's analyzer widens the
+      // schema through this catalog's alterTable (ADD COLUMN path)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def properties(): util.Map[String, String] =
     (snapshot.properties + ("provider" -> "vintage") +
       ("version" -> snapshot.version.toString)).asJava

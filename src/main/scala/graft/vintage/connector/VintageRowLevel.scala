@@ -63,14 +63,25 @@ object VintageRowLevel {
   /** The row-id frame: table columns plus canonical file key and
     * physical row position, deletion-vectors applied — both the
     * row-level scan and explicit metadata-column selects read it.
+    * Pushed filters (the DELETE/UPDATE condition's translatable
+    * conjuncts) prune the FILE LIST through log-stats skipping before
+    * any scan plan exists: a partition-scoped UPDATE of a 100 TB table
+    * reads the candidate files, not the table. Pruning by a conjunct
+    * SUBSET is sound (a file with no rows matching one conjunct has no
+    * rows matching the whole condition), and the rows of unscanned
+    * files are simply not modified — exactly the row-level contract.
     */
   private[connector] def rowIdFrame(
       spark: SparkSession, tablePath: String, snap: Snapshot,
       filters: Seq[Filter], columns: Seq[String]): RDD[Row] = {
-    val df = VintageTable.forPath(spark, tablePath)
-      .dfForSnapshotWithRowId(snap, FileCol, PosCol)
-    val filtered = Filters.toColumnAll(filters).map(df.filter).getOrElse(df)
-    filtered.select(columns.map(org.apache.spark.sql.functions.col): _*).rdd
+    val t = VintageTable.forPath(spark, tablePath)
+    val df = Filters.toColumnAll(filters) match {
+      case Some(cond) =>
+        t.dfForFilesWithRowId(snap, t.candidateFiles(snap, cond),
+          FileCol, PosCol).filter(cond)
+      case None => t.dfForSnapshotWithRowId(snap, FileCol, PosCol)
+    }
+    df.select(columns.map(org.apache.spark.sql.functions.col): _*).rdd
   }
 
   /** V1 scan producing the row-id frame (same seam as

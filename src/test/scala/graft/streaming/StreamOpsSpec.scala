@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Stateful streaming operators: gap sessionization
+  * (flatMapGroupsWithState + event-time timeout), bounded-state exact
+  * dedup, watermarked window stats — semantics pinned against the
+  * batch operators where a batch twin exists.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("streaming sessionize: gap closes sessions; watermark flushes the tail") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = StreamOps.sessionize(
+      mem.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gap = "5 minutes", delayThreshold = "1 minute")
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two bursts separated by > gap; user 2: one burst
+      mem.addData((1L, ts(0)), (1L, ts(2)), (2L, ts(1)))
+      q.processAllAvailable()
+      mem.addData((1L, ts(10)), (1L, ts(12)), (2L, ts(3)))
+      q.processAllAvailable()
+      // user 1's first gap is proven by its batch-2 events; user 2's
+      // open session flushes via event-time TIMEOUT (the watermark
+      // from batch 2's 10:12 event passed its 10:03+gap deadline)
+      val afterGap = spark.table("sess_out")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(afterGap == Set(
+        (1L, ts(0), ts(2), 2L),
+        (2L, ts(1), ts(3), 2L)))
+      // advance the watermark far past every open deadline: the open
+      // sessions flush through the event-time timeout
+      mem.addData((99L, ts(59)))
+      q.processAllAvailable()
+      mem.addData((99L, ts(59))) // second advance lets timeouts fire
+      q.processAllAvailable()
+      val flushed = spark.table("sess_out")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(flushed.contains((1L, ts(10), ts(12), 2L)))
+      assert(flushed.contains((2L, ts(1), ts(3), 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize agrees with the batch sessionizer") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic event set over 3 users with gaps around the 5-min rule
+    val events = (for {
+      u <- 1L to 3L
+      m <- Seq(0, 1, 2, 9, 10, 30, 31, 33)
+    } yield (u, ts(m + u.toInt))) // shift per user to vary bounds
+      // feed in event-time order with a 2-minute delay bound: every
+      // event stays strictly in-bound (an event at or behind the
+      // watermark is LATE and correctly dropped — the agreement
+      // contract is for in-bound arrivals)
+      .sortBy(_._2.getTime)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionize(
+        mem.toDF().toDF("user_id", "ts"), "user_id", "ts",
+        gap = "5 minutes", delayThreshold = "2 minutes")
+      .writeStream.format("memory").queryName("sess_cmp")
+      .outputMode("append").start()
+    try {
+      events.grouped(5).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      // push the watermark far ahead, twice, to flush open sessions
+      mem.addData((99L, ts(59))); q.processAllAvailable()
+      mem.addData((99L, ts(59))); q.processAllAvailable()
+      val streamed = spark.table("sess_cmp")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+        .filter(_._1 != 99L)
+      val batch = graft.operators.TimeSeries.sessionize(
+          events.toDF("user_id", "ts"), "user_id", "ts",
+          tieBreakCol = "ts", gapSeconds = 300)
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts")).as("s"), max(col("ts")).as("e"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("s"), col("e"), col("n"))
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch sessionization must agree\nstream: $streamed\nbatch: $batch")
+    } finally q.stop()
+  }
+
+  test("dedupExactStreaming drops in-window duplicates, state stays bounded") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.dedupExactStreaming(
+        mem.toDF().toDF("doc_id", "text", "ts"),
+        "text", "ts", delayThreshold = "2 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha", ts(0)), (2L, "alpha", ts(1)), (3L, "beta", ts(1)))
+      q.processAllAvailable()
+      mem.addData((4L, "alpha", ts(2))) // still inside the window: dropped
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids.intersect(Set(1L, 2L)).size == 1, "one alpha survivor")
+      assert(ids.contains(3L) && !ids.contains(4L))
+    } finally q.stop()
+  }
+
+  test("windowedDocStats: tumbling counts and token sums age out with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val q = StreamOps.windowedDocStats(
+        mem.toDF().toDF("text", "ts"), "ts", "text",
+        windowDuration = "10 minutes", slideDuration = "10 minutes",
+        delayThreshold = "1 minute")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(("one two three", ts(1)), ("four five", ts(4)))
+      q.processAllAvailable()
+      // events far past the first window finalize it (append mode
+      // emits a window only after the watermark passes its end)
+      mem.addData(("later doc", ts(30)))
+      q.processAllAvailable()
+      mem.addData(("even later", ts(45)))
+      q.processAllAvailable()
+      val first = spark.table("win_out")
+        .filter(col("window_start") === ts(0)).collect()
+      assert(first.length == 1)
+      assert(first(0).getAs[Long]("n_docs") == 2)
+      assert(first(0).getAs[Long]("n_tokens") == 5)
+    } finally q.stop()
+  }
+}

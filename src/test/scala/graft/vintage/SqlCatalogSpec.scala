@@ -153,6 +153,23 @@ class SqlCatalogSpec extends AnyFunSuite {
       .head().getLong(0) == 100)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the schema natively") {
+    spark.sql("CREATE TABLE vin.evo (k STRING, v INT)")
+    spark.sql("INSERT INTO vin.evo VALUES ('a', 1)")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO vin.evo t
+        |USING (SELECT * FROM VALUES ('a', 10, 'upd'), ('b', 2, 'new') AS s(k, v, extra)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rows = spark.sql("SELECT k, v, extra FROM vin.evo ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows == Seq(("a", 10, "upd"), ("b", 2, "new")))
+    // pre-evolution version keeps the narrow schema
+    assert(!spark.sql("SELECT * FROM vin.evo VERSION AS OF 1")
+      .columns.contains("extra"))
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE works on the native path") {
     spark.sql("CREATE TABLE vin.nbs (k STRING, v INT)")
     spark.sql("INSERT INTO vin.nbs VALUES ('a', 1), ('b', 2), ('c', 3)")
