@@ -48,6 +48,15 @@ object Contamination {
     * `maxGramDocFreq` benchmark documents are dropped before the join
     * (boilerplate grams would both skew the shuffle and produce
     * meaningless "contamination").
+    *
+    * The join/aggregation key is `xxhash64(gram)`, not the gram
+    * string: an 8-gram averages ~50-60 bytes and the gram column
+    * dominates every shuffle in this pipeline, so hashing cuts shuffle
+    * bytes ~5×. The trade is the 64-bit collision bound: two distinct
+    * grams hashing together would count as one shared gram —
+    * ~G²/2^65 expected collisions over G distinct grams, i.e. a
+    * handful at G = 10^10 (100 TB scale) against billions of true
+    * grams, and ~10^-10 at test scale.
     */
   def contaminationReport(
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
@@ -55,16 +64,17 @@ object Contamination {
     def grams(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), TextAnalysis.tokens(col(textCol)).as("__t"))
       .select(col(as), explode(distinctNGramsOfTokens(col("__t"), n)).as("__gram"))
+      .select(col(as), xxhash64(col("__gram")).as("__g"))
     val b = grams(bench, "bench_id")
-    val rare = b.groupBy("__gram")
+    val rare = b.groupBy("__g")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxGramDocFreq)
-      .select("__gram")
+      .select("__g")
     grams(train, "train_id")
-      .join(b.join(rare, "__gram"), "__gram")
+      .join(b.join(rare, "__g"), "__g")
       .groupBy("train_id")
       .agg(countDistinct("bench_id").as("n_bench_docs"),
-        countDistinct("__gram").as("n_shared_grams"))
+        countDistinct("__g").as("n_shared_grams"))
   }
 
   /** Fixed-stride token chunk spans per document: chunk `k` covers

@@ -180,6 +180,31 @@ class ColumnMappingSpec extends AnyFunSuite {
       .getMessage.contains("disable"))
   }
 
+  test("native row-level UPDATE and MERGE work on a column-mapped table") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.vmap2", "graft.vintage.connector.VintageCatalog")
+    s.conf.set("spark.sql.catalog.vmap2.warehouse",
+      Files.createTempDirectory("vintage-colmap-rl").toString)
+    s.sql("CREATE TABLE vmap2.t (id BIGINT, name STRING, amount DOUBLE) " +
+      "TBLPROPERTIES ('vintage.columnMapping.mode'='name')")
+    s.sql("INSERT INTO vmap2.t VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    s.sql("ALTER TABLE vmap2.t RENAME COLUMN amount TO price")
+    // row-level UPDATE under the RENAMED logical name: the delta
+    // writer's insert side must store the physical column
+    s.sql("UPDATE vmap2.t SET price = price + 1.0 WHERE id = 1")
+    assert(s.sql("SELECT price FROM vmap2.t ORDER BY id").collect()
+      .map(_.getDouble(0)).toSeq == Seq(11.0, 20.0))
+    s.sql(
+      """MERGE INTO vmap2.t t
+        |USING (SELECT 2L AS id, 'bb' AS name, 200.0 AS price) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(s.sql("SELECT name, price FROM vmap2.t WHERE id = 2").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq == Seq(("bb", 200.0)))
+    // the DV-carrying mapped table still reads whole
+    assert(s.sql("SELECT count(*) FROM vmap2.t").head().getLong(0) == 2)
+  }
+
   test("guard rails: mapping required, duplicate names, partition drop, constraint refs") {
     val t = VintageTable.create(spark, dir("guard"),
       Seq((1L, "x", 5.0)).toDF("id", "name", "amount"))

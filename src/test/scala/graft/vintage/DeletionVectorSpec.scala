@@ -452,6 +452,72 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.toDF.count() == 80 + 10)
   }
 
+  /** Records read across all tasks while `body` runs — the observable
+    * for file-level pruning through the V1 DV/row-level frames, whose
+    * inner parquet scan is invisible to the OUTER executed plan.
+    */
+  private def recordsReadDuring(body: => Unit): Long = {
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          read.addAndGet(e.taskMetrics.inputMetrics.recordsRead): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // listener events are async; give the bus a moment to drain
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1L
+      while (System.currentTimeMillis() < deadline && read.get() != last) {
+        last = read.get(); Thread.sleep(200)
+      }
+      read.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("predicate read of a DV table scans only stat-pruned candidate files") {
+    val dir = newDir("prune-read")
+    // three range-partitioned files with disjoint id stats
+    val t = VintageTable.create(spark, dir,
+      (1L to 300L).map(i => (i, s"n$i")).toDF("id", "name")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      properties = DvProps)
+    t.delete(col("id") === 5) // DV forces the V1 fallback read path
+    assert(t.snapshot.files.exists(_.hasDv))
+    val read = recordsReadDuring {
+      assert(spark.read.format("vintage").load(dir)
+        .filter(col("id") === 250).count() == 1)
+    }
+    // pruned: ~1 file of ~100 rows (+ tiny DV lookup); unpruned: 300
+    assert(read < 200, s"DV fallback scan must stat-prune files, read $read rows")
+  }
+
+  test("row-level SQL UPDATE scans only stat-pruned candidate files") {
+    val dir = Files.createTempDirectory("vintage-dv-prune-sql").toString
+    spark.conf.set("spark.sql.catalog.dvpr",
+      "graft.vintage.connector.VintageCatalog")
+    spark.conf.set("spark.sql.catalog.dvpr.warehouse", dir)
+    try {
+      VintageTable.create(spark, s"$dir/t",
+        (1L to 300L).map(i => (i, s"n$i")).toDF("id", "name")
+          .repartitionByRange(3, col("id")).sortWithinPartitions("id"))
+      val read = recordsReadDuring {
+        // the modulo conjunct is untranslatable (forces the row-level
+        // path); the range conjunct prunes files
+        spark.sql("UPDATE dvpr.t SET name = 'x' WHERE id = 250 AND id % 2 = 0")
+      }
+      assert(spark.sql("SELECT count(*) FROM dvpr.t WHERE name = 'x'")
+        .head().getLong(0) == 1)
+      assert(read < 200,
+        s"row-level scan must stat-prune files from pushed filters, read $read rows")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.dvpr")
+      spark.conf.unset("spark.sql.catalog.dvpr.warehouse")
+    }
+  }
+
   /** Test-only window into commitOp for the stale-race scenario. */
   private class VintageTable2(spark: org.apache.spark.sql.SparkSession,
       path: String) {
