@@ -230,9 +230,20 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: bit i is set iff the sum of
     * (+1 / −1) contributions of token-hash bit i over all tokens is
-    * positive. Pure column expressions, deterministic.
+    * positive. Backed by the codegen'd [[graft.functions.SimHash64]] —
+    * one fused pass per row; bit-identical to the interpreted SQL
+    * higher-order-function reference form [[simHashRegex]]
+    * (SimHash64Spec pins the equality).
     */
-  def simHash(textCol: String): Column = expr(
+  def simHash(textCol: String): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.SimHash64(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col(textCol))))
+
+  /** The declarative HOF formulation of [[simHash]] — kept as the
+    * reference semantics and compared bit-for-bit in SimHash64Spec.
+    */
+  def simHashRegex(textCol: String): Column = expr(
     s"""aggregate(
        |  transform(sequence(0, 63), i ->
        |    IF(aggregate(split(lower($textCol), '\\\\s+'), 0L, (acc, t) ->

@@ -41,7 +41,16 @@ class VintageSource extends DataSourceRegister
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val abs = pathOf(parameters)
     require(VintageLog.exists(abs), s"not a vintage table: $abs")
-    (shortName(), schema.getOrElse(VintageLog.replay(abs).schema))
+    val base = schema.getOrElse(VintageLog.replay(abs).schema)
+    // streaming CDF rows carry the two change columns
+    val withCdf =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean)) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+    (shortName(), withCdf)
   }
 
   override def createSource(

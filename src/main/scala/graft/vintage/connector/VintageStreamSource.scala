@@ -52,6 +52,17 @@ class VintageStreamSource(
     options.get("ignoreDeletes").exists(_.toBoolean)
   private val ignoreChanges =
     options.get("ignoreChanges").exists(_.toBoolean)
+
+  /** Streaming CHANGE-DATA-FEED mode (`readChangeFeed=true`, Delta's
+    * option surface): every batch carries true row-level deltas —
+    * `_change_type` (insert/delete) and `_commit_version` columns from
+    * [[graft.vintage.VintageTable.changes]] — so deletes and updates
+    * stream as retract/emit pairs instead of failing the query or
+    * re-emitting whole files; `ignoreDeletes`/`ignoreChanges` are
+    * irrelevant here. The initial batch (no startingVersion) is the
+    * snapshot tagged as inserts, matching the batch CDF contract.
+    */
+  private val cdf = options.get("readChangeFeed").exists(_.toBoolean)
   private val maxVersionsPerTrigger =
     options.get("maxVersionsPerTrigger").map(_.toLong)
   private val maxFilesPerTrigger =
@@ -92,7 +103,14 @@ class VintageStreamSource(
   // The stream is pinned to the schema at start; a mid-stream schema
   // change fails the query (restart picks up the new schema) — same
   // behavior as Delta's streaming source.
-  override val schema: StructType = VintageLog.replay(tablePath).schema
+  private val tableSchema: StructType = VintageLog.replay(tablePath).schema
+  override val schema: StructType =
+    if (!cdf) tableSchema
+    else StructType(tableSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
 
   // Highest offset already handed out by getOffset, so the rate limit
   // is relative to what the stream has planned, not what it committed.
@@ -152,12 +170,40 @@ class VintageStreamSource(
     start.map(versionOf) match {
       case None =>
         changesFromExclusive match {
-          case Some(from) => changes(from + 1, endV)
-          case None       => snapshotAt(endV) // initial snapshot
+          case Some(from) =>
+            if (cdf) cdfChanges(from, endV) else changes(from + 1, endV)
+          case None =>
+            if (cdf) cdfInitial(endV) else snapshotAt(endV)
         }
-      case Some(s) => changes(s + 1, endV)
+      case Some(s) =>
+        if (cdf) cdfChanges(s, endV) else changes(s + 1, endV)
     }
   }
+
+  /** CDF batch: row-level deltas of commits `(loExclusive, hi]` — the
+    * batch change feed's diff plans, streaming-tagged. Planning work
+    * is log metadata plus the per-version exceptAll diffs over exactly
+    * the touched files.
+    */
+  private def cdfChanges(loExclusive: Long, hi: Long): DataFrame =
+    toStreamingComputed(
+      graft.vintage.VintageTable.forPath(spark, tablePath)
+        .changes(loExclusive, hi))
+
+  /** CDF initial batch: the start snapshot as `insert` changes at its
+    * version — the same contract as batch CDF from version 0.
+    */
+  private def cdfInitial(v: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    toStreamingComputed(
+      graft.vintage.VintageTable.forPath(spark, tablePath).toDFAsOf(v)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v)))
+  }
+
+  private def toStreamingComputed(df: DataFrame): DataFrame =
+    StreamingOps.ofComputedStreaming(spark,
+      df.select(schema.fieldNames.toSeq.map(org.apache.spark.sql.functions.col): _*))
 
   /** Full table contents as of version `v` (stream start). */
   private def snapshotAt(v: Long): DataFrame =

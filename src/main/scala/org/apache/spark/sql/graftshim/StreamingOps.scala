@@ -12,4 +12,15 @@ import org.apache.spark.sql.sources.BaseRelation
 object StreamingOps {
   def ofRowsStreaming(spark: SparkSession, relation: BaseRelation): DataFrame =
     DatasetOps.ofRows(spark, LogicalRelation(relation, isStreaming = true))
+
+  /** Streaming-tagged frame over an arbitrary batch DataFrame's rows
+    * (the change-feed batches are diff plans — unions + exceptAll —
+    * not relations): the batch plan's RDD is wrapped lazily via the
+    * private[sql] `internalCreateDataFrame`, the same construction
+    * Spark sources use for computed batches.
+    */
+  def ofComputedStreaming(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = true)
 }

@@ -300,6 +300,71 @@ class VintageStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDF: row-level deltas with change types and versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-stream").toString + "/cdf"
+    val cp = Files.createTempDirectory("vintage-stream-cdf-cp").toString
+    val t = VintageTable.create(spark, dir,
+      (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1),
+      properties = Map(graft.vintage.DeletionVectors.EnabledProp -> "true"))
+
+    val q = spark.readStream.format("vintage")
+      .option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdf_stream")
+      .option("checkpointLocation", cp)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // initial batch: snapshot as inserts at version 0
+      val initial = spark.table("cdf_stream")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(initial == (1L to 10L).map(i => (i, "insert", 0L)).toSet)
+
+      t.delete(org.apache.spark.sql.functions.col("id") <= 2) // v1: DV delete
+      q.processAllAvailable()
+      val afterDelete = spark.table("cdf_stream")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(afterDelete == initial ++ Set((1L, "delete", 1L), (2L, "delete", 1L)),
+        "a delete commit must stream as delete changes, not fail the query")
+
+      t.update(org.apache.spark.sql.functions.col("id") === 5,
+        Map("name" -> org.apache.spark.sql.functions.lit("upd"))) // v2
+      q.processAllAvailable()
+      val afterUpdate = spark.table("cdf_stream")
+        .filter(org.apache.spark.sql.functions.col("_commit_version") === 2)
+        .select("id", "name", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(afterUpdate == Set((5L, "n5", "delete"), (5L, "upd", "insert")),
+        "an update must stream as a retract/emit pair")
+    } finally q.stop()
+  }
+
+  test("streaming CDF with startingVersion emits no initial snapshot") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-stream").toString + "/cdfsv"
+    val t = VintageTable.create(spark, dir,
+      (1L to 5L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    t.append(Seq((6L, "n6")).toDF("id", "name").coalesce(1)) // v1
+
+    val q = spark.readStream.format("vintage")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1)
+      .load(dir)
+      .writeStream.format("memory").queryName("cdf_sv")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("cdf_sv")
+        .select("id", "_change_type", "_commit_version").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set((6L, "insert", 1L)),
+        "startingVersion=1 must emit only v1's changes, no snapshot")
+    } finally q.stop()
+  }
+
   test("streaming source: startingVersion=latest emits only post-start commits") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vintage-src").toString + "/l"
