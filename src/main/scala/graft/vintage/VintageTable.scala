@@ -377,11 +377,13 @@ class VintageTable private (
   /** Overwrite carrying an application transaction watermark — see
     * [[append(df:org\.apache\.spark\.sql\.DataFrame,txn:Option[(String,Long)])*]].
     */
-  def overwrite(df: DataFrame, dataChange: Boolean,
+  def overwrite(df0: DataFrame, dataChange: Boolean,
       txn: Option[(String, Long)]): Unit = {
     val snap = snapshot
     val t = txn.map { case (a, v) => Txn(a, v) }
     if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
+    // ingest-side completion of generated columns the writer omitted
+    val df = GeneratedColumns.complete(df0, snap.properties, Some(snap.schema))
     // overwrite replaces the schema with the frame's; under column
     // mapping, same-named fields keep their physical names and new
     // fields get fresh ones, so history stays readable
@@ -423,11 +425,13 @@ class VintageTable private (
     * are still an error — silently null-filling a forgotten column is
     * the bug this check exists to catch.
     */
-  def append(df: DataFrame, txn: Option[(String, Long)],
+  def append(df0: DataFrame, txn: Option[(String, Long)],
       mergeSchema: Boolean): Unit = {
     val snap = snapshot
     val t = txn.map { case (a, v) => Txn(a, v) }
     if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
+    // ingest-side completion of generated columns the writer omitted
+    val df = GeneratedColumns.complete(df0, snap.properties, Some(snap.schema))
     val missing = snap.schema.fieldNames
       .filterNot(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     val extra = df.schema.fields
@@ -1498,15 +1502,18 @@ object VintageTable {
     // calls (not DROP TABLE); its cached (dir, version) snapshots must
     // not be served for the new table
     VintageLog.invalidate(abs)
+    // generated columns missing from the input are computed here
+    // (their consistency constraints then validate every later write)
+    val df1 = GeneratedColumns.complete(df, properties)
     val missing = partitionBy.filterNot(c =>
-      df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      df1.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty, s"partition columns not in schema: $missing")
     // creating directly in column-mapping mode: stamp physical names up
     // front so the first files are already written under them
     val schema0 =
-      if (ColumnMapping.active(properties)) ColumnMapping.stamp(df.schema)
-      else df.schema
-    val adds = writeFiles(spark, df, abs, dataChange = true, partitionBy,
+      if (ColumnMapping.active(properties)) ColumnMapping.stamp(df1.schema)
+      else df1.schema
+    val adds = writeFiles(spark, df1, abs, dataChange = true, partitionBy,
       tableProps = properties, tableSchema = schema0)
     val info = CommitInfo(0L, System.currentTimeMillis(), "WRITE",
       Map("mode" -> "Overwrite",

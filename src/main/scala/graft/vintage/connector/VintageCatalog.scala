@@ -54,6 +54,15 @@ class VintageCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** `CREATE TABLE … (g T GENERATED ALWAYS AS (expr))` support: Spark
+    * validates and ships the expressions in field metadata; createTable
+    * moves them to `vintage.generated.*` properties
+    * ([[graft.vintage.GeneratedColumns]]).
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
   /** `vin.t` → warehouse/t; a backquoted absolute path is used as-is. */
   private def pathFor(ident: Identifier): String = {
     val raw = (ident.namespace() :+ ident.name()).mkString("/")
@@ -97,6 +106,32 @@ class VintageCatalog extends TableCatalog {
       VintageLog.replay(p, Some(v)), timeTravel = true)
   }
 
+  /** v2-Column createTable: the GENERATED ALWAYS AS expressions ride
+    * the `Column` objects (the schema bridge drops them), so this
+    * override extracts them before delegating.
+    */
+  override def createTable(
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val genExprs = columns
+      .filter(_.generationExpression() != null)
+      .map(c => c.name() -> c.generationExpression()).toMap
+    // manual column→field bridge (CatalogV2Util is private[sql]);
+    // default/identity specs never arrive — those capabilities are
+    // not declared
+    val schema = StructType(columns.map { c =>
+      val f = org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable())
+      if (c.comment() != null) f.withComment(c.comment()) else f
+    })
+    val allProps = new util.HashMap[String, String](properties)
+    graft.vintage.GeneratedColumns.properties(genExprs)
+      .foreach { case (k, v) => allProps.put(k, v) }
+    createTable(ident, schema, partitions, allProps)
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
@@ -113,9 +148,16 @@ class VintageCatalog extends TableCatalog {
     }
     val p = pathFor(ident)
     if (VintageLog.exists(p)) throw new TableAlreadyExistsException(ident)
+    // GENERATED ALWAYS AS: lift the DDL expressions out of field
+    // metadata into table properties + consistency constraints
+    val (cleanSchema, genExprs) = graft.vintage.GeneratedColumns
+      .fromCreateSchema(schema)
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
-    VintageTable.create(spark, p, empty, properties.asScala.toMap, partCols)
+      spark.sparkContext.emptyRDD[Row], cleanSchema)
+    VintageTable.create(spark, p, empty,
+      properties.asScala.toMap ++
+        graft.vintage.GeneratedColumns.properties(genExprs),
+      partCols)
     loadTable(ident)
   }
 

@@ -72,5 +72,19 @@ object VintageFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "quantize8(vec)")
         graft.functions.Quantize8(args(0))
+      }),
+    (FunctionIdentifier("whitespace_tokens"),
+      new ExpressionInfo(classOf[graft.functions.WhitespaceTokens].getName,
+        "whitespace_tokens"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "whitespace_tokens(text)")
+        graft.functions.WhitespaceTokens(args(0))
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName,
+        "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(text)")
+        graft.functions.SimHash64(args(0))
       }))
 }

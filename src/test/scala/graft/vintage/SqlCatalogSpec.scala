@@ -366,6 +366,12 @@ class SqlCatalogSpec extends AnyFunSuite {
     val q8 = spark.sql(
       "SELECT quantize8(array(CAST(0.5 AS FLOAT), CAST(-1.0 AS FLOAT))) AS q").head()
     assert(q8.getSeq[Byte](0) == Seq[Byte](64, -127))
+    val toks = spark.sql(
+      "SELECT whitespace_tokens('  The Quick  fox ') AS t").head()
+    assert(toks.getSeq[String](0) == Seq("the", "quick", "fox"))
+    val sh = spark.sql(
+      "SELECT simhash64('a b c') AS h, simhash64('a b c') AS h2").head()
+    assert(sh.getLong(0) == sh.getLong(1))
     // non-literal plane count is rejected with a clear error
     val e = intercept[Exception] {
       spark.sql("SELECT hyperplane_sketch(array(CAST(1.0 AS FLOAT)), id + 1, 0) " +
