@@ -61,7 +61,13 @@ class VintageCatalog extends TableCatalog {
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      // DEFAULT values: Spark's analyzer fills omitted columns at
+      // INSERT time from the default metadata the schema carries —
+      // the log's schema JSON round-trips field metadata, so the
+      // connector only needs to keep it (structTypeToV2Columns turns
+      // it back into ColumnDefaultValue on load)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `vin.t` → warehouse/t; a backquoted absolute path is used as-is. */
   private def pathFor(ident: Identifier): String = {
@@ -118,13 +124,19 @@ class VintageCatalog extends TableCatalog {
     val genExprs = columns
       .filter(_.generationExpression() != null)
       .map(c => c.name() -> c.generationExpression()).toMap
-    // manual column→field bridge (CatalogV2Util is private[sql]);
-    // default/identity specs never arrive — those capabilities are
-    // not declared
+    // manual column→field bridge (CatalogV2Util is private[sql]).
+    // DEFAULT values ride the standard field-metadata keys Spark's
+    // analyzer resolves INSERTs against; the log's schema JSON keeps
+    // them, so defaults survive restarts and time travel
     val schema = StructType(columns.map { c =>
-      val f = org.apache.spark.sql.types.StructField(
-        c.name(), c.dataType(), c.nullable())
-      if (c.comment() != null) f.withComment(c.comment()) else f
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+      if (c.defaultValue() != null) {
+        md.putString("CURRENT_DEFAULT", c.defaultValue().getSql())
+        md.putString("EXISTS_DEFAULT", c.defaultValue().getSql())
+      }
+      if (c.comment() != null) md.putString("comment", c.comment())
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), md.build())
     })
     val allProps = new util.HashMap[String, String](properties)
     graft.vintage.GeneratedColumns.properties(genExprs)

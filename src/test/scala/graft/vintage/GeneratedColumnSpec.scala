@@ -42,6 +42,20 @@ class GeneratedColumnSpec extends AnyFunSuite {
       s"expected the consistency constraint to fire, got: ${e.getMessage}")
   }
 
+  test("DEFAULT column values fill omitted INSERT columns") {
+    spark.sql("CREATE TABLE gen.dflt (id BIGINT, status STRING DEFAULT 'new')")
+    spark.sql("INSERT INTO gen.dflt (id) VALUES (1)")
+    spark.sql("INSERT INTO gen.dflt VALUES (2, 'done'), (3, DEFAULT)")
+    val rows = spark.sql("SELECT id, status FROM gen.dflt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "new"), (2L, "done"), (3L, "new")))
+    // the default survives a snapshot reload (it lives in the log's schema)
+    VintageLog.clearSnapshotCache()
+    spark.sql("INSERT INTO gen.dflt (id) VALUES (4)")
+    assert(spark.sql("SELECT status FROM gen.dflt WHERE id = 4")
+      .head().getString(0) == "new")
+  }
+
   test("fluent ingest computes a missing generated column") {
     val dir = Files.createTempDirectory("vintage-gen").toString + "/t"
     val t = VintageTable.create(spark, dir,

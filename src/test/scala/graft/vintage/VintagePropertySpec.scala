@@ -62,10 +62,27 @@ class VintagePropertySpec extends AnyFunSuite {
     randomOpsMatchModel(Map(DeletionVectors.EnabledProp -> "true"))
   }
 
-  private def randomOpsMatchModel(properties: Map[String, String]): Unit = {
+  test("random op sequences through native SQL row-level DML match the model") {
+    // same seed and sequence, but merge/delete/update run as SQL
+    // MERGE INTO / DELETE / UPDATE through the catalog — the
+    // SupportsDelta WriteDelta path (the DELETE carries an
+    // untranslatable conjunct so the metadata path cannot take it) —
+    // so model equivalence, time travel, and the change feed all pin
+    // the native row-level machinery under arbitrary interleavings
+    randomOpsMatchModel(Map.empty, viaSql = true)
+  }
+
+  private def randomOpsMatchModel(properties: Map[String, String],
+      viaSql: Boolean = false): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
-    val dir = Files.createTempDirectory("vintage-prop").toString + "/t"
+    val wh = Files.createTempDirectory("vintage-prop").toString
+    val dir = wh + "/t"
+    if (viaSql) {
+      spark.conf.set("spark.sql.catalog.propsql",
+        "graft.vintage.connector.VintageCatalog")
+      spark.conf.set("spark.sql.catalog.propsql.warehouse", wh)
+    }
 
     def df(m: Map[Long, Double]) = m.toSeq.toDF("k", "v").coalesce(2)
 
@@ -81,16 +98,26 @@ class VintagePropertySpec extends AnyFunSuite {
           val ins = (1 to rnd.nextInt(3) + 1)
             .map(_ => (model.keys.max + rnd.nextInt(100) + 1) -> rnd.nextDouble()).toMap
           val src = (upd ++ ins).toSeq.toDF("k", "v")
-          t.as("t").merge(src.as("s"), "t.k = s.k")
-            .whenMatched().updateAll().whenNotMatched().insertAll().execute()
+          if (viaSql) {
+            src.createOrReplaceTempView("__prop_src")
+            spark.sql(
+              """MERGE INTO propsql.t t USING __prop_src s ON t.k = s.k
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          } else
+            t.as("t").merge(src.as("s"), "t.k = s.k")
+              .whenMatched().updateAll().whenNotMatched().insertAll().execute()
           model = model ++ upd ++ ins
         case 1 => // conditional delete
           val cut = model.keys.toSeq.sorted.drop(model.size / 2).headOption.getOrElse(0L)
-          t.delete(col("k") >= cut)
+          if (viaSql) // pmod() is filter-untranslatable: forces WriteDelta
+            spark.sql(s"DELETE FROM propsql.t WHERE k >= $cut AND pmod(k, 1) = 0")
+          else t.delete(col("k") >= cut)
           model = model.filter(_._1 < cut)
         case 2 => // conditional update
           val cut = model.keys.toSeq.sorted.take(model.size / 2).lastOption.getOrElse(0L)
-          t.update(col("k") <= cut, Map("v" -> lit(-1.0)))
+          if (viaSql) spark.sql(s"UPDATE propsql.t SET v = -1.0 WHERE k <= $cut")
+          else t.update(col("k") <= cut, Map("v" -> lit(-1.0)))
           model = model.map { case (k, v) => k -> (if (k <= cut) -1.0 else v) }
         case 3 => // full replacement
           model = (1L to (rnd.nextInt(20) + 5).toLong)
