@@ -41,8 +41,22 @@ object Dedup {
     if (sc.getCheckpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
   }
 
-  /** Distinct character k-shingles of `textCol` as an array column. */
-  def shingles(textCol: String, k: Int): Column = expr(
+  /** Distinct character k-shingles of `textCol` as an array column.
+    * Backed by the codegen'd [[graft.functions.CharShingles]] — one
+    * codepoint walk instead of the O(len²) interpreted
+    * substring-per-window form [[shinglesRegex]], which it matches
+    * bit-for-bit (CharShinglesSpec).
+    */
+  def shingles(textCol: String, k: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.CharShingles(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col(textCol)), k))
+
+  /** The declarative formulation of [[shingles]] — kept as the
+    * reference semantics (the oracle SQL mirrors it) and compared
+    * bit-for-bit in CharShinglesSpec.
+    */
+  def shinglesRegex(textCol: String, k: Int): Column = expr(
     s"array_distinct(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
     s"i -> substring($textCol, i, $k)))")
 
