@@ -26,7 +26,15 @@ object Contamination {
     * `element_at` reference — n re-splits per gram, O(n · grams)
     * splits per row.
     */
-  def distinctNGramsOfTokens(t: Column, n: Int): Column = {
+  def distinctNGramsOfTokens(t: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.WordNGrams(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(t), n, distinct = true))
+
+  /** The declarative formulation of [[distinctNGramsOfTokens]] —
+    * reference semantics for WordNGramsSpec's bit-equality pin.
+    */
+  def distinctNGramsOfTokensRegex(t: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(t) - (n - 1)), i =>
       concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))
     when(size(t) < n, array().cast("array<string>"))

@@ -168,6 +168,17 @@ object TextAnalysis {
   def ngramsOfTokens(t: Column, n: Int): Column = {
     require(n >= 1, s"n must be positive, got $n")
     if (n == 1) t
+    else org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.WordNGrams(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(t), n, distinct = false))
+  }
+
+  /** The declarative formulation of [[ngramsOfTokens]] — reference
+    * semantics for WordNGramsSpec's bit-equality pin.
+    */
+  def ngramsOfTokensRegex(t: Column, n: Int): Column = {
+    require(n >= 1, s"n must be positive, got $n")
+    if (n == 1) t
     else when(size(t) >= n,
       transform(sequence(lit(1), size(t) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*)))
