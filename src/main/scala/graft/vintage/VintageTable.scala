@@ -1137,7 +1137,14 @@ class VintageTable private (
                 dvDirsToDelete += sc.getPath.toString
             }
           }
-        } else if (name != VintageLog.LogDirName && !name.startsWith(".tmp-"))
+        } else if (name.startsWith(".tmp-")) {
+          // staging litter from crashed writes (data staging,
+          // row-level position files): reclaimable whole once older
+          // than the cutoff — an in-flight write is protected by the
+          // same retention guard as everything else
+          if (s.getModificationTime < cutoff)
+            dvDirsToDelete += s.getPath.toString
+        } else if (name != VintageLog.LogDirName)
           walk(s.getPath)
       } else if (name.endsWith(".parquet") && !name.startsWith("_") &&
                  !name.startsWith(".")) {

@@ -409,6 +409,26 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.toDF.count() == 80)
   }
 
+  test("vacuum reclaims stale .tmp- staging litter but not fresh dirs") {
+    val dir = newDir("tmp-litter")
+    val t = VintageTable.create(spark, dir,
+      (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
+    // simulate crashed-write litter: an old staging dir and a fresh one
+    val old = new java.io.File(dir, ".tmp-delta")
+    old.mkdirs()
+    val f = new java.io.File(old, "stale.parquet")
+    java.nio.file.Files.writeString(f.toPath, "x")
+    old.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    val fresh = new java.io.File(dir, ".tmp-fresh")
+    fresh.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(fresh, "inflight").toPath, "y")
+    t.vacuum(168.0) // default retention: old litter dies, fresh survives
+    assert(!old.exists(), "stale .tmp- staging dir must be reclaimed")
+    assert(fresh.exists(), "a fresh (possibly in-flight) staging dir must survive")
+    assert(t.toDF.count() == 10)
+  }
+
   test("vacuum keeps sidecars referenced by the live snapshot") {
     val dir = newDir("sidecar-live")
     val t = VintageTable.create(spark, dir,
