@@ -170,6 +170,35 @@ class SqlCatalogSpec extends AnyFunSuite {
       .columns.contains("extra"))
   }
 
+  test("racing native row-level UPDATEs: exactly one DV state survives per commit") {
+    spark.sql("CREATE TABLE vin.race (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO vin.race SELECT id, 0 FROM range(100)")
+    // two concurrent row-level updates of the SAME file: the commit
+    // retry must serialize them — either both land (disjoint retry) or
+    // the loser fails; silently losing one update is the bug this pins
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(
+      new Thread(() => try spark.sql(
+        "UPDATE vin.race SET v = 1 WHERE id < 10 AND pmod(id, 1) = 0")
+        catch { case e: Throwable => errors.add(e) }),
+      new Thread(() => try spark.sql(
+        "UPDATE vin.race SET v = 2 WHERE id >= 90 AND pmod(id, 1) = 0")
+        catch { case e: Throwable => errors.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val v1 = spark.sql("SELECT count(*) FROM vin.race WHERE v = 1").head().getLong(0)
+    val v2 = spark.sql("SELECT count(*) FROM vin.race WHERE v = 2").head().getLong(0)
+    assert(spark.sql("SELECT count(*) FROM vin.race").head().getLong(0) == 100,
+      "row count must be stable under racing updates")
+    if (errors.isEmpty)
+      assert(v1 == 10 && v2 == 10, s"both committed updates must be visible, got $v1/$v2")
+    else {
+      // a loser failed loudly: the winner's update must be intact
+      assert(v1 == 10 || v2 == 10, s"the winning update must survive, got $v1/$v2")
+      assert(errors.peek().toString.toLowerCase.contains("concurrent"),
+        s"loser must fail with a concurrency error, got ${errors.peek()}")
+    }
+  }
+
   test("MERGE WHEN NOT MATCHED BY SOURCE works on the native path") {
     spark.sql("CREATE TABLE vin.nbs (k STRING, v INT)")
     spark.sql("INSERT INTO vin.nbs VALUES ('a', 1), ('b', 2), ('c', 3)")
