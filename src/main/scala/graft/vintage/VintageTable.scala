@@ -1351,6 +1351,12 @@ class VintageTable private (
       extra: Seq[Action] = Nil): Long = {
     var readVersion = snap.version
     var attempt = 0
+    // in-commit-timestamp monotonicity (Delta's ICT semantics):
+    // commit timestamps must STRICTLY increase with version, or
+    // TIMESTAMP AS OF resolution is ambiguous — two commits inside
+    // one clock millisecond tie, and a backwards clock step would
+    // interleave. Clamp each commit past its predecessor.
+    var prevTs = snap.commits.lastOption.map(_.timestamp).getOrElse(0L)
     // a NoRead commit (blind append) can lose a version race but can
     // never semantically conflict, so pure races get a much higher
     // budget than genuinely conflict-prone scopes — a fleet of
@@ -1358,7 +1364,8 @@ class VintageTable private (
     val attemptCap = if (scope == NoRead) maxRetries * 10 else maxRetries
     while (true) {
       val v = readVersion + 1
-      val info = CommitInfo(v, System.currentTimeMillis(), op, params)
+      val info = CommitInfo(v,
+        math.max(System.currentTimeMillis(), prevTs + 1), op, params)
       try {
         VintageLog.commit(path, v,
           Seq(info) ++ txn.toSeq ++ extra ++ meta.toSeq ++ removes ++ adds)
@@ -1418,6 +1425,8 @@ class VintageTable private (
                  s"should have read: ${addConflict.take(3).mkString(",")}") +
               s" (caused by: $e)")
           readVersion = current.version
+          prevTs = math.max(prevTs,
+            current.commits.lastOption.map(_.timestamp).getOrElse(0L))
       }
     }
     -1L // unreachable

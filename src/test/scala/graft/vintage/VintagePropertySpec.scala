@@ -50,6 +50,25 @@ class VintagePropertySpec extends AnyFunSuite {
     (0 until threads).foreach(w => assert(byWriter(w.toLong) == perThread))
   }
 
+  test("commit timestamps are strictly monotonic under rapid commits") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-prop").toString + "/ict"
+    val t = VintageTable.create(spark, dir,
+      Seq((0L, 0L)).toDF("k", "v").coalesce(1))
+    // many commits inside a few clock milliseconds: without the
+    // in-commit-timestamp clamp, same-ms ties make TIMESTAMP AS OF
+    // resolution ambiguous
+    (1 to 12).foreach(i =>
+      t.append(Seq((i.toLong, i.toLong)).toDF("k", "v").coalesce(1)))
+    val ts = t.snapshot.commits.sortBy(_.version).map(_.timestamp)
+    assert(ts == ts.sorted && ts.distinct.size == ts.size,
+      s"commit timestamps must strictly increase, got $ts")
+    // timestamp time travel lands on exactly one version per instant
+    ts.zipWithIndex.foreach { case (x, v) =>
+      assert(VintageLog.versionAtTimestamp(dir, x) == v.toLong)
+    }
+  }
+
   test("random op sequences match an in-memory model, incl. time travel") {
     randomOpsMatchModel(Map.empty)
   }
