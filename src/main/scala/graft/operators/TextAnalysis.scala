@@ -238,9 +238,18 @@ object TextAnalysis {
     * signals plus the combined `keep` verdict — the standard first
     * cleaning gate of a pretraining pipeline (word-count window, mean
     * word length window, symbol-token ratio cap, minimum stopword
-    * presence). All signals are per-row rational arithmetic rounded to
-    * `decimal(20,6)`, so the verdicts are deterministic and
-    * engine-portable.
+    * presence).
+    *
+    * Every output column is integer (BIGINT) and the ratio thresholds
+    * are applied by cross-multiplication — `mean_wlen >= thr` becomes
+    * `sum_wlen * 1e6 >= round(thr*1e6) * n_words` — so no
+    * floating-point value is ever materialized, compared, or cast.
+    * Integer arithmetic is exact on any engine, which makes the
+    * verdicts bit-portable (a double→decimal cast in the output was
+    * the one engine-dependent step; see the q39 gate history).
+    * Empty documents only pass when `minWords == 0` (the ratio
+    * inequalities are vacuous at n_words = 0 by the cross-multiplied
+    * form: 0 >= 0).
     */
   def qualityFilter(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String],
@@ -248,28 +257,30 @@ object TextAnalysis {
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
       maxSymbolRatio: Double = 0.1, minStopwordHits: Int = 2): DataFrame = {
     require(stopwords.nonEmpty, "qualityFilter needs a stopword list")
+    // thresholds become exact scaled integers once, driver-side
+    val minWlenE6 = math.round(minMeanWordLen * 1e6)
+    val maxWlenE6 = math.round(maxMeanWordLen * 1e6)
+    val maxSymE6 = math.round(maxSymbolRatio * 1e6)
     // match the lowercased token stream (see bm25)
     val lcStopwords = stopwords.map(_.toLowerCase)
     val t = col("__toks")
     val nw = size(t).cast("long")
-    val meanLen = when(size(t) === 0, lit(0.0)).otherwise(
-      aggregate(transform(t, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
-        .cast("double") / size(t))
-    val symbolRatio = when(size(t) === 0, lit(0.0)).otherwise(
-      size(filter(t, x => !x.rlike("[a-z0-9]"))).cast("double") / size(t))
+    val sumWlen = aggregate(transform(t, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nSymbol = size(filter(t, x => !x.rlike("[a-z0-9]"))).cast("long")
     val stopHits = size(array_intersect(t,
       array(lcStopwords.map(lit): _*))).cast("long")
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
         nw.as("n_words"),
-        meanLen.cast("decimal(20,6)").as("mean_wlen"),
-        symbolRatio.cast("decimal(20,6)").as("symbol_ratio"),
+        sumWlen.as("sum_wlen"),
+        nSymbol.as("n_symbol_tokens"),
         stopHits.as("stop_hits"))
       .withColumn("keep",
         col("n_words") >= minWords && col("n_words") <= maxWords &&
-        col("mean_wlen") >= minMeanWordLen &&
-        col("mean_wlen") <= maxMeanWordLen &&
-        col("symbol_ratio") <= maxSymbolRatio &&
+        col("sum_wlen") * 1000000L >= col("n_words") * minWlenE6 &&
+        col("sum_wlen") * 1000000L <= col("n_words") * maxWlenE6 &&
+        col("n_symbol_tokens") * 1000000L <= col("n_words") * maxSymE6 &&
         col("stop_hits") >= minStopwordHits)
   }
 
@@ -309,15 +320,20 @@ object TextAnalysis {
     }
   }
 
-  /** Per-document Shannon entropy (nats) of the token distribution —
-    * the information-density quality signal: boilerplate and
+  /** Per-document Shannon entropy of the token distribution — the
+    * information-density quality signal: boilerplate and
     * keyword-stuffed documents read low, natural prose reads high.
-    * Per-distinct-token contributions round to decimal(20,4) before
-    * the sum, so the score is exact on any engine: a 1-ulp libm `ln`
-    * difference (~1e-16 relative) cannot cross a 1e-4 rounding
-    * boundary at realistic trial counts (see [[bm25]] for the
-    * determinism argument; the coarser scale here buys a 100× margin
-    * because entropy sums ~10^5 transcendental terms per corpus).
+    * Reported as `entropy_e4`, the entropy in units of 1e-4 nats as a
+    * BIGINT: each distinct token's contribution `-p·ln(p)` is scaled
+    * by 1e4, passed through an explicit `round()` (half-away-from-
+    * zero in both Spark's HALF_UP-on-positives and DuckDB/libc), and
+    * cast to integer BEFORE the sum, so the total is an exact integer
+    * sum on any engine. `-p·ln(p)·1e4` is irrational for p ∈ (0,1)
+    * (and exactly 0 at p = 1), so the rounding never lands on a tie;
+    * a 1-ulp libm `ln` difference (~1e-12 absolute here) cannot move
+    * a value that sits ≥ ~1e-5 from the nearest half-integer — unlike
+    * an implicit double→DECIMAL cast, whose truncate-vs-round
+    * semantics are engine-defined (the q42 gate history).
     *
     * Scale shape: explode → map-side-combinable (doc, token) count →
     * per-doc sum; both shuffles carry one row per distinct (doc,
@@ -330,13 +346,16 @@ object TextAnalysis {
       .select(col(idCol), explode(col("__toks")).as("__tok"))
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
     val p = col("__c") / col("__n").cast("double")
-    val contrib = (-p * log(p)).cast("decimal(20,4)")
+    val contribE4 = round(-p * log(p) * lit(10000.0)).cast("long")
     val ent = counts.join(lens, idCol)
-      .select(col(idCol), contrib.as("__e"))
-      .groupBy(col(idCol)).agg(sum(col("__e")).as("entropy"))
+      .select(col(idCol), contribE4.as("__e"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("__e")).as("entropy_e4"))
     lens.join(ent, Seq(idCol), "left")
       .select(col(idCol), col("__n").as("n_tokens"),
-        coalesce(col("entropy"), lit(0).cast("decimal(20,4)")).as("entropy"))
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("entropy_e4"), lit(0L)).as("entropy_e4"))
   }
 
   /** Per-group top-`k` word n-grams by count — the head of an n-gram

@@ -777,7 +777,10 @@ object PipelineQueries {
 
   /** Gopher/C4-style quality gate: structural signals + keep verdict
     * per document (word-count window, mean-word-length window,
-    * symbol-token cap, stopword presence).
+    * symbol-token cap, stopword presence). Output is integer-only —
+    * ratio thresholds apply by cross-multiplication — so the hashed
+    * columns carry no engine-dependent double→decimal cast (the
+    * r5/r6 hash-red root cause).
     */
   def q39QualityFilter(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.qualityFilter(
@@ -799,20 +802,20 @@ object PipelineQueries {
       |sig AS (
       |  SELECT doc_id,
       |    len(t)::BIGINT AS n_words,
-      |    CAST(CASE WHEN len(t) = 0 THEN 0.0 ELSE
-      |      coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'),
-      |               0)::DOUBLE / len(t) END AS DECIMAL(20,6)) AS mean_wlen,
-      |    CAST(CASE WHEN len(t) = 0 THEN 0.0 ELSE
-      |      len(list_filter(t, x -> NOT regexp_matches(x, '[a-z0-9]')))::DOUBLE
-      |        / len(t) END AS DECIMAL(20,6)) AS symbol_ratio,
+      |    coalesce(list_aggregate(list_transform(t, x -> length(x)::BIGINT),
+      |                            'sum'), 0)::BIGINT AS sum_wlen,
+      |    len(list_filter(t,
+      |      x -> NOT regexp_matches(x, '[a-z0-9]')))::BIGINT AS n_symbol_tokens,
       |    len(list_filter(list_distinct(t),
       |      x -> x IN ('data','join','row','scan','table','key')))::BIGINT AS stop_hits
       |  FROM toks
       |)
-      |SELECT doc_id, n_words, mean_wlen, symbol_ratio, stop_hits,
+      |SELECT doc_id, n_words, sum_wlen, n_symbol_tokens, stop_hits,
       |  (n_words >= 25 AND n_words <= 100000 AND
-      |   mean_wlen >= 3.5 AND mean_wlen <= 5.5 AND
-      |   symbol_ratio <= 0.1 AND stop_hits >= 4) AS keep
+      |   sum_wlen * 1000000 >= n_words * 3500000 AND
+      |   sum_wlen * 1000000 <= n_words * 5500000 AND
+      |   n_symbol_tokens * 1000000 <= n_words * 100000 AND
+      |   stop_hits >= 4) AS keep
       |FROM sig ORDER BY doc_id""".stripMargin
 
   /** PII scrub audit: plant one email / phone / IP per document (the
@@ -869,9 +872,11 @@ object PipelineQueries {
       |FROM s3 ORDER BY doc_id""".stripMargin
 
   /** Per-document Shannon entropy of the token distribution
-    * (information-density quality signal). Per-distinct-token
-    * contributions round to decimal(20,6) before the sum for
-    * engine-exact results.
+    * (information-density quality signal), reported as `entropy_e4`
+    * BIGINT: per-distinct-token contributions pass through an
+    * explicit `round(x*1e4)` to integer BEFORE the sum, so the hashed
+    * output is an exact integer sum with no engine-defined
+    * double→decimal cast anywhere (the r5/r6 hash-red root cause).
     */
   def q42TokenEntropy(spark: SparkSession, d: String): DataFrame =
     TextAnalysis.tokenEntropy(
@@ -893,12 +898,15 @@ object PipelineQueries {
       |),
       |e AS (
       |  SELECT c.doc_id,
-      |    sum(CAST(-(c.c / lens.n::DOUBLE) * ln(c.c / lens.n::DOUBLE)
-      |        AS DECIMAL(20,4))) AS entropy
+      |    count(*)::BIGINT AS n_distinct,
+      |    CAST(sum(CAST(round(-(c.c / lens.n::DOUBLE)
+      |        * ln(c.c / lens.n::DOUBLE) * 10000) AS BIGINT)) AS BIGINT)
+      |      AS entropy_e4
       |  FROM c JOIN lens USING (doc_id) GROUP BY 1
       |)
       |SELECT lens.doc_id, lens.n AS n_tokens,
-      |  coalesce(e.entropy, 0::DECIMAL(20,4)) AS entropy
+      |  coalesce(e.n_distinct, 0)::BIGINT AS n_distinct,
+      |  coalesce(e.entropy_e4, 0)::BIGINT AS entropy_e4
       |FROM lens LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Daily-grid forward-filled resampling of each user's event value

@@ -108,17 +108,17 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, "a a a a"),       // constant → 0
       (4L, "")               // empty → 0
     ).toDF("doc_id", "text")
-    val e = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+    val rows = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
-      .map(r => r.getLong(0) -> r.getDecimal(2).doubleValue()).toMap
-    // contributions quantize at decimal(20,4), so the sum of 4 terms
-    // can be off ln(4) by up to 4 * 5e-5 = 2e-4
-    assert(math.abs(e(1L) - math.log(4.0)) < 3e-4)
+    val e = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // entropy_e4 = entropy in 1e-4-nat units; contributions round to
+    // integer e4 units before summing, so ln(4) ≈ 13863 can be off by
+    // at most 4 * 0.5 units
+    assert(math.abs(e(1L) - math.round(math.log(4.0) * 1e4)) <= 2)
     assert(e(1L) > e(2L) && e(2L) > e(3L))
-    assert(e(3L) == 0.0 && e(4L) == 0.0)
-    val n = TextAnalysis.tokenEntropy(docs, "doc_id", "text")
-      .orderBy("doc_id").collect().map(_.getLong(1)).toList
-    assert(n == List(4L, 4L, 4L, 0L))
+    assert(e(3L) == 0L && e(4L) == 0L)
+    assert(rows.map(_.getLong(1)).toList == List(4L, 4L, 4L, 0L))
+    assert(rows.map(_.getLong(2)).toList == List(4L, 2L, 1L, 0L)) // n_distinct
   }
 
   test("qualityFilter: signals and keep verdict, empty doc safe") {
@@ -135,6 +135,7 @@ class TextAnalysisSpec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(r(0).getAs[Boolean]("keep"))
     assert(r(0).getLong(r(0).fieldIndex("n_words")) == 12L)
+    assert(r(0).getLong(r(0).fieldIndex("sum_wlen")) == 36L)
     assert(r(0).getLong(r(0).fieldIndex("stop_hits")) == 4L)
     assert(!r(1).getAs[Boolean]("keep")) // too few words, word too long
     assert(!r(2).getAs[Boolean]("keep")) // empty
