@@ -16,8 +16,15 @@ import org.apache.spark.sql.functions._
   * reader, pushed filters, and column pruning underneath are untouched.
   *
   * DV storage is three-tier per file, graded by cardinality:
-  *   - INLINE (<= `maxInline` positions): positions live in the log
-  *     line; the lookup side is driver-local and broadcast.
+  *   - INLINE (<= `maxInline` positions AND within the commit-wide
+  *     `maxInlineTotal` budget): positions live in the log line; the
+  *     lookup side is driver-local and broadcast. Both caps guard the
+  *     driver: the per-file cap bounds any one vector, the global
+  *     budget bounds the sum a wide sweep could otherwise collect
+  *     (overflow demotes to the sidecar tier, smallest vectors kept).
+  *     A file whose vector already lives in a sidecar never returns
+  *     to the inline tier (sidecar is sticky — its prior positions
+  *     exist only distributed).
   *   - SIDECAR (> cap but sparse relative to the file): positions live
   *     in a parquet sidecar under `_vintage_dv/`, read DISTRIBUTED and
   *     never materialized on the driver — the wide-but-sparse GDPR
@@ -56,6 +63,19 @@ object DeletionVectors {
   val MaxDeletedFractionProp = "vintage.deletionVectors.maxDeletedFraction"
   val DefaultMaxDeletedFraction = 0.5
 
+  /** Table property bounding the TOTAL positions one commit may hold
+    * inline across ALL files. The per-file cap ([[MaxInlineProp]])
+    * bounds each vector, but a wide sparse delete — the GDPR sweep
+    * touching 1% of every file — lands every file under the per-file
+    * cap while the sum is `nFiles × cap`: at 100k files that is 10⁹
+    * positions materialized on the driver. When the summed grown
+    * inline vectors exceed this budget, overflow files demote to the
+    * sidecar tier, whose write is fully distributed; smallest vectors
+    * keep the cheap inline/broadcast path.
+    */
+  val MaxInlineTotalProp = "vintage.deletionVectors.maxInlineTotal"
+  val DefaultMaxInlineTotal = 1000000L
+
   /** Sidecar directory name under the table root. */
   val SidecarDirName = "_vintage_dv"
 
@@ -68,6 +88,31 @@ object DeletionVectors {
   def maxDeletedFraction(props: Map[String, String]): Double =
     props.get(MaxDeletedFractionProp).map(_.toDouble)
       .getOrElse(DefaultMaxDeletedFraction)
+
+  def maxInlineTotal(props: Map[String, String]): Long =
+    props.get(MaxInlineTotalProp).map(_.toLong)
+      .getOrElse(DefaultMaxInlineTotal)
+
+  /** Split per-file-cap-passing inline candidates into (kept inline,
+    * demoted to sidecar) under the global [[MaxInlineTotalProp]]
+    * budget. Smallest grown vectors are kept first (ties broken on the
+    * key for determinism), maximizing the number of files that stay on
+    * the broadcast-lookup path for a given driver-memory budget; the
+    * demoted remainder rides the distributed sidecar writer, so driver
+    * memory stays bounded regardless of how many files a sweep grazes.
+    */
+  def applyInlineBudget(inlineKeys: Seq[String], grown: Map[String, Long],
+      budget: Long): (Seq[String], Seq[String]) = {
+    val sorted = inlineKeys.sortBy(k => (grown(k), k))
+    var total = 0L
+    val keep = Seq.newBuilder[String]
+    val demote = Seq.newBuilder[String]
+    sorted.foreach { k =>
+      if (total + grown(k) <= budget) { total += grown(k); keep += k }
+      else demote += k
+    }
+    (keep.result(), demote.result())
+  }
 
   def hasDvs(files: Seq[AddFile]): Boolean = files.exists(_.hasDv)
 

@@ -210,11 +210,20 @@ class VintageTable private (
       // (fraction known and reached), else sidecar
       val grown = counts.keys.toSeq
         .map(k => k -> (byKey(k).dvCount + counts(k))).toMap
-      val (inlineKeys, overCap) =
-        counts.keys.toSeq.partition(k => grown(k) <= cap)
-      val (rewriteKeys, sidecarKeys) = overCap.partition { k =>
+      // sidecar is sticky: a file whose vector already lives in a
+      // sidecar stays on that tier even when grown <= cap (its prior
+      // positions exist only distributed; inlining would mean reading
+      // the sidecar onto the driver)
+      val (inlineCandidates, overCap) = counts.keys.toSeq
+        .partition(k => grown(k) <= cap && byKey(k).dvRef.isEmpty)
+      val (rewriteKeys, overCapSidecar) = overCap.partition { k =>
         byKey(k).numRecords.exists(n => grown(k) >= frac * n)
       }
+      // global budget: per-file-cap survivors still demote to the
+      // distributed sidecar tier when their SUM would flood the driver
+      val (inlineKeys, demoted) = DeletionVectors.applyInlineBudget(
+        inlineCandidates, grown, DeletionVectors.maxInlineTotal(snap.properties))
+      val sidecarKeys = overCapSidecar ++ demoted
       val marked =
         if (inlineKeys.isEmpty) Nil
         else {
@@ -694,8 +703,14 @@ class VintageTable private (
       unknown.take(3).mkString(","))
     val cap = DeletionVectors.maxInline(snap.properties)
     val grown = countsByKey.map { case (k, c) => k -> (byKey(k).dvCount + c) }
-    val (inlineKeys, sidecarKeys) =
-      countsByKey.keys.toSeq.partition(k => grown(k) <= cap)
+    // sidecar is sticky here too (see planMergeOnRead)
+    val (inlineCandidates, overCap) = countsByKey.keys.toSeq
+      .partition(k => grown(k) <= cap && byKey(k).dvRef.isEmpty)
+    // same global budget as the fluent path (planMergeOnRead): the sum
+    // of per-file-capped vectors must not flood the driver either
+    val (inlineKeys, demoted) = DeletionVectors.applyInlineBudget(
+      inlineCandidates, grown, DeletionVectors.maxInlineTotal(snap.properties))
+    val sidecarKeys = overCap ++ demoted
     def positions: DataFrame = spark.read
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("file_key",

@@ -351,6 +351,47 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(ch == (1L to 20L).map(i => (i, "delete")).toSet)
   }
 
+  test("wide sparse delete over the GLOBAL inline budget demotes to one sidecar") {
+    // every file's vector fits the per-file cap, but the SUM does not:
+    // the overflow must ride the distributed sidecar tier (one sidecar
+    // per commit), never a driver-side collect of every position
+    val dir = newDir("inline-budget")
+    val t = VintageTable.create(spark, dir,
+      (1L to 100L).map(i => (i, i % 4)).toDF("id", "bucket")
+        .repartition(col("bucket")),
+      properties = DvProps +
+        (DeletionVectors.MaxInlineProp -> "100") + // per-file: never binds
+        (DeletionVectors.MaxInlineTotalProp -> "15"),
+      partitionBy = Seq("bucket")) // exactly 4 files, 25 rows each
+    assert(t.snapshot.files.size == 4)
+    val filesBefore = t.snapshot.files.map(_.path).toSet
+
+    t.delete(col("id") % 10 < 4) // 10 rows in each of the 4 files
+
+    val snap = t.snapshot
+    assert(snap.files.map(_.path).toSet == filesBefore,
+      "a sparse delete must not rewrite files in either tier")
+    val (inline, sidecar) = snap.files.partition(_.dvRef.isEmpty)
+    // budget 15 keeps exactly one 10-position vector inline
+    assert(inline.count(_.dv.nonEmpty) == 1)
+    assert(inline.filter(_.dv.nonEmpty).map(_.dv.size).sum == 10)
+    assert(sidecar.size == 3, "overflow files must demote to the sidecar tier")
+    assert(sidecar.forall(_.dv.isEmpty))
+    assert(sidecar.forall(_.dvRef.get.count == 10))
+    assert(sidecar.map(_.dvRef.get.path).distinct.size == 1,
+      "one commit writes ONE shared sidecar for all demoted files")
+    assert(t.toDF.count() == 60)
+    assert(t.toDF.filter(col("id") % 10 < 4).count() == 0)
+    assert(t.toDFAsOf(0).count() == 100)
+
+    // a second sweep stacks: prior inline AND sidecar positions merge
+    // (files reaching maxDeletedFraction legitimately rewrite instead)
+    t.delete(col("id") % 10 === 4) // 10 more rows, buckets 0 and 2
+    assert(t.toDF.count() == 50)
+    assert(t.toDF.filter(col("id") % 10 === 4 || col("id") % 10 < 4).count() == 0)
+    assert(t.toDFAsOf(1).count() == 60, "time travel must see the first sweep only")
+  }
+
   test("sidecar vectors stack: a further delete supersedes with the union") {
     val dir = newDir("sidecar-stack")
     val t = VintageTable.create(spark, dir,
