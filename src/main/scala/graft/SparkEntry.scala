@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, PipelineQueries}
+import graft.queries.{Analytics, PipelineQueries, RowLevelQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -62,6 +62,7 @@ object SparkEntry {
     "q41_pii_redact"       -> (PipelineQueries.q41PiiRedact _),
     "q42_token_entropy"    -> (PipelineQueries.q42TokenEntropy _),
     "q43_resample_ffill"   -> (PipelineQueries.q43Resample _),
+    "q44_sql_row_level"    -> (RowLevelQueries.q44SqlRowLevel _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -116,5 +117,6 @@ object SparkEntry {
     "q41_pii_redact"       -> PipelineQueries.q41Sql,
     "q42_token_entropy"    -> PipelineQueries.q42Sql,
     "q43_resample_ffill"   -> PipelineQueries.q43Sql,
+    "q44_sql_row_level"    -> RowLevelQueries.q44Sql,
   )
 }
