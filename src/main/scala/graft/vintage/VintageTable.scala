@@ -1131,6 +1131,25 @@ class VintageTable private (
     // p1=v1/... subdirectories (the log dir and tmp dirs are skipped)
     val toDelete = Seq.newBuilder[String]
     val dvDirsToDelete = Seq.newBuilder[String]
+    // Directory reclamation cannot trust the directory's OWN mod time:
+    // object stores (S3A and friends) often report it as 0/epoch, which
+    // would make a freshly staged in-flight dir look ancient and get a
+    // concurrent vacuum to corrupt the commit. Grade a directory by the
+    // NEWEST timestamp observable anywhere under it, and when even that
+    // is 0 (no usable timestamps at all) PROTECT rather than expire.
+    def newestTs(p: HPath): Long = {
+      val st = try fs.listStatus(p)
+        catch { case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      st.foldLeft(0L) { (acc, s) =>
+        val own = math.max(acc, s.getModificationTime)
+        if (s.isDirectory) math.max(own, newestTs(s.getPath)) else own
+      }
+    }
+    def dirExpired(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val t = math.max(s.getModificationTime, newestTs(s.getPath))
+      t > 0 && t < cutoff
+    }
     def walk(d: HPath): Unit = fs.listStatus(d).foreach { s =>
       val name = s.getPath.getName
       if (s.isDirectory) {
@@ -1145,7 +1164,7 @@ class VintageTable private (
                 fs.makeQualified(sc.getPath).toUri).getPath
               val expired = supersededAt.get(rel) match {
                 case Some(t) => t < cutoff // superseded in the tail
-                case None => sc.getModificationTime < cutoff // pre-horizon or orphan
+                case None => dirExpired(sc) // pre-horizon or orphan
               }
               if (!liveDv.contains(rel) && !curRef.values.exists(_ == rel) &&
                   expired)
@@ -1157,7 +1176,7 @@ class VintageTable private (
           // row-level position files): reclaimable whole once older
           // than the cutoff — an in-flight write is protected by the
           // same retention guard as everything else
-          if (s.getModificationTime < cutoff)
+          if (dirExpired(s))
             dvDirsToDelete += s.getPath.toString
         } else if (name != VintageLog.LogDirName)
           walk(s.getPath)

@@ -455,18 +455,30 @@ class DeletionVectorSpec extends AnyFunSuite {
     val t = VintageTable.create(spark, dir,
       (1L to 10L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(1))
     // simulate crashed-write litter: an old staging dir and a fresh one
+    val past = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
     val old = new java.io.File(dir, ".tmp-delta")
     old.mkdirs()
     val f = new java.io.File(old, "stale.parquet")
     java.nio.file.Files.writeString(f.toPath, "x")
-    old.setLastModified(System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    f.setLastModified(past)
+    old.setLastModified(past)
     val fresh = new java.io.File(dir, ".tmp-fresh")
     fresh.mkdirs()
     java.nio.file.Files.writeString(
       new java.io.File(fresh, "inflight").toPath, "y")
+    // the object-store trap: directory statuses reporting epoch/stale
+    // mod times while the staged CONTENT is fresh — reclamation must
+    // grade by the newest timestamp under the dir, not the dir's own
+    val epochDir = new java.io.File(dir, ".tmp-epoch")
+    epochDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(epochDir, "staged.parquet").toPath, "z")
+    epochDir.setLastModified(0L)
     t.vacuum(168.0) // default retention: old litter dies, fresh survives
     assert(!old.exists(), "stale .tmp- staging dir must be reclaimed")
     assert(fresh.exists(), "a fresh (possibly in-flight) staging dir must survive")
+    assert(epochDir.exists(),
+      "an epoch-mod-time dir with fresh content must survive (S3A semantics)")
     assert(t.toDF.count() == 10)
   }
 
