@@ -57,14 +57,17 @@ object Contamination {
     * (boilerplate grams would both skew the shuffle and produce
     * meaningless "contamination").
     *
-    * The join/aggregation key is `xxhash64(gram)`, not the gram
-    * string: an 8-gram averages ~50-60 bytes and the gram column
-    * dominates every shuffle in this pipeline, so hashing cuts shuffle
-    * bytes ~5×. The trade is the 64-bit collision bound: two distinct
-    * grams hashing together would count as one shared gram —
-    * ~G²/2^65 expected collisions over G distinct grams, i.e. a
-    * handful at G = 10^10 (100 TB scale) against billions of true
-    * grams, and ~10^-10 at test scale.
+    * The TRAIN side's join key is `xxhash64(gram)`, not the gram
+    * string: an 8-gram averages ~50-60 bytes, the train side dominates
+    * every shuffle in this pipeline, and hashing cuts its bytes ~5×.
+    * The BENCH side (small by construction — benchmark suites are
+    * thousands of docs against billions of train docs) carries the
+    * gram STRING through the join, so the doc-frequency cap and the
+    * final distinct-gram count are string-exact — the same quantities
+    * the oracle computes. The one remaining collision exposure is a
+    * train×bench cross-collision producing a phantom join edge:
+    * ~T·B/2^64 expected over T train and B bench grams, a handful at
+    * 100 TB scale and ~10^-10 at gate scale.
     */
   def contaminationReport(
       train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
@@ -72,17 +75,18 @@ object Contamination {
     def grams(df: DataFrame, as: String) = df
       .select(col(idCol).as(as), TextAnalysis.tokens(col(textCol)).as("__t"))
       .select(col(as), explode(distinctNGramsOfTokens(col("__t"), n)).as("__gram"))
-      .select(col(as), xxhash64(col("__gram")).as("__g"))
     val b = grams(bench, "bench_id")
-    val rare = b.groupBy("__g")
+      .select(col("bench_id"), col("__gram"), xxhash64(col("__gram")).as("__g"))
+    val rare = b.groupBy("__gram")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxGramDocFreq)
-      .select("__g")
+      .select("__gram")
     grams(train, "train_id")
-      .join(b.join(rare, "__g"), "__g")
+      .select(col("train_id"), xxhash64(col("__gram")).as("__g"))
+      .join(b.join(rare, "__gram"), "__g")
       .groupBy("train_id")
       .agg(countDistinct("bench_id").as("n_bench_docs"),
-        countDistinct("__g").as("n_shared_grams"))
+        countDistinct("__gram").as("n_shared_grams"))
   }
 
   /** Fixed-stride token chunk spans per document: chunk `k` covers

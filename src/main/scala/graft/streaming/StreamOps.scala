@@ -29,19 +29,35 @@ object StreamOps {
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long)
 
-  /** Open-session state carried between micro-batches. */
+  /** One open session. Multiple can be open per user at once under
+    * out-of-order arrival: an in-bound event older than every open
+    * session's gap window opens an EARLIER session rather than folding
+    * into one it doesn't belong to. The list is bounded by
+    * watermark-window / gap sessions per user.
+    */
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Open-sessions state carried between micro-batches. */
+  case class SessionsState(open: Seq[SessionState])
 
   /** Gap-based streaming sessionization
     * (`flatMapGroupsWithState` + event-time timeout): a session closes
-    * when `gap` passes with no event — emitted either when a later
-    * event proves the gap, or when the WATERMARK passes the open
+    * when `gap` passes with no event — emitted either when a LATER
+    * session's existence proves the gap (the in-order fast path: no
+    * waiting for the watermark), or when the WATERMARK passes the open
     * session's deadline (the timeout path, which a pure windowed-agg
     * formulation cannot express: it would hold the last session open
     * forever). Semantics match the batch
     * [[graft.operators.TimeSeries.sessionize]]: same gap rule, same
     * session bounds, so a replayed stream and a batch backfill agree
-    * (pinned by StreamOpsSpec).
+    * for IN-ORDER in-bound feeds (pinned by StreamOpsSpec). For
+    * out-of-order in-bound arrival the state holds several open
+    * sessions and an event joins (or bridges — merging neighbors) the
+    * session(s) whose gap window covers it; the one stream/batch
+    * divergence left is the eager fast path: a session emitted because
+    * a later session proved its gap cannot retroactively absorb an
+    * even-later out-of-order event that batch would have folded in.
+    * Session bounds carry full microsecond precision.
     *
     * Input needs columns `userCol: long` and `tsCol: timestamp`;
     * `delayThreshold` is the out-of-orderness bound (watermark).
@@ -61,44 +77,55 @@ object StreamOps {
     def micros(t: Timestamp): Long =
       t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
+    // micros-preserving Timestamp: whole seconds in the millis field,
+    // the full sub-second fraction in nanos
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+
     def fn(user: Long, rows: Iterator[(Long, Timestamp)],
-        state: GroupState[SessionState]): Iterator[Session] = {
-      def toSession(s: SessionState): Session = Session(user,
-        new Timestamp(s.startUs / 1000),
-        new Timestamp(s.lastUs / 1000), s.n)
-      if (rows.isEmpty && state.hasTimedOut) {
-        // watermark passed start-of-gap: the open session is final
-        val out = state.getOption.map(toSession).toIterator
-        state.remove()
-        return out
-      }
+        state: GroupState[SessionsState]): Iterator[Session] = {
+      def toSession(s: SessionState): Session =
+        Session(user, toTs(s.startUs), toTs(s.lastUs), s.n)
+      val wmMs = state.getCurrentWatermarkMs()
+      var open = state.getOption.map(_.open.toList).getOrElse(Nil)
       // batch arrival order is not event order — sort within the batch
       // (bounded by the micro-batch's rows for this user)
       val sorted = rows.map(r => micros(r._2)).toArray.sorted
-      var cur = state.getOption.orNull
-      val closed = Seq.newBuilder[Session]
       sorted.foreach { us =>
-        cur match {
-          case null => cur = SessionState(us, us, 1)
-          case s if us - s.lastUs <= gapMicros =>
-            // extend (late rows inside the gap fold in; the watermark
-            // bounds how late)
-            cur = SessionState(math.min(s.startUs, us), math.max(s.lastUs, us),
-              s.n + 1)
-          case s =>
-            closed += toSession(s)
-            cur = SessionState(us, us, 1)
+        // join every open session whose gap window covers the event; an
+        // event bridging two sessions merges them, one covering none
+        // opens a new session (possibly EARLIER than existing ones —
+        // the out-of-order in-bound case)
+        val (touching, rest) = open.partition(s =>
+          us >= s.startUs - gapMicros && us <= s.lastUs + gapMicros)
+        val merged = touching.foldLeft(SessionState(us, us, 1)) { (a, s) =>
+          SessionState(math.min(a.startUs, s.startUs),
+            math.max(a.lastUs, s.lastUs), a.n + s.n)
         }
+        open = merged :: rest
       }
-      state.update(cur)
-      // the open session becomes final when the watermark passes its
-      // gap deadline (clamped: Spark rejects deadlines at or before
-      // the current watermark, which can happen for late-but-in-bound
-      // rows whose gap already elapsed)
-      val deadlineMs = cur.lastUs / 1000 + gapMicros / 1000
-      state.setTimeoutTimestamp(
-        math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
-      closed.result().iterator
+      // a session is final once its gap is proven: by a LATER open
+      // session (in-order fast path — emit now, don't wait for the
+      // watermark) or by the watermark passing its gap deadline (the
+      // timeout path; also the only path for the last session)
+      val maxStart = if (open.isEmpty) Long.MinValue
+        else open.map(_.startUs).max
+      val (done, live) = open.partition(s =>
+        s.lastUs + gapMicros < maxStart ||
+        s.lastUs / 1000 + gapMicros / 1000 < wmMs)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(SessionsState(live.sortBy(_.startUs)))
+        // earliest deadline wakes us first (clamped: Spark rejects
+        // deadlines at or before the current watermark, which can
+        // happen for late-but-in-bound rows whose gap already elapsed)
+        val deadlineMs = live.map(s => s.lastUs / 1000 + gapMicros / 1000).min
+        state.setTimeoutTimestamp(math.max(deadlineMs, wmMs + 1))
+      }
+      done.sortBy(_.startUs).map(toSession).iterator
     }
 
     // the watermark-tagged timestamp column must flow INTO the

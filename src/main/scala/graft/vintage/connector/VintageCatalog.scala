@@ -132,7 +132,19 @@ class VintageCatalog extends TableCatalog {
       val md = new org.apache.spark.sql.types.MetadataBuilder()
       if (c.defaultValue() != null) {
         md.putString("CURRENT_DEFAULT", c.defaultValue().getSql())
-        md.putString("EXISTS_DEFAULT", c.defaultValue().getSql())
+        // EXISTS_DEFAULT is the value pre-existing rows read — it must
+        // be FROZEN at DDL time, not the raw expression: a
+        // non-deterministic default (current_timestamp()) must not
+        // re-evaluate per read. Spark already constant-folded the
+        // default into the v2 literal; render that literal, falling
+        // back to the SQL text only when no folded value exists.
+        val lv = c.defaultValue().getValue()
+        val frozen =
+          if (lv != null)
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              lv.value(), lv.dataType()).sql
+          else c.defaultValue().getSql()
+        md.putString("EXISTS_DEFAULT", frozen)
       }
       if (c.comment() != null) md.putString("comment", c.comment())
       org.apache.spark.sql.types.StructField(

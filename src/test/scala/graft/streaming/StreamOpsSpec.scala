@@ -55,6 +55,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("out-of-order in-bound event opens its own earlier session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.sessionize(
+        mem.toDF().toDF("user_id", "ts"), "user_id", "ts",
+        gap = "5 minutes", delayThreshold = "40 minutes")
+      .writeStream.format("memory").queryName("sess_ooo")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(20)))
+      q.processAllAvailable()
+      // 20 minutes OLDER than the open session, still in-bound under
+      // the 40-minute delay: must NOT fold into the 10:20 session
+      // (whose gap window starts at 10:15) — it is its own session,
+      // and the 10:20 session's existence proves its gap immediately
+      mem.addData((1L, ts(0)))
+      q.processAllAvailable()
+      val eager = spark.table("sess_ooo")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(eager == Set((1L, ts(0), ts(0), 1L)))
+      // push the watermark past the 10:25 deadline to flush the rest
+      val far = Timestamp.valueOf("2026-01-01 12:00:00")
+      mem.addData((99L, far)); q.processAllAvailable()
+      mem.addData((99L, far)); q.processAllAvailable()
+      val all = spark.table("sess_ooo")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+        .filter(_._1 == 1L)
+      assert(all == Set(
+        (1L, ts(0), ts(0), 1L),
+        (1L, ts(20), ts(20), 1L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the batch sessionizer") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
