@@ -154,32 +154,88 @@ object DeletionVectors {
     else {
       val scCol = s"${fileCol}_sc"
       val valid = refs.toDF(scCol, fileCol)
-      val sidecars = spark.read
+      // explicit schema makes the read format-flexible: current
+      // sidecars are run-length encoded (pos_start, pos_end), sidecars
+      // written before the RLE format carry single positions (pos);
+      // missing columns read as null and coalesce picks the run bounds
+      val scSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_key",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pos_start",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pos_end",
+          org.apache.spark.sql.types.LongType)))
+      val sidecars = spark.read.schema(scSchema)
         .parquet(refs.map(_._1).distinct: _*)
         .select(
           // parent dir of the part file == the referenced sidecar dir
           fileKeyExpr(regexp_replace(col("_metadata.file_path"), "/[^/]+$", ""))
             .as(scCol),
           col("file_key").as(fileCol),
-          col("pos").as(posCol))
+          coalesce(col("pos"), col("pos_start")).as("__dv_run_s"),
+          coalesce(col("pos_end"), col("pos")).as("__dv_run_e"))
+        // semi-join on the COMPRESSED rows first, expand runs after
         .join(broadcast(valid), Seq(scCol, fileCol), "left_semi")
-        .drop(scCol)
+        .select(col(fileCol),
+          explode(sequence(col("__dv_run_s"), col("__dv_run_e"))).as(posCol))
       inline.unionByName(sidecars)
     }
   }
 
+  /** Longest run one sidecar row may encode. Bounds the array
+    * `sequence(pos_start, pos_end)` materializes per row on the read
+    * side (8192 longs = 64 KiB) while still collapsing a clustered
+    * delete ~8000:1.
+    */
+  private val MaxRunLength = 8192L
+
   /** Write the full deletion vector of each file in `positions`
     * (schema: (file_key, pos)) as ONE parquet sidecar dir per commit,
-    * returning its table-relative path. Distributed end to end — the
-    * position set never touches the driver (the sidecar tier exists
-    * precisely because it can be too big to collect). Rows cluster by
-    * file for row-group skipping on the read side.
+    * returning its table-relative path. Positions are RUN-LENGTH
+    * encoded: each row is a contiguous `[pos_start, pos_end]` run, so
+    * a clustered delete (a dropped partition's rows, a contiguous
+    * ingest batch) costs one row per run instead of one per position —
+    * the roaring-bitmap trade expressed in plain parquet, still
+    * scannable by the same engine that reads everything else. Sparse
+    * vectors degrade gracefully to single-position runs.
+    *
+    * Distributed end to end — the position set never touches the
+    * driver (the sidecar tier exists precisely because it can be too
+    * big to collect): one shuffle to cluster by file, an in-order
+    * per-partition pass to compress. Rows stay clustered by file for
+    * row-group skipping on the read side.
     */
   private[vintage] def writeSidecar(positions: DataFrame, tablePath: String): String = {
+    val spark = positions.sparkSession
+    import spark.implicits._
     val rel = s"$SidecarDirName/${java.util.UUID.randomUUID().toString}"
     positions
+      .select(col("file_key"), col("pos"))
+      .as[(String, Long)]
       .repartition(col("file_key"))
       .sortWithinPartitions("file_key", "pos")
+      .mapPartitions { it =>
+        // streaming run-compressor over the (file_key, pos)-sorted
+        // partition: O(1) memory regardless of vector size
+        new Iterator[(String, Long, Long)] {
+          private var cur: (String, Long) = if (it.hasNext) it.next() else null
+          def hasNext: Boolean = cur != null
+          def next(): (String, Long, Long) = {
+            val (k, start) = cur
+            var end = start
+            cur = if (it.hasNext) it.next() else null
+            while (cur != null && cur._1 == k && cur._2 == end + 1 &&
+                   end - start + 1 < MaxRunLength) {
+              end = cur._2
+              cur = if (it.hasNext) it.next() else null
+            }
+            (k, start, end)
+          }
+        }
+      }
+      .toDF("file_key", "pos_start", "pos_end")
       .write.parquet(s"$tablePath/$rel")
     rel
   }

@@ -338,6 +338,12 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(f.dv.isEmpty && f.dvRef.nonEmpty, "vector must live in a sidecar")
     assert(f.dvRef.get.count == 20)
     assert(f.dvRef.get.path.startsWith(DeletionVectors.SidecarDirName + "/"))
+    // the 20 contiguous positions run-length encode to ONE sidecar row
+    val runs = spark.read.parquet(s"$dir/${f.dvRef.get.path}")
+      .select("pos_start", "pos_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(runs.length == 1 && runs(0)._2 - runs(0)._1 == 19,
+      s"contiguous delete must compress to one run, got ${runs.toList}")
     assert(t.toDF.count() == 80)
     assert(t.toDF.filter(col("id") <= 20).count() == 0)
     assert(t.toDFAsOf(0).count() == 100)
