@@ -57,7 +57,12 @@ object VintageLog {
   private val VersionFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.(?:json|parquet)""".r
 
-  @volatile private[vintage] var store: LogStore = LogStore.default
+  /** The pluggable storage seam (see README "Storage contract"): swap
+    * in a conditional-put implementation for object stores whose
+    * rename is not an atomic no-overwrite operation. Process-wide by
+    * design — a log's atomicity guarantee must not vary by call site.
+    */
+  @volatile var store: LogStore = LogStore.default
 
   def logDir(tableDir: String): Path = new Path(tableDir, LogDirName)
 
