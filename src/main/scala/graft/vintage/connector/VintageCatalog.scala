@@ -130,22 +130,8 @@ class VintageCatalog extends TableCatalog {
     // them, so defaults survive restarts and time travel
     val schema = StructType(columns.map { c =>
       val md = new org.apache.spark.sql.types.MetadataBuilder()
-      if (c.defaultValue() != null) {
-        md.putString("CURRENT_DEFAULT", c.defaultValue().getSql())
-        // EXISTS_DEFAULT is the value pre-existing rows read — it must
-        // be FROZEN at DDL time, not the raw expression: a
-        // non-deterministic default (current_timestamp()) must not
-        // re-evaluate per read. Spark already constant-folded the
-        // default into the v2 literal; render that literal, falling
-        // back to the SQL text only when no folded value exists.
-        val lv = c.defaultValue().getValue()
-        val frozen =
-          if (lv != null)
-            org.apache.spark.sql.catalyst.expressions.Literal(
-              lv.value(), lv.dataType()).sql
-          else c.defaultValue().getSql()
-        md.putString("EXISTS_DEFAULT", frozen)
-      }
+      if (c.defaultValue() != null)
+        putDefaultMetadata(md, c.defaultValue())
       if (c.comment() != null) md.putString("comment", c.comment())
       org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable(), md.build())
@@ -193,6 +179,28 @@ class VintageCatalog extends TableCatalog {
     * COLUMN are metadata-only under column mapping. All are
     * metadata-only commits. Other changes are rejected.
     */
+  /** DEFAULT metadata the analyzer resolves INSERTs and reads against.
+    * CURRENT_DEFAULT keeps the SQL text (future INSERTs re-evaluate
+    * it); EXISTS_DEFAULT is what pre-existing rows read, so it must be
+    * FROZEN at DDL time — a non-deterministic default
+    * (current_timestamp()) must not re-evaluate per read. Spark
+    * already constant-folded the default into the v2 literal; render
+    * that literal, falling back to the SQL text only when no folded
+    * value exists.
+    */
+  private def putDefaultMetadata(
+      md: org.apache.spark.sql.types.MetadataBuilder,
+      dv: org.apache.spark.sql.connector.catalog.ColumnDefaultValue): Unit = {
+    md.putString("CURRENT_DEFAULT", dv.getSql())
+    val lv = dv.getValue()
+    val frozen =
+      if (lv != null)
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          lv.value(), lv.dataType()).sql
+      else dv.getSql()
+    md.putString("EXISTS_DEFAULT", frozen)
+  }
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import graft.vintage.ColumnMapping
     val p = pathFor(ident)
@@ -210,9 +218,16 @@ class VintageCatalog extends TableCatalog {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "nested ADD COLUMN not supported for vintage tables")
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+        if (add.comment() != null) md.putString("comment", add.comment())
+        // ADD COLUMN ... DEFAULT: the frozen EXISTS_DEFAULT is exactly
+        // what every pre-existing row reads from this point on
+        if (add.defaultValue() != null)
+          putDefaultMetadata(md, add.defaultValue())
         schema = ColumnMapping.evolve(schema,
-          schema.add(add.fieldNames()(0),
-            add.dataType(), nullable = true, add.comment()),
+          schema.add(org.apache.spark.sql.types.StructField(
+            add.fieldNames()(0), add.dataType(), nullable = true,
+            md.build())),
           ColumnMapping.active(props))
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames().length == 1,

@@ -56,6 +56,24 @@ class GeneratedColumnSpec extends AnyFunSuite {
       .head().getString(0) == "new")
   }
 
+  test("ALTER TABLE ADD COLUMN DEFAULT: existing rows read the frozen value") {
+    spark.sql("CREATE TABLE gen.addc (id BIGINT)")
+    spark.sql("INSERT INTO gen.addc VALUES (1), (2)")
+    spark.sql("ALTER TABLE gen.addc ADD COLUMN tier STRING DEFAULT 'basic'")
+    // pre-existing rows (whose files lack the column) read the frozen
+    // EXISTS_DEFAULT; omitted-column inserts use CURRENT_DEFAULT
+    spark.sql("INSERT INTO gen.addc (id) VALUES (3)")
+    spark.sql("INSERT INTO gen.addc VALUES (4, 'pro')")
+    val rows = spark.sql("SELECT id, tier FROM gen.addc ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "basic"), (2L, "basic"), (3L, "basic"), (4L, "pro")))
+    // EXISTS_DEFAULT is stored as a folded literal, not raw SQL
+    val wh = spark.conf.get("spark.sql.catalog.gen.warehouse")
+    VintageLog.clearSnapshotCache()
+    val field = VintageLog.replay(s"$wh/addc").schema("tier")
+    assert(field.metadata.getString("EXISTS_DEFAULT") == "'basic'")
+  }
+
   test("fluent ingest computes a missing generated column") {
     val dir = Files.createTempDirectory("vintage-gen").toString + "/t"
     val t = VintageTable.create(spark, dir,
