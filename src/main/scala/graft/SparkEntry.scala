@@ -63,6 +63,7 @@ object SparkEntry {
     "q42_token_entropy"    -> (PipelineQueries.q42TokenEntropy _),
     "q43_resample_ffill"   -> (PipelineQueries.q43Resample _),
     "q44_sql_row_level"    -> (RowLevelQueries.q44SqlRowLevel _),
+    "q45_unigram_logprob"  -> (PipelineQueries.q45UnigramLogprob _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -118,5 +119,6 @@ object SparkEntry {
     "q42_token_entropy"    -> PipelineQueries.q42Sql,
     "q43_resample_ffill"   -> PipelineQueries.q43Sql,
     "q44_sql_row_level"    -> RowLevelQueries.q44Sql,
+    "q45_unigram_logprob"  -> PipelineQueries.q45Sql,
   )
 }

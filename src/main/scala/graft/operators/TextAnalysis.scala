@@ -358,6 +358,45 @@ object TextAnalysis {
         coalesce(col("entropy_e4"), lit(0L)).as("entropy_e4"))
   }
 
+  /** Corpus-unigram cross-entropy per document — the cheap stand-in
+    * for an LM-perplexity quality signal (CCNet-style): score each
+    * document by the negative log-likelihood of its tokens under the
+    * CORPUS unigram distribution. Documents full of corpus-typical
+    * tokens read low (boilerplate), rare-token-dense documents read
+    * high; both tails are the usual filter candidates.
+    *
+    * Reported as `xent_e4` BIGINT — per distinct (doc, token) pair the
+    * occurrence count multiplies `round(-ln(cf/T)·1e4)` (an exact
+    * integer product; the rounding never sits on a tie because
+    * `-ln(cf/T)·1e4` is irrational for cf < T), summed as integers,
+    * the same engine-portable shape as [[tokenEntropy]].
+    *
+    * Scale shape: one (doc, token)-count shuffle (map-side
+    * combinable), a token-keyed aggregation for the vocab table, a
+    * token-keyed join of the two (AQE broadcasts the vocab side when
+    * it fits), and a per-doc sum. No driver materialization; the
+    * 1-row corpus total rides a broadcast cross join.
+    */
+  def unigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__n"))
+    val docTok = toks
+      .select(col(idCol), explode(col("__toks")).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+    val vocab = docTok.groupBy(col("__tok")).agg(sum(col("__c")).as("__cf"))
+    val total = vocab.agg(sum(col("__cf")).as("__T"))
+    val perTokE4 = round(
+      -log(col("__cf").cast("double") / col("__T").cast("double")) *
+        lit(10000.0)).cast("long")
+    val scored = docTok.join(vocab, "__tok")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), (col("__c") * perTokE4).as("__e"))
+      .groupBy(col(idCol)).agg(sum(col("__e")).as("xent_e4"))
+    lens.join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("__n").as("n_tokens"),
+        coalesce(col("xent_e4"), lit(0L)).as("xent_e4"))
+  }
+
   /** Per-group top-`k` word n-grams by count — the head of an n-gram
     * language model, the usual first look at a new corpus slice.
     * Ties break on the gram string, so the result is deterministic and

@@ -945,4 +945,38 @@ object PipelineQueries {
     """SELECT doc_id,
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Corpus-unigram cross-entropy per document (CCNet-style
+    * LM-quality proxy) — integer e4 units, the q42 portability shape.
+    */
+  def q45UnigramLogprob(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLogprob(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q45Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS t
+      |  FROM documents
+      |),
+      |lens AS (SELECT doc_id, len(t)::BIGINT AS n FROM toks),
+      |dt AS (
+      |  SELECT doc_id, tok, count(*)::BIGINT AS c
+      |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2
+      |),
+      |vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cf FROM dt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS T FROM vocab),
+      |scored AS (
+      |  SELECT dt.doc_id,
+      |    CAST(sum(dt.c * CAST(round(-ln(vocab.cf::DOUBLE / tot.T::DOUBLE)
+      |      * 10000) AS BIGINT)) AS BIGINT) AS xent_e4
+      |  FROM dt JOIN vocab USING (tok) CROSS JOIN tot
+      |  GROUP BY 1
+      |)
+      |SELECT lens.doc_id, lens.n AS n_tokens,
+      |  coalesce(scored.xent_e4, 0)::BIGINT AS xent_e4
+      |FROM lens LEFT JOIN scored USING (doc_id) ORDER BY doc_id""".stripMargin
 }

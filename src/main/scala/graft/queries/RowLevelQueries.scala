@@ -45,9 +45,13 @@ object RowLevelQueries {
     // unique table per invocation: the query is re-runnable (bench
     // runs it twice) and never reads state another run left behind
     val tbl = s"$CatalogName.t_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    // a handful of well-sized files, not one per shuffle partition:
+    // every DML pass below re-scans the table, so file count is the
+    // constant factor (the same reason OPTIMIZE exists)
     Tables.customer(spark, d)
       .select(col("c_custkey"), col("c_mktsegment"),
         round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+      .coalesce(4)
       .createOrReplaceTempView("q44_customer_src")
     Tables.orders(spark, d)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))

@@ -121,6 +121,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).toList == List(4L, 2L, 1L, 0L)) // n_distinct
   }
 
+  test("unigramLogprob: rare-token docs score higher; empty doc reads 0") {
+    val docs = Seq(
+      (1L, "a a a a"),       // all corpus-common tokens
+      (2L, "a a a z"),       // one rare token
+      (3L, "")               // empty
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.unigramLogprob(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val x = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // corpus: a×7, z×1, T=8. doc1 = 4·round(-ln(7/8)·1e4) = 4·1335
+    // doc2 = 3·1335 + round(-ln(1/8)·1e4) = 4005 + 20794
+    assert(x(1L) == 4L * math.round(-math.log(7.0 / 8) * 1e4))
+    assert(x(2L) == 3L * math.round(-math.log(7.0 / 8) * 1e4)
+      + math.round(-math.log(1.0 / 8) * 1e4))
+    assert(x(2L) > x(1L), "the rare token must raise the score")
+    assert(x(3L) == 0L)
+    assert(rows.map(_.getLong(1)).toList == List(4L, 4L, 0L))
+  }
+
   test("qualityFilter: signals and keep verdict, empty doc safe") {
     val docs = Seq(
       (1L, "the cat sat on the mat with the dog and the fox"), // 12 words
