@@ -660,19 +660,36 @@ class VintageTable private (
     * semantics — an overwrite removes every current file and conflicts
     * with concurrent writers (FullRead); an append commits blind
     * (NoRead).
+    *
+    * `txn` is the idempotence watermark (`appId`, `version`) the
+    * streaming sink rides: a replayed epoch whose version the log
+    * already recorded is SKIPPED — and because the native path wrote
+    * the replay's data files before the commit decision, the skip
+    * deletes them so no orphans await vacuum.
     */
-  def commitFiles(adds: Seq[AddFile], overwrite: Boolean): Unit = {
+  def commitFiles(adds: Seq[AddFile], overwrite: Boolean,
+      txn: Option[(String, Long)] = None): Unit = {
     val snap = snapshot
+    val t = txn.map { case (a, v) => Txn(a, v) }
+    if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) {
+      val conf = spark.sessionState.newHadoopConf()
+      adds.foreach { a =>
+        val p = new HPath(path, a.path)
+        try p.getFileSystem(conf).delete(p, false)
+        catch { case _: java.io.IOException => () }
+      }
+      return
+    }
     val partParam = Map(
       "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]"))
     if (overwrite) {
       val now = System.currentTimeMillis()
       commitOp(snap, "WRITE", Map("mode" -> "Overwrite") ++ partParam, adds,
         snap.files.map(f => RemoveFile(f.path, now, dataChange = true)),
-        None, FullRead)
+        None, FullRead, txn = t)
     } else {
       commitOp(snap, "WRITE", Map("mode" -> "Append") ++ partParam, adds,
-        Nil, None, NoRead)
+        Nil, None, NoRead, txn = t)
     }
   }
 

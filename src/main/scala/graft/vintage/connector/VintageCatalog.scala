@@ -355,6 +355,9 @@ class VintageSqlTable(
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
+      // writeStream.toTable: per-epoch commits through the native
+      // write path, exactly-once via the transaction watermark
+      TableCapability.STREAMING_WRITE,
       // MERGE ... WITH SCHEMA EVOLUTION: Spark's analyzer widens the
       // schema through this catalog's alterTable (ADD COLUMN path)
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
@@ -417,7 +420,7 @@ class VintageSqlTable(
       override def build(): Write =
         new org.apache.spark.sql.graftshim.VintageWrite(
           tablePath, snapshot.schema, snapshot.partitionColumns, overwrite,
-          snapshot.properties)
+          snapshot.properties, info.queryId())
     }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =

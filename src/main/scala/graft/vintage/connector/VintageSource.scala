@@ -1,9 +1,10 @@
 package graft.vintage.connector
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.execution.streaming.{Source => StreamSource}
+import org.apache.spark.sql.execution.streaming.{Sink => StreamSink, Source => StreamSource}
 import org.apache.spark.sql.graftshim.VintageRelation
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.vintage.{VintageLog, VintageTable}
@@ -29,9 +30,44 @@ import graft.vintage.{VintageLog, VintageTable}
   */
 class VintageSource extends DataSourceRegister
     with RelationProvider with CreatableRelationProvider
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "vintage"
+
+  /** `stream.writeStream.format("vintage").option("path", p)` — one
+    * atomic log commit per micro-batch (append mode appends, complete
+    * mode overwrites retaining history). EXACTLY-ONCE across restarts:
+    * every batch commits with the transaction watermark (appId,
+    * batchId), where appId defaults to the sink's checkpoint location
+    * (stable across restarts by construction — it IS the replay
+    * identity) and can be pinned explicitly with `option("txnAppId",
+    * …)`; a replayed batch is recognized in the log and skipped.
+    */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): StreamSink = {
+    val path = pathOf(parameters)
+    val appId = parameters.getOrElse("txnAppId",
+      parameters.get("checkpointLocation")
+        .map(cp => s"vintage-sink:$cp").getOrElse(s"vintage-sink:$path"))
+    val complete = outputMode == OutputMode.Complete()
+    new StreamSink {
+      override def addBatch(batchId: Long, data0: DataFrame): Unit = {
+        // strip the streaming lineage so the table layer can re-plan
+        val data = org.apache.spark.sql.graftshim.StreamingShim.asBatch(data0)
+        val spark = data.sparkSession
+        if (VintageTable.isVintageTable(path)) {
+          val t = VintageTable.forPath(spark, path)
+          if (complete)
+            t.overwrite(data, dataChange = true, Some((appId, batchId)))
+          else t.append(data, Some((appId, batchId)))
+        } else if (complete || !data.isEmpty)
+          VintageTable.create(spark, path, data,
+            partitionBy = partitionColumns, txn = Some((appId, batchId))): Unit
+      }
+      override def toString: String = s"VintageSink[$path]"
+    }
+  }
 
   /** `spark.readStream.format("vintage").load(path)` — incremental
     * table-as-a-stream reads; see [[VintageStreamSource]].

@@ -46,7 +46,8 @@ import graft.vintage.{AddFile, ColumnMapping, ParquetStats, PartitionPaths, Vint
 class VintageWrite(
     tablePath: String, tableSchema: StructType,
     partitionCols: Seq[String], overwrite: Boolean,
-    tableProperties: Map[String, String]) extends Write
+    tableProperties: Map[String, String],
+    queryId: String = "") extends Write
     with RequiresDistributionAndOrdering {
 
   // Partitioned writes request a LOCAL sort by the partition columns
@@ -65,7 +66,24 @@ class VintageWrite(
         expressions.SortDirection.ASCENDING)
     }.toArray
 
-  override def toBatch: BatchWrite = {
+  override def toBatch: BatchWrite = prepared
+
+  /** Native streaming sink: identical executor write path (one task
+    * wave straight into final parquet files, footer stats in commit
+    * messages), one log commit per epoch. Exactly-once across
+    * restarts: each epoch commits with the transaction watermark
+    * (`vintage-streaming-<queryId>`, epochId) — Spark's streaming
+    * queryId is the persistent id from the checkpoint, so a replayed
+    * epoch after a crash-between-commit-and-checkpoint is recognized
+    * in the log, its freshly written duplicate files are deleted, and
+    * nothing commits twice (the Delta sink's txnVersion contract,
+    * native).
+    */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new VintageStreamingWrite(prepared, tablePath, overwrite, queryId)
+
+  private lazy val prepared: VintageBatchWrite = {
     val spark = SparkSession.active
     val dataSchema = StructType(tableSchema.filterNot(f =>
       partitionCols.exists(_.equalsIgnoreCase(f.name))))
@@ -116,6 +134,41 @@ class VintageWrite(
 // unwraps these from its wrapped insert writer's commits
 case class VintageCommitMessage(adds: Seq[AddFile])
     extends WriterCommitMessage
+
+/** Per-epoch streaming commit over the shared native write machinery;
+  * see [[VintageWrite.toStreaming]] for the idempotence contract.
+  */
+class VintageStreamingWrite(
+    delegate: VintageBatchWrite, tablePath: String, overwrite: Boolean,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new VintageStreamingWriterFactory(delegate.createBatchWriterFactory(info))
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val adds = messages.toSeq.flatMap {
+      case VintageCommitMessage(a) => a
+      case _ => Nil
+    }
+    VintageTable.forPath(SparkSession.active, tablePath)
+      .commitFiles(adds, overwrite,
+        txn = Some((s"vintage-streaming-$queryId", epochId)))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    delegate.abort(messages)
+}
+
+case class VintageStreamingWriterFactory(delegate: DataWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    delegate.createWriter(partitionId, taskId)
+}
 
 class VintageBatchWrite(
     tablePath: String, tableSchemaJson: String, dataSchemaJson: String,
