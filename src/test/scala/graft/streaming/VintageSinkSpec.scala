@@ -88,6 +88,28 @@ class VintageSinkSpec extends AnyFunSuite {
     assert(t.toDF.count() == 3)
   }
 
+  test("table-to-table: vintage source streams into a vintage sink natively") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("vintage-s2s-src").toString + "/t"
+    val dst = Files.createTempDirectory("vintage-s2s-dst").toString + "/t"
+    val cp = Files.createTempDirectory("vintage-s2s-cp").toString
+    val t = VintageTable.create(spark, src,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    val q = spark.readStream.format("vintage").load(src)
+      .withColumn("doubled", col("v") * 2)
+      .writeStream.format("vintage").option("path", dst)
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      q.processAllAvailable()
+      t.append(Seq((3L, 30L)).toDF("id", "v"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = VintageTable.forPath(spark, dst).toDF
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 20L), (2L, 40L), (3L, 60L)))
+  }
+
   test("path sink in complete mode overwrites per epoch, history retained") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
