@@ -466,7 +466,29 @@ class VintageTable private (
           "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
         (if (extra.isEmpty) Map.empty
          else Map("newColumns" -> extra.map(_.name).mkString(","))),
-      adds, Nil, meta, NoRead, txn = t): Unit
+      adds, Nil, meta, NoRead, txn = t)
+    maybeAutoCompact()
+  }
+
+  /** Opt-in post-write auto-compaction (Delta's autoCompact contract):
+    * when `vintage.autoCompact.enabled` is true and the table has
+    * accumulated at least `vintage.autoCompact.minNumFiles` (default
+    * 50) files below the bin-packing threshold, the write that tipped
+    * the count pays for an [[optimize]] pass — steady-state streaming
+    * ingestion stops growing a small-file tail without an external
+    * maintenance scheduler. Layout-only, so it never changes what
+    * readers see; a racing writer simply retries through the normal
+    * optimistic loop.
+    */
+  private def maybeAutoCompact(): Unit = {
+    val snap = snapshot
+    if (!snap.properties.get("vintage.autoCompact.enabled")
+        .exists(_.toBoolean)) return
+    val minFiles = snap.properties.get("vintage.autoCompact.minNumFiles")
+      .map(_.toInt).getOrElse(50)
+    val target = 128L * 1024 * 1024
+    if (snap.files.count(f => f.size < target / 2 || f.hasDv) >= minFiles)
+      optimize(target): Unit
   }
 
   /** Latest transaction number recorded for `appId`, if any. */
@@ -691,6 +713,7 @@ class VintageTable private (
       commitOp(snap, "WRITE", Map("mode" -> "Append") ++ partParam, adds,
         Nil, None, NoRead, txn = t)
     }
+    maybeAutoCompact()
   }
 
   /** Commit one native row-level (delta-based) operation: grow

@@ -249,6 +249,26 @@ class VintageCatalog extends TableCatalog {
         t.requireNotInConstraints(snap, resolved, "drop")
         schema = ColumnMapping.dropColumnIn(schema, resolved)
         props = t.rewriteBloomProp(props, resolved, None)
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        require(upd.fieldNames().length == 1,
+          "nested ALTER COLUMN not supported for vintage tables")
+        val resolved = ColumnMapping.resolveName(schema, upd.fieldNames()(0))
+        schema = StructType(schema.map { f =>
+          if (!f.name.equalsIgnoreCase(resolved)) f
+          else {
+            // SET DEFAULT only changes what FUTURE inserts fill in
+            // (CURRENT_DEFAULT); what pre-existing rows read
+            // (EXISTS_DEFAULT) stays frozen at its ADD/CREATE-time
+            // value — or absent (NULL) if the column never had one.
+            // DROP DEFAULT (empty/NULL sql) removes CURRENT_DEFAULT.
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+            val sql = upd.newDefaultValue()
+            if (sql == null || sql.isEmpty) md.remove("CURRENT_DEFAULT")
+            else md.putString("CURRENT_DEFAULT", sql)
+            f.copy(metadata = md.build())
+          }
+        })
       case set: TableChange.SetProperty
           if set.property() == ColumnMapping.ModeProp =>
         require(set.value().equalsIgnoreCase("name"),

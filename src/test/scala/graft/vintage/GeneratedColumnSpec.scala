@@ -56,6 +56,19 @@ class GeneratedColumnSpec extends AnyFunSuite {
       .head().getString(0) == "new")
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT changes future inserts only") {
+    spark.sql("CREATE TABLE gen.setd (id BIGINT, tier STRING DEFAULT 'basic')")
+    spark.sql("INSERT INTO gen.setd (id) VALUES (1)")
+    spark.sql("ALTER TABLE gen.setd ALTER COLUMN tier SET DEFAULT 'pro'")
+    spark.sql("INSERT INTO gen.setd (id) VALUES (2)")
+    spark.sql("ALTER TABLE gen.setd ALTER COLUMN tier DROP DEFAULT")
+    spark.sql("INSERT INTO gen.setd (id) VALUES (3)")
+    val rows = spark.sql("SELECT id, tier FROM gen.setd ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(rows == Seq(
+      (1L, Some("basic")), (2L, Some("pro")), (3L, None)))
+  }
+
   test("ALTER TABLE ADD COLUMN DEFAULT: existing rows read the frozen value") {
     spark.sql("CREATE TABLE gen.addc (id BIGINT)")
     spark.sql("INSERT INTO gen.addc VALUES (1), (2)")

@@ -14,6 +14,33 @@ class OptimizeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("autoCompact: the write tipping the small-file count pays for the pack") {
+    val dir = Files.createTempDirectory("vintage-autoc").toString + "/t"
+    val t = VintageTable.create(spark, dir,
+      Seq((1L, "a")).toDF("id", "s").coalesce(1),
+      properties = Map(
+        "vintage.autoCompact.enabled" -> "true",
+        "vintage.autoCompact.minNumFiles" -> "4"))
+    t.append(Seq((2L, "b")).toDF("id", "s").coalesce(1))
+    t.append(Seq((3L, "c")).toDF("id", "s").coalesce(1))
+    assert(t.snapshot.files.size == 3, "below the threshold nothing compacts")
+    // the 4th small file tips the threshold: this append auto-packs
+    t.append(Seq((4L, "d")).toDF("id", "s").coalesce(1))
+    assert(t.snapshot.files.size == 1,
+      s"auto-compact must bin-pack the tail, got ${t.snapshot.files.size}")
+    assert(t.toDF.count() == 4)
+    // layout-only: the change feed sees only the data appends
+    assert(t.changes(0).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L))
+    // disabled table never auto-packs
+    val dir2 = Files.createTempDirectory("vintage-autoc-off").toString + "/t"
+    val t2 = VintageTable.create(spark, dir2,
+      Seq((1L, "a")).toDF("id", "s").coalesce(1))
+    (2 to 5).foreach(i =>
+      t2.append(Seq((i.toLong, "x")).toDF("id", "s").coalesce(1)))
+    assert(t2.snapshot.files.size == 5)
+  }
+
   test("optimize packs the small-file tail and leaves big files alone") {
     val dir = Files.createTempDirectory("vintage-opt").toString + "/t"
     // one "big" file (10k rows) + three tiny single-row appends
