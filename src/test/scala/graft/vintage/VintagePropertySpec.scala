@@ -81,6 +81,18 @@ class VintagePropertySpec extends AnyFunSuite {
     randomOpsMatchModel(Map(DeletionVectors.EnabledProp -> "true"))
   }
 
+  test("random op sequences under a TINY inline-DV budget match the model") {
+    // per-file cap high, commit-wide budget tiny: every multi-file
+    // delete/update demotes most vectors to RLE sidecars and the
+    // sticky-sidecar rule keeps them there — model equivalence, time
+    // travel, and the change feed all pin the demotion machinery
+    // under arbitrary interleavings
+    randomOpsMatchModel(Map(
+      DeletionVectors.EnabledProp -> "true",
+      DeletionVectors.MaxInlineProp -> "1000000",
+      DeletionVectors.MaxInlineTotalProp -> "2"))
+  }
+
   test("random op sequences through native SQL row-level DML match the model") {
     // same seed and sequence, but merge/delete/update run as SQL
     // MERGE INTO / DELETE / UPDATE through the catalog — the
