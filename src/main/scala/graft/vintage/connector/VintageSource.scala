@@ -60,7 +60,8 @@ class VintageSource extends DataSourceRegister
           val t = VintageTable.forPath(spark, path)
           if (complete)
             t.overwrite(data, dataChange = true, Some((appId, batchId)))
-          else t.append(data, Some((appId, batchId)))
+          else t.append(data, Some((appId, batchId)),
+            mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean))
         } else if (complete || !data.isEmpty)
           VintageTable.create(spark, path, data,
             partitionBy = partitionColumns, txn = Some((appId, batchId))): Unit
