@@ -110,6 +110,59 @@ class VintageSinkSpec extends AnyFunSuite {
     assert(out == Seq((1L, 20L), (2L, 40L), (3L, 60L)))
   }
 
+  test("restart from checkpoint: no duplicate rows, watermark carries over") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("vintage-sink-rs").toString + "/t"
+    val cp = Files.createTempDirectory("vintage-sink-rs-cp").toString
+    val mem = MemoryStream[(Long, String)]
+    val q1 = mem.toDF().toDF("id", "name").writeStream
+      .format("vintage").option("path", dir)
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      mem.addData((1L, "a")); q1.processAllAvailable()
+      mem.addData((2L, "b")); q1.processAllAvailable()
+    } finally q1.stop()
+    // second incarnation of the SAME query (same checkpoint): offsets
+    // resume, the committed batches are not re-appended
+    val q2 = mem.toDF().toDF("id", "name").writeStream
+      .format("vintage").option("path", dir)
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      mem.addData((3L, "c")); q2.processAllAvailable()
+    } finally q2.stop()
+    val t = VintageTable.forPath(spark, dir)
+    assert(t.toDF.orderBy("id").select("id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L, 2L, 3L), "restart must not duplicate or drop rows")
+  }
+
+  test("DSv2 toTable streams into a hive-partitioned vintage table") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql(
+      "CREATE TABLE vsink.p (id BIGINT, region STRING) PARTITIONED BY (region)")
+    val cp = Files.createTempDirectory("vintage-sink-p-cp").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "region").writeStream
+      .option("checkpointLocation", cp)
+      .toTable("vsink.p")
+    try {
+      mem.addData((1L, "eu"), (2L, "us"), (3L, "eu"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql("SELECT * FROM vsink.p").count() == 3)
+    // rows routed into hive partition directories
+    val wh = spark.conf.get("spark.sql.catalog.vsink.warehouse")
+    val files = VintageLog.replay(s"$wh/p").files
+    assert(files.forall(f =>
+      f.path.startsWith("region=eu/") || f.path.startsWith("region=us/")),
+      s"expected hive layout, got ${files.map(_.path)}")
+    // partition pruning still applies to the streamed files
+    assert(spark.sql("SELECT * FROM vsink.p WHERE region = 'eu'").count() == 2)
+  }
+
   test("path sink in complete mode overwrites per epoch, history retained") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
