@@ -40,11 +40,20 @@ object RowLevelQueries {
         Files.createTempDirectory("graft-q44-wh").toString)
     }
 
+  /** The previous invocation's table, dropped at the next entry: the
+    * returned DataFrame stays lazy (Verify/Bench execute it after this
+    * method returns), so the current table must outlive the call —
+    * bounding the leak to ONE table instead of one per invocation.
+    */
+  private var lastTable: Option[String] = None
+
   def q44SqlRowLevel(spark: SparkSession, d: String): DataFrame = {
     ensureCatalog(spark)
+    lastTable.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     // unique table per invocation: the query is re-runnable (bench
     // runs it twice) and never reads state another run left behind
     val tbl = s"$CatalogName.t_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    lastTable = Some(tbl)
     // a handful of well-sized files, not one per shuffle partition:
     // every DML pass below re-scans the table, so file count is the
     // constant factor (the same reason OPTIMIZE exists)

@@ -37,7 +37,13 @@ object StreamOps {
     */
   case class SessionState(startUs: Long, lastUs: Long, n: Long)
 
-  /** Open-sessions state carried between micro-batches. */
+  /** Open-sessions state carried between micro-batches. NOTE: this
+    * state schema replaced a single-session struct; a checkpointed
+    * query from the earlier shape fails Spark's state-schema
+    * compatibility check on restart and must restart fresh (or
+    * backfill via the batch sessionizer) — the usual stateful-operator
+    * upgrade contract.
+    */
   case class SessionsState(open: Seq[SessionState])
 
   /** Gap-based streaming sessionization

@@ -63,15 +63,20 @@ object DeletionVectors {
   val MaxDeletedFractionProp = "vintage.deletionVectors.maxDeletedFraction"
   val DefaultMaxDeletedFraction = 0.5
 
-  /** Table property bounding the TOTAL positions one commit may hold
-    * inline across ALL files. The per-file cap ([[MaxInlineProp]])
-    * bounds each vector, but a wide sparse delete — the GDPR sweep
-    * touching 1% of every file — lands every file under the per-file
-    * cap while the sum is `nFiles × cap`: at 100k files that is 10⁹
-    * positions materialized on the driver. When the summed grown
-    * inline vectors exceed this budget, overflow files demote to the
+  /** Table property bounding the TABLE-WIDE total of inline DV
+    * positions. The per-file cap ([[MaxInlineProp]]) bounds each
+    * vector, but a wide sparse delete — the GDPR sweep touching 1% of
+    * every file — lands every file under the per-file cap while the
+    * sum is `nFiles × cap`: at 100k files that is 10⁹ positions on
+    * the driver, both at commit time (the inline tier collects new
+    * positions) and at every snapshot replay (the log materializes
+    * all inline vectors). The budget check therefore counts the
+    * UNTOUCHED files' existing inline positions too: when the
+    * table-wide total would exceed it, overflow files demote to the
     * sidecar tier, whose write is fully distributed; smallest vectors
-    * keep the cheap inline/broadcast path.
+    * keep the cheap inline/broadcast path. (Racing commits can
+    * transiently overshoot by at most one commit's budget each —
+    * bounded, and corrected by the next demotion.)
     */
   val MaxInlineTotalProp = "vintage.deletionVectors.maxInlineTotal"
   val DefaultMaxInlineTotal = 1000000L

@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.{StructField, StructType}
 class VintageTable private (
     val spark: SparkSession,
     val path: String,
-    private val targetAlias: Option[String]) {
+    private val targetAlias: Option[String])
+    extends org.apache.spark.internal.Logging {
 
   import VintageTable._
 
@@ -220,9 +221,15 @@ class VintageTable private (
         byKey(k).numRecords.exists(n => grown(k) >= frac * n)
       }
       // global budget: per-file-cap survivors still demote to the
-      // distributed sidecar tier when their SUM would flood the driver
+      // distributed sidecar tier when the TABLE-WIDE inline total
+      // would flood the driver — the snapshot (and every log replay)
+      // materializes all inline vectors, so untouched files' existing
+      // inline positions count against the budget too
+      val untouchedInline = snap.files.iterator.map(_.dv.size.toLong).sum -
+        counts.keys.iterator.map(k => byKey(k).dv.size.toLong).sum
       val (inlineKeys, demoted) = DeletionVectors.applyInlineBudget(
-        inlineCandidates, grown, DeletionVectors.maxInlineTotal(snap.properties))
+        inlineCandidates, grown, math.max(0L,
+          DeletionVectors.maxInlineTotal(snap.properties) - untouchedInline))
       val sidecarKeys = overCapSidecar ++ demoted
       val marked =
         if (inlineKeys.isEmpty) Nil
@@ -471,24 +478,36 @@ class VintageTable private (
   }
 
   /** Opt-in post-write auto-compaction (Delta's autoCompact contract):
-    * when `vintage.autoCompact.enabled` is true and the table has
+    * when `vintage.autoCompact.enabled` is true and some PARTITION has
     * accumulated at least `vintage.autoCompact.minNumFiles` (default
     * 50) files below the bin-packing threshold, the write that tipped
     * the count pays for an [[optimize]] pass — steady-state streaming
     * ingestion stops growing a small-file tail without an external
-    * maintenance scheduler. Layout-only, so it never changes what
-    * readers see; a racing writer simply retries through the normal
-    * optimistic loop.
+    * maintenance scheduler. The trigger counts per partition (the
+    * whole table is one "partition" when unpartitioned) because
+    * packing cannot reduce below one file per hive directory — a
+    * table-wide count would re-fire forever on a table with many
+    * one-small-file partitions, rewriting everything for zero gain.
+    * Layout-only, so it never changes what readers see; and
+    * best-effort — a lost race against a concurrent writer (or a
+    * malformed property) must not fail the write that already
+    * committed, so failures log and fall through.
     */
   private def maybeAutoCompact(): Unit = {
-    val snap = snapshot
-    if (!snap.properties.get("vintage.autoCompact.enabled")
-        .exists(_.toBoolean)) return
-    val minFiles = snap.properties.get("vintage.autoCompact.minNumFiles")
-      .map(_.toInt).getOrElse(50)
-    val target = 128L * 1024 * 1024
-    if (snap.files.count(f => f.size < target / 2 || f.hasDv) >= minFiles)
-      optimize(target): Unit
+    try {
+      val snap = snapshot
+      if (!snap.properties.get("vintage.autoCompact.enabled")
+          .exists(_.toBoolean)) return
+      val minFiles = snap.properties.get("vintage.autoCompact.minNumFiles")
+        .map(_.toInt).getOrElse(50)
+      val target = 128L * 1024 * 1024
+      val tail = snap.files.filter(f => f.size < target / 2 || f.hasDv)
+      if (tail.groupBy(_.partitionValues).exists(_._2.size >= minFiles))
+        optimize(target): Unit
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"auto-compact skipped: ${e.getMessage}")
+    }
   }
 
   /** Latest transaction number recorded for `appId`, if any. */
@@ -746,10 +765,12 @@ class VintageTable private (
     // sidecar is sticky here too (see planMergeOnRead)
     val (inlineCandidates, overCap) = countsByKey.keys.toSeq
       .partition(k => grown(k) <= cap && byKey(k).dvRef.isEmpty)
-    // same global budget as the fluent path (planMergeOnRead): the sum
-    // of per-file-capped vectors must not flood the driver either
+    // same TABLE-WIDE global budget as the fluent path (planMergeOnRead)
+    val untouchedInline = snap.files.iterator.map(_.dv.size.toLong).sum -
+      countsByKey.keys.iterator.map(k => byKey(k).dv.size.toLong).sum
     val (inlineKeys, demoted) = DeletionVectors.applyInlineBudget(
-      inlineCandidates, grown, DeletionVectors.maxInlineTotal(snap.properties))
+      inlineCandidates, grown, math.max(0L,
+        DeletionVectors.maxInlineTotal(snap.properties) - untouchedInline))
     val sidecarKeys = overCap ++ demoted
     def positions: DataFrame = spark.read
       .schema(org.apache.spark.sql.types.StructType(Seq(

@@ -36,26 +36,38 @@ class VintageSource extends DataSourceRegister
 
   /** `stream.writeStream.format("vintage").option("path", p)` — one
     * atomic log commit per micro-batch (append mode appends, complete
-    * mode overwrites retaining history). EXACTLY-ONCE across restarts:
-    * every batch commits with the transaction watermark (appId,
-    * batchId), where appId defaults to the sink's checkpoint location
-    * (stable across restarts by construction — it IS the replay
-    * identity) and can be pinned explicitly with `option("txnAppId",
-    * …)`; a replayed batch is recognized in the log and skipped.
+    * mode overwrites retaining history; Update mode is REJECTED — its
+    * per-key updated rows would silently accumulate as appends).
+    * EXACTLY-ONCE across restarts: every batch commits with the
+    * transaction watermark (appId, batchId), where appId defaults to
+    * the PERSISTENT streaming query id (stored in the checkpoint:
+    * stable across restarts of the same query, and a NEW id when the
+    * checkpoint is wiped — so restarted-from-scratch batchIds can
+    * never be mistaken for replays and dropped) and can be pinned
+    * explicitly with `option("txnAppId", …)`; a replayed batch is
+    * recognized in the log and skipped.
     */
   override def createSink(
       sqlContext: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String], outputMode: OutputMode): StreamSink = {
     val path = pathOf(parameters)
-    val appId = parameters.getOrElse("txnAppId",
-      parameters.get("checkpointLocation")
-        .map(cp => s"vintage-sink:$cp").getOrElse(s"vintage-sink:$path"))
+    require(outputMode == OutputMode.Append() ||
+            outputMode == OutputMode.Complete(),
+      s"vintage sink supports Append and Complete output modes, got " +
+      s"$outputMode (Update would append stale versions of updated rows)")
     val complete = outputMode == OutputMode.Complete()
     new StreamSink {
       override def addBatch(batchId: Long, data0: DataFrame): Unit = {
         // strip the streaming lineage so the table layer can re-plan
         val data = org.apache.spark.sql.graftshim.StreamingShim.asBatch(data0)
         val spark = data.sparkSession
+        // the persistent query id is set as a local property by the
+        // stream execution thread that calls addBatch
+        val appId = parameters.get("txnAppId")
+          .orElse(Option(spark.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+            .map(q => s"vintage-sink:$q"))
+          .getOrElse(s"vintage-sink:$path")
         if (VintageTable.isVintageTable(path)) {
           val t = VintageTable.forPath(spark, path)
           if (complete)

@@ -41,8 +41,10 @@ class VintageSinkSpec extends AnyFunSuite {
     assert(t.toDF.count() == 3)
     assert(t.toDF.orderBy("id").select("name").collect().map(_.getString(0))
       .toSeq == Seq("a", "b", "c"))
-    // the txn watermark rode the checkpoint-derived appId
-    val appId = s"vintage-sink:$cp"
+    // the txn watermark rode the persistent-queryId-derived appId
+    val sinkTxns = t.snapshot.txns.keys.filter(_.startsWith("vintage-sink:"))
+    assert(sinkTxns.size == 1, s"txns recorded: ${t.snapshot.txns}")
+    val appId = sinkTxns.head
     val lastBatch = t.txnVersion(appId)
     assert(lastBatch.nonEmpty, s"txns recorded: ${t.snapshot.txns}")
     // a replayed batch (same appId, same or older batchId) is a no-op
