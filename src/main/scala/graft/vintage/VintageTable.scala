@@ -301,6 +301,7 @@ class VintageTable private (
     val snap = snapshot
     val bad = set.keySet.filterNot(snap.schema.fieldNames.contains)
     require(bad.isEmpty, s"update of unknown columns: $bad")
+    IdentityColumns.validateAssignments(set.keys, snap.properties)
     if (DeletionVectors.enabled(snap.properties)) {
       updateWithDvs(snap, condition, set)
       return
@@ -395,28 +396,51 @@ class VintageTable private (
     */
   def overwrite(df0: DataFrame, dataChange: Boolean,
       txn: Option[(String, Long)]): Unit = {
-    val snap = snapshot
-    val t = txn.map { case (a, v) => Txn(a, v) }
-    if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
-    // ingest-side completion of generated columns the writer omitted
-    val df = GeneratedColumns.complete(df0, snap.properties, Some(snap.schema))
-    // overwrite replaces the schema with the frame's; under column
-    // mapping, same-named fields keep their physical names and new
-    // fields get fresh ones, so history stays readable
-    val newSchema = ColumnMapping.evolve(snap.schema, df.schema,
-      ColumnMapping.active(snap.properties))
-    val adds = writeFiles(spark, df, path, dataChange, snap.partitionColumns,
-      tableSchema = newSchema)
-    val meta = Metadata(newSchema.json, snap.properties, snap.partitionColumns)
-    val params = Map("mode" -> "Overwrite",
-      "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
-      (if (dataChange) Map.empty else Map("dataChange" -> "false"))
-    val now = System.currentTimeMillis()
-    // a dataChange=false overwrite is compaction: layout-only, so a
-    // concurrent append survives it; a real overwrite conflicts with one
-    commitOp(snap, "WRITE", params, adds,
-      snap.files.map(f => RemoveFile(f.path, now, dataChange)), Some(meta),
-      if (dataChange) FullRead else LayoutOnly, txn = t): Unit
+    // bounded re-allocation loop for identity tables, as in [[append]]
+    // (the mark stays MONOTONIC across overwrites, Delta's semantics:
+    // replaced rows never free their ids — time travel still shows them)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot
+      val t = txn.map { case (a, v) => Txn(a, v) }
+      if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
+      // ingest-side completion of generated columns the writer omitted
+      val df1 = GeneratedColumns.complete(df0, snap.properties, Some(snap.schema))
+      val (df, genIds) =
+        if (dataChange) IdentityColumns.complete(df1, snap.properties)
+        else (df1, Nil) // layout-only rewrite: rows already carry ids
+      // overwrite replaces the schema with the frame's; under column
+      // mapping, same-named fields keep their physical names and new
+      // fields get fresh ones, so history stays readable
+      val newSchema = ColumnMapping.evolve(snap.schema, df.schema,
+        ColumnMapping.active(snap.properties))
+      val adds = writeFiles(spark, df, path, dataChange, snap.partitionColumns,
+        tableSchema = newSchema)
+      val idProps =
+        if (dataChange) IdentityColumns.advance(spark, path, newSchema,
+          snap.properties, adds, genIds)
+        else Map.empty[String, String]
+      val meta = Metadata(newSchema.json, snap.properties ++ idProps,
+        snap.partitionColumns)
+      val params = Map("mode" -> "Overwrite",
+        "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
+        (if (dataChange) Map.empty else Map("dataChange" -> "false"))
+      val now = System.currentTimeMillis()
+      try {
+        // a dataChange=false overwrite is compaction: layout-only, so a
+        // concurrent append survives it; a real overwrite conflicts with one
+        commitOp(snap, "WRITE", params, adds,
+          snap.files.map(f => RemoveFile(f.path, now, dataChange)), Some(meta),
+          if (dataChange) FullRead else LayoutOnly, txn = t)
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException
+            if (genIds.nonEmpty || idProps.nonEmpty) && attempt < 5 =>
+          attempt += 1
+          logWarning(s"identity overwrite re-allocating after commit " +
+            s"conflict (attempt $attempt): ${e.getMessage}")
+      }
+    }
   }
 
   /** Append without touching existing files. */
@@ -443,38 +467,62 @@ class VintageTable private (
     */
   def append(df0: DataFrame, txn: Option[(String, Long)],
       mergeSchema: Boolean): Unit = {
-    val snap = snapshot
-    val t = txn.map { case (a, v) => Txn(a, v) }
-    if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
-    // ingest-side completion of generated columns the writer omitted
-    val df = GeneratedColumns.complete(df0, snap.properties, Some(snap.schema))
-    val missing = snap.schema.fieldNames
-      .filterNot(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-    val extra = df.schema.fields
-      .filterNot(f => snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-    require(missing.isEmpty && (extra.isEmpty || mergeSchema),
-      s"append schema mismatch: missing=${missing.mkString(",")} " +
-      s"extra=${extra.map(_.name).mkString(",")}" +
-      (if (extra.nonEmpty) " (set mergeSchema=true to widen the table)" else ""))
-    val finalSchema =
-      if (extra.isEmpty) snap.schema
-      else ColumnMapping.evolve(snap.schema,
-        StructType(snap.schema.fields ++ extra.map(_.copy(nullable = true))),
-        ColumnMapping.active(snap.properties))
-    val meta =
-      if (extra.isEmpty) None
-      else Some(Metadata(finalSchema.json, snap.properties, snap.partitionColumns))
-    val adds = writeFiles(spark,
-      df.select(finalSchema.fieldNames.map(col).toIndexedSeq: _*),
-      path, dataChange = true, snap.partitionColumns,
-      tableSchema = finalSchema)
-    commitOp(snap, "WRITE",
-      Map("mode" -> "Append",
-          "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
-        (if (extra.isEmpty) Map.empty
-         else Map("newColumns" -> extra.map(_.name).mkString(","))),
-      adds, Nil, meta, NoRead, txn = t)
-    maybeAutoCompact()
+    // identity allocation reads the high-water mark from the snapshot
+    // this attempt plans against; losing the commit race to a writer
+    // that moved any table property (the mark included) surfaces as
+    // the commit loop's metadata conflict, and the fix is to re-plan —
+    // re-allocate from the fresh mark and rewrite. Bounded: identity
+    // contention costs rewrites, never wrong ids. Non-identity appends
+    // keep the single-attempt behavior (their conflict is real).
+    var attempt = 0
+    while (true) {
+      val snap = snapshot
+      val t = txn.map { case (a, v) => Txn(a, v) }
+      if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
+      // ingest-side completion of generated columns the writer omitted
+      val df1 = GeneratedColumns.complete(df0, snap.properties, Some(snap.schema))
+      val (df, genIds) = IdentityColumns.complete(df1, snap.properties)
+      val missing = snap.schema.fieldNames
+        .filterNot(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      val extra = df.schema.fields
+        .filterNot(f => snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      require(missing.isEmpty && (extra.isEmpty || mergeSchema),
+        s"append schema mismatch: missing=${missing.mkString(",")} " +
+        s"extra=${extra.map(_.name).mkString(",")}" +
+        (if (extra.nonEmpty) " (set mergeSchema=true to widen the table)" else ""))
+      val finalSchema =
+        if (extra.isEmpty) snap.schema
+        else ColumnMapping.evolve(snap.schema,
+          StructType(snap.schema.fields ++ extra.map(_.copy(nullable = true))),
+          ColumnMapping.active(snap.properties))
+      val adds = writeFiles(spark,
+        df.select(finalSchema.fieldNames.map(col).toIndexedSeq: _*),
+        path, dataChange = true, snap.partitionColumns,
+        tableSchema = finalSchema)
+      val idProps = IdentityColumns.advance(spark, path, finalSchema,
+        snap.properties, adds, genIds)
+      val meta =
+        if (extra.isEmpty && idProps.isEmpty) None
+        else Some(Metadata(finalSchema.json, snap.properties ++ idProps,
+          snap.partitionColumns))
+      try {
+        commitOp(snap, "WRITE",
+          Map("mode" -> "Append",
+              "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
+            (if (extra.isEmpty) Map.empty
+             else Map("newColumns" -> extra.map(_.name).mkString(","))),
+          adds, Nil, meta, NoRead, txn = t)
+        maybeAutoCompact()
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException
+            if (genIds.nonEmpty || idProps.nonEmpty) && attempt < 5 =>
+          attempt += 1
+          logWarning(s"identity append re-allocating after commit " +
+            s"conflict (attempt $attempt): ${e.getMessage}")
+          // the attempt's staged files are orphans; vacuum reclaims by age
+      }
+    }
   }
 
   /** Opt-in post-write auto-compaction (Delta's autoCompact contract):
@@ -723,14 +771,24 @@ class VintageTable private (
     }
     val partParam = Map(
       "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]"))
+    // native SQL writes always carry the full schema, so identity
+    // values here are writer-supplied: legal only under BY DEFAULT
+    // (the write builder rejects GENERATED ALWAYS earlier), and the
+    // high-water mark must advance past them in the same commit
+    val idProps = IdentityColumns.advance(spark, path, snap.schema,
+      snap.properties, adds, generated = Nil)
+    val meta =
+      if (idProps.isEmpty) None
+      else Some(Metadata(snap.schema.json, snap.properties ++ idProps,
+        snap.partitionColumns))
     if (overwrite) {
       val now = System.currentTimeMillis()
       commitOp(snap, "WRITE", Map("mode" -> "Overwrite") ++ partParam, adds,
         snap.files.map(f => RemoveFile(f.path, now, dataChange = true)),
-        None, FullRead, txn = t)
+        meta, FullRead, txn = t)
     } else {
       commitOp(snap, "WRITE", Map("mode" -> "Append") ++ partParam, adds,
-        Nil, None, NoRead, txn = t)
+        Nil, meta, NoRead, txn = t)
     }
     maybeAutoCompact()
   }
@@ -808,11 +866,20 @@ class VintageTable private (
         }
       }
     val dvPaths = (inlineKeys ++ sidecarKeys).map(byKey(_).path).toSet
+    // SQL UPDATE/MERGE re-inserted rows may carry identity values past
+    // the high-water mark (BY DEFAULT explicit inserts ride this path
+    // too) — advance it in the same commit or later allocation collides
+    val idProps = IdentityColumns.advance(spark, path, snap.schema,
+      snap.properties, insertAdds, generated = Nil)
+    val meta =
+      if (idProps.isEmpty) None
+      else Some(Metadata(snap.schema.json, snap.properties ++ idProps,
+        snap.partitionColumns))
     commitOp(snap, op,
       params + ("deletionVectors" -> dvPaths.size.toString,
                 "insertedFiles" -> insertAdds.size.toString),
       marked ++ sidecarMarked ++ insertAdds,
-      removesFor(snap, dvPaths), None, FullRead): Unit
+      removesFor(snap, dvPaths), meta, FullRead): Unit
   }
 
   // --------------------------------------------------- maintenance utils

@@ -62,6 +62,7 @@ class VintageCatalog extends TableCatalog {
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       // DEFAULT values: Spark's analyzer fills omitted columns at
       // INSERT time from the default metadata the schema carries —
       // the log's schema JSON round-trips field metadata, so the
@@ -124,6 +125,16 @@ class VintageCatalog extends TableCatalog {
     val genExprs = columns
       .filter(_.generationExpression() != null)
       .map(c => c.name() -> c.generationExpression()).toMap
+    // identity specs ride the Column objects the same way
+    val idSpecs = columns
+      .filter(_.identityColumnSpec() != null)
+      .map { c =>
+        require(c.dataType() == org.apache.spark.sql.types.LongType,
+          s"identity column ${c.name()} must be BIGINT, got ${c.dataType().sql}")
+        val s = c.identityColumnSpec()
+        c.name() -> graft.vintage.IdentityColumns.IdentitySpec(
+          s.getStart, s.getStep, s.isAllowExplicitInsert)
+      }.toMap
     // manual column→field bridge (CatalogV2Util is private[sql]).
     // DEFAULT values ride the standard field-metadata keys Spark's
     // analyzer resolves INSERTs against; the log's schema JSON keeps
@@ -138,6 +149,8 @@ class VintageCatalog extends TableCatalog {
     })
     val allProps = new util.HashMap[String, String](properties)
     graft.vintage.GeneratedColumns.properties(genExprs)
+      .foreach { case (k, v) => allProps.put(k, v) }
+    graft.vintage.IdentityColumns.properties(idSpecs)
       .foreach { case (k, v) => allProps.put(k, v) }
     createTable(ident, schema, partitions, allProps)
   }
@@ -158,15 +171,18 @@ class VintageCatalog extends TableCatalog {
     }
     val p = pathFor(ident)
     if (VintageLog.exists(p)) throw new TableAlreadyExistsException(ident)
-    // GENERATED ALWAYS AS: lift the DDL expressions out of field
-    // metadata into table properties + consistency constraints
-    val (cleanSchema, genExprs) = graft.vintage.GeneratedColumns
+    // GENERATED ALWAYS AS / AS IDENTITY: lift the DDL contracts out of
+    // field metadata into table properties (+ consistency constraints)
+    val (cleanSchema0, genExprs) = graft.vintage.GeneratedColumns
       .fromCreateSchema(schema)
+    val (cleanSchema, idSpecs) = graft.vintage.IdentityColumns
+      .fromCreateSchema(cleanSchema0)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], cleanSchema)
     VintageTable.create(spark, p, empty,
       properties.asScala.toMap ++
-        graft.vintage.GeneratedColumns.properties(genExprs),
+        graft.vintage.GeneratedColumns.properties(genExprs) ++
+        graft.vintage.IdentityColumns.properties(idSpecs),
       partCols)
     loadTable(ident)
   }
@@ -435,6 +451,18 @@ class VintageSqlTable(
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       require(!timeTravel, "cannot write to a time-travel snapshot")
+      // a native SQL write always carries the full schema — for a
+      // GENERATED ALWAYS identity column those values are necessarily
+      // writer-supplied, which the contract forbids; the fluent
+      // append/overwrite path allocates them instead. BY DEFAULT
+      // columns pass, and commitFiles advances the high-water mark.
+      graft.vintage.IdentityColumns.specs(snapshot.properties)
+        .foreach { case (c, s) =>
+          require(s.allowExplicit,
+            s"SQL INSERT into $name supplies identity column $c, which " +
+            s"is GENERATED ALWAYS — write through the vintage API " +
+            s"(which allocates ids) or declare it GENERATED BY DEFAULT")
+        }
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write =
