@@ -1031,6 +1031,27 @@ class VintageTable private (
       adds, removes, Some(meta), FullRead)
   }
 
+  /** `[CREATE OR] REPLACE TABLE [AS SELECT]`, Delta-style: ONE commit
+    * swaps schema, properties, partitioning, and the full file set —
+    * atomic for readers, and HISTORY SURVIVES (time travel and RESTORE
+    * still reach pre-replace versions through their own per-version
+    * Metadata; the non-staged drop-and-recreate fallback would destroy
+    * the log). The data files arrive pre-written by the staged write
+    * ([[connector.VintageStagedTable]]); a plain REPLACE TABLE passes
+    * none. FullRead: replacing the table conflicts with any concurrent
+    * data change — same rule as a full overwrite.
+    */
+  private[graft] def replaceWith(schema: StructType,
+      properties: Map[String, String], partitionBy: Seq[String],
+      adds: Seq[AddFile]): Unit = {
+    val snap = snapshot
+    val now = System.currentTimeMillis()
+    commitOp(snap, "REPLACE TABLE",
+      Map("partitionBy" -> partitionBy.mkString("[", ",", "]")),
+      adds, snap.files.map(f => RemoveFile(f.path, now, dataChange = true)),
+      Some(Metadata(schema.json, properties, partitionBy)), FullRead): Unit
+  }
+
   /** Add a CHECK constraint: existing rows are validated (one scan,
     * stats-pruned like any filter), then the predicate is stored as the
     * `vintage.constraints.<name>` table property and enforced inline on
@@ -1699,6 +1720,25 @@ object VintageTable {
     VintageLog.commit(abs, 0L,
       Seq(info, Metadata(schema0.json, properties, partitionBy)) ++
         txn.map { case (a, v) => Txn(a, v) }.toSeq ++ adds)
+    new VintageTable(spark, abs, None)
+  }
+
+  /** Create version 0 from ALREADY-WRITTEN data files (the staged-CTAS
+    * path: executors streamed the query result into the table
+    * directory first, this publishes it in one atomic commit — until
+    * then no log exists and the files are invisible).
+    */
+  private[graft] def createWithFiles(
+      spark: SparkSession, path: String, schema: StructType,
+      properties: Map[String, String], partitionBy: Seq[String],
+      adds: Seq[AddFile]): VintageTable = {
+    val abs = absolutize(path)
+    require(VintageLog.latestVersion(abs) < 0, s"table already exists: $abs")
+    VintageLog.invalidate(abs)
+    val info = CommitInfo(0L, System.currentTimeMillis(), "CREATE TABLE AS SELECT",
+      Map("partitionBy" -> partitionBy.mkString("[", ",", "]")))
+    VintageLog.commit(abs, 0L,
+      Seq(info, Metadata(schema.json, properties, partitionBy)) ++ adds)
     new VintageTable(spark, abs, None)
   }
 

@@ -40,7 +40,7 @@ import graft.vintage.{Snapshot, VintageLog, VintageTable}
   * OPTIMIZE / VACUUM / RESTORE / DESCRIBE HISTORY by its delegating
   * parser ([[VintageMaintenance]]).
   */
-class VintageCatalog extends TableCatalog {
+class VintageCatalog extends TableCatalog with StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -117,15 +117,19 @@ class VintageCatalog extends TableCatalog {
     * the `Column` objects (the schema bridge drops them), so this
     * override extracts them before delegating.
     */
-  override def createTable(
-      ident: Identifier,
-      columns: Array[org.apache.spark.sql.connector.catalog.Column],
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
+  /** Manual column→field bridge (CatalogV2Util is private[sql]):
+    * returns the plain schema plus the table properties carrying the
+    * GENERATED ALWAYS AS / AS IDENTITY contracts the Column objects
+    * ship. DEFAULT values ride the standard field-metadata keys
+    * Spark's analyzer resolves INSERTs against; the log's schema JSON
+    * keeps them, so defaults survive restarts and time travel.
+    */
+  private def fromColumns(
+      columns: Array[org.apache.spark.sql.connector.catalog.Column])
+      : (StructType, Map[String, String]) = {
     val genExprs = columns
       .filter(_.generationExpression() != null)
       .map(c => c.name() -> c.generationExpression()).toMap
-    // identity specs ride the Column objects the same way
     val idSpecs = columns
       .filter(_.identityColumnSpec() != null)
       .map { c =>
@@ -135,10 +139,6 @@ class VintageCatalog extends TableCatalog {
         c.name() -> graft.vintage.IdentityColumns.IdentitySpec(
           s.getStart, s.getStep, s.isAllowExplicitInsert)
       }.toMap
-    // manual column→field bridge (CatalogV2Util is private[sql]).
-    // DEFAULT values ride the standard field-metadata keys Spark's
-    // analyzer resolves INSERTs against; the log's schema JSON keeps
-    // them, so defaults survive restarts and time travel
     val schema = StructType(columns.map { c =>
       val md = new org.apache.spark.sql.types.MetadataBuilder()
       if (c.defaultValue() != null)
@@ -147,20 +147,68 @@ class VintageCatalog extends TableCatalog {
       org.apache.spark.sql.types.StructField(
         c.name(), c.dataType(), c.nullable(), md.build())
     })
-    val allProps = new util.HashMap[String, String](properties)
-    graft.vintage.GeneratedColumns.properties(genExprs)
-      .foreach { case (k, v) => allProps.put(k, v) }
-    graft.vintage.IdentityColumns.properties(idSpecs)
-      .foreach { case (k, v) => allProps.put(k, v) }
-    createTable(ident, schema, partitions, allProps)
+    (schema,
+      graft.vintage.GeneratedColumns.properties(genExprs) ++
+        graft.vintage.IdentityColumns.properties(idSpecs))
   }
 
   override def createTable(
-      ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // identity transforms only (hive-style partitioning); bucket/hour/
-    // etc. transforms have no directory encoding here
-    val partCols = partitions.toSeq.map { t =>
+      ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val (schema, extraProps) = fromColumns(columns)
+    val allProps = new util.HashMap[String, String](properties)
+    extraProps.foreach { case (k, v) => allProps.put(k, v) }
+    createTable(ident, schema, partitions, allProps)
+  }
+
+  // ------------------------------------------- staged (atomic) CTAS/RTAS
+
+  /** `[CREATE OR] REPLACE TABLE [AS SELECT]` and atomic CTAS land here
+    * (Spark prefers the staging path when the catalog offers it). The
+    * query result is written through [[VintageStagedTable]] and
+    * published in one commit — REPLACE retains table history.
+    */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, allowCreate = true, allowReplace = false)
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!VintageLog.exists(pathFor(ident))) throw new NoSuchTableException(ident)
+    stage(ident, info, allowCreate = false, allowReplace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, allowCreate = true, allowReplace = true)
+
+  private def stage(ident: Identifier, info: TableInfo,
+      allowCreate: Boolean, allowReplace: Boolean): StagedTable = {
+    val p = pathFor(ident)
+    if (!allowReplace && VintageLog.exists(p))
+      throw new TableAlreadyExistsException(ident)
+    val partCols = partitionColsOf(info.partitions())
+    val (schema0, extraProps) = fromColumns(info.columns())
+    val props = info.properties().asScala.toMap ++ extraProps
+    // creating in column-mapping mode: stamp physical names BEFORE the
+    // staged write so the files land under them (see VintageTable.create)
+    val schema =
+      if (graft.vintage.ColumnMapping.active(props))
+        graft.vintage.ColumnMapping.stamp(schema0)
+      else schema0
+    new VintageStagedTable(spark, p, ident.toString, schema, partCols,
+      props, allowCreate, allowReplace)
+  }
+
+  /** Filesystem path of a table of this catalog — the `table_changes`
+    * TVF resolves names through it.
+    */
+  def tablePath(ident: Identifier): String = pathFor(ident)
+
+  /** Hive partition columns of the DDL transforms — identity
+    * transforms only; bucket/hour/etc. have no directory encoding here.
+    */
+  private def partitionColsOf(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
       if (t.name != "identity" || t.references().length != 1)
         throw new UnsupportedOperationException(
           s"vintage tables support only identity partition transforms, got $t")
@@ -169,21 +217,33 @@ class VintageCatalog extends TableCatalog {
         "nested partition columns not supported for vintage tables")
       fieldNames(0)
     }
-    val p = pathFor(ident)
-    if (VintageLog.exists(p)) throw new TableAlreadyExistsException(ident)
-    // GENERATED ALWAYS AS / AS IDENTITY: lift the DDL contracts out of
-    // field metadata into table properties (+ consistency constraints)
+
+  /** GENERATED ALWAYS AS / AS IDENTITY: lift the DDL contracts out of
+    * field metadata into table properties (+ consistency constraints),
+    * returning the stripped schema and the full property map.
+    */
+  private def prepareCreate(schema: StructType,
+      properties: util.Map[String, String]): (StructType, Map[String, String]) = {
     val (cleanSchema0, genExprs) = graft.vintage.GeneratedColumns
       .fromCreateSchema(schema)
     val (cleanSchema, idSpecs) = graft.vintage.IdentityColumns
       .fromCreateSchema(cleanSchema0)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], cleanSchema)
-    VintageTable.create(spark, p, empty,
+    (cleanSchema,
       properties.asScala.toMap ++
         graft.vintage.GeneratedColumns.properties(genExprs) ++
-        graft.vintage.IdentityColumns.properties(idSpecs),
-      partCols)
+        graft.vintage.IdentityColumns.properties(idSpecs))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partCols = partitionColsOf(partitions)
+    val p = pathFor(ident)
+    if (VintageLog.exists(p)) throw new TableAlreadyExistsException(ident)
+    val (cleanSchema, allProps) = prepareCreate(schema, properties)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], cleanSchema)
+    VintageTable.create(spark, p, empty, allProps, partCols)
     loadTable(ident)
   }
 
