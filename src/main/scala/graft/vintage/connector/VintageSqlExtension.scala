@@ -20,7 +20,81 @@ class VintageSqlExtension extends (SparkSessionExtensions => Unit) {
     ext.injectParser((session, delegate) =>
       new VintageMaintenanceParser(session, delegate))
     VintageFunctions.registrations.foreach(ext.injectFunction)
+    ext.injectTableFunction(VintageTableFunctions.tableChanges)
   }
+}
+
+/** Table-valued functions. `table_changes` is Delta's batch
+  * change-data-feed SQL surface:
+  *
+  * {{{
+  * SELECT * FROM table_changes('cat.db.tbl', 2)        -- versions >= 2
+  * SELECT * FROM table_changes('cat.db.tbl', 2, 5)     -- 2..5 inclusive
+  * SELECT * FROM table_changes('/path/to/table', 0)    -- by path
+  * }}}
+  *
+  * Rows carry every table column plus `_change_type` and
+  * `_commit_version` — computed from the log like the DataFrame
+  * option surface (`readChangeFeed`), not persisted change files.
+  */
+object VintageTableFunctions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.connector.catalog.Identifier
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** Resolve a `table_changes` name argument to a table path: a string
+    * containing `/` is a path; otherwise `[catalog.][ns.]table`
+    * resolved against registered VintageCatalogs (current catalog when
+    * unqualified).
+    */
+  private def resolvePath(spark: SparkSession, name: String): String = {
+    if (name.contains("/")) return name
+    val cm = spark.sessionState.catalogManager
+    val parts = name.split('.')
+    val (cat, rest) =
+      if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+        (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog, parts)
+    cat match {
+      case v: VintageCatalog =>
+        v.tablePath(Identifier.of(rest.init, rest.last))
+      case other => throw new IllegalArgumentException(
+        s"table_changes target $name resolves to non-vintage catalog " +
+        s"${other.name()} — pass a path or a vintage catalog table")
+    }
+  }
+
+  val tableChanges: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("table_changes"),
+    new ExpressionInfo(VintageTableFunctions.getClass.getName, "table_changes"),
+    (args: Seq[Expression]) => {
+      require(args.length == 2 || args.length == 3,
+        "table_changes(table, startingVersion[, endingVersion])")
+      val spark = SparkSession.active
+      val start = longLit(args(1), "startingVersion")
+      val end = if (args.length == 3) longLit(args(2), "endingVersion") else -1L
+      val path = resolvePath(spark, strLit(args(0), "table"))
+      // TVF contract is INCLUSIVE start; changes() is exclusive-start
+      graft.vintage.VintageTable.forPath(spark, path)
+        .changes(start - 1L, end)
+        .queryExecution.logical
+    })
 }
 
 /** SQL registrations for the engine's codegen'd expressions, so the

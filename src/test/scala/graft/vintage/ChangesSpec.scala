@@ -89,6 +89,34 @@ class ChangesSpec extends AnyFunSuite {
     assert(collectChanges(v1only) == Set((3L, "insert", 1L)))
   }
 
+  test("table_changes TVF: SQL batch CDF by path and by catalog name") {
+    val dir = Files.createTempDirectory("vintage-cdc").toString + "/tvf"
+    val t = VintageTable.create(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name").coalesce(1))
+    t.append(Seq((3L, "c")).toDF("id", "name").coalesce(1)) // v1
+    t.delete(col("id") === 1)                               // v2
+    // by path, start inclusive
+    val fromV1 = spark.sql(s"SELECT * FROM table_changes('$dir', 1)")
+    assert(collectChanges(fromV1) == Set((3L, "insert", 1L), (1L, "delete", 2L)))
+    // bounded range
+    val v1only = spark.sql(s"SELECT * FROM table_changes('$dir', 1, 1)")
+    assert(collectChanges(v1only) == Set((3L, "insert", 1L)))
+    // composes with ordinary SQL
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$dir', 0) WHERE _change_type = 'insert'")
+      .head().getLong(0) == 3L)
+    // by catalog-qualified name
+    spark.conf.set("spark.sql.catalog.cdf", "graft.vintage.connector.VintageCatalog")
+    spark.conf.set("spark.sql.catalog.cdf.warehouse",
+      Files.createTempDirectory("vintage-cdf-wh").toString)
+    spark.sql("CREATE TABLE cdf.ct AS SELECT 42 AS x")
+    spark.sql("INSERT INTO cdf.ct VALUES (43)")
+    val named = spark.sql("SELECT x, _change_type, _commit_version " +
+      "FROM table_changes('cdf.ct', 1)").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(named == Set((43, "insert", 1L)))
+  }
+
   test("changes across schema evolution align by name with nulls") {
     val dir = Files.createTempDirectory("vintage-cdc").toString + "/s"
     val t = VintageTable.create(spark, dir,
