@@ -55,9 +55,12 @@ object IdentityColumns {
         k.stripPrefix(Prefix) -> IdentitySpec(s.toLong, i.toLong, a.toBoolean)
     }
 
+  /** Property key of `col`'s high water mark. */
+  def hwmKey(col: String): String = s"$Prefix$col$HwmSuffix"
+
   /** Recorded high water mark for `col`, absent until first allocation. */
   def hwm(props: Map[String, String], col: String): Option[Long] =
-    props.get(s"$Prefix$col$HwmSuffix").map(_.toLong)
+    props.get(hwmKey(col)).map(_.toLong)
 
   /** Table properties recording the given specs. */
   def properties(id: Map[String, IdentitySpec]): Map[String, String] =

@@ -1093,6 +1093,38 @@ class VintageTable private (
       NoRead)
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c SYNC IDENTITY` (Delta's surface):
+    * re-derive the high-water mark from the DATA — max of the column
+    * for a positive step, min for a negative one; cleared when the
+    * table is empty. The repair tool for marks knocked out of sync by
+    * out-of-band file surgery (CONVERT, restore games, manual log
+    * edits) — normal writes keep the mark current on their own. One
+    * stats-prunable scan; FullRead scope, so a concurrent write
+    * invalidates the sync rather than racing it. Returns the new mark.
+    */
+  def syncIdentity(column: String): Option[Long] = {
+    val snap = snapshot
+    val (c, spec) = IdentityColumns.specs(snap.properties)
+      .find(_._1.equalsIgnoreCase(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$column is not an identity column"))
+    val edgeAgg = if (spec.step > 0) max(col(c)) else min(col(c))
+    val row = toDF.agg(edgeAgg).head()
+    val key = IdentityColumns.hwmKey(c)
+    val newMark = if (row.isNullAt(0)) None else Some(row.getLong(0))
+    val newProps = newMark match {
+      case Some(m) => snap.properties + (key -> m.toString)
+      case None => snap.properties - key
+    }
+    if (newProps != snap.properties)
+      commitOp(snap, "SYNC IDENTITY",
+        Map("column" -> c, "highWaterMark" -> newMark.fold("")(_.toString)),
+        Nil, Nil,
+        Some(Metadata(snap.schema.json, newProps, snap.partitionColumns)),
+        FullRead): Unit
+    newMark
+  }
+
   /** Enable column mapping ("name" mode): stamps `physical = current
     * logical` on every field so all existing files stay readable, and
     * unlocks [[renameColumn]]/[[dropColumn]] as metadata-only commits.

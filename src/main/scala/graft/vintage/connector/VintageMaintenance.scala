@@ -73,6 +73,8 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
         VintageAddConstraintCommand(p, name, predicate.trim))
       case DropConstraintRe(ref, ifExists, name) => resolved(ref).map(p =>
         VintageDropConstraintCommand(p, name, ifExists != null))
+      case SyncIdentityRe(ref, column) => resolved(ref).map(p =>
+        VintageSyncIdentityCommand(p, column))
       case _ => None
     }
   }
@@ -117,6 +119,8 @@ object VintageMaintenanceParser {
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*$$""").r
   private[connector] val DropConstraintRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+CONSTRAINT\\s+(IF\\s+EXISTS\\s+)?(\\w+)\\s*;?\\s*$$""").r
+  private[connector] val SyncIdentityRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+$Ref\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+SYNC\\s+IDENTITY\\s*;?\\s*$$""").r
 
   /** `'k' = 'v', 'k2' = 'v2'` → Map (FORMAT_OPTIONS body). */
   private[connector] def parseOptions(s: String): Map[String, String] =
@@ -309,6 +313,21 @@ case class VintageDropConstraintCommand(path: String, name: String,
   override def run(spark: SparkSession): Seq[Row] = {
     VintageTable.forPath(spark, path).dropConstraint(name, ifExists)
     Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c SYNC IDENTITY` — re-derive the
+  * identity high-water mark from the data (see
+  * [[graft.vintage.VintageTable.syncIdentity]]).
+  */
+case class VintageSyncIdentityCommand(path: String, column: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("highWaterMark", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val mark = VintageTable.forPath(spark, path).syncIdentity(column)
+    Seq(Row(column, mark.map(Long.box).orNull))
   }
 }
 
