@@ -64,6 +64,7 @@ object SparkEntry {
     "q43_resample_ffill"   -> (PipelineQueries.q43Resample _),
     "q44_sql_row_level"    -> (RowLevelQueries.q44SqlRowLevel _),
     "q45_unigram_logprob"  -> (PipelineQueries.q45UnigramLogprob _),
+    "q46_identity_replace" -> (RowLevelQueries.q46IdentityReplace _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -120,5 +121,6 @@ object SparkEntry {
     "q43_resample_ffill"   -> PipelineQueries.q43Sql,
     "q44_sql_row_level"    -> RowLevelQueries.q44Sql,
     "q45_unigram_logprob"  -> PipelineQueries.q45Sql,
+    "q46_identity_replace" -> RowLevelQueries.q46Sql,
   )
 }

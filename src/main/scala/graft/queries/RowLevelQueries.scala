@@ -85,6 +85,114 @@ object RowLevelQueries {
       s"SELECT c_custkey, c_mktsegment, bal_cents FROM $tbl ORDER BY c_custkey")
   }
 
+  /** Previous q46 tables, dropped at the next entry (same lifetime
+    * contract as [[lastTable]]).
+    */
+  private var lastQ46: Seq[String] = Nil
+
+  /** Driver-gate query for the round-7 engine surface: IDENTITY
+    * allocation, staged `CREATE OR REPLACE TABLE AS SELECT` with
+    * history retention, and the `table_changes` TVF — all hash-pinned
+    * against a DuckDB replay.
+    *
+    * Identity values are gap-py by contract (per-partition spacing),
+    * which would be hash-poison — so every append here is a
+    * SINGLE-PARTITION frame in a deterministic sort order:
+    * `monotonically_increasing_id` then counts 0..n-1 and the
+    * allocated ids are exactly `mark+1 .. mark+n` in row order, which
+    * plain `row_number()` reproduces on the oracle side.
+    *
+    * Choreography (table versions in parens): CREATE with GENERATED
+    * ALWAYS id (v0) → append nations sorted by key, ids 1..25 (v1) →
+    * SQL DELETE region 2 (v2) → append regions, ids 26..30 — the mark
+    * is MONOTONIC past deletes (v3). A summary table is CTAS'd after
+    * the delete and atomically REPLACED after the second append; its
+    * `VERSION AS OF 0` row set pins history-through-replace on the
+    * gate. The change feed from version 1 pins insert/delete
+    * attribution per commit.
+    */
+  def q46IdentityReplace(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    lastQ46.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tbl = s"$CatalogName.i_$id"
+    val sum = s"$CatalogName.s_$id"
+    lastQ46 = Seq(tbl, sum)
+    spark.sql(
+      s"""CREATE TABLE $tbl (
+         |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+         |  name STRING, rkey BIGINT)""".stripMargin)
+    val wh = spark.conf.get(s"spark.sql.catalog.$CatalogName.warehouse")
+    val t = graft.vintage.VintageTable.forPath(spark, s"$wh/i_$id")
+    t.append(Tables.nation(spark, d)
+      .select(col("n_name").as("name"), col("n_regionkey").cast("long").as("rkey"),
+        col("n_nationkey"))
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .drop("n_nationkey"))
+    spark.sql(s"DELETE FROM $tbl WHERE rkey = 2")
+    // summary v0: snapshot of the post-delete state — the REPLACE
+    // below supersedes it, and `VERSION AS OF 0` must still read it
+    spark.sql(s"CREATE OR REPLACE TABLE $sum AS " +
+      s"SELECT rkey, count(*) AS n, max(id) AS mx FROM $tbl GROUP BY rkey")
+    t.append(Tables.region(spark, d)
+      .select(col("r_name").as("name"), col("r_regionkey").cast("long").as("rkey"))
+      .repartition(1).sortWithinPartitions("rkey"))
+    // summary v1: atomic REPLACE over the post-append state
+    spark.sql(s"REPLACE TABLE $sum AS " +
+      s"SELECT rkey, count(*) AS n, max(id) AS mx FROM $tbl GROUP BY rkey")
+    spark.sql(
+      s"""SELECT part, k1, k2, k3 FROM (
+         |  SELECT 'state' AS part, id AS k1, name AS k2, rkey AS k3 FROM $tbl
+         |  UNION ALL
+         |  SELECT 'chg', id, concat(name, ':', _change_type), _commit_version
+         |  FROM table_changes('$tbl', 1)
+         |  UNION ALL
+         |  SELECT 'sum1', rkey, concat('n=', n), mx FROM $sum
+         |  UNION ALL
+         |  SELECT 'sum0', rkey, concat('n=', n), mx FROM $sum VERSION AS OF 0
+         |) ORDER BY part, k1, k2, k3""".stripMargin)
+  }
+
+  /** DuckDB replay of [[q46IdentityReplace]]: identity ids via
+    * row_number over the same sort, the feed and both summary
+    * snapshots as plain SELECTs.
+    */
+  val q46Sql: String =
+    """WITH nat AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS id,
+      |         n_name AS name, CAST(n_regionkey AS BIGINT) AS rkey
+      |  FROM nation
+      |),
+      |reg AS (
+      |  SELECT 25 + CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS id,
+      |         r_name AS name, CAST(r_regionkey AS BIGINT) AS rkey
+      |  FROM region
+      |),
+      |state AS (
+      |  SELECT id, name, rkey FROM nat WHERE rkey <> 2
+      |  UNION ALL SELECT id, name, rkey FROM reg
+      |),
+      |sum0 AS (
+      |  SELECT rkey, count(*) AS n, max(id) AS mx FROM nat
+      |  WHERE rkey <> 2 GROUP BY rkey
+      |),
+      |sum1 AS (
+      |  SELECT rkey, count(*) AS n, max(id) AS mx FROM state GROUP BY rkey
+      |)
+      |SELECT part, k1, k2, k3 FROM (
+      |  SELECT 'state' AS part, id AS k1, name AS k2, rkey AS k3 FROM state
+      |  UNION ALL
+      |  SELECT 'chg', id, name || ':insert', CAST(1 AS BIGINT) FROM nat
+      |  UNION ALL
+      |  SELECT 'chg', id, name || ':delete', CAST(2 AS BIGINT) FROM nat WHERE rkey = 2
+      |  UNION ALL
+      |  SELECT 'chg', id, name || ':insert', CAST(3 AS BIGINT) FROM reg
+      |  UNION ALL
+      |  SELECT 'sum1', rkey, 'n=' || CAST(n AS VARCHAR), mx FROM sum1
+      |  UNION ALL
+      |  SELECT 'sum0', rkey, 'n=' || CAST(n AS VARCHAR), mx FROM sum0
+      |) ORDER BY part, k1, k2, k3""".stripMargin
+
   /** The oracle replays the same three mutations as stacked SELECTs. */
   val q44Sql: String =
     """WITH base AS (
