@@ -345,6 +345,28 @@ class VintageCatalog extends TableCatalog with StagingTableCatalog {
             f.copy(metadata = md.build())
           }
         })
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          "nested ALTER COLUMN TYPE not supported for vintage tables")
+        val resolved = ColumnMapping.resolveName(schema, upd.fieldNames()(0))
+        val field = schema(schema.fieldNames
+          .find(_.equalsIgnoreCase(resolved)).getOrElse(resolved))
+        // TYPE WIDENING, Delta-style: metadata-only — existing parquet
+        // files keep their narrow physical type and Spark's vectorized
+        // reader promotes at scan time (int32→int64 etc., SPARK-40876);
+        // no rewrite at any table size. Narrowing or re-typing would
+        // corrupt reads and is rejected.
+        require(graft.vintage.TypeWidening.widens(field.dataType, upd.newDataType()),
+          s"ALTER COLUMN TYPE supports only widening changes " +
+          s"(byte→short→int→long, float→double, decimal precision " +
+          s"growth); got ${field.dataType.sql} → ${upd.newDataType().sql}")
+        require(!graft.vintage.IdentityColumns.specs(props).keys
+            .exists(_.equalsIgnoreCase(resolved)),
+          "identity columns are fixed at BIGINT")
+        schema = StructType(schema.map { f =>
+          if (f.name.equalsIgnoreCase(resolved)) f.copy(dataType = upd.newDataType())
+          else f
+        })
       case set: TableChange.SetProperty
           if set.property() == ColumnMapping.ModeProp =>
         require(set.value().equalsIgnoreCase("name"),
