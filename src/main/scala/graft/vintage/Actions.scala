@@ -114,6 +114,89 @@ case class Metadata(
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
+/** Table-features protocol (Delta's protocol action, table-features
+  * form): the log declares which features a READER must implement to
+  * reconstruct correct state (deletion vectors, column mapping, type
+  * widening) and which a WRITER must implement to commit safely. An
+  * engine generation that does not know a required reader feature must
+  * fail the read loudly — the alternative is silently wrong results
+  * (e.g. resurrecting DV-deleted rows). This is also what makes
+  * UNKNOWN log actions safe to skip: a future action type that
+  * changes read semantics arrives together with a protocol bump, so
+  * old readers stop at the protocol gate instead of mis-folding the
+  * log. Latest protocol action wins on replay; features only grow.
+  */
+case class Protocol(
+    readerFeatures: Seq[String] = Nil,
+    writerFeatures: Seq[String] = Nil) extends Action {
+  def union(other: Protocol): Protocol = Protocol(
+    (readerFeatures ++ other.readerFeatures).distinct.sorted,
+    (writerFeatures ++ other.writerFeatures).distinct.sorted)
+}
+
+object Protocol {
+  val DeletionVectors = "deletionVectors"
+  val ColumnMappingFeature = "columnMapping"
+  val TypeWideningFeature = "typeWidening"
+  val GeneratedColumnsFeature = "generatedColumns"
+  val IdentityColumnsFeature = "identityColumns"
+  val DefaultColumnsFeature = "defaultColumns"
+
+  /** Reader features this engine generation implements. */
+  val SupportedReader: Set[String] =
+    Set(DeletionVectors, ColumnMappingFeature, TypeWideningFeature)
+
+  /** Writer features this engine generation implements (every reader
+    * feature is implicitly writer-relevant too).
+    */
+  val SupportedWriter: Set[String] = SupportedReader ++
+    Set(GeneratedColumnsFeature, IdentityColumnsFeature, DefaultColumnsFeature)
+
+  val base: Protocol = Protocol(Nil, Nil)
+
+  /** Explicit feature-activation property (Delta's
+    * `delta.feature.<name> = supported` convention) for features not
+    * derivable from metadata alone — type widening is activated by the
+    * ALTER that widened, because the schema cannot show that old files
+    * are narrower.
+    */
+  val FeaturePropPrefix = "vintage.feature."
+
+  /** The minimum protocol required by a table's current metadata.
+    * Callers union this with the existing protocol — features never
+    * retract (files written under a feature outlive the property that
+    * enabled it).
+    */
+  def required(schema: StructType, properties: Map[String, String]): Protocol = {
+    val reader = scala.collection.mutable.Buffer[String]()
+    val writer = scala.collection.mutable.Buffer[String]()
+    if (properties.get(DeletionVectorsEnabledProp).exists(_.toBoolean))
+      reader += DeletionVectors
+    if (properties.get(ColumnMappingModeProp).exists(_.nonEmpty))
+      reader += ColumnMappingFeature
+    properties.collect {
+      case (k, v) if k.startsWith(FeaturePropPrefix) &&
+          v.equalsIgnoreCase("supported") => k.stripPrefix(FeaturePropPrefix)
+    }.foreach { f =>
+      if (SupportedReader(f)) reader += f else writer += f
+    }
+    if (properties.keys.exists(_.startsWith("vintage.generated.")))
+      writer += GeneratedColumnsFeature
+    if (properties.keys.exists(_.startsWith("vintage.identity.")))
+      writer += IdentityColumnsFeature
+    if (schema.fields.exists(f => f.metadata.contains("CURRENT_DEFAULT") ||
+        f.metadata.contains("EXISTS_DEFAULT")))
+      writer += DefaultColumnsFeature
+    Protocol(reader.distinct.sorted.toSeq,
+      (writer ++ reader).distinct.sorted.toSeq)
+  }
+
+  // property names duplicated here (not referenced from their owning
+  // objects) so this file stays dependency-light in the action layer
+  private val DeletionVectorsEnabledProp = "vintage.deletionVectors.enabled"
+  private val ColumnMappingModeProp = "vintage.columnMapping.mode"
+}
+
 /** Application-level transaction watermark (Delta's SetTransaction):
   * records that writer `appId` has applied its transaction number
   * `version`. A writer that commits with a Txn skips the write when the
@@ -177,9 +260,23 @@ object Action {
         "txn" -> (("appId" -> t.appId) ~ ("version" -> t.version))
       case i: IngestedFile =>
         "ingest" -> JObject("source" -> JString(i.source))
+      case p: Protocol =>
+        "protocol" -> (
+          ("readerFeatures" -> p.readerFeatures) ~
+          ("writerFeatures" -> p.writerFeatures))
     }
     JsonMethods.compact(JsonMethods.render(j))
   }
+
+  /** Lenient parse for LOG REPLAY: an unrecognized action type yields
+    * None and is skipped — safe because any future action that changes
+    * read semantics ships with a [[Protocol]] bump, and the replay's
+    * reader-feature gate fires before the skipped line could matter
+    * (Delta's unknown-action tolerance, by the same argument).
+    */
+  def fromJsonLineLenient(line: String): Option[Action] =
+    try Some(fromJsonLine(line))
+    catch { case _: IllegalArgumentException => None }
 
   def fromJsonLine(line: String): Action = {
     val j = JsonMethods.parse(line)
@@ -190,6 +287,13 @@ object Action {
     }
     (j \ "ingest") match {
       case i: JObject => return IngestedFile((i \ "source").extract[String])
+      case _ => ()
+    }
+    (j \ "protocol") match {
+      case p: JObject =>
+        return Protocol(
+          (p \ "readerFeatures").extractOpt[Seq[String]].getOrElse(Nil),
+          (p \ "writerFeatures").extractOpt[Seq[String]].getOrElse(Nil))
       case _ => ()
     }
     (j \ "add", j \ "remove", j \ "metaData", j \ "commitInfo") match {

@@ -42,6 +42,7 @@ private[vintage] object CheckpointCodec {
     case _: CommitInfo => "commit"
     case _: Txn => "txn"
     case _: IngestedFile => "ingest"
+    case _: Protocol => "protocol"
   }
 
   def write(dest: Path, actions: Seq[Action], conf: Configuration): Unit = {
@@ -82,7 +83,9 @@ private[vintage] object CheckpointCodec {
     try {
       var g = reader.read()
       while (g != null) {
-        out += Action.fromJsonLine(g.getString("json", 0))
+        // lenient like the commit reader: the protocol gate in replay
+        // makes skipping unknown future actions safe
+        out ++= Action.fromJsonLineLenient(g.getString("json", 0))
         g = reader.read()
       }
     } finally reader.close()

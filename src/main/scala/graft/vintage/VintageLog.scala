@@ -16,7 +16,8 @@ case class Snapshot(
     commits: Seq[CommitInfo],
     partitionColumns: Seq[String] = Nil,
     txns: Map[String, Long] = Map.empty,
-    ingested: Set[String] = Set.empty) {
+    ingested: Set[String] = Set.empty,
+    protocol: Protocol = Protocol.base) {
   def filePaths(tableDir: String): Seq[String] =
     files.map(_.absolutePath(tableDir))
 
@@ -88,7 +89,7 @@ object VintageLog {
       CheckpointCodec.read(checkpointFile(tableDir, v), store.hadoopConf)
     else
       store.readLines(legacyCheckpointFile(tableDir, v))
-        .filter(_.nonEmpty).map(Action.fromJsonLine)
+        .filter(_.nonEmpty).flatMap(Action.fromJsonLineLenient)
 
   private def lastCheckpointFile(tableDir: String): Path =
     new Path(logDir(tableDir), "_last_checkpoint")
@@ -126,7 +127,8 @@ object VintageLog {
   def checkpoint(tableDir: String, v: Long): Unit = {
     val snap = replay(tableDir, Some(v))
     val actions: Seq[Action] =
-      Seq(Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
+      Seq(snap.protocol,
+        Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
         snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
         snap.ingested.toSeq.sorted.map(IngestedFile(_)) ++
         snap.commits.sortBy(_.version) ++ snap.files
@@ -199,7 +201,10 @@ object VintageLog {
     // the retry reads the settled file
     var attempt = 0
     while (true) {
-      try return store.readLines(f).filter(_.nonEmpty).map(Action.fromJsonLine)
+      // lenient: unknown action types are skipped — the protocol gate
+      // in replay() catches the cases where skipping would be unsafe
+      try return store.readLines(f).filter(_.nonEmpty)
+        .flatMap(Action.fromJsonLineLenient)
       catch {
         case e: org.apache.hadoop.fs.ChecksumException =>
           attempt += 1
@@ -263,6 +268,7 @@ object VintageLog {
   private def doReplay(tableDir: String, until: Long): Snapshot = {
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     var meta: Option[Metadata] = None
+    var proto: Protocol = Protocol.base
     val commits = scala.collection.mutable.ArrayBuffer[CommitInfo]()
     val txns = scala.collection.mutable.Map[String, Long]()
     val ingested = scala.collection.mutable.Set[String]()
@@ -274,6 +280,7 @@ object VintageLog {
       case t: Txn        =>
         txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
       case i: IngestedFile => ingested += i.source
+      case p: Protocol   => proto = p
     }
     val start: Long = checkpointVersionFor(tableDir, until) match {
       case Some(cp) =>
@@ -284,10 +291,19 @@ object VintageLog {
     (start to until).foreach { v =>
       readVersion(tableDir, v).foreach(fold(_, checkpoint = false))
     }
+    // READER-FEATURE GATE: refusing here is what keeps both unknown
+    // features and skipped unknown actions from producing silently
+    // wrong reads (e.g. a DV format this generation cannot subtract)
+    val unreadable = proto.readerFeatures.filterNot(Protocol.SupportedReader)
+    if (unreadable.nonEmpty)
+      throw new IOException(
+        s"table $tableDir requires reader features ${unreadable.mkString(", ")} " +
+        s"this engine does not support (supported: " +
+        s"${Protocol.SupportedReader.toSeq.sorted.mkString(", ")})")
     val m = meta.getOrElse(
       throw new IOException(s"no metaData action in log of $tableDir"))
     Snapshot(until, m.schema, files.values.toSeq, m.properties, commits.toSeq,
-      m.partitionColumns, txns.toMap, ingested.toSet)
+      m.partitionColumns, txns.toMap, ingested.toSet, proto)
   }
 
   /** Version whose commit timestamp is the latest <= `ts` (time travel

@@ -737,9 +737,13 @@ class VintageTable private (
         dvRef = f.dvRef.map(r => r.copy(path = AddFile.resolve(path, r.path)))))
     val info = CommitInfo(0L, now, "CLONE",
       Map("source" -> path, "sourceVersion" -> snap.version.toString))
+    // the clone reads the source's files (DVs, mapping, …) — it needs
+    // the source's protocol, not just what its metadata would imply
     VintageLog.commit(abs, 0L,
-      Seq(info, Metadata(snap.schema.json, snap.properties,
-        snap.partitionColumns)) ++ adds)
+      Seq(info,
+        snap.protocol.union(Protocol.required(snap.schema, snap.properties)),
+        Metadata(snap.schema.json, snap.properties,
+          snap.partitionColumns)) ++ adds)
     VintageTable.forPath(spark, abs)
   }
 
@@ -1123,6 +1127,26 @@ class VintageTable private (
         Some(Metadata(snap.schema.json, newProps, snap.partitionColumns)),
         FullRead): Unit
     newMark
+  }
+
+  /** Merge table properties as a metadata-only commit (the fluent
+    * `ALTER TABLE … SET TBLPROPERTIES`). Feature-activating properties
+    * (deletion vectors, …) grow the protocol in the same commit via
+    * [[commitOp]]'s metadata path. Column mapping must go through
+    * [[enableColumnMapping]] — it needs the schema stamped, not just
+    * the property set.
+    */
+  def setProperties(props: Map[String, String]): Unit = {
+    require(!props.contains(ColumnMapping.ModeProp),
+      s"set ${ColumnMapping.ModeProp} via enableColumnMapping() — the " +
+      "schema must be stamped with physical names in the same commit")
+    val snap = snapshot
+    commitOp(snap, "SET TBLPROPERTIES",
+      Map("properties" -> props.keys.toSeq.sorted.mkString(",")),
+      Nil, Nil,
+      Some(Metadata(snap.schema.json, snap.properties ++ props,
+        snap.partitionColumns)),
+      NoRead): Unit
   }
 
   /** Enable column mapping ("name" mode): stamps `physical = current
@@ -1564,6 +1588,22 @@ class VintageTable private (
       meta: Option[Metadata], scope: ReadScope = FullRead,
       maxRetries: Int = 20, txn: Option[Txn] = None,
       extra: Seq[Action] = Nil): Long = {
+    // WRITER-FEATURE GATE: committing to a table whose protocol
+    // demands features this generation does not implement would
+    // corrupt invariants those features maintain
+    val unwritable = snap.protocol.writerFeatures
+      .filterNot(Protocol.SupportedWriter)
+    if (unwritable.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table $path requires writer features ${unwritable.mkString(", ")} " +
+        s"this engine does not support")
+    // metadata changes may ACTIVATE features (DV property set, column
+    // mapping enabled, first identity column…): grow the protocol in
+    // the same commit so a lesser reader/writer stops at the gate
+    val protoGrown: Seq[Action] = meta.toSeq.flatMap { m =>
+      val req = snap.protocol.union(Protocol.required(m.schema, m.properties))
+      if (req == snap.protocol) Nil else Seq(req)
+    }
     var readVersion = snap.version
     var attempt = 0
     // in-commit-timestamp monotonicity (Delta's ICT semantics):
@@ -1583,7 +1623,8 @@ class VintageTable private (
         math.max(System.currentTimeMillis(), prevTs + 1), op, params)
       try {
         VintageLog.commit(path, v,
-          Seq(info) ++ txn.toSeq ++ extra ++ meta.toSeq ++ removes ++ adds)
+          Seq(info) ++ txn.toSeq ++ protoGrown ++ extra ++ meta.toSeq ++
+            removes ++ adds)
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1750,7 +1791,8 @@ object VintageTable {
       Map("mode" -> "Overwrite",
           "partitionBy" -> partitionBy.mkString("[", ",", "]")))
     VintageLog.commit(abs, 0L,
-      Seq(info, Metadata(schema0.json, properties, partitionBy)) ++
+      Seq(info, Protocol.required(schema0, properties),
+        Metadata(schema0.json, properties, partitionBy)) ++
         txn.map { case (a, v) => Txn(a, v) }.toSeq ++ adds)
     new VintageTable(spark, abs, None)
   }
@@ -1770,7 +1812,8 @@ object VintageTable {
     val info = CommitInfo(0L, System.currentTimeMillis(), "CREATE TABLE AS SELECT",
       Map("partitionBy" -> partitionBy.mkString("[", ",", "]")))
     VintageLog.commit(abs, 0L,
-      Seq(info, Metadata(schema.json, properties, partitionBy)) ++ adds)
+      Seq(info, Protocol.required(schema, properties),
+        Metadata(schema.json, properties, partitionBy)) ++ adds)
     new VintageTable(spark, abs, None)
   }
 
@@ -1859,7 +1902,8 @@ object VintageTable {
       Map("numFiles" -> adds.size.toString,
           "partitionBy" -> partCols.mkString("[", ",", "]")))
     VintageLog.commit(abs, 0L,
-      Seq(info, Metadata(schema.json, properties, partCols)) ++ adds)
+      Seq(info, Protocol.required(schema, properties),
+        Metadata(schema.json, properties, partCols)) ++ adds)
     new VintageTable(spark, abs, None)
   }
 

@@ -367,6 +367,11 @@ class VintageCatalog extends TableCatalog with StagingTableCatalog {
           if (f.name.equalsIgnoreCase(resolved)) f.copy(dataType = upd.newDataType())
           else f
         })
+        // the schema alone cannot show that OLD files are narrower —
+        // activate the reader feature explicitly so a reader without
+        // scan-time promotion stops at the protocol gate
+        props = props + (graft.vintage.Protocol.FeaturePropPrefix +
+          graft.vintage.Protocol.TypeWideningFeature -> "supported")
       case set: TableChange.SetProperty
           if set.property() == ColumnMapping.ModeProp =>
         require(set.value().equalsIgnoreCase("name"),
