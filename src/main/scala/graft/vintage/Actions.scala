@@ -55,7 +55,8 @@ case class AddFile(
     stats: Map[String, ColStats] = Map.empty,
     partitionValues: Map[String, String] = Map.empty,
     dv: Seq[Long] = Nil,
-    dvRef: Option[DvRef] = None) extends Action {
+    dvRef: Option[DvRef] = None,
+    baseRowId: Option[Long] = None) extends Action {
   /** Number of deleted positions, inline or sidecar (sidecars carry
     * their cardinality in the log so planning never opens them).
     */
@@ -141,6 +142,7 @@ object Protocol {
   val GeneratedColumnsFeature = "generatedColumns"
   val IdentityColumnsFeature = "identityColumns"
   val DefaultColumnsFeature = "defaultColumns"
+  val RowTrackingFeature = "rowTracking"
 
   /** Reader features this engine generation implements. */
   val SupportedReader: Set[String] =
@@ -150,7 +152,8 @@ object Protocol {
     * feature is implicitly writer-relevant too).
     */
   val SupportedWriter: Set[String] = SupportedReader ++
-    Set(GeneratedColumnsFeature, IdentityColumnsFeature, DefaultColumnsFeature)
+    Set(GeneratedColumnsFeature, IdentityColumnsFeature,
+      DefaultColumnsFeature, RowTrackingFeature)
 
   val base: Protocol = Protocol(Nil, Nil)
 
@@ -184,6 +187,8 @@ object Protocol {
       writer += GeneratedColumnsFeature
     if (properties.keys.exists(_.startsWith("vintage.identity.")))
       writer += IdentityColumnsFeature
+    if (properties.get("vintage.rowTracking.enabled").exists(_.toBoolean))
+      writer += RowTrackingFeature
     if (schema.fields.exists(f => f.metadata.contains("CURRENT_DEFAULT") ||
         f.metadata.contains("EXISTS_DEFAULT")))
       writer += DefaultColumnsFeature
@@ -205,6 +210,15 @@ object Protocol {
   * exactly-once.
   */
 case class Txn(appId: String, version: Long) extends Action
+
+/** Row-id high-water mark (Delta's row-tracking domain metadata): the
+  * NEXT fresh row id to allocate. Folded max on replay; carried by the
+  * commit that assigned ids past it, like every allocation watermark.
+  * Deliberately NOT a [[Metadata]] property: appends to a row-tracked
+  * table must stay concurrent, and the commit loop's re-read gives the
+  * race loser the winner's mark to re-assign from.
+  */
+case class RowIdHighWaterMark(next: Long) extends Action
 
 /** Marker that an external source file has been ingested by COPY INTO:
   * committed atomically with the data it produced, so a re-run (or a
@@ -242,7 +256,8 @@ object Action {
           ("dv" -> (if (f.dv.isEmpty) JNothing else JArray(
             f.dv.map(JLong(_)).toList))) ~
           ("dvFile" -> f.dvRef.map(r =>
-            ("path" -> r.path) ~ ("count" -> r.count))))
+            ("path" -> r.path) ~ ("count" -> r.count))) ~
+          ("baseRowId" -> f.baseRowId))
       case f: RemoveFile =>
         "remove" -> (
           ("path" -> f.path) ~ ("deletionTimestamp" -> f.deletionTimestamp) ~
@@ -264,6 +279,8 @@ object Action {
         "protocol" -> (
           ("readerFeatures" -> p.readerFeatures) ~
           ("writerFeatures" -> p.writerFeatures))
+      case h: RowIdHighWaterMark =>
+        "rowIdHwm" -> JObject("next" -> JLong(h.next))
     }
     JsonMethods.compact(JsonMethods.render(j))
   }
@@ -296,6 +313,10 @@ object Action {
           (p \ "writerFeatures").extractOpt[Seq[String]].getOrElse(Nil))
       case _ => ()
     }
+    (j \ "rowIdHwm") match {
+      case h: JObject => return RowIdHighWaterMark((h \ "next").extract[Long])
+      case _ => ()
+    }
     (j \ "add", j \ "remove", j \ "metaData", j \ "commitInfo") match {
       case (a: JObject, _, _, _) =>
         AddFile(
@@ -324,7 +345,8 @@ object Action {
             case r: JObject => Some(DvRef(
               (r \ "path").extract[String], (r \ "count").extract[Long]))
             case _ => None
-          })
+          },
+          baseRowId = (a \ "baseRowId").extractOpt[Long])
       case (_, r: JObject, _, _) =>
         RemoveFile(
           path = (r \ "path").extract[String],

@@ -43,6 +43,7 @@ private[vintage] object CheckpointCodec {
     case _: Txn => "txn"
     case _: IngestedFile => "ingest"
     case _: Protocol => "protocol"
+    case _: RowIdHighWaterMark => "rowIdHwm"
   }
 
   def write(dest: Path, actions: Seq[Action], conf: Configuration): Unit = {

@@ -17,7 +17,8 @@ case class Snapshot(
     partitionColumns: Seq[String] = Nil,
     txns: Map[String, Long] = Map.empty,
     ingested: Set[String] = Set.empty,
-    protocol: Protocol = Protocol.base) {
+    protocol: Protocol = Protocol.base,
+    rowIdHwm: Long = 0L) {
   def filePaths(tableDir: String): Seq[String] =
     files.map(_.absolutePath(tableDir))
 
@@ -129,6 +130,7 @@ object VintageLog {
     val actions: Seq[Action] =
       Seq(snap.protocol,
         Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
+        (if (snap.rowIdHwm > 0) Seq(RowIdHighWaterMark(snap.rowIdHwm)) else Nil) ++
         snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
         snap.ingested.toSeq.sorted.map(IngestedFile(_)) ++
         snap.commits.sortBy(_.version) ++ snap.files
@@ -269,6 +271,7 @@ object VintageLog {
     val files = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     var meta: Option[Metadata] = None
     var proto: Protocol = Protocol.base
+    var rowIdHwm = 0L
     val commits = scala.collection.mutable.ArrayBuffer[CommitInfo]()
     val txns = scala.collection.mutable.Map[String, Long]()
     val ingested = scala.collection.mutable.Set[String]()
@@ -281,6 +284,7 @@ object VintageLog {
         txns(t.appId) = math.max(t.version, txns.getOrElse(t.appId, Long.MinValue))
       case i: IngestedFile => ingested += i.source
       case p: Protocol   => proto = p
+      case h: RowIdHighWaterMark => rowIdHwm = math.max(rowIdHwm, h.next)
     }
     val start: Long = checkpointVersionFor(tableDir, until) match {
       case Some(cp) =>
@@ -303,7 +307,7 @@ object VintageLog {
     val m = meta.getOrElse(
       throw new IOException(s"no metaData action in log of $tableDir"))
     Snapshot(until, m.schema, files.values.toSeq, m.properties, commits.toSeq,
-      m.partitionColumns, txns.toMap, ingested.toSet, proto)
+      m.partitionColumns, txns.toMap, ingested.toSet, proto, rowIdHwm)
   }
 
   /** Version whose commit timestamp is the latest <= `ts` (time travel

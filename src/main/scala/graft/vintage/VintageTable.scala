@@ -894,8 +894,8 @@ class VintageTable private (
     */
   def compact(numFiles: Int): Unit = {
     val snap = snapshot
-    val adds = writeFiles(spark, toDF.repartition(numFiles), path,
-      dataChange = false, snap.partitionColumns)
+    val adds = writeFiles(spark, layoutRows(snap, None).repartition(numFiles),
+      path, dataChange = false, snap.partitionColumns)
     commitOp(snap, "WRITE",
       Map("mode" -> "Overwrite", "dataChange" -> "false"),
       adds, snap.files.map(f =>
@@ -925,7 +925,7 @@ class VintageTable private (
     val sel = selected.map(_.path).toSet
     val numFiles = math.max(1,
       math.ceil(selected.map(_.size).sum.toDouble / targetFileBytes).toInt)
-    val rows = readFiles(snap, sel)
+    val rows = layoutRows(snap, Some(sel))
     val arranged =
       if (snap.partitionColumns.isEmpty) rows.repartition(numFiles)
       else rows.repartition(numFiles, snap.partitionColumns.map(col): _*)
@@ -964,7 +964,7 @@ class VintageTable private (
     // emits one file per partition value — a round-robin repartition
     // would spread every partition over every task and emit up to
     // numFiles × partitions files, fragmenting what it set out to fix
-    val rows = readFiles(snap, sel)
+    val rows = layoutRows(snap, Some(sel))
     val arranged =
       if (snap.partitionColumns.isEmpty) rows.repartition(numFiles)
       else rows.repartition(numFiles, snap.partitionColumns.map(col): _*)
@@ -994,7 +994,7 @@ class VintageTable private (
   def cluster(numFiles: Int, cols: String*): Unit = {
     require(cols.nonEmpty, "cluster needs at least one column")
     val snap = snapshot
-    val df = toDF
+    val df = layoutRows(snap, None)
     val clustered =
       if (cols.size == 1)
         df.repartitionByRange(numFiles, col(cols.head))
@@ -1505,6 +1505,70 @@ class VintageTable private (
       snap.files.filter(f =>
         rel.contains(f.path) || rel.contains(VintageTable.canonicalKey(f.path))))
 
+  /** Current rows plus their stable row ids as `_row_id` (row
+    * tracking; see [[RowTracking]] for the stability contract). Rows
+    * from files written BEFORE tracking was enabled have a NULL id —
+    * rewrites preserve existing ids, they never invent missing ones,
+    * so enable tracking at CREATE.
+    */
+  def toDFWithRowIds: DataFrame = {
+    val snap = snapshot
+    dfWithRowIds(snap, snap.files, RowTracking.RowIdCol)
+  }
+
+  /** DV-subtracted rows of `files` with their row ids in `outName`:
+    * the materialized `_vintage_row_id` column when the file carries
+    * one (it was produced by a layout rewrite), else `baseRowId +
+    * parquet row_index`. The per-file base map rides a broadcast join
+    * — file METADATA, bounded, never data-sized.
+    */
+  private def dfWithRowIds(snap: Snapshot, files: Seq[AddFile],
+      outName: String): DataFrame = {
+    require(RowTracking.enabled(snap.properties),
+      s"row tracking is not enabled on $path (set ${RowTracking.EnabledProp})")
+    val outSchema = StructType(snap.schema.fields :+
+      StructField(outName, org.apache.spark.sql.types.LongType))
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val readSchema = ColumnMapping.physicalSchema(snap.schema)
+      .add(RowTracking.MaterializedCol,
+        org.apache.spark.sql.types.LongType, nullable = true)
+    val rd = spark.read.schema(readSchema)
+    val raw = (if (snap.partitionColumns.nonEmpty) rd.option("basePath", path)
+               else rd)
+      .parquet(files.map(_.absolutePath(path)): _*)
+    val keyC = "__rt_key"; val idxC = "__rt_idx"
+    val matC = "__rt_mat"; val baseC = "__rt_base"
+    val outputCols = logicalCols(snap) ++ Seq(
+      col(RowTracking.MaterializedCol).as(matC),
+      DeletionVectors.fileKeyExpr(col("_metadata.file_path")).as(keyC),
+      col("_metadata.row_index").as(idxC))
+    val live = DeletionVectors.applyTo(raw, path, files, outputCols)
+    import spark.implicits._
+    val bases = files
+      .map(f => (DeletionVectors.fileKey(f.absolutePath(path)), f.baseRowId))
+      .toDF(keyC, baseC)
+    live.join(broadcast(bases), Seq(keyC), "left")
+      .withColumn(outName, coalesce(col(matC), col(baseC) + col(idxC)))
+      .drop(keyC, idxC, matC, baseC)
+  }
+
+  /** Source frame for LAYOUT rewrites (compact / OPTIMIZE / cluster):
+    * on a row-tracked table the rewritten files must physically CARRY
+    * their rows' ids — new file boundaries invalidate base+index — so
+    * the read appends the materialized column; readers never see it
+    * (it is not in the table schema they request).
+    */
+  private def layoutRows(snap: Snapshot, rel: Option[Set[String]]): DataFrame =
+    if (!RowTracking.enabled(snap.properties))
+      rel.fold(dfForSnapshot(snap))(readFiles(snap, _))
+    else {
+      val files = rel.fold(snap.files)(r => snap.files.filter(f =>
+        r.contains(f.path) || r.contains(VintageTable.canonicalKey(f.path))))
+      dfWithRowIds(snap, files, RowTracking.MaterializedCol)
+    }
+
   /** Read exactly these AddFiles (which need not be live in `snap` —
     * the change feed reads a REMOVED file with the deletion vector it
     * had before removal), applying each file's DV.
@@ -1612,6 +1676,17 @@ class VintageTable private (
     // one clock millisecond tie, and a backwards clock step would
     // interleave. Clamp each commit past its predecessor.
     var prevTs = snap.commits.lastOption.map(_.timestamp).getOrElse(0L)
+    // row tracking: fresh data files take contiguous baseRowId ranges
+    // from the high-water mark. Assigned INSIDE the loop from the most
+    // recently observed mark — a lost version race re-reads the
+    // winner's mark and re-assigns, so ranges never overlap without
+    // serializing appends (see [[RowTracking]]). Files that already
+    // carry a base (DV re-adds, restore) and layout rewrites
+    // (dataChange=false: ids are materialized in the files) pass
+    // through untouched.
+    val trackRows = RowTracking.enabled(
+      meta.map(_.properties).getOrElse(snap.properties))
+    var rowIdBase = snap.rowIdHwm
     // a NoRead commit (blind append) can lose a version race but can
     // never semantically conflict, so pure races get a much higher
     // budget than genuinely conflict-prone scopes — a fleet of
@@ -1621,10 +1696,24 @@ class VintageTable private (
       val v = readVersion + 1
       val info = CommitInfo(v,
         math.max(System.currentTimeMillis(), prevTs + 1), op, params)
+      val (finalAdds, hwmAction) =
+        if (!trackRows) (adds, Nil)
+        else {
+          var next = rowIdBase
+          val assigned = adds.map { a =>
+            if (a.dataChange && a.baseRowId.isEmpty && a.numRecords.isDefined) {
+              val w = a.copy(baseRowId = Some(next))
+              next += a.numRecords.get
+              w
+            } else a
+          }
+          (assigned,
+            if (next != rowIdBase) Seq(RowIdHighWaterMark(next)) else Nil)
+        }
       try {
         VintageLog.commit(path, v,
-          Seq(info) ++ txn.toSeq ++ protoGrown ++ extra ++ meta.toSeq ++
-            removes ++ adds)
+          Seq(info) ++ txn.toSeq ++ protoGrown ++ hwmAction ++ extra ++
+            meta.toSeq ++ removes ++ finalAdds)
         return v
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1683,6 +1772,7 @@ class VintageTable private (
           readVersion = current.version
           prevTs = math.max(prevTs,
             current.commits.lastOption.map(_.timestamp).getOrElse(0L))
+          rowIdBase = math.max(rowIdBase, current.rowIdHwm)
       }
     }
     -1L // unreachable
@@ -1785,17 +1875,34 @@ object VintageTable {
     val schema0 =
       if (ColumnMapping.active(properties)) ColumnMapping.stamp(df1.schema)
       else df1.schema
-    val adds = writeFiles(spark, df1, abs, dataChange = true, partitionBy,
+    val adds0 = writeFiles(spark, df1, abs, dataChange = true, partitionBy,
       tableProps = properties, tableSchema = schema0)
+    val (adds, hwm) = assignRowIds(adds0, properties, from = 0L)
     val info = CommitInfo(0L, System.currentTimeMillis(), "WRITE",
       Map("mode" -> "Overwrite",
           "partitionBy" -> partitionBy.mkString("[", ",", "]")))
     VintageLog.commit(abs, 0L,
       Seq(info, Protocol.required(schema0, properties),
-        Metadata(schema0.json, properties, partitionBy)) ++
+        Metadata(schema0.json, properties, partitionBy)) ++ hwm ++
         txn.map { case (a, v) => Txn(a, v) }.toSeq ++ adds)
     new VintageTable(spark, abs, None)
   }
+
+  /** Initial row-id assignment for v0 commits (single writer by
+    * construction — the create wins or fails, no retry re-read needed).
+    */
+  private def assignRowIds(adds: Seq[AddFile], props: Map[String, String],
+      from: Long): (Seq[AddFile], Seq[Action]) =
+    if (!RowTracking.enabled(props)) (adds, Nil)
+    else {
+      var next = from
+      val assigned = adds.map { a =>
+        if (a.dataChange && a.baseRowId.isEmpty && a.numRecords.isDefined) {
+          val w = a.copy(baseRowId = Some(next)); next += a.numRecords.get; w
+        } else a
+      }
+      (assigned, if (next != from) Seq(RowIdHighWaterMark(next)) else Nil)
+    }
 
   /** Create version 0 from ALREADY-WRITTEN data files (the staged-CTAS
     * path: executors streamed the query result into the table
@@ -1811,9 +1918,10 @@ object VintageTable {
     VintageLog.invalidate(abs)
     val info = CommitInfo(0L, System.currentTimeMillis(), "CREATE TABLE AS SELECT",
       Map("partitionBy" -> partitionBy.mkString("[", ",", "]")))
+    val (assigned, hwm) = assignRowIds(adds, properties, from = 0L)
     VintageLog.commit(abs, 0L,
       Seq(info, Protocol.required(schema, properties),
-        Metadata(schema.json, properties, partitionBy)) ++ adds)
+        Metadata(schema.json, properties, partitionBy)) ++ hwm ++ assigned)
     new VintageTable(spark, abs, None)
   }
 
@@ -1901,9 +2009,10 @@ object VintageTable {
     val info = CommitInfo(0L, System.currentTimeMillis(), "CONVERT",
       Map("numFiles" -> adds.size.toString,
           "partitionBy" -> partCols.mkString("[", ",", "]")))
+    val (assigned, hwm) = assignRowIds(adds, properties, from = 0L)
     VintageLog.commit(abs, 0L,
       Seq(info, Protocol.required(schema, properties),
-        Metadata(schema.json, properties, partCols)) ++ adds)
+        Metadata(schema.json, properties, partCols)) ++ hwm ++ assigned)
     new VintageTable(spark, abs, None)
   }
 
