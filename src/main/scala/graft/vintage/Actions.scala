@@ -181,6 +181,13 @@ object Protocol {
       case (k, v) if k.startsWith(FeaturePropPrefix) &&
           v.equalsIgnoreCase("supported") => k.stripPrefix(FeaturePropPrefix)
     }.foreach { f =>
+      // reject unknown names AT ACTIVATION: features never retract, so
+      // accepting a typo ('typewidening') would put an unsatisfiable
+      // entry in writerFeatures and permanently brick every commit —
+      // including the one trying to unset the property
+      require(SupportedWriter(f),
+        s"unknown table feature '$f' ($FeaturePropPrefix$f=supported); " +
+        s"supported: ${SupportedWriter.toSeq.sorted.mkString(", ")}")
       if (SupportedReader(f)) reader += f else writer += f
     }
     if (properties.keys.exists(_.startsWith("vintage.generated.")))

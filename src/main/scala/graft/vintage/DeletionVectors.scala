@@ -119,6 +119,19 @@ object DeletionVectors {
     (keep.result(), demote.result())
   }
 
+  /** Remaining table-wide inline budget for one commit: the cap minus
+    * the UNTOUCHED files' existing inline positions — snapshot replay
+    * materializes every inline vector, so the bound is table-wide, not
+    * per-commit. Shared by the fluent and SQL row-level paths so the
+    * budget rule cannot diverge between them.
+    */
+  private[vintage] def remainingInlineBudget(snap: Snapshot,
+      touched: Iterable[String], byKey: Map[String, AddFile]): Long = {
+    val untouchedInline = snap.files.iterator.map(_.dv.size.toLong).sum -
+      touched.iterator.map(k => byKey(k).dv.size.toLong).sum
+    math.max(0L, maxInlineTotal(snap.properties) - untouchedInline)
+  }
+
   def hasDvs(files: Seq[AddFile]): Boolean = files.exists(_.hasDv)
 
   /** Canonical file key used on BOTH join sides — the SQL mirror of

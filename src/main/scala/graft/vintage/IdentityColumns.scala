@@ -51,8 +51,20 @@ object IdentityColumns {
   def specs(props: Map[String, String]): Map[String, IdentitySpec] =
     props.collect {
       case (k, v) if k.startsWith(Prefix) && !k.endsWith(HwmSuffix) =>
-        val Array(s, i, a) = v.split(",", 3)
-        k.stripPrefix(Prefix) -> IdentitySpec(s.toLong, i.toLong, a.toBoolean)
+        // hand-set properties reach here unvalidated — fail with the
+        // property name, not a MatchError in the middle of a DML op
+        v.split(",", 3) match {
+          case Array(s, i, a) =>
+            try k.stripPrefix(Prefix) -> IdentitySpec(s.toLong, i.toLong, a.toBoolean)
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"malformed identity property $k = '$v' " +
+                s"(expected 'start,step,allowExplicitInsert')")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"malformed identity property $k = '$v' " +
+            s"(expected 'start,step,allowExplicitInsert')")
+        }
     }
 
   /** Property key of `col`'s high water mark. */
@@ -216,6 +228,29 @@ object IdentityColumns {
             Some(s"$Prefix$c$HwmSuffix" -> observedEdge.toString)
           else None
       }
+    }
+  }
+
+  /** Carry identity properties through RENAME COLUMN (`to = Some`) or
+    * remove them on DROP COLUMN (`to = None`) — orphaned
+    * `vintage.identity.<old>` entries would make [[complete]] add a
+    * phantom column under the old name and brick every append.
+    */
+  def rewriteProps(props: Map[String, String], from: String,
+      to: Option[String]): Map[String, String] = {
+    val specKey = props.keys.find(k => k.startsWith(Prefix) &&
+      !k.endsWith(HwmSuffix) && k.stripPrefix(Prefix).equalsIgnoreCase(from))
+    specKey match {
+      case None => props
+      case Some(k) =>
+        val old = k.stripPrefix(Prefix)
+        val stripped = props - k - hwmKey(old)
+        to match {
+          case None => stripped
+          case Some(n) =>
+            stripped ++ Seq(s"$Prefix$n" -> props(k)) ++
+              props.get(hwmKey(old)).map(hwmKey(n) -> _)
+        }
     }
   }
 

@@ -222,14 +222,10 @@ class VintageTable private (
       }
       // global budget: per-file-cap survivors still demote to the
       // distributed sidecar tier when the TABLE-WIDE inline total
-      // would flood the driver — the snapshot (and every log replay)
-      // materializes all inline vectors, so untouched files' existing
-      // inline positions count against the budget too
-      val untouchedInline = snap.files.iterator.map(_.dv.size.toLong).sum -
-        counts.keys.iterator.map(k => byKey(k).dv.size.toLong).sum
+      // would flood the driver
       val (inlineKeys, demoted) = DeletionVectors.applyInlineBudget(
-        inlineCandidates, grown, math.max(0L,
-          DeletionVectors.maxInlineTotal(snap.properties) - untouchedInline))
+        inlineCandidates, grown,
+        DeletionVectors.remainingInlineBudget(snap, counts.keys, byKey))
       val sidecarKeys = overCapSidecar ++ demoted
       val marked =
         if (inlineKeys.isEmpty) Nil
@@ -475,52 +471,80 @@ class VintageTable private (
     // contention costs rewrites, never wrong ids. Non-identity appends
     // keep the single-attempt behavior (their conflict is real).
     var attempt = 0
+    // explicit-identity retries carry (adds, schema, params) — the
+    // written files are correct as-is, only the mark advance raced
+    var carried: Option[(Seq[AddFile], StructType, Map[String, String])] = None
     while (true) {
       val snap = snapshot
       val t = txn.map { case (a, v) => Txn(a, v) }
       if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
-      // ingest-side completion of generated columns the writer omitted
-      val df1 = GeneratedColumns.complete(df0, snap.properties, Some(snap.schema))
-      val (df, genIds) = IdentityColumns.complete(df1, snap.properties)
-      val missing = snap.schema.fieldNames
-        .filterNot(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
-      val extra = df.schema.fields
-        .filterNot(f => snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
-      require(missing.isEmpty && (extra.isEmpty || mergeSchema),
-        s"append schema mismatch: missing=${missing.mkString(",")} " +
-        s"extra=${extra.map(_.name).mkString(",")}" +
-        (if (extra.nonEmpty) " (set mergeSchema=true to widen the table)" else ""))
-      val finalSchema =
-        if (extra.isEmpty) snap.schema
-        else ColumnMapping.evolve(snap.schema,
-          StructType(snap.schema.fields ++ extra.map(_.copy(nullable = true))),
-          ColumnMapping.active(snap.properties))
-      val adds = writeFiles(spark,
-        df.select(finalSchema.fieldNames.map(col).toIndexedSeq: _*),
-        path, dataChange = true, snap.partitionColumns,
-        tableSchema = finalSchema)
-      val idProps = IdentityColumns.advance(spark, path, finalSchema,
-        snap.properties, adds, genIds)
-      val meta =
-        if (extra.isEmpty && idProps.isEmpty) None
-        else Some(Metadata(finalSchema.json, snap.properties ++ idProps,
-          snap.partitionColumns))
-      try {
-        commitOp(snap, "WRITE",
-          Map("mode" -> "Append",
-              "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
-            (if (extra.isEmpty) Map.empty
-             else Map("newColumns" -> extra.map(_.name).mkString(","))),
-          adds, Nil, meta, NoRead, txn = t)
-        maybeAutoCompact()
-        return
-      } catch {
-        case e: java.util.ConcurrentModificationException
-            if (genIds.nonEmpty || idProps.nonEmpty) && attempt < 5 =>
-          attempt += 1
-          logWarning(s"identity append re-allocating after commit " +
-            s"conflict (attempt $attempt): ${e.getMessage}")
-          // the attempt's staged files are orphans; vacuum reclaims by age
+      carried match {
+        case Some((adds, finalSchema, params)) =>
+          val idProps = IdentityColumns.advance(spark, path, finalSchema,
+            snap.properties, adds, generated = Nil)
+          val meta =
+            if (finalSchema == snap.schema && idProps.isEmpty) None
+            else Some(Metadata(finalSchema.json, snap.properties ++ idProps,
+              snap.partitionColumns))
+          try {
+            commitOp(snap, "WRITE", params, adds, Nil, meta, NoRead, txn = t)
+            maybeAutoCompact()
+            return
+          } catch {
+            case e: java.util.ConcurrentModificationException
+                if idProps.nonEmpty && attempt < 5 =>
+              attempt += 1
+              logWarning(s"identity append recommitting after mark race " +
+                s"(attempt $attempt): ${e.getMessage}")
+          }
+        case None =>
+          // ingest-side completion of generated columns the writer omitted
+          val df1 = GeneratedColumns.complete(df0, snap.properties, Some(snap.schema))
+          val (df, genIds) = IdentityColumns.complete(df1, snap.properties)
+          val missing = snap.schema.fieldNames
+            .filterNot(c => df.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          val extra = df.schema.fields
+            .filterNot(f => snap.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          require(missing.isEmpty && (extra.isEmpty || mergeSchema),
+            s"append schema mismatch: missing=${missing.mkString(",")} " +
+            s"extra=${extra.map(_.name).mkString(",")}" +
+            (if (extra.nonEmpty) " (set mergeSchema=true to widen the table)" else ""))
+          val finalSchema =
+            if (extra.isEmpty) snap.schema
+            else ColumnMapping.evolve(snap.schema,
+              StructType(snap.schema.fields ++ extra.map(_.copy(nullable = true))),
+              ColumnMapping.active(snap.properties))
+          val adds = writeFiles(spark,
+            df.select(finalSchema.fieldNames.map(col).toIndexedSeq: _*),
+            path, dataChange = true, snap.partitionColumns,
+            tableSchema = finalSchema)
+          val idProps = IdentityColumns.advance(spark, path, finalSchema,
+            snap.properties, adds, genIds)
+          val params =
+            Map("mode" -> "Append",
+                "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]")) ++
+              (if (extra.isEmpty) Map.empty
+               else Map("newColumns" -> extra.map(_.name).mkString(",")))
+          val meta =
+            if (extra.isEmpty && idProps.isEmpty) None
+            else Some(Metadata(finalSchema.json, snap.properties ++ idProps,
+              snap.partitionColumns))
+          try {
+            commitOp(snap, "WRITE", params, adds, Nil, meta, NoRead, txn = t)
+            maybeAutoCompact()
+            return
+          } catch {
+            case e: java.util.ConcurrentModificationException
+                if (genIds.nonEmpty || idProps.nonEmpty) && attempt < 5 =>
+              attempt += 1
+              logWarning(s"identity append re-planning after commit " +
+                s"conflict (attempt $attempt): ${e.getMessage}")
+              // GENERATED values came from the stale mark: re-allocate
+              // and rewrite (the attempt's files become vacuum-pending
+              // orphans). EXPLICIT values are mark-independent: keep
+              // the files, recommit with a freshly computed advance.
+              if (genIds.isEmpty) carried = Some((adds, finalSchema, params))
+          }
       }
     }
   }
@@ -773,28 +797,46 @@ class VintageTable private (
       }
       return
     }
-    val partParam = Map(
-      "partitionBy" -> snap.partitionColumns.mkString("[", ",", "]"))
     // native SQL writes always carry the full schema, so identity
     // values here are writer-supplied: legal only under BY DEFAULT
     // (the write builder rejects GENERATED ALWAYS earlier), and the
-    // high-water mark must advance past them in the same commit
-    val idProps = IdentityColumns.advance(spark, path, snap.schema,
-      snap.properties, adds, generated = Nil)
-    val meta =
-      if (idProps.isEmpty) None
-      else Some(Metadata(snap.schema.json, snap.properties ++ idProps,
-        snap.partitionColumns))
-    if (overwrite) {
-      val now = System.currentTimeMillis()
-      commitOp(snap, "WRITE", Map("mode" -> "Overwrite") ++ partParam, adds,
-        snap.files.map(f => RemoveFile(f.path, now, dataChange = true)),
-        meta, FullRead, txn = t)
-    } else {
-      commitOp(snap, "WRITE", Map("mode" -> "Append") ++ partParam, adds,
-        Nil, meta, NoRead, txn = t)
+    // high-water mark must advance past them in the same commit. The
+    // mark is a table property, so two concurrent explicit-id INSERTs
+    // race on metadata — the loser RE-PLANS from the fresh snapshot
+    // and recommits the SAME files (they are correct as written; only
+    // the property advance was stale), instead of failing the user.
+    var attempt = 0
+    var s = snap
+    while (true) {
+      val partParam = Map(
+        "partitionBy" -> s.partitionColumns.mkString("[", ",", "]"))
+      val idProps = IdentityColumns.advance(spark, path, s.schema,
+        s.properties, adds, generated = Nil)
+      val meta =
+        if (idProps.isEmpty) None
+        else Some(Metadata(s.schema.json, s.properties ++ idProps,
+          s.partitionColumns))
+      try {
+        if (overwrite) {
+          val now = System.currentTimeMillis()
+          commitOp(s, "WRITE", Map("mode" -> "Overwrite") ++ partParam, adds,
+            s.files.map(f => RemoveFile(f.path, now, dataChange = true)),
+            meta, FullRead, txn = t)
+        } else {
+          commitOp(s, "WRITE", Map("mode" -> "Append") ++ partParam, adds,
+            Nil, meta, NoRead, txn = t)
+        }
+        maybeAutoCompact()
+        return
+      } catch {
+        case e: java.util.ConcurrentModificationException
+            if idProps.nonEmpty && attempt < 5 =>
+          attempt += 1
+          logWarning(s"identity-marked native write re-planning after " +
+            s"commit conflict (attempt $attempt): ${e.getMessage}")
+          s = snapshot
+      }
     }
-    maybeAutoCompact()
   }
 
   /** Commit one native row-level (delta-based) operation: grow
@@ -828,11 +870,9 @@ class VintageTable private (
     val (inlineCandidates, overCap) = countsByKey.keys.toSeq
       .partition(k => grown(k) <= cap && byKey(k).dvRef.isEmpty)
     // same TABLE-WIDE global budget as the fluent path (planMergeOnRead)
-    val untouchedInline = snap.files.iterator.map(_.dv.size.toLong).sum -
-      countsByKey.keys.iterator.map(k => byKey(k).dv.size.toLong).sum
     val (inlineKeys, demoted) = DeletionVectors.applyInlineBudget(
-      inlineCandidates, grown, math.max(0L,
-        DeletionVectors.maxInlineTotal(snap.properties) - untouchedInline))
+      inlineCandidates, grown,
+      DeletionVectors.remainingInlineBudget(snap, countsByKey.keys, byKey))
     val sidecarKeys = overCap ++ demoted
     def positions: DataFrame = spark.read
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -1098,13 +1138,16 @@ class VintageTable private (
   }
 
   /** `ALTER TABLE … ALTER COLUMN c SYNC IDENTITY` (Delta's surface):
-    * re-derive the high-water mark from the DATA — max of the column
-    * for a positive step, min for a negative one; cleared when the
-    * table is empty. The repair tool for marks knocked out of sync by
-    * out-of-band file surgery (CONVERT, restore games, manual log
-    * edits) — normal writes keep the mark current on their own. One
-    * stats-prunable scan; FullRead scope, so a concurrent write
-    * invalidates the sync rather than racing it. Returns the new mark.
+    * ADVANCE the high-water mark past the data — max of the column for
+    * a positive step, min for a negative one. The repair tool for a
+    * mark left BEHIND the data by out-of-band file surgery (CONVERT,
+    * manual log edits). Strictly one-directional, like Delta's: a mark
+    * ahead of the data (rows deleted) never lowers — those ids still
+    * exist in time travel and the change feed, and recycling them
+    * would hand a CDC consumer an unrelated insert under a
+    * previously-deleted id. One stats-prunable scan; FullRead scope,
+    * so a concurrent write invalidates the sync rather than racing it.
+    * Returns the mark after the sync.
     */
   def syncIdentity(column: String): Option[Long] = {
     val snap = snapshot
@@ -1114,19 +1157,19 @@ class VintageTable private (
         s"$column is not an identity column"))
     val edgeAgg = if (spec.step > 0) max(col(c)) else min(col(c))
     val row = toDF.agg(edgeAgg).head()
-    val key = IdentityColumns.hwmKey(c)
-    val newMark = if (row.isNullAt(0)) None else Some(row.getLong(0))
-    val newProps = newMark match {
-      case Some(m) => snap.properties + (key -> m.toString)
-      case None => snap.properties - key
-    }
-    if (newProps != snap.properties)
+    val current = IdentityColumns.hwm(snap.properties, c)
+    val observed = if (row.isNullAt(0)) None else Some(row.getLong(0))
+    val newMark = observed.filter(o => current.forall(h => spec.beyond(o, h)))
+    newMark.foreach { m =>
       commitOp(snap, "SYNC IDENTITY",
-        Map("column" -> c, "highWaterMark" -> newMark.fold("")(_.toString)),
+        Map("column" -> c, "highWaterMark" -> m.toString),
         Nil, Nil,
-        Some(Metadata(snap.schema.json, newProps, snap.partitionColumns)),
+        Some(Metadata(snap.schema.json,
+          snap.properties + (IdentityColumns.hwmKey(c) -> m.toString),
+          snap.partitionColumns)),
         FullRead): Unit
-    newMark
+    }
+    newMark.orElse(current)
   }
 
   /** Merge table properties as a metadata-only commit (the fluent
@@ -1180,7 +1223,9 @@ class VintageTable private (
     val schema2 = ColumnMapping.renameColumnIn(snap.schema, existing, newName)
     val parts2 = snap.partitionColumns.map(c =>
       if (c.equalsIgnoreCase(resolved)) newName else c)
-    val props2 = rewriteBloomProp(snap.properties, resolved, Some(newName))
+    val props2 = IdentityColumns.rewriteProps(
+      rewriteBloomProp(snap.properties, resolved, Some(newName)),
+      resolved, Some(newName))
     commitOp(snap, "RENAME COLUMN", Map("from" -> resolved, "to" -> newName),
       Nil, Nil, Some(Metadata(schema2.json, props2, parts2)), NoRead): Unit
   }
@@ -1200,7 +1245,8 @@ class VintageTable private (
       s"cannot drop partition column $resolved")
     requireNotInConstraints(snap, resolved, "drop")
     val schema2 = ColumnMapping.dropColumnIn(snap.schema, resolved)
-    val props2 = rewriteBloomProp(snap.properties, resolved, None)
+    val props2 = IdentityColumns.rewriteProps(
+      rewriteBloomProp(snap.properties, resolved, None), resolved, None)
     commitOp(snap, "DROP COLUMNS", Map("columns" -> resolved),
       Nil, Nil, Some(Metadata(schema2.json, props2, snap.partitionColumns)),
       NoRead): Unit
@@ -1684,8 +1730,12 @@ class VintageTable private (
     // carry a base (DV re-adds, restore) and layout rewrites
     // (dataChange=false: ids are materialized in the files) pass
     // through untouched.
-    val trackRows = RowTracking.enabled(
+    // RESTORE re-adds historical files as they were — stamping a
+    // pre-tracking file there would invent ids the contract says are
+    // never invented; same for a DV commit re-adding a live path
+    val trackRows = op != "RESTORE" && RowTracking.enabled(
       meta.map(_.properties).getOrElse(snap.properties))
+    lazy val livePaths = snap.files.map(_.path).toSet
     var rowIdBase = snap.rowIdHwm
     // a NoRead commit (blind append) can lose a version race but can
     // never semantically conflict, so pure races get a much higher
@@ -1701,7 +1751,8 @@ class VintageTable private (
         else {
           var next = rowIdBase
           val assigned = adds.map { a =>
-            if (a.dataChange && a.baseRowId.isEmpty && a.numRecords.isDefined) {
+            if (a.dataChange && a.baseRowId.isEmpty &&
+                a.numRecords.isDefined && !livePaths(a.path)) {
               val w = a.copy(baseRowId = Some(next))
               next += a.numRecords.get
               w

@@ -315,6 +315,8 @@ class VintageCatalog extends TableCatalog with StagingTableCatalog {
         parts = parts.map(c =>
           if (c.equalsIgnoreCase(resolved)) ren.newName() else c)
         props = t.rewriteBloomProp(props, resolved, Some(ren.newName()))
+        props = graft.vintage.IdentityColumns.rewriteProps(
+          props, resolved, Some(ren.newName()))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames().length == 1,
           "nested DROP COLUMN not supported for vintage tables")
@@ -325,6 +327,7 @@ class VintageCatalog extends TableCatalog with StagingTableCatalog {
         t.requireNotInConstraints(snap, resolved, "drop")
         schema = ColumnMapping.dropColumnIn(schema, resolved)
         props = t.rewriteBloomProp(props, resolved, None)
+        props = graft.vintage.IdentityColumns.rewriteProps(props, resolved, None)
       case upd: TableChange.UpdateColumnDefaultValue =>
         require(upd.fieldNames().length == 1,
           "nested ALTER COLUMN not supported for vintage tables")
@@ -429,7 +432,8 @@ class VintageCatalog extends TableCatalog with StagingTableCatalog {
   * SupportsDelete (copy-on-write with file skipping).
   */
 class VintageSqlTable(
-    val tablePath: String, ident: String, snapshot: Snapshot,
+    val tablePath: String, ident: String,
+    private[connector] val snapshot: Snapshot,
     timeTravel: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete

@@ -70,6 +70,14 @@ class VintageSource extends DataSourceRegister
           .getOrElse(s"vintage-sink:$path")
         if (VintageTable.isVintageTable(path)) {
           val t = VintageTable.forPath(spark, path)
+          // upgrade bridge: batches committed before the appId moved
+          // from checkpoint-location to persistent query id rode
+          // 'vintage-sink:<checkpointLocation>' — honor that watermark
+          // too, or the first restart after the change replays its
+          // last batch as silent duplicates
+          val legacyDone = parameters.get("checkpointLocation").exists(cp =>
+            t.txnVersion(s"vintage-sink:$cp").exists(_ >= batchId))
+          if (legacyDone) return
           if (complete)
             t.overwrite(data, dataChange = true, Some((appId, batchId)))
           else t.append(data, Some((appId, batchId)),

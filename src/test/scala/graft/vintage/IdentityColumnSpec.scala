@@ -100,6 +100,55 @@ class IdentityColumnSpec extends AnyFunSuite {
       t.update(lit(true), Map("id" -> lit(99L)))
     }
     assert(e3.getMessage.contains("GENERATED ALWAYS"))
+    // native SQL UPDATE rides WriteDelta, not the fluent validation —
+    // the injected analyzer check must catch it
+    val e4 = intercept[Exception] {
+      spark.sql("UPDATE idc.strict SET id = 42 WHERE name = 'a'")
+    }
+    assert(e4.getMessage.contains("GENERATED ALWAYS") ||
+      Option(e4.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")),
+      e4.getMessage)
+    // ...while updating OTHER columns through SQL stays legal (aligned
+    // self-assignments of the identity column must pass the check)
+    spark.sql("UPDATE idc.strict SET name = 'a2' WHERE name = 'a'")
+    assert(spark.sql("SELECT name FROM idc.strict").head().getString(0) == "a2")
+    // SQL MERGE supplying the id in an INSERT is rejected too
+    Seq((123L, "m")).toDF("id", "name").createOrReplaceTempView("idc_strict_src")
+    val e5 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO idc.strict t USING idc_strict_src s ON t.name = s.name
+          |WHEN NOT MATCHED THEN INSERT (id, name) VALUES (s.id, s.name)"""
+          .stripMargin)
+    }
+    assert(e5.getMessage.contains("GENERATED ALWAYS") ||
+      Option(e5.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")),
+      e5.getMessage)
+  }
+
+  test("RENAME/DROP COLUMN carries or removes the identity contract") {
+    spark.sql("""CREATE TABLE idc.ren (
+      |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+      |  name STRING)""".stripMargin)
+    val t = VintageTable.forPath(spark, s"$wh/ren")
+    t.append(Seq("a", "b").toDF("name"))
+    t.enableColumnMapping()
+    spark.sql("ALTER TABLE idc.ren RENAME COLUMN id TO uid")
+    VintageLog.clearSnapshotCache()
+    val props = t.snapshot.properties
+    assert(IdentityColumns.specs(props).keySet == Set("uid"),
+      s"identity contract must follow the rename: ${props.filter(_._1.startsWith("vintage.identity"))}")
+    assert(IdentityColumns.hwm(props, "uid").nonEmpty,
+      "the mark follows the rename too")
+    // appends keep allocating under the new name (no phantom 'id')
+    t.append(Seq("c").toDF("name"))
+    val ids = t.toDF.select("uid").as[Long].collect().toSeq
+    assert(ids.distinct.size == 3)
+    // dropping the column removes the contract
+    spark.sql("ALTER TABLE idc.ren DROP COLUMN uid")
+    VintageLog.clearSnapshotCache()
+    assert(IdentityColumns.specs(t.snapshot.properties).isEmpty)
+    t.append(Seq("d").toDF("name")) // appends still work, no phantom col
+    assert(t.toDF.count() == 4)
   }
 
   test("BY DEFAULT accepts explicit ids and allocates past them") {
@@ -186,27 +235,31 @@ class IdentityColumnSpec extends AnyFunSuite {
     assert(IdentityColumns.specs(t.snapshot.properties).contains("id"))
   }
 
-  test("SYNC IDENTITY re-derives the mark from the data") {
+  test("SYNC IDENTITY advances a stale-low mark, never lowers it") {
     spark.sql("""CREATE TABLE idc.sync (
       |  id BIGINT GENERATED BY DEFAULT AS IDENTITY,
       |  name STRING)""".stripMargin)
     val t = VintageTable.forPath(spark, s"$wh/sync")
     t.append(Seq("a", "b", "c").toDF("name"))
     val mark0 = IdentityColumns.hwm(t.snapshot.properties, "id").get
-    // delete the high rows: the mark is now stale-high; SYNC brings it
-    // down to the surviving max so the id space is reusable
-    t.delete(org.apache.spark.sql.functions.col("id") > t.toDF
-      .select(org.apache.spark.sql.functions.min("id")).as[Long].head())
+    // simulate out-of-band surgery leaving the mark BEHIND the data
+    t.setProperties(Map(IdentityColumns.hwmKey("id") -> "1"))
     val out = spark.sql("ALTER TABLE idc.sync ALTER COLUMN id SYNC IDENTITY")
       .collect()
     assert(out.length == 1 && out.head.getString(0) == "id")
-    val synced = IdentityColumns.hwm(t.snapshot.properties, "id").get
-    assert(synced == out.head.getLong(1))
-    assert(synced < mark0, s"mark must drop to the surviving max: $synced vs $mark0")
-    // generation continues uniquely from the synced mark
+    assert(out.head.getLong(1) == mark0,
+      "sync must raise the mark back to the observed max")
+    assert(IdentityColumns.hwm(t.snapshot.properties, "id").contains(mark0))
+    // a mark AHEAD of the data (rows deleted) never lowers — deleted
+    // ids live on in time travel and the change feed
+    t.delete(col("id") > t.toDF.select(min("id")).as[Long].head())
+    spark.sql("ALTER TABLE idc.sync ALTER COLUMN id SYNC IDENTITY").collect()
+    assert(IdentityColumns.hwm(t.snapshot.properties, "id").contains(mark0),
+      "sync is one-directional: ids are never recycled")
+    // generation continues uniquely past the mark
     t.append(Seq("d").toDF("name"))
     val ids = t.toDF.select("id").as[Long].collect().toSeq
-    assert(ids.distinct.size == ids.size)
+    assert(ids.distinct.size == ids.size && ids.max > mark0)
     // non-identity column errors
     val e = intercept[IllegalArgumentException] {
       spark.sql("ALTER TABLE idc.sync ALTER COLUMN name SYNC IDENTITY").collect()

@@ -42,6 +42,20 @@ class ProtocolSpec extends AnyFunSuite {
       "identity is writer-only: any reader can scan the BIGINTs")
   }
 
+  test("activating an unknown feature name is rejected, not bricked-in") {
+    val dir = newDir()
+    val t = VintageTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+    // a typo'd feature property must fail THIS commit — accepted, it
+    // would land in writerFeatures forever and block every later write
+    val e = intercept[IllegalArgumentException] {
+      t.setProperties(Map("vintage.feature.typewidening" -> "supported"))
+    }
+    assert(e.getMessage.contains("unknown table feature"), e.getMessage)
+    // the table stays writable
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    assert(t.toDF.count() == 2)
+  }
+
   test("unknown READER feature fails the read loudly") {
     val dir = newDir()
     VintageTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
