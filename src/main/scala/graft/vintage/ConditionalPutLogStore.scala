@@ -1,0 +1,133 @@
+package graft.vintage
+
+import java.util.ConcurrentModificationException
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+/** External arbitration of commit exclusivity — the contract a raw
+  * object store (no atomic no-overwrite rename) needs to host the log.
+  * In production this is a conditional-PUT capable store or a
+  * DynamoDB-style table; in tests, [[InMemoryCommitCoordinator]] —
+  * what matters is that `putIfAbsent` is the ONE linearization point.
+  */
+trait CommitCoordinator {
+  /** Reserve `key` for the caller; `false` when already reserved —
+    * the loser of a commit race. Records the staged object so ANY
+    * process can complete a crashed winner's publish.
+    */
+  def putIfAbsent(key: String, stagedPath: String): Boolean
+
+  /** Staged-object path of a reserved-but-unpublished commit, if any. */
+  def pending(key: String): Option[String]
+
+  /** Reserved keys under a directory prefix that are still pending. */
+  def pendingUnder(prefix: String): Seq[String]
+
+  /** Mark `key` published (the staged copy reached its final name). */
+  def markComplete(key: String): Unit
+}
+
+/** Single-JVM coordinator standing in for the external service. */
+class InMemoryCommitCoordinator extends CommitCoordinator {
+  // key -> staged path, or null once complete
+  private val entries = new ConcurrentHashMap[String, String]()
+  override def putIfAbsent(key: String, stagedPath: String): Boolean =
+    entries.putIfAbsent(key, stagedPath) == null
+  override def pending(key: String): Option[String] =
+    Option(entries.get(key)).filter(_.nonEmpty)
+  override def pendingUnder(prefix: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    entries.forEach { (k, v) => if (k.startsWith(prefix) && v.nonEmpty) out += k }
+    out.result()
+  }
+  override def markComplete(key: String): Unit = entries.put(key, "")
+}
+
+/** Log store for object stores WITHOUT atomic no-overwrite rename
+  * (raw S3 before conditional PUT): the put-if-absent the commit
+  * protocol needs comes from an external [[CommitCoordinator]], not
+  * the filesystem — the design of Delta's S3 + DynamoDB LogStore,
+  * re-expressed:
+  *
+  *  1. stage the commit as a UNIQUE object (single-object PUT is
+  *     atomic on every object store — readers never see a partial
+  *     object);
+  *  2. `coordinator.putIfAbsent(finalPath, stagedPath)` — the ONLY
+  *     arbitration point; the loser deletes its staging and raises
+  *     the standard concurrent-commit error;
+  *  3. copy staged → final name (an overwrite-allowed PUT: safe, only
+  *     the reservation winner ever executes it), then mark complete.
+  *
+  * A crash between 2 and 3 leaves a commit that EXISTS logically but
+  * not as its final object — so every read-side operation first
+  * RECOVERS: any pending reservation under the directory is completed
+  * from its recorded staged object before listing/reading. That makes
+  * the winner's commit durable from the moment the reservation lands,
+  * exactly like the DynamoDB design.
+  */
+class ConditionalPutLogStore(conf: Configuration,
+    val coordinator: CommitCoordinator) extends HadoopLogStore(conf) {
+
+  private def key(path: Path): String = VintageTable.canonicalKey(path.toString)
+
+  override def writeExclusive(path: Path, lines: Seq[String]): Unit = {
+    val staged = new Path(path.getParent,
+      s".${path.getName}.${java.util.UUID.randomUUID().toString.take(8)}.staged")
+    writeReplace(staged, lines)
+    if (!coordinator.putIfAbsent(key(path), staged.toString)) {
+      delete(staged)
+      throw new ConcurrentModificationException(s"already committed: $path")
+    }
+    publish(key(path), staged.toString, path)
+  }
+
+  private def publish(k: String, stagedPath: String, dest: Path): Unit = {
+    val staged = new Path(stagedPath)
+    // overwrite-allowed copy: only the reservation winner (or a
+    // recoverer finishing on its behalf) reaches here, and repeating
+    // it is idempotent — same bytes to the same name
+    if (exists(staged)) {
+      writeReplace(dest, readLines(staged).filter(_.nonEmpty))
+      coordinator.markComplete(k)
+      delete(staged)
+    } else if (exists(dest)) {
+      // someone else completed the recovery first
+      coordinator.markComplete(k)
+    } else {
+      throw new java.io.IOException(
+        s"unrecoverable commit $k: staged object $stagedPath lost " +
+        s"before publish")
+    }
+  }
+
+  /** Complete any crashed publishes under `dir` so listings and reads
+    * observe every reserved commit.
+    */
+  private def recoverUnder(dir: Path): Unit =
+    coordinator.pendingUnder(key(dir) + "/").foreach { k =>
+      coordinator.pending(k).foreach { staged =>
+        publish(k, staged, new Path(k))
+      }
+    }
+
+  private def recoverOne(path: Path): Unit =
+    coordinator.pending(key(path)).foreach(s => publish(key(path), s, path))
+
+  override def readLines(path: Path): Seq[String] = {
+    recoverOne(path)
+    super.readLines(path)
+  }
+
+  override def exists(path: Path): Boolean = {
+    recoverOne(path)
+    super.exists(path)
+  }
+
+  override def list(dir: Path): Seq[FileStatus] = {
+    recoverUnder(dir)
+    // staging litter is invisible to the protocol
+    super.list(dir).filterNot(_.getPath.getName.endsWith(".staged"))
+  }
+}

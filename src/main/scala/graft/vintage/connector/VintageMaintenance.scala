@@ -253,12 +253,15 @@ case class VintageDetailCommand(path: String) extends LeafRunnableCommand {
     AttributeReference("sizeInBytes", LongType, nullable = false)(),
     AttributeReference("partitionColumns", ArrayType(StringType), nullable = false)(),
     AttributeReference("properties",
-      MapType(StringType, StringType), nullable = false)())
+      MapType(StringType, StringType), nullable = false)(),
+    AttributeReference("readerFeatures", ArrayType(StringType), nullable = false)(),
+    AttributeReference("writerFeatures", ArrayType(StringType), nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val snap = VintageTable.forPath(spark, path).snapshot
     Seq(Row("vintage", path, snap.version, snap.files.size.toLong,
-      snap.files.map(_.size).sum, snap.partitionColumns, snap.properties))
+      snap.files.map(_.size).sum, snap.partitionColumns, snap.properties,
+      snap.protocol.readerFeatures, snap.protocol.writerFeatures))
   }
 }
 
