@@ -149,8 +149,9 @@ class VintageTable private (
         Nil, Nil, None, scope)
       return
     }
-    val remaining = readFiles(snap, touched)
-      .filter(!coalesce(condition, lit(false)))
+    val (delSrc, delIdCols) = rewriteSource(snap, touched)
+    val remaining = delSrc.filter(!coalesce(condition, lit(false)))
+      .select(snap.schema.fieldNames.toIndexedSeq.map(col) ++ delIdCols: _*)
     val adds = writeFiles(spark, remaining, path, dataChange = true,
       snap.partitionColumns)
     commitOp(snap, "DELETE", Map("predicate" -> condition.toString),
@@ -276,12 +277,17 @@ class VintageTable private (
       case None => commitOp(snap, "DELETE", params, Nil, Nil, None, scope): Unit
       case Some(p) =>
         // over-cap side: classic copy-on-write rewrite of the survivors
+        // (row ids materialize through it — stability)
         val rewriteAdds =
           if (p.rewriteFiles.isEmpty) Nil
-          else writeFiles(spark,
-            readFilesExact(snap, p.rewriteFiles)
-              .filter(!coalesce(condition, lit(false))),
-            path, dataChange = true, snap.partitionColumns)
+          else {
+            val (src, idCols) = rewriteSourceExact(snap, p.rewriteFiles)
+            writeFiles(spark,
+              src.filter(!coalesce(condition, lit(false)))
+                .select(snap.schema.fieldNames.toIndexedSeq.map(col) ++
+                  idCols: _*),
+              path, dataChange = true, snap.partitionColumns)
+          }
         commitOp(snap, "DELETE",
           params + ("deletionVectors" -> p.dvFiles.size.toString,
                     "rewrittenFiles" -> p.rewriteFiles.size.toString),
@@ -309,8 +315,9 @@ class VintageTable private (
         Nil, Nil, None, scope)
       return
     }
-    val updated = readFiles(snap, touched).select(
-      updateProjection(snap, condition, set): _*)
+    val (updSrc, updIdCols) = rewriteSource(snap, touched)
+    val updated = updSrc.select(
+      updateProjection(snap, condition, set) ++ updIdCols: _*)
     val adds = writeFiles(spark, updated, path, dataChange = true,
       snap.partitionColumns)
     commitOp(snap, "UPDATE", Map("predicate" -> condition.toString),
@@ -346,25 +353,30 @@ class VintageTable private (
       case Some(p) =>
         // DV side: old positions are marked deleted (p.marked); append
         // the matched LIVE rows with the SET applied as new files
+        // (row ids materialize through the rewrite — stability)
         val updatedAdds =
           if (p.dvFiles.isEmpty) Nil
-          else writeFiles(spark,
-            readFilesExact(snap, p.dvFiles)
-              .filter(coalesce(condition, lit(false)))
-              .select(snap.schema.fieldNames.toIndexedSeq.map { c =>
-                set.get(c) match {
-                  case Some(e) => e.cast(snap.schema(c).dataType).as(c)
-                  case None => col(c)
-                }
-              }: _*),
-            path, dataChange = true, snap.partitionColumns)
+          else {
+            val (src, idCols) = rewriteSourceExact(snap, p.dvFiles)
+            writeFiles(spark,
+              src.filter(coalesce(condition, lit(false)))
+                .select(snap.schema.fieldNames.toIndexedSeq.map { c =>
+                  set.get(c) match {
+                    case Some(e) => e.cast(snap.schema(c).dataType).as(c)
+                    case None => col(c)
+                  }
+                } ++ idCols: _*),
+              path, dataChange = true, snap.partitionColumns)
+          }
         // dense side: classic whole-file rewrite
         val rewriteAdds =
           if (p.rewriteFiles.isEmpty) Nil
-          else writeFiles(spark,
-            readFilesExact(snap, p.rewriteFiles)
-              .select(updateProjection(snap, condition, set): _*),
-            path, dataChange = true, snap.partitionColumns)
+          else {
+            val (src, idCols) = rewriteSourceExact(snap, p.rewriteFiles)
+            writeFiles(spark,
+              src.select(updateProjection(snap, condition, set) ++ idCols: _*),
+              path, dataChange = true, snap.partitionColumns)
+          }
         commitOp(snap, "UPDATE",
           params + ("deletionVectors" -> p.dvFiles.size.toString,
                     "rewrittenFiles" -> p.rewriteFiles.size.toString),
@@ -1599,6 +1611,27 @@ class VintageTable private (
       .withColumn(outName, coalesce(col(matC), col(baseC) + col(idxC)))
       .drop(keyC, idxC, matC, baseC)
   }
+
+  /** Source rows of a DML REWRITE (update/delete/merge touched files),
+    * carrying the materialized row-id column when row tracking is on —
+    * Delta's stability contract: a rewritten survivor keeps its id, so
+    * the rewrite must write it physically (the new file's base range
+    * covers every row, but the read path prefers the materialized
+    * column; rows the rewrite INSERTS carry null there and fall back
+    * to base + index — disjoint from every materialized id because
+    * base ranges never overlap). Returns the frame plus the
+    * passthrough column to append to the rewrite projection.
+    */
+  private[vintage] def rewriteSourceExact(snap: Snapshot,
+      files: Seq[AddFile]): (DataFrame, Seq[Column]) =
+    if (!RowTracking.enabled(snap.properties)) (readFilesExact(snap, files), Nil)
+    else (dfWithRowIds(snap, files, RowTracking.MaterializedCol),
+      Seq(col(RowTracking.MaterializedCol)))
+
+  private[vintage] def rewriteSource(snap: Snapshot,
+      rel: Set[String]): (DataFrame, Seq[Column]) =
+    rewriteSourceExact(snap, snap.files.filter(f =>
+      rel.contains(f.path) || rel.contains(VintageTable.canonicalKey(f.path))))
 
   /** Source frame for LAYOUT rewrites (compact / OPTIMIZE / cluster):
     * on a row-tracked table the rewritten files must physically CARRY

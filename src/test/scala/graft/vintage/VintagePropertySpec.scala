@@ -93,6 +93,15 @@ class VintagePropertySpec extends AnyFunSuite {
       DeletionVectors.MaxInlineTotalProp -> "2"))
   }
 
+  test("random op sequences on a ROW-TRACKED table keep ids unique and stable") {
+    // same seed and sequence with row tracking + DVs on: after every
+    // op, all row ids are unique; after merge-on-read delete/update,
+    // surviving keys KEEP their ids; layout rewrites preserve them all
+    randomOpsMatchModel(Map(
+      RowTracking.EnabledProp -> "true",
+      DeletionVectors.EnabledProp -> "true"), trackRowIds = true)
+  }
+
   test("random op sequences through native SQL row-level DML match the model") {
     // same seed and sequence, but merge/delete/update run as SQL
     // MERGE INTO / DELETE / UPDATE through the catalog — the
@@ -104,7 +113,7 @@ class VintagePropertySpec extends AnyFunSuite {
   }
 
   private def randomOpsMatchModel(properties: Map[String, String],
-      viaSql: Boolean = false): Unit = {
+      viaSql: Boolean = false, trackRowIds: Boolean = false): Unit = {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
     val wh = Files.createTempDirectory("vintage-prop").toString
@@ -120,9 +129,15 @@ class VintagePropertySpec extends AnyFunSuite {
     var model = (1L to 20L).map(k => k -> rnd.nextDouble()).toMap
     val t = VintageTable.create(spark, dir, df(model), properties = properties)
     val history = scala.collection.mutable.ArrayBuffer[Map[Long, Double]](model)
+    def rowIds(t: VintageTable): Map[Long, Long] =
+      t.toDFWithRowIds.select(col("k"), col(RowTracking.RowIdCol))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var prevIds: Map[Long, Long] =
+      if (trackRowIds) rowIds(t) else Map.empty
 
     (1 to 15).foreach { step =>
-      rnd.nextInt(5) match {
+      val op = rnd.nextInt(5)
+      op match {
         case 0 => // merge: update some existing + insert some new keys
           val upd = model.keys.toSeq.sorted.take(rnd.nextInt(5) + 1)
             .map(k => k -> rnd.nextDouble()).toMap
@@ -162,6 +177,21 @@ class VintagePropertySpec extends AnyFunSuite {
       }
       assert(tableState(t) == model, s"state mismatch after step $step")
       assert(t.version == step.toLong, s"one commit per op expected")
+      if (trackRowIds) {
+        val now = rowIds(t)
+        assert(now.values.toSeq.distinct.size == now.size,
+          s"duplicate row ids after step $step ($op): $now")
+        // STABILITY: delete/update (merge-on-read or rewrite) and
+        // merge all materialize ids through their rewrites, so every
+        // surviving key keeps its id; only overwrite (op 3) replaces
+        // the row set wholesale and re-allocates
+        if (op != 3)
+          now.foreach { case (k, id) =>
+            assert(prevIds.get(k).forall(_ == id),
+              s"row id of surviving key $k moved under op $op at step $step")
+          }
+        prevIds = now
+      }
       history += model
     }
 
@@ -186,9 +216,13 @@ class VintagePropertySpec extends AnyFunSuite {
     }
 
     // compaction + vacuum never change the logical state
+    val idsBeforeCompact = if (trackRowIds) rowIds(t) else Map.empty[Long, Long]
     t.compact(2)
     assert(tableState(t) == model)
     assert(t.toDFAsOf(3).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       == history(3))
+    if (trackRowIds)
+      assert(rowIds(t) == idsBeforeCompact,
+        "layout rewrite must materialize and preserve every row id")
   }
 }
