@@ -65,6 +65,7 @@ object SparkEntry {
     "q44_sql_row_level"    -> (RowLevelQueries.q44SqlRowLevel _),
     "q45_unigram_logprob"  -> (PipelineQueries.q45UnigramLogprob _),
     "q46_identity_replace" -> (RowLevelQueries.q46IdentityReplace _),
+    "q47_row_tracking"     -> (RowLevelQueries.q47RowTracking _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,5 +123,6 @@ object SparkEntry {
     "q44_sql_row_level"    -> RowLevelQueries.q44Sql,
     "q45_unigram_logprob"  -> PipelineQueries.q45Sql,
     "q46_identity_replace" -> RowLevelQueries.q46Sql,
+    "q47_row_tracking"     -> RowLevelQueries.q47Sql,
   )
 }

@@ -193,6 +193,86 @@ object RowLevelQueries {
       |  SELECT 'sum0', rkey, 'n=' || CAST(n AS VARCHAR), mx FROM sum0
       |) ORDER BY part, k1, k2, k3""".stripMargin
 
+  /** Previous q47 table path, dropped at the next entry. */
+  private var lastQ47: Option[String] = None
+
+  /** Driver-gate query for ROW TRACKING and TYPE WIDENING: stable row
+    * ids and scan-time type promotion, hash-pinned against DuckDB.
+    *
+    * Determinism: the table is built from ONE sorted partition, so
+    * assigned row ids are exactly `0..n-1` in row order
+    * (`row_number()-1` on the oracle side). The choreography then
+    * exercises the stability contract end to end: a merge-on-read
+    * DELETE (survivors keep ids by file identity), an UPDATE of some
+    * rows (survivors keep ids by materialization through the rewrite),
+    * an OPTIMIZE (layout rewrite materializes ids physically), and an
+    * `ALTER COLUMN TYPE INT→BIGINT` widening in the middle — after all
+    * of which every surviving row must still report its ORIGINAL id,
+    * and the widened column must read exactly through mixed-width
+    * files (pre-widening INT files + post-widening BIGINT appends).
+    */
+  def q47RowTracking(spark: SparkSession, d: String): DataFrame = {
+    ensureCatalog(spark)
+    lastQ47.foreach(p => spark.sql(s"DROP TABLE IF EXISTS $p"))
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tbl = s"$CatalogName.r_$id"
+    lastQ47 = Some(tbl)
+    spark.sql(
+      s"""CREATE TABLE $tbl (name STRING, rkey INT)
+         |TBLPROPERTIES (
+         |  'vintage.rowTracking.enabled'='true',
+         |  'vintage.deletionVectors.enabled'='true')""".stripMargin)
+    val wh = spark.conf.get(s"spark.sql.catalog.$CatalogName.warehouse")
+    val t = graft.vintage.VintageTable.forPath(spark, s"$wh/r_$id")
+    t.append(Tables.nation(spark, d)
+      .select(col("n_name").as("name"), col("n_regionkey").cast("int").as("rkey"),
+        col("n_nationkey"))
+      .repartition(1).sortWithinPartitions("n_nationkey")
+      .drop("n_nationkey"))                                    // ids 0..24
+    spark.sql(s"DELETE FROM $tbl WHERE rkey = 4")              // DV delete
+    t.update(col("rkey") === 0, Map("name" -> concat(col("name"), lit("_x"))))
+    spark.sql(s"ALTER TABLE $tbl ALTER COLUMN rkey TYPE BIGINT")
+    t.optimize(targetFileBytes = 128L * 1024 * 1024)           // materializes
+    // id arithmetic: the first append consumed ids 0..24 (mark 25);
+    // the UPDATE's 5 rewritten copies consumed 25..29 as their file's
+    // base range (the materialized column preserves the rows' ORIGINAL
+    // ids, but the range is spent) — so this append allocates 30..34
+    t.append(Tables.region(spark, d)
+      .select(concat(lit("R_"), col("r_name")).as("name"),
+        (col("r_regionkey").cast("long") + 100L).as("rkey"))
+      .repartition(1).sortWithinPartitions("rkey"))
+    val out = t.toDFWithRowIds
+      .select(col("_row_id").as("row_id"), col("name"), col("rkey"))
+    out.orderBy("row_id").select(
+      col("row_id").cast("long").as("row_id"),
+      col("name"), col("rkey").cast("long").as("rkey"))
+  }
+
+  /** DuckDB replay: ids via `row_number()-1` over the same sort, the
+    * delete/update applied as SELECT transforms, appends offset by 25.
+    */
+  val q47Sql: String =
+    """WITH nat AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS row_id,
+      |         n_name AS name, CAST(n_regionkey AS BIGINT) AS rkey
+      |  FROM nation
+      |),
+      |kept AS (
+      |  SELECT row_id,
+      |         CASE WHEN rkey = 0 THEN name || '_x' ELSE name END AS name,
+      |         rkey
+      |  FROM nat WHERE rkey <> 4
+      |),
+      |reg AS (
+      |  SELECT 29 + CAST(row_number() OVER (ORDER BY r_regionkey) AS BIGINT) AS row_id,
+      |         'R_' || r_name AS name,
+      |         CAST(r_regionkey AS BIGINT) + 100 AS rkey
+      |  FROM region
+      |)
+      |SELECT row_id, name, rkey FROM kept
+      |UNION ALL SELECT row_id, name, rkey FROM reg
+      |ORDER BY row_id""".stripMargin
+
   /** The oracle replays the same three mutations as stacked SELECTs. */
   val q44Sql: String =
     """WITH base AS (
