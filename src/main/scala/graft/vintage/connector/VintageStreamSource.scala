@@ -34,10 +34,13 @@ import graft.vintage.{AddFile, CommitInfo, Metadata, RemoveFile, Snapshot, Vinta
   *  - `maxVersionsPerTrigger`: rate-limit a micro-batch to at most this
   *    many commits.
   *  - `maxFilesPerTrigger`: rate-limit a micro-batch to at most this
-  *    many data files (at least one commit always flows). Both limits
-  *    govern INCREMENTAL batches; the initial-snapshot batch is one
-  *    snapshot read and is never split (splitting it into per-commit
-  *    change batches would replay row-level history).
+  *    many data files (at least one commit always flows).
+  *  - `maxBytesPerTrigger`: rate-limit a micro-batch to approximately
+  *    this many data-file bytes (soft cap, Delta semantics: at least
+  *    one commit always flows). All limits govern INCREMENTAL batches;
+  *    the initial-snapshot batch is one snapshot read and is never
+  *    split (splitting it into per-commit change batches would replay
+  *    row-level history).
   *
   * At scale this is log-metadata work only: planning a batch reads the
   * JSON actions of the commit range — never a table scan — and the data
@@ -67,6 +70,8 @@ class VintageStreamSource(
     options.get("maxVersionsPerTrigger").map(_.toLong)
   private val maxFilesPerTrigger =
     options.get("maxFilesPerTrigger").map(_.toLong)
+  private val maxBytesPerTrigger =
+    options.get("maxBytesPerTrigger").map(_.toLong)
 
   /** Version *before* the first commit the stream should emit as a
     * change, or None → first batch is a full snapshot.
@@ -140,17 +145,22 @@ class VintageStreamSource(
     // reads only — and stop before the version that would cross the
     // budget. Always admits at least one version, so an oversized
     // single commit still flows (same behavior as Delta).
-    val capped = maxFilesPerTrigger match {
-      case None => vCapped
-      case Some(budget) =>
+    val capped = (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (None, None) => vCapped
+      case (fileBudget, byteBudget) =>
         var v = plannedVersion
         var files = 0L
+        var bytes = 0L
         var stop = false
         while (!stop && v < vCapped) {
-          val n = VintageLog.readVersion(tablePath, v + 1)
-            .count { case a: AddFile => a.dataChange; case _ => false }
-          if (files + n > budget && v > plannedVersion) stop = true
-          else { v += 1; files += n }
+          val adds = VintageLog.readVersion(tablePath, v + 1)
+            .collect { case a: AddFile if a.dataChange => a }
+          val n = adds.size
+          val b = adds.map(_.size).sum
+          val over = fileBudget.exists(files + n > _) ||
+            byteBudget.exists(bytes + b > _)
+          if (over && v > plannedVersion) stop = true
+          else { v += 1; files += n; bytes += b }
         }
         v
     }

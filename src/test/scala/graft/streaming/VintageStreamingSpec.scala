@@ -210,6 +210,70 @@ class VintageStreamingSpec extends AnyFunSuite {
       "restarted planner must not regress below the recovered offset")
   }
 
+  test("streaming source: maxBytesPerTrigger bounds each micro-batch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/brate"
+    VintageTable.create(spark, dir,
+      Seq((0, "z")).toDF("id", "s").coalesce(1))
+    val t = VintageTable.forPath(spark, dir)
+    (1 to 4).foreach(i =>
+      t.append(Seq((i, s"v$i")).toDF("id", "s").coalesce(1)))
+    // single-row parquet files run ~900 B: a 2 KB budget admits at
+    // most two commits per batch, and always at least one
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val source = new graft.vintage.connector.VintageStreamSource(
+      spark, t.path, Map("startingVersion" -> "0", "maxBytesPerTrigger" -> "2048"))
+    def ver(o: org.apache.spark.sql.execution.streaming.Offset): Long =
+      o.asInstanceOf[LongOffset].offset
+    def bytesIn(lo: Long, hi: Long): Long = (lo to hi).map(v =>
+      graft.vintage.VintageLog.readVersion(t.path, v)
+        .collect { case a: graft.vintage.AddFile if a.dataChange => a.size }
+        .sum).sum
+    var spans = Seq.empty[(Long, Long)]
+    var last = -1L
+    var off = source.getOffset
+    while (off.isDefined && ver(off.get) != last) {
+      spans :+= (last + 1, ver(off.get))
+      last = ver(off.get)
+      off = source.getOffset
+    }
+    assert(last == 4, s"planner must drain all commits, stopped at $last")
+    assert(spans.size >= 2,
+      s"a 2 KB budget over 5 single-file commits must split, got $spans")
+    spans.foreach { case (lo, hi) =>
+      assert(bytesIn(lo, hi) <= 2048 || lo == hi,
+        s"batch ($lo,$hi) exceeds the byte budget without being a " +
+        s"single oversized commit")
+    }
+  }
+
+  test("streaming sink into an identity table allocates per epoch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("vintage-sink-id").toString + "/t"
+    VintageTable.create(spark, dir,
+      Seq.empty[(Long, String)].toDF("id", "name"),
+      properties = Map("vintage.identity.id" -> "1,1,false"))
+    // drop the placeholder id column from the stream: the table layer
+    // allocates it (GENERATED ALWAYS rejects a supplied one)
+    val src = MemoryStream[String]
+    val q = src.toDF.toDF("name").writeStream
+      .format("vintage")
+      .option("path", dir)
+      .option("checkpointLocation",
+        Files.createTempDirectory("vintage-sink-id-cp").toString)
+      .start()
+    try {
+      src.addData("a", "b"); q.processAllAvailable()
+      src.addData("c"); q.processAllAvailable()
+    } finally q.stop()
+    val out = VintageTable.forPath(spark, dir).toDF
+      .select("id", "name").as[(Long, String)].collect().toMap
+    assert(out.size == 3 && out.keySet.size == 3,
+      s"each streamed row gets a unique allocated id: $out")
+    assert(out.values.toSet == Set("a", "b", "c"))
+  }
+
   test("streaming source: delete commit fails without ignoreDeletes, passes with it") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vintage-src").toString + "/d"
