@@ -68,7 +68,8 @@ class InMemoryCommitCoordinator extends CommitCoordinator {
   * exactly like the DynamoDB design.
   */
 class ConditionalPutLogStore(conf: Configuration,
-    val coordinator: CommitCoordinator) extends HadoopLogStore(conf) {
+    val coordinator: CommitCoordinator) extends HadoopLogStore(conf)
+    with org.apache.spark.internal.Logging {
 
   private def key(path: Path): String = VintageTable.canonicalKey(path.toString)
 
@@ -80,27 +81,47 @@ class ConditionalPutLogStore(conf: Configuration,
       delete(staged)
       throw new ConcurrentModificationException(s"already committed: $path")
     }
-    publish(key(path), staged.toString, path)
+    // THE RESERVATION IS THE COMMIT: from here the entry is durable —
+    // any reader recovers it from the staged object — so a publish
+    // failure must NOT surface as a failed write (the caller would
+    // retry and double-apply); readers or the next writer finish it
+    try publish(key(path), staged.toString, path)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"commit $path reserved but publish deferred " +
+          s"(readers will recover it): ${e.getMessage}")
+    }
   }
 
   private def publish(k: String, stagedPath: String, dest: Path): Unit = {
     val staged = new Path(stagedPath)
     // overwrite-allowed copy: only the reservation winner (or a
     // recoverer finishing on its behalf) reaches here, and repeating
-    // it is idempotent — same bytes to the same name
-    if (exists(staged)) {
-      writeReplace(dest, readLines(staged).filter(_.nonEmpty))
-      coordinator.markComplete(k)
-      delete(staged)
-    } else if (exists(dest)) {
-      // someone else completed the recovery first
-      coordinator.markComplete(k)
-    } else {
+    // it is idempotent — same bytes to the same name. A RECOVERER can
+    // race the winner: exists(staged) may pass and the read then miss
+    // the just-deleted object — re-check the destination before
+    // declaring the commit unrecoverable.
+    def completed(): Boolean =
+      if (!superExists(dest)) false
+      else { coordinator.markComplete(k); true }
+    if (superExists(staged)) {
+      try {
+        writeReplace(dest, readLines(staged).filter(_.nonEmpty))
+        coordinator.markComplete(k)
+        delete(staged)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          if (!completed()) throw e
+      }
+    } else if (!completed()) {
       throw new java.io.IOException(
         s"unrecoverable commit $k: staged object $stagedPath lost " +
         s"before publish")
     }
   }
+
+  /** Raw existence check (no recovery recursion). */
+  private def superExists(p: Path): Boolean = super.exists(p)
 
   /** Complete any crashed publishes under `dir` so listings and reads
     * observe every reserved commit.

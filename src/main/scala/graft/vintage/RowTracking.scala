@@ -22,10 +22,17 @@ package graft.vintage
   *    table schema, which does not contain it.
   *
   * Enable at CREATE (`vintage.rowTracking.enabled = true`) — rows
-  * written before enablement have no id (null) until rewritten.
-  * Stability under DML needs the merge-on-read paths: copy-on-write
-  * rewrites (fluent merge, DV-less update/delete) assign fresh ids to
-  * the rows of the files they rewrite.
+  * written before enablement have no id (null); rewrites preserve
+  * existing ids but never invent missing ones.
+  *
+  * Stability coverage: every FLUENT path preserves surviving rows'
+  * ids (merge-on-read by file identity; update/delete/merge rewrites
+  * and layout rewrites by materialization). KNOWN DIVERGENCE: SQL
+  * UPDATE/MERGE through the native WriteDelta plan re-inserts updated
+  * rows via executor-written files with no materialized column, so
+  * THOSE rows get fresh ids — Spark builds the delta projections, and
+  * threading the id through them needs a plan rewrite this engine
+  * does not yet do. Deletes (SQL or fluent) never move survivor ids.
   */
 object RowTracking {
   val EnabledProp = "vintage.rowTracking.enabled"

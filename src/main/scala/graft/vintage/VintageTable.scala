@@ -442,7 +442,11 @@ class VintageTable private (
           if (dataChange) FullRead else LayoutOnly, txn = t)
         return
       } catch {
-        case e: java.util.ConcurrentModificationException
+        // METADATA conflicts only (the identity-mark race): a
+        // concurrent data add is a genuine overwrite conflict and
+        // must surface — silently retrying would remove the other
+        // writer's just-committed files
+        case e: VintageTable.MetadataConflictException
             if (genIds.nonEmpty || idProps.nonEmpty) && attempt < 5 =>
           attempt += 1
           logWarning(s"identity overwrite re-allocating after commit " +
@@ -483,15 +487,23 @@ class VintageTable private (
     // contention costs rewrites, never wrong ids. Non-identity appends
     // keep the single-attempt behavior (their conflict is real).
     var attempt = 0
-    // explicit-identity retries carry (adds, schema, params) — the
-    // written files are correct as-is, only the mark advance raced
-    var carried: Option[(Seq[AddFile], StructType, Map[String, String])] = None
+    // explicit-identity retries carry (adds, planning schema, final
+    // schema, params) — the written files are correct as-is, only the
+    // mark advance raced. Reuse is valid ONLY while the table schema
+    // still equals the one the attempt planned against: a concurrent
+    // ALTER means recommitting the carried Metadata would silently
+    // revert it, so such a retry falls back to a full re-plan.
+    var carried: Option[(Seq[AddFile], StructType, StructType,
+      Map[String, String])] = None
     while (true) {
       val snap = snapshot
       val t = txn.map { case (a, v) => Txn(a, v) }
       if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) return
       carried match {
-        case Some((adds, finalSchema, params)) =>
+        case Some((_, plannedSchema, _, _))
+            if plannedSchema != snap.schema =>
+          carried = None // schema moved underneath: full re-plan
+        case Some((adds, _, finalSchema, params)) =>
           val idProps = IdentityColumns.advance(spark, path, finalSchema,
             snap.properties, adds, generated = Nil)
           val meta =
@@ -555,7 +567,8 @@ class VintageTable private (
               // and rewrite (the attempt's files become vacuum-pending
               // orphans). EXPLICIT values are mark-independent: keep
               // the files, recommit with a freshly computed advance.
-              if (genIds.isEmpty) carried = Some((adds, finalSchema, params))
+              if (genIds.isEmpty)
+                carried = Some((adds, snap.schema, finalSchema, params))
           }
       }
     }
@@ -841,8 +854,13 @@ class VintageTable private (
         maybeAutoCompact()
         return
       } catch {
+        // append (NoRead) cannot data-conflict, so any CME there is a
+        // version/metadata race and re-planning is safe; an OVERWRITE
+        // retries only on the metadata race — its add conflicts are
+        // genuine and must surface, not remove the other writer's files
         case e: java.util.ConcurrentModificationException
-            if idProps.nonEmpty && attempt < 5 =>
+            if idProps.nonEmpty && attempt < 5 &&
+              (!overwrite || e.isInstanceOf[VintageTable.MetadataConflictException]) =>
           attempt += 1
           logWarning(s"identity-marked native write re-planning after " +
             s"commit conflict (attempt $attempt): ${e.getMessage}")
@@ -1558,10 +1576,17 @@ class VintageTable private (
     }
   }
 
+  /** Live files of `snap` named by `rel` — matching both the raw path
+    * and its canonical form (cloned absolute-path files meet scan
+    * `_metadata` paths on canonical terms). The ONE membership rule
+    * every touched-file consumer shares.
+    */
+  private[vintage] def filesIn(snap: Snapshot, rel: Set[String]): Seq[AddFile] =
+    snap.files.filter(f =>
+      rel.contains(f.path) || rel.contains(VintageTable.canonicalKey(f.path)))
+
   private[vintage] def readFiles(snap: Snapshot, rel: Set[String]): DataFrame =
-    readFilesExact(snap,
-      snap.files.filter(f =>
-        rel.contains(f.path) || rel.contains(VintageTable.canonicalKey(f.path))))
+    readFilesExact(snap, filesIn(snap, rel))
 
   /** Current rows plus their stable row ids as `_row_id` (row
     * tracking; see [[RowTracking]] for the stability contract). Rows
@@ -1630,8 +1655,7 @@ class VintageTable private (
 
   private[vintage] def rewriteSource(snap: Snapshot,
       rel: Set[String]): (DataFrame, Seq[Column]) =
-    rewriteSourceExact(snap, snap.files.filter(f =>
-      rel.contains(f.path) || rel.contains(VintageTable.canonicalKey(f.path))))
+    rewriteSourceExact(snap, filesIn(snap, rel))
 
   /** Source frame for LAYOUT rewrites (compact / OPTIMIZE / cluster):
     * on a row-tracked table the rewritten files must physically CARRY
@@ -1642,11 +1666,8 @@ class VintageTable private (
   private def layoutRows(snap: Snapshot, rel: Option[Set[String]]): DataFrame =
     if (!RowTracking.enabled(snap.properties))
       rel.fold(dfForSnapshot(snap))(readFiles(snap, _))
-    else {
-      val files = rel.fold(snap.files)(r => snap.files.filter(f =>
-        r.contains(f.path) || r.contains(VintageTable.canonicalKey(f.path))))
-      dfWithRowIds(snap, files, RowTracking.MaterializedCol)
-    }
+    else dfWithRowIds(snap, rel.fold(snap.files)(filesIn(snap, _)),
+      RowTracking.MaterializedCol)
 
   /** Read exactly these AddFiles (which need not be live in `snap` —
     * the change feed reads a REMOVED file with the deletion vector it
@@ -1682,9 +1703,7 @@ class VintageTable private (
     val now = System.currentTimeMillis()
     // canonicalKey bridges representations: a cloned AddFile may carry
     // file:/abs while the scan's _metadata path relativized to /abs
-    snap.files.filter(f =>
-        rel.contains(f.path) || rel.contains(VintageTable.canonicalKey(f.path)))
-      .map(f => RemoveFile(f.path, now, dataChange = true))
+    filesIn(snap, rel).map(f => RemoveFile(f.path, now, dataChange = true))
   }
 
   private[vintage] def relativize(filePath: String): String = {
@@ -1844,15 +1863,21 @@ class VintageTable private (
             current.partitionColumns != snap.partitionColumns
           val addConflict = conflictingAdds(snap.version, current.version,
             snap.schema, scope)
-          if (removedConcurrently || metaChanged || addConflict.nonEmpty)
+          if (removedConcurrently || addConflict.nonEmpty)
             throw new java.util.ConcurrentModificationException(
               s"conflicting concurrent update to $path: " +
               (if (removedConcurrently) "files this commit rewrites were already rewritten"
-               else if (metaChanged) "table metadata (schema, properties, or " +
-                 "partitioning) changed concurrently"
                else s"files were concurrently added that this ${op.toLowerCase} " +
                  s"should have read: ${addConflict.take(3).mkString(",")}") +
               s" (caused by: $e)")
+          if (metaChanged)
+            // typed so property-race retry loops (identity marks) can
+            // re-plan on METADATA conflicts without also swallowing
+            // genuine data conflicts like the two branches above
+            throw new VintageTable.MetadataConflictException(
+              s"conflicting concurrent update to $path: table metadata " +
+              s"(schema, properties, or partitioning) changed " +
+              s"concurrently (caused by: $e)")
           readVersion = current.version
           prevTs = math.max(prevTs,
             current.commits.lastOption.map(_.timestamp).getOrElse(0L))
@@ -1886,6 +1911,14 @@ class VintageTable private (
 }
 
 object VintageTable {
+  /** Concurrent-commit conflict caused ONLY by a metadata change —
+    * retry loops that re-plan around property races (identity
+    * high-water marks) catch this subtype so they never swallow
+    * genuine data conflicts (concurrent adds/removes).
+    */
+  private[graft] class MetadataConflictException(msg: String)
+      extends java.util.ConcurrentModificationException(msg)
+
   private[vintage] val FileCol = "__vintage_file"
 
   /** Open an existing table (README.md:125 `DeltaTable.forPath`). */

@@ -72,11 +72,16 @@ class VintageSource extends DataSourceRegister
           val t = VintageTable.forPath(spark, path)
           // upgrade bridge: batches committed before the appId moved
           // from checkpoint-location to persistent query id rode
-          // 'vintage-sink:<checkpointLocation>' — honor that watermark
-          // too, or the first restart after the change replays its
-          // last batch as silent duplicates
-          val legacyDone = parameters.get("checkpointLocation").exists(cp =>
-            t.txnVersion(s"vintage-sink:$cp").exists(_ >= batchId))
+          // 'vintage-sink:<checkpointLocation>'. A checkpoint-resumed
+          // stream can only replay its LAST committed epoch, so honor
+          // the legacy watermark for exactly that batchId, and only
+          // until the new appId has recorded anything — a WIPED
+          // checkpoint restarts batchIds from 0 under a new query id,
+          // and a broad >= check would silently swallow the reprocess
+          // the wipe asked for
+          val legacyDone = t.txnVersion(appId).isEmpty &&
+            parameters.get("checkpointLocation").exists(cp =>
+              t.txnVersion(s"vintage-sink:$cp").contains(batchId))
           if (legacyDone) return
           if (complete)
             t.overwrite(data, dataChange = true, Some((appId, batchId)))
