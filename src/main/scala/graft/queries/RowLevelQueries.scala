@@ -230,13 +230,18 @@ object RowLevelQueries {
       .repartition(1).sortWithinPartitions("n_nationkey")
       .drop("n_nationkey"))                                    // ids 0..24
     spark.sql(s"DELETE FROM $tbl WHERE rkey = 4")              // DV delete
-    t.update(col("rkey") === 0, Map("name" -> concat(col("name"), lit("_x"))))
+    // SQL UPDATE through the WriteDelta plan: survivors keep their ids
+    // because the row-id projection threads the tracking id into the
+    // re-inserted rows (round 8 — this used to be the one documented
+    // divergence from the fluent path, now hash-pinned here)
+    spark.sql(s"UPDATE $tbl SET name = concat(name, '_x') WHERE rkey = 0")
     spark.sql(s"ALTER TABLE $tbl ALTER COLUMN rkey TYPE BIGINT")
     t.optimize(targetFileBytes = 128L * 1024 * 1024)           // materializes
     // id arithmetic: the first append consumed ids 0..24 (mark 25);
-    // the UPDATE's 5 rewritten copies consumed 25..29 as their file's
-    // base range (the materialized column preserves the rows' ORIGINAL
-    // ids, but the range is spent) — so this append allocates 30..34
+    // the SQL UPDATE's 5 re-inserted copies consumed 25..29 as their
+    // delta-insert file's base range (the materialized column preserves
+    // the rows' ORIGINAL ids, but the range is spent) — so this append
+    // allocates 30..34
     t.append(Tables.region(spark, d)
       .select(concat(lit("R_"), col("r_name")).as("name"),
         (col("r_regionkey").cast("long") + 100L).as("rkey"))

@@ -25,14 +25,15 @@ package graft.vintage
   * written before enablement have no id (null); rewrites preserve
   * existing ids but never invent missing ones.
   *
-  * Stability coverage: every FLUENT path preserves surviving rows'
-  * ids (merge-on-read by file identity; update/delete/merge rewrites
-  * and layout rewrites by materialization). KNOWN DIVERGENCE: SQL
-  * UPDATE/MERGE through the native WriteDelta plan re-inserts updated
-  * rows via executor-written files with no materialized column, so
-  * THOSE rows get fresh ids — Spark builds the delta projections, and
-  * threading the id through them needs a plan rewrite this engine
-  * does not yet do. Deletes (SQL or fluent) never move survivor ids.
+  * Stability coverage: every path preserves surviving rows' ids.
+  * Fluent DML: merge-on-read keeps file identity; update/delete/merge
+  * rewrites and layout rewrites materialize ids. Native SQL
+  * UPDATE/MERGE (the WriteDelta plan): the row-id projection carries
+  * the tracking id as a third row-id column
+  * ([[graft.vintage.connector.VintageRowLevel.TrackIdCol]]), and the
+  * delta writer materializes it into each updated row's re-insert —
+  * so SQL and fluent paths now share one stability contract. Deletes
+  * (SQL or fluent) never move survivor ids.
   */
 object RowTracking {
   val EnabledProp = "vintage.rowTracking.enabled"

@@ -448,10 +448,13 @@ class VintageSqlTable(
   /** Position row-id metadata columns (`_vintage_file`,
     * `_vintage_pos`): what the native row-level operations identify
     * rows by, and selectable from SQL for debugging
-    * (`SELECT _vintage_file, * FROM vin.t`).
+    * (`SELECT _vintage_file, * FROM vin.t`). Row-tracked tables add
+    * `_vintage_row_id` — the stable tracking id, both the SQL surface
+    * for it (`SELECT _vintage_row_id, * FROM vin.t`) and the third
+    * row-id column the WriteDelta path threads through updates.
     */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val base = Array[org.apache.spark.sql.connector.catalog.MetadataColumn](
       new org.apache.spark.sql.connector.catalog.MetadataColumn {
         override def name(): String = VintageRowLevel.FileCol
         override def dataType(): org.apache.spark.sql.types.DataType =
@@ -466,6 +469,16 @@ class VintageSqlTable(
         override def isNullable: Boolean = false
         override def comment(): String = "physical row position inside its file"
       })
+    if (!graft.vintage.RowTracking.enabled(snapshot.properties)) base
+    else base :+ (new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = VintageRowLevel.TrackIdCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "stable row-tracking id (-1 for rows written before enablement)"
+    })
+  }
 
   /** Native row-level DELETE/UPDATE/MERGE (delta-based — see
     * [[VintageRowLevelOperation]]).
@@ -522,7 +535,8 @@ class VintageSqlTable(
         case Some(r) => new VintageMetadataScan(r, ident)
         case None =>
           val wantsRowId = required.fieldNames.exists(n =>
-            n == VintageRowLevel.FileCol || n == VintageRowLevel.PosCol)
+            n == VintageRowLevel.FileCol || n == VintageRowLevel.PosCol ||
+            n == VintageRowLevel.TrackIdCol)
           // row-id metadata columns ride the same V1 frame the
           // row-level operations scan through
           if (wantsRowId)

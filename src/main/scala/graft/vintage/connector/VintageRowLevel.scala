@@ -60,6 +60,16 @@ object VintageRowLevel {
   val FileCol = "_vintage_file"
   val PosCol = "_vintage_pos"
 
+  /** Third row-id column on ROW-TRACKED tables: the row's stable
+    * tracking id (see [[graft.vintage.RowTracking]]), non-nullable with
+    * `-1` standing in for "no id" (pre-enablement rows) because Spark
+    * rejects nullable row-id attributes. Riding the row-id projection
+    * is what carries a survivor's id from the scan to the delta
+    * writer's update verdict, closing the former SQL-path divergence:
+    * SQL UPDATE/MERGE now preserves ids exactly like fluent rewrites.
+    */
+  val TrackIdCol = graft.vintage.RowTracking.MaterializedCol
+
   /** The row-id frame: table columns plus canonical file key and
     * physical row position, deletion-vectors applied — both the
     * row-level scan and explicit metadata-column selects read it.
@@ -75,11 +85,14 @@ object VintageRowLevel {
       spark: SparkSession, tablePath: String, snap: Snapshot,
       filters: Seq[Filter], columns: Seq[String]): RDD[Row] = {
     val t = VintageTable.forPath(spark, tablePath)
+    val tracked = columns.contains(TrackIdCol)
+    def frame(files: Seq[AddFile]) =
+      if (tracked) t.dfForFilesWithRowIdTracked(snap, files, FileCol, PosCol,
+        TrackIdCol)
+      else t.dfForFilesWithRowId(snap, files, FileCol, PosCol)
     val df = Filters.toColumnAll(filters) match {
-      case Some(cond) =>
-        t.dfForFilesWithRowId(snap, t.candidateFiles(snap, cond),
-          FileCol, PosCol).filter(cond)
-      case None => t.dfForSnapshotWithRowId(snap, FileCol, PosCol)
+      case Some(cond) => frame(t.candidateFiles(snap, cond)).filter(cond)
+      case None => frame(snap.files)
     }
     df.select(columns.map(org.apache.spark.sql.functions.col): _*).rdd
   }
@@ -116,9 +129,19 @@ class VintageRowLevelOperation(
 
   override def command(): Command = cmd
 
-  override def rowId(): Array[NamedReference] = Array(
-    Expressions.column(VintageRowLevel.FileCol),
-    Expressions.column(VintageRowLevel.PosCol))
+  /** Row-tracked tables carry the tracking id as a third row-id column
+    * so the delta writer can re-materialize it into updated rows.
+    */
+  private val tracked =
+    graft.vintage.RowTracking.enabled(snap.properties)
+
+  override def rowId(): Array[NamedReference] = {
+    val base = Array(
+      Expressions.column(VintageRowLevel.FileCol),
+      Expressions.column(VintageRowLevel.PosCol))
+    if (tracked) base :+ Expressions.column(VintageRowLevel.TrackIdCol)
+    else base
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
@@ -129,7 +152,10 @@ class VintageRowLevelOperation(
           org.apache.spark.sql.types.StructField(
             VintageRowLevel.FileCol, StringType, nullable = false),
           org.apache.spark.sql.types.StructField(
-            VintageRowLevel.PosCol, LongType, nullable = false)))
+            VintageRowLevel.PosCol, LongType, nullable = false)) ++
+          (if (tracked) Seq(org.apache.spark.sql.types.StructField(
+            VintageRowLevel.TrackIdCol, LongType, nullable = false))
+           else Nil))
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         // pruning only — every filter stays residual and Spark
@@ -152,15 +178,25 @@ class VintageRowLevelOperation(
           val spark = SparkSession.active
           // reuse the native INSERT machinery wholesale for the row
           // side: same parquet writer, footer stats, constraints,
-          // dynamic partition routing
+          // dynamic partition routing. On row-tracked tables the
+          // physical write schema grows a nullable `_vintage_row_id`
+          // column (invisible to schema-driven readers, same shape the
+          // fluent rewrites write): updated rows materialize their
+          // preserved id there, inserted rows carry null and fall back
+          // to the file's fresh base range.
+          val writeSchema =
+            if (tracked) StructType(snap.schema.fields :+
+              org.apache.spark.sql.types.StructField(
+                VintageRowLevel.TrackIdCol, LongType, nullable = true))
+            else snap.schema
           val insertBatch = new org.apache.spark.sql.graftshim.VintageWrite(
-              tablePath, snap.schema, snap.partitionColumns,
+              tablePath, writeSchema, snap.partitionColumns,
               overwrite = false, snap.properties)
             .toBatch
           new VintageDeltaBatchWrite(tablePath, snap.version, opName,
             insertBatch,
             new SerializableConfiguration(
-              spark.sessionState.newHadoopConf()))
+              spark.sessionState.newHadoopConf()), tracked)
         }
       }
     }
@@ -182,12 +218,13 @@ private[connector] case class VintageDeltaCommitMessage(
   */
 class VintageDeltaBatchWrite(
     tablePath: String, scanVersion: Long, op: String,
-    insertBatch: BatchWrite, conf: SerializableConfiguration)
+    insertBatch: BatchWrite, conf: SerializableConfiguration,
+    tracked: Boolean = false)
     extends DeltaBatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val innerFactory = insertBatch.createBatchWriterFactory(info)
-    new VintageDeltaWriterFactory(tablePath, innerFactory, conf)
+    new VintageDeltaWriterFactory(tablePath, innerFactory, conf, tracked)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -221,10 +258,11 @@ class VintageDeltaBatchWrite(
 
 class VintageDeltaWriterFactory(
     tablePath: String, innerFactory: DataWriterFactory,
-    conf: SerializableConfiguration) extends DeltaWriterFactory {
+    conf: SerializableConfiguration, tracked: Boolean = false)
+    extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new VintageDeltaWriter(tablePath,
-      innerFactory.createWriter(partitionId, taskId), conf)
+      innerFactory.createWriter(partitionId, taskId), conf, tracked)
 }
 
 /** Task-side delta writer. Inserted/updated rows stream into the
@@ -235,13 +273,21 @@ class VintageDeltaWriterFactory(
   */
 class VintageDeltaWriter(
     tablePath: String, inner: DataWriter[InternalRow],
-    conf: SerializableConfiguration) extends DeltaWriter[InternalRow] {
+    conf: SerializableConfiguration, tracked: Boolean = false)
+    extends DeltaWriter[InternalRow] {
 
   private var posWriter: org.apache.parquet.hadoop.ParquetWriter[
     org.apache.parquet.example.data.Group] = _
   private var posPath: Option[String] = None
   private val counts = scala.collection.mutable.Map[String, Long]()
   private lazy val factory = new SimpleGroupFactory(VintageDeltaWriter.PosSchema)
+  // row-tracked tables: the inner writer's schema has one extra
+  // trailing `_vintage_row_id` slot; both holders are reused per row
+  // (the inner writer consumes the row before the next call)
+  private val extraId =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+  private val joined =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow
 
   private def ensurePosWriter() = {
     if (posWriter == null) {
@@ -269,16 +315,30 @@ class VintageDeltaWriter(
     counts(key) = counts.getOrElse(key, 0L) + 1L
   }
 
+  /** On row-tracked tables the row-id projection carries the tracking
+    * id as field 2 ([[VintageRowLevel.TrackIdCol]], `-1` = no id):
+    * updated rows re-insert with their id materialized — the SQL-path
+    * stability contract — while fresh inserts materialize null and
+    * fall back to the new file's base range.
+    */
   override def update(metadata: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
     delete(metadata, id)
-    insert(row)
+    if (tracked) {
+      val rid = id.getLong(2)
+      if (rid >= 0L) extraId.update(0, rid) else extraId.update(0, null)
+      inner.write(joined(row, extraId))
+    } else inner.write(row)
   }
 
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
     insert(row)
 
-  override def insert(row: InternalRow): Unit = inner.write(row)
+  override def insert(row: InternalRow): Unit =
+    if (tracked) {
+      extraId.update(0, null)
+      inner.write(joined(row, extraId))
+    } else inner.write(row)
 
   override def commit(): WriterCommitMessage = {
     if (posWriter != null) posWriter.close()

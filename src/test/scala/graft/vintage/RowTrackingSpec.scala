@@ -95,6 +95,46 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(t.snapshot.rowIdHwm == 6L)
   }
 
+  test("native SQL UPDATE and MERGE preserve surviving row ids") {
+    val wh = Files.createTempDirectory("vintage-rt-sql").toString
+    spark.conf.set("spark.sql.catalog.rtcat",
+      "graft.vintage.connector.VintageCatalog")
+    spark.conf.set("spark.sql.catalog.rtcat.warehouse", wh)
+    spark.sql("""CREATE TABLE rtcat.t (k BIGINT, v BIGINT) TBLPROPERTIES (
+      'vintage.rowTracking.enabled'='true',
+      'vintage.deletionVectors.enabled'='true')""")
+    spark.sql(
+      "INSERT INTO rtcat.t VALUES (1,10),(2,20),(3,30),(4,40),(5,50),(6,60)")
+    val t = VintageTable.forPath(spark, s"$wh/t")
+    val before = ids(t)
+    assert(before.size == 6 && before.values.toSet.size == 6)
+
+    // SQL UPDATE through the WriteDelta plan: survivors keep their ids
+    spark.sql("UPDATE rtcat.t SET v = v + 1 WHERE k <= 2")
+    val afterUpdate = ids(t)
+    assert(afterUpdate == before,
+      s"SQL UPDATE moved row ids: $before vs $afterUpdate")
+    assert(spark.sql("SELECT sum(v) FROM rtcat.t").head().getLong(0) == 212L)
+
+    // SQL MERGE: matched rows keep ids, inserted rows allocate fresh
+    spark.sql("""MERGE INTO rtcat.t t USING (
+        SELECT * FROM VALUES (3L, 1000L), (99L, 990L) AS s(k, v)) s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    val afterMerge = ids(t)
+    assert(afterMerge.size == 7 && afterMerge.values.toSet.size == 7)
+    assert(before.forall { case (k, id) => afterMerge(k) == id },
+      s"SQL MERGE moved surviving row ids: $before vs $afterMerge")
+    assert(afterMerge(99L) >= 6L, "merge-inserted row allocates past the mark")
+
+    // a second SQL UPDATE over already-materialized ids keeps them too
+    spark.sql("UPDATE rtcat.t SET v = v * 2 WHERE k IN (1, 99)")
+    assert(ids(t) == afterMerge,
+      "materialized ids survive a second SQL rewrite")
+    spark.sql("DROP TABLE rtcat.t")
+  }
+
   test("checkpoint and restore preserve the mark and the ids") {
     val dir = newDir()
     val t = VintageTable.create(spark,
