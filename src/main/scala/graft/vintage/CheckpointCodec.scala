@@ -75,6 +75,96 @@ private[vintage] object CheckpointCodec {
       throw new java.io.IOException(s"rename $tmp -> $dest failed")
   }
 
+  /** Footer-only row count — the cheap signal [[VintageLog]] uses to
+    * decide whether a checkpoint is past the spill threshold, without
+    * reading any row.
+    */
+  def recordCount(src: Path, conf: Configuration): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(src, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Non-AddFile actions only (metadata, protocol, commits, txns…) —
+    * the driver-sized slice of a spilled checkpoint. Add rows are
+    * skipped WITHOUT parsing their JSON (the action_type column is the
+    * discriminator), so a million-file checkpoint costs a streaming
+    * row walk but no driver allocation.
+    */
+  def readMeta(src: Path, conf: Configuration): Seq[Action] = {
+    val reader = ParquetReader
+      .builder(new GroupReadSupport(), src)
+      .withConf(conf)
+      .build()
+    val out = scala.collection.mutable.ArrayBuffer[Action]()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        if (g.getString("action_type", 0) != "add")
+          out ++= Action.fromJsonLineLenient(g.getString("json", 0))
+        g = reader.read()
+      }
+    } finally reader.close()
+    out.toSeq
+  }
+
+  /** Streamed checkpoint write for spilled snapshots: fresh meta
+    * actions first, then the PREVIOUS checkpoint's add rows copied
+    * row-by-row minus `excludePaths` (removed or re-added since), then
+    * the tail's adds — O(1) driver memory at any file count, never
+    * materializing the list this format exists to avoid holding.
+    */
+  def writeStreamed(dest: Path, metaActions: Seq[Action], prev: Path,
+      excludePaths: Set[String], tailAdds: Seq[AddFile],
+      conf: Configuration): Unit = {
+    val fs = dest.getFileSystem(conf)
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val writer = ExampleParquetWriter.builder(tmp)
+      .withConf(conf)
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    def writeAdd(f: AddFile): Unit =
+      writer.write(factory.newGroup()
+        .append("action_type", "add")
+        .append("json", Action.toJsonLine(f))
+        .append("path", f.path)
+        .append("size", f.size)
+        .append("data_change", f.dataChange))
+    try {
+      metaActions.foreach { a =>
+        writer.write(factory.newGroup()
+          .append("action_type", actionType(a))
+          .append("json", Action.toJsonLine(a)))
+      }
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), prev)
+        .withConf(conf)
+        .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (g.getString("action_type", 0) == "add" &&
+              !excludePaths(g.getString("path", 0)))
+            writer.write(factory.newGroup()
+              .append("action_type", "add")
+              .append("json", g.getString("json", 0))
+              .append("path", g.getString("path", 0))
+              .append("size", g.getLong("size", 0))
+              .append("data_change", g.getBoolean("data_change", 0)))
+          g = reader.read()
+        }
+      } finally reader.close()
+      tailAdds.foreach(writeAdd)
+    } finally writer.close()
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+  }
+
   def read(src: Path, conf: Configuration): Seq[Action] = {
     val reader = ParquetReader
       .builder(new GroupReadSupport(), src)

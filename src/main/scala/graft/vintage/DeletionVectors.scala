@@ -127,7 +127,14 @@ object DeletionVectors {
     */
   private[vintage] def remainingInlineBudget(snap: Snapshot,
       touched: Iterable[String], byKey: Map[String, AddFile]): Long = {
-    val untouchedInline = snap.files.iterator.map(_.dv.size.toLong).sum -
+    // spilled snapshots sum the table-wide inline total DISTRIBUTED
+    // over the checkpoint rows instead of walking a driver file list
+    val tableInline = snap.spilled match {
+      case Some(ix) =>
+        ix.inlineDvTotal(org.apache.spark.sql.SparkSession.active)
+      case None => snap.files.iterator.map(_.dv.size.toLong).sum
+    }
+    val untouchedInline = tableInline -
       touched.iterator.map(k => byKey(k).dv.size.toLong).sum
     math.max(0L, maxInlineTotal(snap.properties) - untouchedInline)
   }

@@ -18,7 +18,8 @@ case class Snapshot(
     txns: Map[String, Long] = Map.empty,
     ingested: Set[String] = Set.empty,
     protocol: Protocol = Protocol.base,
-    rowIdHwm: Long = 0L) {
+    rowIdHwm: Long = 0L,
+    spilled: Option[SpilledIndex] = None) {
   def filePaths(tableDir: String): Seq[String] =
     files.map(_.absolutePath(tableDir))
 
@@ -55,6 +56,13 @@ case class Snapshot(
 object VintageLog {
   val LogDirName = "_vintage_log"
   val checkpointInterval: Long = 10L
+
+  /** Checkpoint row count past which replay stops folding the file
+    * list into driver memory and serves a [[SpilledIndex]] instead
+    * (see [[SnapshotSpill]]) — the driver-memory bound for
+    * million-file tables. Tests lower it to exercise the tier.
+    */
+  @volatile var spillThreshold: Long = 100000L
 
   private val VersionFileRe = """(\d{20})\.json""".r
   private val CheckpointFileRe = """(\d{20})\.checkpoint\.(?:json|parquet)""".r
@@ -127,15 +135,26 @@ object VintageLog {
     */
   def checkpoint(tableDir: String, v: Long): Unit = {
     val snap = replay(tableDir, Some(v))
-    val actions: Seq[Action] =
+    val metaActions: Seq[Action] =
       Seq(snap.protocol,
         Metadata(snap.schema.json, snap.properties, snap.partitionColumns)) ++
         (if (snap.rowIdHwm > 0) Seq(RowIdHighWaterMark(snap.rowIdHwm)) else Nil) ++
         snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
         snap.ingested.toSeq.sorted.map(IngestedFile(_)) ++
-        snap.commits.sortBy(_.version) ++ snap.files
-    CheckpointCodec.write(checkpointFile(tableDir, v), actions,
-      store.hadoopConf)
+        snap.commits.sortBy(_.version)
+    snap.spilled match {
+      case Some(ix) =>
+        // spilled snapshot: STREAM the previous checkpoint's add rows
+        // into the new one (minus superseded paths) — the whole point
+        // of spilling is that this list never materializes on the
+        // driver, including at its own next checkpoint
+        CheckpointCodec.writeStreamed(checkpointFile(tableDir, v),
+          metaActions, new Path(ix.checkpointPath), ix.supersededPaths,
+          ix.tailAdds, store.hadoopConf)
+      case None =>
+        CheckpointCodec.write(checkpointFile(tableDir, v),
+          metaActions ++ snap.files, store.hadoopConf)
+    }
     store.writeReplace(lastCheckpointFile(tableDir),
       Seq(s"""{"version":$v,"format":"parquet"}"""))
   }
@@ -275,9 +294,17 @@ object VintageLog {
     val commits = scala.collection.mutable.ArrayBuffer[CommitInfo]()
     val txns = scala.collection.mutable.Map[String, Long]()
     val ingested = scala.collection.mutable.Set[String]()
+    // SPILLED mode (huge checkpoint): the checkpoint's adds never
+    // enter `files` — only the tail's do, with every tail remove
+    // recorded so the index can subtract it from the checkpoint rows
+    var spillBase: Option[Path] = None
+    val tailRemoves = scala.collection.mutable.LinkedHashSet[String]()
     def fold(a: Action, checkpoint: Boolean): Unit = a match {
       case a: AddFile    => files(a.path) = a
-      case r: RemoveFile => if (!checkpoint) files.remove(r.path)
+      case r: RemoveFile => if (!checkpoint) {
+        files.remove(r.path)
+        if (spillBase.isDefined) tailRemoves += r.path
+      }
       case m: Metadata   => meta = Some(m)
       case c: CommitInfo => commits += c
       case t: Txn        =>
@@ -288,7 +315,15 @@ object VintageLog {
     }
     val start: Long = checkpointVersionFor(tableDir, until) match {
       case Some(cp) =>
-        readCheckpointActions(tableDir, cp).foreach(fold(_, checkpoint = true))
+        val cpParquet = checkpointFile(tableDir, cp)
+        val spill = store.exists(cpParquet) &&
+          CheckpointCodec.recordCount(cpParquet, store.hadoopConf) >= spillThreshold
+        if (spill) {
+          spillBase = Some(cpParquet)
+          CheckpointCodec.readMeta(cpParquet, store.hadoopConf)
+            .foreach(fold(_, checkpoint = true))
+        } else
+          readCheckpointActions(tableDir, cp).foreach(fold(_, checkpoint = true))
         cp + 1
       case None => 0L
     }
@@ -306,8 +341,19 @@ object VintageLog {
         s"${Protocol.SupportedReader.toSeq.sorted.mkString(", ")})")
     val m = meta.getOrElse(
       throw new IOException(s"no metaData action in log of $tableDir"))
-    Snapshot(until, m.schema, files.values.toSeq, m.properties, commits.toSeq,
-      m.partitionColumns, txns.toMap, ingested.toSet, proto, rowIdHwm)
+    spillBase match {
+      case None =>
+        Snapshot(until, m.schema, files.values.toSeq, m.properties,
+          commits.toSeq, m.partitionColumns, txns.toMap, ingested.toSet,
+          proto, rowIdHwm)
+      case Some(cpPath) =>
+        val idx = SpilledIndex(cpPath.toString, files.values.toSeq,
+          tailRemoves.toSet)
+        val conf = store.hadoopConf
+        Snapshot(until, m.schema, new LazyFileList(() => idx.materialize(conf)),
+          m.properties, commits.toSeq, m.partitionColumns, txns.toMap,
+          ingested.toSet, proto, rowIdHwm, Some(idx))
+    }
   }
 
   /** Version whose commit timestamp is the latest <= `ts` (time travel

@@ -65,7 +65,8 @@ private[connector] object DvRelations {
     override def readSchema(): StructType = required
     override def description(): String =
       s"VintageDvScan $tablePath v${snap.version} " +
-      s"dvFiles=${snap.files.count(_.hasDv)}"
+      s"dvFiles=${if (snap.spilled.isDefined) "spilled"
+                  else snap.files.count(_.hasDv).toString}"
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T = {
       val rel: BaseRelation with TableScan = new BaseRelation with TableScan {

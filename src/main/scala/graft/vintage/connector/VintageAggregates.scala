@@ -45,6 +45,11 @@ object VintageAggregates {
   case class Result(schema: StructType, rows: Array[InternalRow], desc: String)
 
   def tryCompute(snapshot: Snapshot, agg: Aggregation): Option[Result] = {
+    // spilled snapshots (SnapshotSpill): the driver fold below would
+    // materialize the full file list — refuse the pushdown and let the
+    // normal (pruned, distributed) scan answer; a distributed
+    // metadata fold is the future upgrade path here
+    if (snapshot.spilled.isDefined) return None
     val groupCols: Option[Seq[StructField]] =
       traverse(agg.groupByExpressions.toSeq) {
         case ref: NamedReference if ref.fieldNames.length == 1 =>

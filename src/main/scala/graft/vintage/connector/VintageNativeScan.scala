@@ -63,8 +63,8 @@ class VintageNativeScan(
     * partition planning and the statistics report.
     */
   private lazy val pruned = Filters.toColumnAll(pushedFilters.toSeq) match {
-    case Some(cond) => FileSkipping.candidates(
-      snapshot.schema, snapshot.statFiles, ColumnExpr.expr(cond))
+    case Some(cond) => graft.vintage.SnapshotPruning.candidates(
+      spark, snapshot, ColumnExpr.expr(cond))
     case None => snapshot.statFiles
   }
 

@@ -230,7 +230,7 @@ class VintageDeltaBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.collect { case m: VintageDeltaCommitMessage => m }
     val insertAdds = msgs.flatMap(_.inner match {
-      case org.apache.spark.sql.graftshim.VintageCommitMessage(adds) => adds
+      case org.apache.spark.sql.graftshim.VintageCommitMessage(adds, _) => adds
       case _ => Nil
     })
     val posFiles = msgs.flatMap(_.positionFile)

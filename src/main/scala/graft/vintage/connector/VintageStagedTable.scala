@@ -76,7 +76,7 @@ class VintageStagedTable(
         delegate.createBatchWriterFactory(p)
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         staged ++= messages.flatMap {
-          case VintageCommitMessage(adds) => adds
+          case VintageCommitMessage(adds, _) => adds
           case _ => Nil
         }
       override def abort(messages: Array[WriterCommitMessage]): Unit =

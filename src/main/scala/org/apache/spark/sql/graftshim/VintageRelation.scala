@@ -34,7 +34,13 @@ class VintageFileIndex(spark: SparkSession, tablePath: String, snapshot: Snapsho
     StructType(snapshot.partitionColumns.flatMap(c =>
       snapshot.schema.fields.find(_.name.equalsIgnoreCase(c))))
 
-  override def sizeInBytes: Long = snapshot.files.map(_.size).sum
+  override def sizeInBytes: Long = snapshot.spilled match {
+    // planner statistic only — computed distributed on spilled
+    // snapshots so relation creation never forces the file list
+    case Some(ix) =>
+      ix.approxSizeInBytes(org.apache.spark.sql.SparkSession.active)
+    case None => snapshot.files.map(_.size).sum
+  }
   override def inputFiles: Array[String] =
     snapshot.files.map(_.absolutePath(tablePath)).toArray
   override def refresh(): Unit = ()
@@ -45,7 +51,8 @@ class VintageFileIndex(spark: SparkSession, tablePath: String, snapshot: Snapsho
     val allFilters = partitionFilters ++ dataFilters
     val pruned =
       if (allFilters.isEmpty) snapshot.statFiles
-      else FileSkipping.candidates(snapshot.schema, snapshot.statFiles,
+      else graft.vintage.SnapshotPruning.candidates(
+        org.apache.spark.sql.SparkSession.active, snapshot,
         allFilters.reduce(And))
     if (partitionSchema.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty, statuses(pruned)))
