@@ -337,7 +337,7 @@ class VintageTable private (
           params + ("deletionVectors" -> p.dvFiles.size.toString,
                     "rewrittenFiles" -> p.rewriteFiles.size.toString),
           p.marked ++ p.sidecarMarked ++ rewriteAdds,
-          removesFor(snap, p.touchedPaths), None, scope)
+          removesForFiles(p.dvFiles ++ p.rewriteFiles), None, scope)
     }
   }
 
@@ -426,7 +426,7 @@ class VintageTable private (
           params + ("deletionVectors" -> p.dvFiles.size.toString,
                     "rewrittenFiles" -> p.rewriteFiles.size.toString),
           p.marked ++ p.sidecarMarked ++ updatedAdds ++ rewriteAdds,
-          removesFor(snap, p.touchedPaths), None, scope)
+          removesForFiles(p.dvFiles ++ p.rewriteFiles), None, scope)
     }
   }
 
@@ -556,7 +556,8 @@ class VintageTable private (
             else Some(Metadata(finalSchema.json, snap.properties ++ idProps,
               snap.partitionColumns))
           try {
-            commitOp(snap, "WRITE", params, adds, Nil, meta, NoRead, txn = t)
+            commitOp(snap, "WRITE", params, adds, Nil, meta, NoRead,
+              txn = t, freshAdds = true)
             maybeAutoCompact()
             return
           } catch {
@@ -599,7 +600,8 @@ class VintageTable private (
             else Some(Metadata(finalSchema.json, snap.properties ++ idProps,
               snap.partitionColumns))
           try {
-            commitOp(snap, "WRITE", params, adds, Nil, meta, NoRead, txn = t)
+            commitOp(snap, "WRITE", params, adds, Nil, meta, NoRead,
+              txn = t, freshAdds = true)
             maybeAutoCompact()
             return
           } catch {
@@ -830,14 +832,122 @@ class VintageTable private (
       f.copy(path = f.absolutePath(path), dataChange = true,
         dvRef = f.dvRef.map(r => r.copy(path = AddFile.resolve(path, r.path)))))
     val info = CommitInfo(0L, now, "CLONE",
-      Map("source" -> path, "sourceVersion" -> snap.version.toString))
+      Map("source" -> path, "sourceVersion" -> snap.version.toString,
+          "mode" -> "shallow"))
     // the clone reads the source's files (DVs, mapping, …) — it needs
-    // the source's protocol, not just what its metadata would imply
+    // the source's protocol, not just what its metadata would imply.
+    // The row-id high watermark carries over too: cloned files keep
+    // their baseRowId, so a fresh-starting watermark would hand the
+    // clone's first append ids the cloned rows already own.
     VintageLog.commit(abs, 0L,
       Seq(info,
         snap.protocol.union(Protocol.required(snap.schema, snap.properties)),
         Metadata(snap.schema.json, snap.properties,
-          snap.partitionColumns)) ++ adds)
+          snap.partitionColumns)) ++
+      (if (snap.rowIdHwm > 0) Seq(RowIdHighWaterMark(snap.rowIdHwm)) else Nil) ++
+      adds)
+    VintageTable.forPath(spark, abs)
+  }
+
+  /** DEEP CLONE: create an independent table at `destPath` with its own
+    * COPY of this table's current data (Delta's `CREATE TABLE … CLONE`
+    * semantics, no SHALLOW). Data files copy DISTRIBUTED — one task
+    * wave over the file list, never through the driver — and sidecar
+    * deletion vectors are consolidated into one clone-local sidecar
+    * re-keyed to the clone's file identities (stale rows a later
+    * commit superseded are dropped by the same valid-pair semi-join
+    * the read path applies). Unlike [[shallowClone]] the result shares
+    * NO storage with the source: vacuuming or dropping the source
+    * cannot invalidate the clone, and hive-partitioned sources are
+    * supported (relative paths, partition layout included, carry over
+    * verbatim).
+    */
+  def deepClone(destPath: String): VintageTable = {
+    val snap = snapshot
+    val abs = absolutize(destPath)
+    require(VintageLog.latestVersion(abs) < 0, s"table already exists: $abs")
+    val dir = new HPath(abs)
+    dir.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(dir)
+    VintageLog.invalidate(abs)
+    // dest-relative name per file: relative names keep their layout
+    // (partition dirs included); absolute paths — inherited through a
+    // SHALLOW clone — get fresh names, which is exactly the repair
+    // that decouples the deep clone from the shallow source's storage
+    val named: Seq[(AddFile, String)] = snap.files.map { f =>
+      val rel =
+        if (f.absolutePath(path) == f.path)
+          s"part-clone-${java.util.UUID.randomUUID().toString}.parquet"
+        else f.path
+      (f, rel)
+    }
+    if (named.nonEmpty) {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      val destStr = abs
+      val copies = named.map { case (f, rel) => (f.absolutePath(path), rel) }
+      spark.sparkContext
+        .parallelize(copies, math.min(copies.size, 256))
+        .foreach { case (src, rel) =>
+          val conf = confBc.value.value
+          val sp = new HPath(src)
+          val tp = new HPath(destStr, rel)
+          val dfs = tp.getFileSystem(conf)
+          if (rel.contains('/')) dfs.mkdirs(tp.getParent)
+          if (!org.apache.hadoop.fs.FileUtil.copy(
+              sp.getFileSystem(conf), sp, dfs, tp,
+              false, true, conf))
+            throw new java.io.IOException(s"copy $sp -> $tp failed")
+        }
+    }
+    // sidecar vectors: one distributed rewrite into the clone's own
+    // _vintage_dv dir, old file keys mapped to the clone's
+    val withRef = named.filter(_._1.dvRef.isDefined)
+    val dvRel: Option[String] = if (withRef.isEmpty) None else {
+      import spark.implicits._
+      val mapping = withRef.map { case (f, rel) =>
+        (DeletionVectors.fileKey(AddFile.resolve(path, f.dvRef.get.path)),
+         DeletionVectors.fileKey(f.absolutePath(path)),
+         DeletionVectors.fileKey(s"$abs/$rel"))
+      }
+      val scSchema = StructType(Seq(
+        StructField("file_key", org.apache.spark.sql.types.StringType,
+          nullable = false),
+        StructField("pos", org.apache.spark.sql.types.LongType),
+        StructField("pos_start", org.apache.spark.sql.types.LongType),
+        StructField("pos_end", org.apache.spark.sql.types.LongType)))
+      val rel =
+        s"${DeletionVectors.SidecarDirName}/${java.util.UUID.randomUUID()}"
+      spark.read.schema(scSchema).parquet(mapping.map(_._1).distinct: _*)
+        .select(
+          DeletionVectors.fileKeyExpr(
+            regexp_replace(col("_metadata.file_path"), "/[^/]+$", ""))
+            .as("__sc"),
+          col("file_key").as("__old"),
+          coalesce(col("pos_start"), col("pos")).as("pos_start"),
+          coalesce(col("pos_end"), col("pos")).as("pos_end"))
+        .join(broadcast(mapping.toDF("__sc", "__old", "__new")),
+          Seq("__sc", "__old"))
+        .select(col("__new").as("file_key"),
+          col("pos_start"), col("pos_end"))
+        .write.parquet(s"$abs/$rel")
+      Some(rel)
+    }
+    val now = System.currentTimeMillis()
+    val adds = named.map { case (f, rel) =>
+      f.copy(path = rel, dataChange = true,
+        dvRef = f.dvRef.map(r => DvRef(dvRel.get, r.count)))
+    }
+    val info = CommitInfo(0L, now, "CLONE",
+      Map("source" -> path, "sourceVersion" -> snap.version.toString,
+          "mode" -> "deep"))
+    VintageLog.commit(abs, 0L,
+      Seq(info,
+        snap.protocol.union(Protocol.required(snap.schema, snap.properties)),
+        Metadata(snap.schema.json, snap.properties,
+          snap.partitionColumns)) ++
+      (if (snap.rowIdHwm > 0) Seq(RowIdHighWaterMark(snap.rowIdHwm)) else Nil) ++
+      adds)
     VintageTable.forPath(spark, abs)
   }
 
@@ -855,7 +965,8 @@ class VintageTable private (
     * deletes them so no orphans await vacuum.
     */
   def commitFiles(adds: Seq[AddFile], overwrite: Boolean,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      idFilledBases: Map[String, Long] = Map.empty): Unit = {
     val snap = snapshot
     val t = txn.map { case (a, v) => Txn(a, v) }
     if (t.exists(x => snap.txns.get(x.appId).exists(_ >= x.version))) {
@@ -891,10 +1002,10 @@ class VintageTable private (
           val now = System.currentTimeMillis()
           commitOp(s, "WRITE", Map("mode" -> "Overwrite") ++ partParam, adds,
             s.files.map(f => RemoveFile(f.path, now, dataChange = true)),
-            meta, FullRead, txn = t)
+            meta, FullRead, txn = t, freshAdds = true)
         } else {
           commitOp(s, "WRITE", Map("mode" -> "Append") ++ partParam, adds,
-            Nil, meta, NoRead, txn = t)
+            Nil, meta, NoRead, txn = t, freshAdds = true)
         }
         maybeAutoCompact()
         return
@@ -910,6 +1021,24 @@ class VintageTable private (
           logWarning(s"identity-marked native write re-planning after " +
             s"commit conflict (attempt $attempt): ${e.getMessage}")
           s = snapshot
+          // EXPLICIT identity values are correct as written — only the
+          // mark bookkeeping raced, and recommitting the same files is
+          // safe. ALLOCATED values (task-side NULL fill) are not: a
+          // racing writer that advanced the mark across this write's
+          // allocation base may own the same ids, and silently
+          // recommitting would record the collision. Fail loudly; a
+          // re-run replans from the fresh mark.
+          val raced = idFilledBases.filter { case (c, base) =>
+            IdentityColumns.specs(s.properties).get(c).exists { spec =>
+              IdentityColumns.hwm(s.properties, c)
+                .exists(h => !spec.beyond(base, h)) // fresh mark reached base
+            }
+          }
+          if (raced.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"identity allocation for ${raced.keys.mkString(",")} raced a " +
+              s"concurrent writer past this write's base — allocated ids may " +
+              s"collide; re-run the statement (caused by: ${e.getMessage})")
       }
     }
   }
@@ -1596,9 +1725,10 @@ class VintageTable private (
     * the stats-pruned candidate set consulted before any scan runs.
     */
   private[vintage] def candidateFiles(snap: Snapshot, condition: Column): Seq[AddFile] =
+    // spilled snapshots prune DISTRIBUTED (SnapshotPruning routes);
     // statFiles carry synthetic partition-column stats, so partition
     // predicates prune here exactly like data-column stats
-    FileSkipping.candidates(snap.schema, snap.statFiles, ColumnExpr.expr(condition))
+    SnapshotPruning.candidates(spark, snap, ColumnExpr.expr(condition))
 
   /** Files containing at least one row matching `condition` — the
     * copy-on-write touch set. Stats pruning narrows the scan first, so
@@ -1744,6 +1874,15 @@ class VintageTable private (
     if (snap.partitionColumns.nonEmpty) rd.option("basePath", path) else rd
   }
 
+  /** Removes for AddFiles the caller already holds (pruned DML plans)
+    * — never walks the snapshot file list, so merge-on-read DML on a
+    * SPILLED snapshot stays materialization-free.
+    */
+  private[vintage] def removesForFiles(files: Seq[AddFile]): Seq[RemoveFile] = {
+    val now = System.currentTimeMillis()
+    files.map(f => RemoveFile(f.path, now, dataChange = true))
+  }
+
   private[vintage] def removesFor(snap: Snapshot, rel: Set[String]): Seq[RemoveFile] = {
     val now = System.currentTimeMillis()
     // canonicalKey bridges representations: a cloned AddFile may carry
@@ -1794,7 +1933,7 @@ class VintageTable private (
       adds: Seq[AddFile], removes: Seq[RemoveFile],
       meta: Option[Metadata], scope: ReadScope = FullRead,
       maxRetries: Int = 20, txn: Option[Txn] = None,
-      extra: Seq[Action] = Nil): Long = {
+      extra: Seq[Action] = Nil, freshAdds: Boolean = false): Long = {
     // WRITER-FEATURE GATE: committing to a table whose protocol
     // demands features this generation does not implement would
     // corrupt invariants those features maintain
@@ -1832,6 +1971,11 @@ class VintageTable private (
     // never invented; same for a DV commit re-adding a live path
     val trackRows = op != "RESTORE" && RowTracking.enabled(
       meta.map(_.properties).getOrElse(snap.properties))
+    // `freshAdds` (appends, native writes): every add is a newly
+    // written file, so the liveness check — which exists to keep a
+    // re-ADDED pre-tracking file from being stamped with invented
+    // ids — is skipped, and a blind append on a SPILLED snapshot
+    // commits without materializing the file list at all
     lazy val livePaths = snap.files.map(_.path).toSet
     var rowIdBase = snap.rowIdHwm
     // a NoRead commit (blind append) can lose a version race but can
@@ -1849,7 +1993,7 @@ class VintageTable private (
           var next = rowIdBase
           val assigned = adds.map { a =>
             if (a.dataChange && a.baseRowId.isEmpty &&
-                a.numRecords.isDefined && !livePaths(a.path)) {
+                a.numRecords.isDefined && (freshAdds || !livePaths(a.path))) {
               val w = a.copy(baseRowId = Some(next))
               next += a.numRecords.get
               w
@@ -1895,11 +2039,14 @@ class VintageTable private (
           // DV deletes of one file would both see the path "live" —
           // the second must fail (its DV union was computed from the
           // stale vector: committing it would silently UNDELETE the
-          // winner's rows)
-          val liveNow = current.files.map(f => f.path -> f).toMap
-          val snapByPath = snap.files.map(f => f.path -> f).toMap
-          val removedConcurrently =
+          // winner's rows). Only computed when this commit removes
+          // anything — a raced blind append on a spilled snapshot must
+          // not force both file lists.
+          val removedConcurrently = removes.nonEmpty && {
+            val liveNow = current.files.map(f => f.path -> f).toMap
+            val snapByPath = snap.files.map(f => f.path -> f).toMap
             removes.exists(r => liveNow.get(r.path) != snapByPath.get(r.path))
+          }
           // metadata conflicts are judged from the replayed snapshot
           // (no extra per-version file reads — a NoRead append's retry
           // must not race readers against a commit file mid-publish)

@@ -60,9 +60,10 @@ class VintageMaintenanceParser(session: SparkSession, delegate: ParserInterface)
         VintageRestoreTsCommand(p, ts))
       case HistoryRe(ref) => resolved(ref).map(VintageHistoryCommand)
       case DetailRe(ref) => resolved(ref).map(VintageDetailCommand)
-      case CloneRe(dest, src) =>
+      case CloneRe(dest, kind, src) =>
         for (d <- resolved(dest); s <- resolved(src))
-          yield VintageCloneCommand(d, s)
+          yield VintageCloneCommand(d, s,
+            deep = kind == null || !kind.equalsIgnoreCase("SHALLOW"))
       case ConvertRe(ref, _, partDdl) => resolved(ref).map(p =>
         VintageConvertCommand(p, Option(partDdl).map(_.trim).filter(_.nonEmpty)))
       case CopyIntoRe(ref, source, _, fmt, _, opts) => resolved(ref).map(p =>
@@ -107,8 +108,9 @@ object VintageMaintenanceParser {
     (s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$Ref\\s*;?\\s*$$""").r
   private[connector] val DetailRe =
     (s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$Ref\\s*;?\\s*$$""").r
+  // bare CLONE is DEEP (Delta's convention); SHALLOW must be spelled
   private[connector] val CloneRe =
-    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref\\s+SHALLOW\\s+CLONE\\s+$Ref\\s*;?\\s*$$""").r
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+$Ref\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$Ref\\s*;?\\s*$$""").r
   private[connector] val ConvertRe =
     (s"""(?is)^\\s*CONVERT\\s+TO\\s+VINTAGE\\s+$Ref(\\s+PARTITIONED\\s+BY\\s*\\(([^)]*)\\))?\\s*;?\\s*$$""").r
   // FORMAT_OPTIONS body is captured greedily to the LAST ')' so quoted
@@ -334,10 +336,12 @@ case class VintageSyncIdentityCommand(path: String, column: String)
   }
 }
 
-/** `CREATE TABLE dst SHALLOW CLONE src` — metadata-only table copy
-  * (see [[graft.vintage.VintageTable.shallowClone]]).
+/** `CREATE TABLE dst [SHALLOW|DEEP] CLONE src` — bare CLONE is deep
+  * (independent data copy); SHALLOW is the metadata-only variant (see
+  * [[graft.vintage.VintageTable.deepClone]] / `shallowClone`).
   */
-case class VintageCloneCommand(destPath: String, srcPath: String)
+case class VintageCloneCommand(destPath: String, srcPath: String,
+    deep: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("destination", StringType, nullable = false)(),
@@ -345,7 +349,9 @@ case class VintageCloneCommand(destPath: String, srcPath: String)
     AttributeReference("numFiles", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val cl = VintageTable.forPath(spark, srcPath).shallowClone(destPath)
+    val src = VintageTable.forPath(spark, srcPath)
+    val cl = if (deep) src.deepClone(destPath)
+             else src.shallowClone(destPath)
     // the version the clone actually pinned is in its own v0 commit —
     // re-reading the source here could race a concurrent writer
     val snap = cl.snapshot

@@ -62,12 +62,20 @@ class VintageSource extends DataSourceRegister
         val data = org.apache.spark.sql.graftshim.StreamingShim.asBatch(data0)
         val spark = data.sparkSession
         // the persistent query id is set as a local property by the
-        // stream execution thread that calls addBatch
+        // stream execution thread that calls addBatch. NO path-keyed
+        // fallback: two queries writing the same path would share one
+        // watermark and silently skip each other's batches — if the
+        // property fails to surface, fail LOUD and ask for an explicit
+        // txnAppId instead of degrading to dropped data
         val appId = parameters.get("txnAppId")
           .orElse(Option(spark.sparkContext
             .getLocalProperty("sql.streaming.queryId"))
             .map(q => s"vintage-sink:$q"))
-          .getOrElse(s"vintage-sink:$path")
+          .getOrElse(throw new IllegalStateException(
+            "vintage sink could not determine the streaming query id " +
+            "(local property 'sql.streaming.queryId' absent); pass " +
+            "option(\"txnAppId\", ...) to pin the exactly-once " +
+            "watermark explicitly"))
         if (VintageTable.isVintageTable(path)) {
           val t = VintageTable.forPath(spark, path)
           // upgrade bridge: batches committed before the appId moved
@@ -156,7 +164,14 @@ class VintageSource extends DataSourceRegister
     // DV anti-join plan (still the vectorized parquet scan underneath;
     // file pruning via the pushed filters, residual re-check by Spark).
     // Compaction/OPTIMIZE purges DVs and restores the plain relation.
-    if (graft.vintage.DeletionVectors.hasDvs(snap.files))
+    // SPILLED snapshots decide from the protocol, not the file list —
+    // the per-file walk would materialize exactly what spilling avoids.
+    val mayHaveDvs = snap.spilled match {
+      case Some(_) =>
+        snap.protocol.readerFeatures.contains("deletionVectors")
+      case None => graft.vintage.DeletionVectors.hasDvs(snap.files)
+    }
+    if (mayHaveDvs)
       return DvRelations.pruned(sqlContext, abs, snap)
     VintageRelation(sqlContext.sparkSession, abs, snap)
   }

@@ -124,15 +124,32 @@ class VintageWrite(
           (name, sql, BindReferences.bindReference(
             Coalesce(Seq(cond, Literal(true))), out))
         }
+    // GENERATED BY DEFAULT identity columns may legally arrive NULL
+    // from a native INSERT/MERGE clause that omitted them — the task
+    // writer fills those slots with generated values (same
+    // per-partition id spacing as the fluent allocation), so the
+    // commit's high-water-mark advance sees allocated ids, not a
+    // NULL-rejection after the files were already written
+    val idFills: Seq[(String, Int, Long, Long)] =
+      graft.vintage.IdentityColumns.specs(tableProperties).toSeq.flatMap {
+        case (c, spec) =>
+          val ord = tableSchema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+          if (ord < 0) None
+          else Some((c, ord, spec.nextBase(
+            graft.vintage.IdentityColumns.hwm(tableProperties, c)), spec.step))
+      }
     new VintageBatchWrite(tablePath, tableSchema.json, dataSchema.json,
       physDataSchema.json, partitionCols, physPartitionCols, overwrite, factory,
-      new SerializableConfiguration(job.getConfiguration), constraints)
+      new SerializableConfiguration(job.getConfiguration), constraints, idFills)
   }
 }
 
 // public: the native row-level delta write (graft.vintage.connector)
-// unwraps these from its wrapped insert writer's commits
-case class VintageCommitMessage(adds: Seq[AddFile])
+// unwraps these from its wrapped insert writer's commits. `idFilled`
+// reports that the task ALLOCATED identity values for NULL slots —
+// the driver's commit retry must then treat a raced high-water mark
+// as a collision hazard, not bookkeeping (see VintageTable.commitFiles)
+case class VintageCommitMessage(adds: Seq[AddFile], idFilled: Boolean = false)
     extends WriterCommitMessage
 
 /** Per-epoch streaming commit over the shared native write machinery;
@@ -149,13 +166,19 @@ class VintageStreamingWrite(
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
-    val adds = messages.toSeq.flatMap {
-      case VintageCommitMessage(a) => a
+    val msgs = messages.toSeq
+    val adds = msgs.flatMap {
+      case VintageCommitMessage(a, _) => a
       case _ => Nil
+    }
+    val filled = msgs.exists {
+      case VintageCommitMessage(_, f) => f
+      case _ => false
     }
     VintageTable.forPath(SparkSession.active, tablePath)
       .commitFiles(adds, overwrite,
-        txn = Some((s"vintage-streaming-$queryId", epochId)))
+        txn = Some((s"vintage-streaming-$queryId", epochId)),
+        idFilledBases = if (filled) delegate.idFillBases else Map.empty)
   }
 
   override def abort(epochId: Long,
@@ -176,27 +199,40 @@ class VintageBatchWrite(
     partitionCols: Seq[String], physPartitionCols: Seq[String],
     overwrite: Boolean,
     factory: OutputWriterFactory, conf: SerializableConfiguration,
-    constraints: Seq[(String, String, Expression)] = Nil)
+    constraints: Seq[(String, String, Expression)] = Nil,
+    idFills: Seq[(String, Int, Long, Long)] = Nil)
     extends BatchWrite {
+
+  /** (column -> allocation base) of this write's identity fills — the
+    * collision horizon the commit retry checks a raced mark against.
+    */
+  private[graftshim] def idFillBases: Map[String, Long] =
+    idFills.map(f => f._1 -> f._3).toMap
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new VintageWriterFactory(tablePath, tableSchemaJson, dataSchemaJson,
       physDataSchemaJson, partitionCols, physPartitionCols, factory, conf,
-      constraints)
+      constraints, idFills)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val adds = messages.toSeq.flatMap {
-      case VintageCommitMessage(a) => a
+    val msgs = messages.toSeq
+    val adds = msgs.flatMap {
+      case VintageCommitMessage(a, _) => a
       case _ => Nil
     }
+    val filled = msgs.exists {
+      case VintageCommitMessage(_, f) => f
+      case _ => false
+    }
     VintageTable.forPath(SparkSession.active, tablePath)
-      .commitFiles(adds, overwrite)
+      .commitFiles(adds, overwrite,
+        idFilledBases = if (filled) idFillBases else Map.empty)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val hconf = conf.value
     messages.foreach {
-      case VintageCommitMessage(adds) => adds.foreach { a =>
+      case VintageCommitMessage(adds, _) => adds.foreach { a =>
         val p = new HPath(tablePath, a.path)
         try p.getFileSystem(hconf).delete(p, false)
         catch { case _: java.io.IOException => () }
@@ -212,7 +248,8 @@ class VintageWriterFactory(
     partitionCols: Seq[String], physPartitionCols: Seq[String],
     factory: OutputWriterFactory,
     conf: SerializableConfiguration,
-    constraints: Seq[(String, String, Expression)] = Nil)
+    constraints: Seq[(String, String, Expression)] = Nil,
+    idFills: Seq[(String, Int, Long, Long)] = Nil)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -221,7 +258,7 @@ class VintageWriterFactory(
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(physDataSchemaJson).asInstanceOf[StructType],
       partitionCols, physPartitionCols, factory, conf, partitionId, taskId,
-      constraints)
+      constraints, idFills)
 }
 
 /** Task-side writer: one open parquet `OutputWriter` per partition
@@ -235,7 +272,8 @@ class VintageDataWriter(
     partitionCols: Seq[String], physPartitionCols: Seq[String],
     factory: OutputWriterFactory,
     conf: SerializableConfiguration, partitionId: Int, taskId: Long,
-    constraints: Seq[(String, String, Expression)] = Nil)
+    constraints: Seq[(String, String, Expression)] = Nil,
+    idFills: Seq[(String, Int, Long, Long)] = Nil)
     extends DataWriter[InternalRow] {
 
   private val hconf = conf.value
@@ -349,7 +387,38 @@ class VintageDataWriter(
     }
   }
 
-  override def write(row: InternalRow): Unit = {
+  // identity NULL fill (GENERATED BY DEFAULT columns a native
+  // INSERT/MERGE clause omitted): per-row counter under the same
+  // (partition << 33) + row spacing the fluent allocation uses, so
+  // values are unique without coordination and the commit's mark
+  // advance records them like any explicit value
+  private var idFillCount: Long = 0L
+  private def fillIdentity(row: InternalRow): InternalRow = {
+    if (idFills.isEmpty) return row
+    var needs = false
+    var j = 0
+    while (j < idFills.length && !needs) {
+      needs = row.isNullAt(idFills(j)._2); j += 1
+    }
+    if (!needs) return row
+    val g = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      tableSchema.length)
+    var i = 0
+    while (i < tableSchema.length) {
+      g.update(i, if (row.isNullAt(i)) null else row.get(i, tableSchema(i).dataType))
+      i += 1
+    }
+    idFills.foreach { case (_, ord, base, step) =>
+      if (g.isNullAt(ord))
+        g.update(ord, base + step *
+          ((partitionId.toLong << 33) + idFillCount))
+    }
+    idFillCount += 1
+    g
+  }
+
+  override def write(row0: InternalRow): Unit = {
+    val row = fillIdentity(row0)
     var i = 0
     while (i < checks.length) {
       val (name, sql, p) = checks(i)
@@ -371,7 +440,7 @@ class VintageDataWriter(
       AddFile(rel, st.getLen, st.getModificationTime, dataChange = true,
         Some(numRecords), stats, PartitionPaths.parsePartitionValues(rel))
     }
-    VintageCommitMessage(adds)
+    VintageCommitMessage(adds, idFillCount > 0)
   }
 
   override def abort(): Unit = {

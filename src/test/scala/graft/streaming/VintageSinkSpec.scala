@@ -57,6 +57,33 @@ class VintageSinkSpec extends AnyFunSuite {
     assert(t.toDF.count() == 4)
   }
 
+  test("path sink without a query id fails loud instead of path-keying") {
+    import spark.implicits._
+    // two distinct queries writing one path under a path-derived appId
+    // would share a watermark and silently skip each other's batches —
+    // the sink must demand an explicit txnAppId when the streaming
+    // query id is not surfaced, never degrade to dropped data
+    val dir = Files.createTempDirectory("vintage-sink-noid").toString + "/t"
+    val sink = new graft.vintage.connector.VintageSource().createSink(
+      spark.sqlContext, Map("path" -> dir), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val prev = spark.sparkContext.getLocalProperty("sql.streaming.queryId")
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    try {
+      val e = intercept[IllegalStateException] {
+        sink.addBatch(0L, Seq((1L, "a")).toDF("id", "name"))
+      }
+      assert(e.getMessage.contains("txnAppId"))
+      // an explicit txnAppId makes the same call legal
+      val sink2 = new graft.vintage.connector.VintageSource().createSink(
+        spark.sqlContext, Map("path" -> dir, "txnAppId" -> "job-7"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      sink2.addBatch(0L, Seq((1L, "a")).toDF("id", "name"))
+      assert(VintageTable.forPath(spark, dir).toDF.count() == 1)
+    } finally
+      spark.sparkContext.setLocalProperty("sql.streaming.queryId", prev)
+  }
+
   test("DSv2 toTable: native per-epoch commits, exactly-once watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

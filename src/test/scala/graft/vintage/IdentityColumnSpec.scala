@@ -173,6 +173,36 @@ class IdentityColumnSpec extends AnyFunSuite {
     assert(IdentityColumns.hwm(t.snapshot.properties, "id").contains(10000L))
   }
 
+  test("BY DEFAULT: native SQL NULLs are allocated, not rejected") {
+    spark.sql("""CREATE TABLE idc.nulls (
+      |  id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+      |  name STRING)""".stripMargin)
+    // an INSERT that leaves the identity column NULL is the
+    // documented-legal omission — values must be allocated (the
+    // reference's semantics), never written as NULL or failed late
+    spark.sql("INSERT INTO idc.nulls VALUES (NULL, 'a'), (NULL, 'b')")
+    val t = VintageTable.forPath(spark, s"$wh/nulls")
+    val ids = t.toDF.select("id").as[Long].collect().toSeq
+    assert(ids.size == 2 && ids.distinct.size == 2,
+      s"NULL identity slots must be filled with unique values: $ids")
+    assert(ids.forall(_ >= 1L))
+    val mark = IdentityColumns.hwm(t.snapshot.properties, "id")
+    assert(mark.contains(ids.max), s"mark must advance past fills: $mark")
+    // mixed explicit + NULL in one statement: explicit kept, NULL filled
+    spark.sql("INSERT INTO idc.nulls VALUES (777777, 'c'), (NULL, 'd')")
+    val ids2 = t.toDF.select("id").as[Long].collect().toSeq
+    assert(ids2.size == 4 && ids2.distinct.size == 4)
+    assert(ids2.contains(777777L))
+    // SQL MERGE whose insert clause omits the identity column
+    Seq(("e", 5)).toDF("name", "x").createOrReplaceTempView("idc_nulls_src")
+    spark.sql(
+      """MERGE INTO idc.nulls t USING idc_nulls_src s ON t.name = s.name
+        |WHEN NOT MATCHED THEN INSERT (name) VALUES (s.name)""".stripMargin)
+    val ids3 = t.toDF.select("id").as[Long].collect().toSeq
+    assert(ids3.size == 5 && ids3.distinct.size == 5,
+      s"MERGE-inserted row must get an allocated id: $ids3")
+  }
+
   test("MERGE allocates for inserted rows, keeps matched ids") {
     spark.sql("""CREATE TABLE idc.m (
       |  id BIGINT GENERATED ALWAYS AS IDENTITY,
