@@ -723,9 +723,15 @@ class VintageTable private (
   /** Row-level change feed for versions in `(fromVersion, toVersion]`
     * (the Delta CHANGE DATA FEED capability, computed from the log
     * rather than persisted change files): the result carries every
-    * table column plus `_change_type` ("insert" | "delete"; an update
-    * appears as delete + insert of the changed rows) and
-    * `_commit_version`.
+    * table column plus `_change_type` and `_commit_version`.
+    *
+    * Change types: "insert" | "delete", and on ROW-TRACKED tables
+    * (see [[RowTracking]]) "update_preimage" | "update_postimage" —
+    * a row whose stable id survives a commit with a different value
+    * is an update, reported as its before and after images exactly
+    * like Delta CDF. Without row tracking there is no cross-rewrite
+    * row identity, so an update degrades to delete + insert of the
+    * changed rows (documented, and exact as a multiset).
     *
     * Under copy-on-write a rewritten file mostly re-adds unchanged
     * rows, so per commit the feed is the MULTISET difference between
@@ -778,14 +784,56 @@ class VintageTable private (
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snapV.schema)
           else readFilesExact(snapV, files)
-        val a = readOrEmpty(adds)
-        val r = readOrEmpty(removedFiles)
-        val ins = if (removedFiles.isEmpty) a else a.exceptAll(r)
-        val del = if (adds.isEmpty) r else r.exceptAll(a)
         def tag(df: DataFrame, kind: String): DataFrame =
           df.withColumn("_change_type", lit(kind))
             .withColumn("_commit_version", lit(v))
-        Some(tag(ins, "insert").unionByName(tag(del, "delete")))
+        val tracked = RowTracking.enabled(snapV.properties)
+        if (adds.isEmpty || removedFiles.isEmpty || !tracked) {
+          val a = readOrEmpty(adds)
+          val r = readOrEmpty(removedFiles)
+          val ins = if (removedFiles.isEmpty) a else a.exceptAll(r)
+          val del = if (adds.isEmpty) r else r.exceptAll(a)
+          Some(tag(ins, "insert").unionByName(tag(del, "delete")))
+        } else {
+          // ROW-TRACKED commit with both sides: classify UPDATES. The
+          // stable id IS the row identity across the rewrite, so a
+          // full-outer join on it splits the commit exactly: id on
+          // both sides with a different value -> update (pre+post
+          // image); only-after -> insert; only-before -> delete;
+          // both sides identical -> an unchanged rewritten survivor,
+          // no change row. Rows from files written before tracking
+          // was enabled carry a NULL id and no cross-rewrite
+          // identity — they keep the multiset delete+insert tier.
+          // Join width is the commit's touched files, never the table.
+          val rt = "__cdf_row_id"
+          val a = dfWithRowIds(snapV, adds, rt)
+          val r = dfWithRowIds(snapV, removedFiles, rt)
+          val dataCols = snapV.schema.fieldNames.toIndexedSeq
+          def packed(df: DataFrame, side: String): DataFrame =
+            df.filter(col(rt).isNotNull)
+              .select(col(rt), struct(dataCols.map(col): _*).as(side))
+          def nullIds(df: DataFrame): DataFrame =
+            df.filter(col(rt).isNull).drop(rt)
+          val j = packed(a, "__after")
+            .join(packed(r, "__before"), Seq(rt), "full_outer")
+          def unpack(s: String): Seq[Column] =
+            dataCols.map(c => col(s"$s.$c").as(c))
+          val ins = j.filter(col("__before").isNull)
+            .select(unpack("__after"): _*)
+            .unionByName(nullIds(a).exceptAll(nullIds(r)))
+          val del = j.filter(col("__after").isNull)
+            .select(unpack("__before"): _*)
+            .unionByName(nullIds(r).exceptAll(nullIds(a)))
+          val upd = j.filter(col("__after").isNotNull &&
+            col("__before").isNotNull &&
+            !(col("__after") <=> col("__before")))
+          Some(tag(ins, "insert")
+            .unionByName(tag(del, "delete"))
+            .unionByName(tag(upd.select(unpack("__before"): _*),
+              "update_preimage"))
+            .unionByName(tag(upd.select(unpack("__after"): _*),
+              "update_postimage")))
+        }
       }
     }
     frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {

@@ -54,6 +54,63 @@ class ChangesSpec extends AnyFunSuite {
       (7L, "delete", 4L), (8L, "delete", 4L)))
   }
 
+  test("row-tracked tables classify updates as update_preimage/postimage") {
+    val dir = Files.createTempDirectory("vintage-cdc").toString + "/u"
+    val t = VintageTable.create(spark, dir,
+      (1L to 6L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(2),
+      properties = Map(RowTracking.EnabledProp -> "true"))
+    t.update(col("id") === 5, Map("name" -> lit("upd")))  // v1 copy-on-write
+    val v1 = t.changes(0, 1)
+    val got = v1.collect().map(r => (r.getLong(0),
+      r.getString(r.fieldIndex("name")),
+      r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(got == Set((5L, "n5", "update_preimage"),
+      (5L, "upd", "update_postimage")),
+      s"copy-on-write update must classify via row ids, got $got")
+
+    // a delete in the same table stays a delete (no spurious updates
+    // from the rewrite's unchanged survivors)
+    t.delete(col("id") <= 2) // v2
+    assert(collectChanges(t.changes(1, 2)) ==
+      Set((1L, "delete", 2L), (2L, "delete", 2L)))
+
+    // merge: matched rows update, unmatched insert — all three kinds
+    // in one commit, attributed by the surviving row id
+    t.as("tgt").merge(
+        Seq((6L, "m6"), (99L, "new")).toDF("id", "name").coalesce(1).as("src"),
+        "tgt.id = src.id")
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute() // v3
+    val v3 = t.changes(2, 3).collect().map(r => (r.getLong(0),
+      r.getString(r.fieldIndex("name")),
+      r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(v3 == Set((6L, "n6", "update_preimage"),
+      (6L, "m6", "update_postimage"), (99L, "new", "insert")))
+
+    // DV merge-on-read update path classifies identically
+    val dvDir = Files.createTempDirectory("vintage-cdc").toString + "/udv"
+    val t2 = VintageTable.create(spark, dvDir,
+      (1L to 6L).map(i => (i, s"n$i")).toDF("id", "name").coalesce(2),
+      properties = Map(RowTracking.EnabledProp -> "true",
+        DeletionVectors.EnabledProp -> "true"))
+    t2.update(col("id") === 3, Map("name" -> lit("dvu"))) // v1
+    val dvGot = t2.changes(0, 1).collect().map(r => (r.getLong(0),
+      r.getString(r.fieldIndex("name")),
+      r.getString(r.fieldIndex("_change_type")))).toSet
+    assert(dvGot == Set((3L, "n3", "update_preimage"),
+      (3L, "dvu", "update_postimage")),
+      s"DV update must classify via row ids, got $dvGot")
+
+    // untracked tables keep the documented delete+insert degradation
+    // (asserted by the base test above) — and the TVF surfaces the
+    // new kinds
+    val tvf = spark.sql(
+      s"SELECT id, _change_type FROM table_changes('$dir', 1, 1)")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(tvf == Set((5L, "update_preimage"), (5L, "update_postimage")))
+  }
+
   test("layout-only commits (compaction, cluster) contribute no changes") {
     val dir = Files.createTempDirectory("vintage-cdc").toString + "/c"
     val t = VintageTable.create(spark, dir,
