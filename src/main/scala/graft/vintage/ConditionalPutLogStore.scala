@@ -11,6 +11,17 @@ import org.apache.hadoop.fs.{FileStatus, Path}
   * In production this is a conditional-PUT capable store or a
   * DynamoDB-style table; in tests, [[InMemoryCommitCoordinator]] —
   * what matters is that `putIfAbsent` is the ONE linearization point.
+  *
+  * SHARED-COORDINATOR REQUIREMENT: a reservation is durable the
+  * moment `putIfAbsent` succeeds, even if the staged object never
+  * reaches its final name — recovery happens on the READ side, which
+  * means correctness requires that EVERY process that lists or reads
+  * the log routes through a [[ConditionalPutLogStore]] backed by the
+  * SAME coordinator. An out-of-band reader (another engine, a raw
+  * bucket listing, ops tooling) does not see reserved-but-unpublished
+  * versions and can observe a log with version N+1 visible but N
+  * missing. The store bounds that window with a synchronous publish
+  * retry at write time, but only the coordinator closes it.
   */
 trait CommitCoordinator {
   /** Reserve `key` for the caller; `false` when already reserved —
@@ -84,14 +95,30 @@ class ConditionalPutLogStore(conf: Configuration,
     // THE RESERVATION IS THE COMMIT: from here the entry is durable —
     // any reader recovers it from the staged object — so a publish
     // failure must NOT surface as a failed write (the caller would
-    // retry and double-apply); readers or the next writer finish it
-    try publish(key(path), staged.toString, path)
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        logWarning(s"commit $path reserved but publish deferred " +
-          s"(readers will recover it): ${e.getMessage}")
+    // retry and double-apply). Retry the publish synchronously a few
+    // times first, though: every attempt that lands here shrinks the
+    // window in which an out-of-band reader (one NOT routed through
+    // the shared coordinator — see [[CommitCoordinator]]) could miss
+    // the version; only then defer to reader-side recovery.
+    var attempt = 0
+    var published = false
+    while (!published && attempt < publishAttempts) {
+      attempt += 1
+      try { publish(key(path), staged.toString, path); published = true }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt < publishAttempts) Thread.sleep(50L * attempt)
+          else logWarning(s"commit $path reserved but publish deferred " +
+            s"after $attempt attempts (readers will recover it): " +
+            s"${e.getMessage}")
+      }
     }
   }
+
+  /** Synchronous publish attempts before deferring to reader-side
+    * recovery; tests lower it to exercise the deferred tier.
+    */
+  protected def publishAttempts: Int = 3
 
   private def publish(k: String, stagedPath: String, dest: Path): Unit = {
     val staged = new Path(stagedPath)

@@ -69,6 +69,58 @@ class ConditionalPutLogStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("transient publish failure is absorbed by the synchronous retry") {
+    withStore { (_, coord) =>
+      // a store whose copy-to-final-name fails the first N times:
+      // the bounded in-writeExclusive retry must land the publish
+      // without ever deferring to reader-side recovery
+      val flaky = new ConditionalPutLogStore(new Configuration(), coord) {
+        @volatile var failuresLeft = 2
+        override def writeReplace(path: Path, lines: Seq[String]): Unit = {
+          if (!path.getName.endsWith(".staged") && failuresLeft > 0) {
+            failuresLeft -= 1
+            throw new java.io.IOException(s"injected publish failure: $path")
+          }
+          super.writeReplace(path, lines)
+        }
+      }
+      val dir = newDir()
+      val logDir = VintageLog.logDir(dir)
+      new Path(logDir, "x").getFileSystem(new Configuration()).mkdirs(logDir)
+      val v0 = new Path(logDir, f"${0L}%020d.json")
+      flaky.writeExclusive(v0, Seq("""{"x":1}"""))
+      assert(flaky.failuresLeft == 0, "retry must have consumed the failures")
+      // the final object exists WITHOUT any reader-side recovery
+      val raw = new HadoopLogStore(new Configuration())
+      assert(raw.exists(v0), "publish must have landed synchronously")
+    }
+  }
+
+  test("persistent publish failure defers to reader-side recovery") {
+    withStore { (_, coord) =>
+      val broken = new ConditionalPutLogStore(new Configuration(), coord) {
+        @volatile var broken = true
+        override def writeReplace(path: Path, lines: Seq[String]): Unit = {
+          if (broken && !path.getName.endsWith(".staged"))
+            throw new java.io.IOException(s"injected publish failure: $path")
+          super.writeReplace(path, lines)
+        }
+      }
+      val dir = newDir()
+      val logDir = VintageLog.logDir(dir)
+      new Path(logDir, "x").getFileSystem(new Configuration()).mkdirs(logDir)
+      val v0 = new Path(logDir, f"${0L}%020d.json")
+      // the write SUCCEEDS (the reservation is the commit) …
+      broken.writeExclusive(v0, Seq("""{"x":1}"""))
+      val raw = new HadoopLogStore(new Configuration())
+      assert(!raw.exists(v0), "publish must still be pending")
+      // … and the first read through the store completes it
+      broken.broken = false
+      assert(broken.readLines(v0).filter(_.nonEmpty) == Seq("""{"x":1}"""))
+      assert(raw.exists(v0), "reader-side recovery must have published")
+    }
+  }
+
   test("a crash between reservation and publish is recovered by readers") {
     withStore { (store, coord) =>
       val dir = newDir()
