@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, PipelineQueries, RowLevelQueries}
+import graft.queries.{Analytics, PipelineQueries, RowLevelQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -66,6 +66,7 @@ object SparkEntry {
     "q45_unigram_logprob"  -> (PipelineQueries.q45UnigramLogprob _),
     "q46_identity_replace" -> (RowLevelQueries.q46IdentityReplace _),
     "q47_row_tracking"     -> (RowLevelQueries.q47RowTracking _),
+    "q48_stream_exactly_once" -> (StreamQueries.q48StreamExactlyOnce _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -124,5 +125,6 @@ object SparkEntry {
     "q45_unigram_logprob"  -> PipelineQueries.q45Sql,
     "q46_identity_replace" -> RowLevelQueries.q46Sql,
     "q47_row_tracking"     -> RowLevelQueries.q47Sql,
+    "q48_stream_exactly_once" -> StreamQueries.q48Sql,
   )
 }
