@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Analytics, PipelineQueries, RowLevelQueries, StreamQueries}
+import graft.queries.{Analytics, MediaQueries, PipelineQueries, RowLevelQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +67,7 @@ object SparkEntry {
     "q46_identity_replace" -> (RowLevelQueries.q46IdentityReplace _),
     "q47_row_tracking"     -> (RowLevelQueries.q47RowTracking _),
     "q48_stream_exactly_once" -> (StreamQueries.q48StreamExactlyOnce _),
+    "q49_media_codec"      -> (MediaQueries.q49MediaCodec _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -126,5 +127,6 @@ object SparkEntry {
     "q46_identity_replace" -> RowLevelQueries.q46Sql,
     "q47_row_tracking"     -> RowLevelQueries.q47Sql,
     "q48_stream_exactly_once" -> StreamQueries.q48Sql,
+    "q49_media_codec"      -> MediaQueries.q49Sql,
   )
 }

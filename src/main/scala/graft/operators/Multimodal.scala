@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample pipeline stages a
   * training-data pipeline needs.
   *
-  * The actual codecs (JPEG/PNG/WAV/H.264) are NOT linked in this
-  * container, so the byte-level decode is a STUB: media carries a
-  * deterministic 16-byte `GRFT` header (magic, kind, width, height,
-  * frame count) and "decoding" parses that header — the Spark-side
-  * shapes are the real deliverable and are fully tested:
+  * Image (PNG/JPEG/BMP/GIF) and audio (WAVE) codecs are REAL — see
+  * [[MediaCodec]], which implements decode / resize / render with the
+  * JDK's `javax.imageio` and `javax.sound.sampled` in exactly the
+  * batch shapes below (the swap the stub stages were designed for).
+  * Only VIDEO remains a STUB (the JDK has no H.264/VP9): video media
+  * carries a deterministic 16-byte `GRFT` header (magic, kind, width,
+  * height, frame count) and "decoding" parses that header — for that
+  * kind the Spark-side shapes are the deliverable and are fully
+  * tested:
   *   - schema: (media_id, kind, bytes, meta struct) — binary payload
   *     opaque to the engine, metadata queryable/prunable;
   *   - header parsing as codegen'd expressions (substring on binary +

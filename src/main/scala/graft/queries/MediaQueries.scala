@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.MediaCodec
+import graft.operators.MediaCodec.{AudioSpec, ImageSpec}
+
+/** Driver-gate query for the REAL media codecs ([[MediaCodec]]):
+  * hash-pins an actual PNG encode → decode → resize → decode roundtrip
+  * and a WAVE container roundtrip against a pure-arithmetic DuckDB
+  * oracle.
+  *
+  * The trick that makes a codec oracle-able without DuckDB decoding
+  * images: solid-color images and square-wave PCM make every decoded
+  * statistic formula-predictable —
+  *   - PNG is lossless, so per-channel pixel SUMS are exactly
+  *     `channel * w * h`;
+  *   - resize of a solid image is solid under ANY interpolation, so
+  *     post-resize sums are `channel * 20 * 12`;
+  *   - a 16-bit square wave's peak is exactly its amplitude, and the
+  *     RIFF header round-trips the frame count and sample rate.
+  * If ImageIO or AudioSystem mis-decoded a single pixel or frame the
+  * hash would go red. Specs are derived from the nation table so the
+  * oracle runs on the shared parquet inputs.
+  */
+object MediaQueries {
+
+  def q49MediaCodec(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.nation(spark, d)
+      .select(col("n_nationkey").cast("long").as("k")).as[Long].collect().sorted
+
+    val imgSpecs = spark.createDataset(nations.map { k =>
+      ImageSpec(k, 16 + (k % 5).toInt * 8, 8 + (k % 3).toInt * 8,
+        ((k * 37) % 256).toInt, ((k * 59) % 256).toInt, ((k * 83) % 256).toInt, "png")
+    }.toSeq).repartition(4)
+    val audSpecs = spark.createDataset(nations.map { k =>
+      AudioSpec(k, 640 + k.toInt * 16, 500 + k.toInt * 777, 8000)
+    }.toSeq).repartition(4)
+
+    val encoded = MediaCodec.renderImages(imgSpecs).cache()
+    val decode = MediaCodec.decodeImages(encoded)
+      .select(col("media_id").as("n_nationkey"), lit("decode").as("stage"),
+        col("width").cast("long").as("a"), col("height").cast("long").as("b"),
+        col("sum_r").as("c"), col("sum_g").as("d"), col("sum_b").as("e"))
+    val resize = MediaCodec.decodeImages(MediaCodec.resizeImages(encoded, 20, 12))
+      .select(col("media_id").as("n_nationkey"), lit("resize").as("stage"),
+        col("width").cast("long").as("a"), col("height").cast("long").as("b"),
+        col("sum_r").as("c"), col("sum_g").as("d"), col("sum_b").as("e"))
+    val audio = MediaCodec.decodeWavs(MediaCodec.renderWavs(audSpecs))
+      .select(col("media_id").as("n_nationkey"), lit("audio").as("stage"),
+        col("n_samples").as("a"), col("sample_rate").cast("long").as("b"),
+        col("peak").cast("long").as("c"), lit(0L).as("d"), lit(0L).as("e"))
+
+    decode.unionByName(resize).unionByName(audio)
+      .orderBy("stage", "n_nationkey")
+  }
+
+  /** Pure arithmetic over nation: what a correct lossless codec
+    * roundtrip MUST produce.
+    */
+  val q49Sql: String =
+    """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |img AS (
+      |  SELECT k, 16 + (k % 5) * 8 AS w, 8 + (k % 3) * 8 AS h,
+      |         (k * 37) % 256 AS r, (k * 59) % 256 AS g, (k * 83) % 256 AS b
+      |  FROM k
+      |)
+      |SELECT n_nationkey, stage, a, b, c, d, e FROM (
+      |  SELECT k AS n_nationkey, 'decode' AS stage, w AS a, h AS b,
+      |         r * w * h AS c, g * w * h AS d, b * w * h AS e
+      |  FROM img
+      |  UNION ALL
+      |  SELECT k, 'resize', 20, 12, r * 240, g * 240, b * 240 FROM img
+      |  UNION ALL
+      |  SELECT k, 'audio', 640 + k * 16, 8000, 500 + k * 777, 0, 0 FROM k
+      |) ORDER BY stage, n_nationkey""".stripMargin
+}

@@ -108,61 +108,91 @@ private[vintage] object CheckpointCodec {
     out.toSeq
   }
 
-  /** Streamed checkpoint write for spilled snapshots: fresh meta
-    * actions first, then the PREVIOUS checkpoint's add rows copied
-    * row-by-row minus `excludePaths` (removed or re-added since), then
-    * the tail's adds — O(1) driver memory at any file count, never
-    * materializing the list this format exists to avoid holding.
+  /** Streamed, possibly MULTI-PART checkpoint write for spilled
+    * snapshots: fresh meta actions first, then the PREVIOUS
+    * checkpoint's add rows (any number of parts) copied row-by-row
+    * minus `excludePaths` (removed or re-added since), then the tail's
+    * adds — O(1) driver memory at any file count, never materializing
+    * the list this format exists to avoid holding.
+    *
+    * Rolls to a new part whenever the current one reaches
+    * `rowsPerPart` ADD rows; all meta actions stay in part 1 (the
+    * reader contract [[VintageLog]] relies on to load a spilled
+    * snapshot's metadata from the first part alone). The total part
+    * count is only known at the end, so parts are written to temp
+    * names and renamed to `destFor(part, of)` (1-based) once complete.
+    * Returns the part count.
     */
-  def writeStreamed(dest: Path, metaActions: Seq[Action], prev: Path,
-      excludePaths: Set[String], tailAdds: Seq[AddFile],
-      conf: Configuration): Unit = {
-    val fs = dest.getFileSystem(conf)
-    val tmp = new Path(dest.getParent,
-      s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val writer = ExampleParquetWriter.builder(tmp)
-      .withConf(conf)
-      .withType(schema)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
-      .build()
+  def writeStreamedParts(destFor: (Int, Int) => Path, metaActions: Seq[Action],
+      prevs: Seq[Path], excludePaths: Set[String], tailAdds: Seq[AddFile],
+      rowsPerPart: Long, conf: Configuration): Int = {
+    val dir = destFor(1, 1).getParent
+    val fs = dir.getFileSystem(conf)
     val factory = new SimpleGroupFactory(schema)
-    def writeAdd(f: AddFile): Unit =
+    val tmps = scala.collection.mutable.ArrayBuffer[Path]()
+    var writer: org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group] = null
+    var rowsInPart = 0L
+    def roll(): Unit = {
+      if (writer != null) writer.close()
+      val tmp = new Path(dir,
+        s".cppart.${java.util.UUID.randomUUID().toString.take(8)}.${tmps.size}.tmp")
+      tmps += tmp
+      writer = ExampleParquetWriter.builder(tmp)
+        .withConf(conf)
+        .withType(schema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
+        .build()
+      rowsInPart = 0L
+    }
+    def writeAddGroup(json: String, path: String, size: Long,
+        dataChange: Boolean): Unit = {
+      if (rowsInPart >= rowsPerPart) roll()
       writer.write(factory.newGroup()
         .append("action_type", "add")
-        .append("json", Action.toJsonLine(f))
-        .append("path", f.path)
-        .append("size", f.size)
-        .append("data_change", f.dataChange))
+        .append("json", json)
+        .append("path", path)
+        .append("size", size)
+        .append("data_change", dataChange))
+      rowsInPart += 1
+    }
     try {
+      roll()
+      // meta never rolls: part 1 carries ALL of it (oversized is fine)
       metaActions.foreach { a =>
         writer.write(factory.newGroup()
           .append("action_type", actionType(a))
           .append("json", Action.toJsonLine(a)))
+        rowsInPart += 1
       }
-      val reader = ParquetReader
-        .builder(new GroupReadSupport(), prev)
-        .withConf(conf)
-        .build()
-      try {
-        var g = reader.read()
-        while (g != null) {
-          if (g.getString("action_type", 0) == "add" &&
-              !excludePaths(g.getString("path", 0)))
-            writer.write(factory.newGroup()
-              .append("action_type", "add")
-              .append("json", g.getString("json", 0))
-              .append("path", g.getString("path", 0))
-              .append("size", g.getLong("size", 0))
-              .append("data_change", g.getBoolean("data_change", 0)))
-          g = reader.read()
-        }
-      } finally reader.close()
-      tailAdds.foreach(writeAdd)
-    } finally writer.close()
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+      prevs.foreach { prev =>
+        val reader = ParquetReader
+          .builder(new GroupReadSupport(), prev)
+          .withConf(conf)
+          .build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            if (g.getString("action_type", 0) == "add" &&
+                !excludePaths(g.getString("path", 0)))
+              writeAddGroup(g.getString("json", 0), g.getString("path", 0),
+                g.getLong("size", 0), g.getBoolean("data_change", 0))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+      tailAdds.foreach(f =>
+        writeAddGroup(Action.toJsonLine(f), f.path, f.size, f.dataChange))
+    } finally if (writer != null) writer.close()
+    val of = tmps.size
+    tmps.zipWithIndex.foreach { case (tmp, i) =>
+      val dest = destFor(i + 1, of)
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    }
+    of
   }
 
   def read(src: Path, conf: Configuration): Seq[Action] = {

@@ -40,7 +40,7 @@ import org.apache.spark.sql.types.StructType
   * only pruned views.
   */
 final case class SpilledIndex(
-    checkpointPath: String,
+    checkpointPaths: Seq[String],
     tailAdds: Seq[AddFile],
     tailRemoves: Set[String]) {
 
@@ -73,7 +73,7 @@ final case class SpilledIndex(
     val schemaB = schema
     val partsB = partitionCols
     val condB = cond
-    val fromCheckpoint = spark.read.parquet(checkpointPath)
+    val fromCheckpoint = spark.read.parquet(checkpointPaths: _*)
       .filter(col("action_type") === "add").select("json")
       .rdd.mapPartitions { it =>
         val adds = it.flatMap(r => Action.fromJsonLineLenient(r.getString(0)))
@@ -96,7 +96,7 @@ final case class SpilledIndex(
     */
   def inlineDvTotal(spark: SparkSession): Long = {
     val dead = supersededPaths
-    val fromCheckpoint = spark.read.parquet(checkpointPath)
+    val fromCheckpoint = spark.read.parquet(checkpointPaths: _*)
       .filter(col("action_type") === "add").select("json", "path")
       .rdd.mapPartitions { it =>
         Iterator.single(
@@ -113,7 +113,7 @@ final case class SpilledIndex(
     */
   def approxSizeInBytes(spark: SparkSession): Long = {
     val dead = supersededPaths
-    val fromCheckpoint = spark.read.parquet(checkpointPath)
+    val fromCheckpoint = spark.read.parquet(checkpointPaths: _*)
       .filter(col("action_type") === "add").select("path", "size")
       .rdd.mapPartitions { it =>
         Iterator.single(
@@ -129,10 +129,10 @@ final case class SpilledIndex(
     */
   def materialize(conf: Configuration): Seq[AddFile] = {
     val m = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    CheckpointCodec.read(new Path(checkpointPath), conf).foreach {
+    checkpointPaths.foreach(p => CheckpointCodec.read(new Path(p), conf).foreach {
       case a: AddFile => m(a.path) = a
       case _ => ()
-    }
+    })
     tailRemoves.foreach(m.remove)
     tailAdds.foreach(a => m(a.path) = a)
     m.values.toSeq

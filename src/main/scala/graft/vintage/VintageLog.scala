@@ -64,8 +64,19 @@ object VintageLog {
     */
   @volatile var spillThreshold: Long = 100000L
 
+  /** Actions per checkpoint PART: a checkpoint whose action count
+    * exceeds this splits into `v.checkpoint.<part>.<of>.parquet` files
+    * (Delta's multi-part naming) so no single metadata file grows
+    * unboundedly with the table and parallel readers can fan out over
+    * parts. Tests lower it to exercise the tier.
+    */
+  @volatile var multiPartThreshold: Long = 1000000L
+
   private val VersionFileRe = """(\d{20})\.json""".r
-  private val CheckpointFileRe = """(\d{20})\.checkpoint\.(?:json|parquet)""".r
+  private val CheckpointFileRe =
+    """(\d{20})\.checkpoint(?:\.\d{10}\.\d{10})?\.(?:json|parquet)""".r
+  private val MultiPartRe =
+    """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 
   /** The pluggable storage seam (see README "Storage contract"): swap
     * in a conditional-put implementation for object stores whose
@@ -82,23 +93,55 @@ object VintageLog {
   private def checkpointFile(tableDir: String, v: Long): Path =
     new Path(logDir(tableDir), f"$v%020d.checkpoint.parquet")
 
+  private def checkpointPartFile(tableDir: String, v: Long,
+      part: Int, of: Int): Path =
+    new Path(logDir(tableDir), f"$v%020d.checkpoint.$part%010d.$of%010d.parquet")
+
   /** Pre-parquet checkpoints (line-per-action JSON) stay readable. */
   private def legacyCheckpointFile(tableDir: String, v: Long): Path =
     new Path(logDir(tableDir), f"$v%020d.checkpoint.json")
 
+  /** The parquet files of the version-`v` checkpoint in read order:
+    * the single file if present, else a COMPLETE multi-part set
+    * (part 1..of all on disk — an in-progress or partially-deleted
+    * set reads as absent, and replay falls back to an older
+    * checkpoint or full commit replay; a stale same-version set with
+    * a different `of` is ignored the same way, which is safe because
+    * a version's checkpoint content is immutable). Empty for
+    * legacy-JSON-only checkpoints.
+    */
+  private[vintage] def checkpointParquetParts(tableDir: String, v: Long): Seq[Path] = {
+    val single = checkpointFile(tableDir, v)
+    if (store.exists(single)) Seq(single)
+    else {
+      val parts = store.list(logDir(tableDir)).iterator.map(_.getPath)
+        .flatMap(p => p.getName match {
+          case MultiPartRe(vv, part, of) if vv.toLong == v =>
+            Some((of.toInt, part.toInt, p))
+          case _ => None
+        }).toSeq
+      parts.groupBy(_._1).toSeq.sortBy(-_._1).collectFirst {
+        case (of, ps) if ps.map(_._2).distinct.size == of =>
+          ps.sortBy(_._2).map(_._3)
+      }.getOrElse(Nil)
+    }
+  }
+
   private def checkpointExists(tableDir: String, v: Long): Boolean =
-    store.exists(checkpointFile(tableDir, v)) ||
+    checkpointParquetParts(tableDir, v).nonEmpty ||
       store.exists(legacyCheckpointFile(tableDir, v))
 
   /** All actions of the version-`v` checkpoint, whichever format it
     * was written in.
     */
-  private[vintage] def readCheckpointActions(tableDir: String, v: Long): Seq[Action] =
-    if (store.exists(checkpointFile(tableDir, v)))
-      CheckpointCodec.read(checkpointFile(tableDir, v), store.hadoopConf)
+  private[vintage] def readCheckpointActions(tableDir: String, v: Long): Seq[Action] = {
+    val parts = checkpointParquetParts(tableDir, v)
+    if (parts.nonEmpty)
+      parts.flatMap(CheckpointCodec.read(_, store.hadoopConf))
     else
       store.readLines(legacyCheckpointFile(tableDir, v))
         .filter(_.nonEmpty).flatMap(Action.fromJsonLineLenient)
+  }
 
   private def lastCheckpointFile(tableDir: String): Path =
     new Path(logDir(tableDir), "_last_checkpoint")
@@ -142,21 +185,41 @@ object VintageLog {
         snap.txns.toSeq.sortBy(_._1).map { case (a, tv) => Txn(a, tv) } ++
         snap.ingested.toSeq.sorted.map(IngestedFile(_)) ++
         snap.commits.sortBy(_.version)
-    snap.spilled match {
+    def nameFor(part: Int, of: Int): Path =
+      if (of == 1) checkpointFile(tableDir, v)
+      else checkpointPartFile(tableDir, v, part, of)
+    val parts = snap.spilled match {
       case Some(ix) =>
         // spilled snapshot: STREAM the previous checkpoint's add rows
         // into the new one (minus superseded paths) — the whole point
         // of spilling is that this list never materializes on the
         // driver, including at its own next checkpoint
-        CheckpointCodec.writeStreamed(checkpointFile(tableDir, v),
-          metaActions, new Path(ix.checkpointPath), ix.supersededPaths,
-          ix.tailAdds, store.hadoopConf)
+        CheckpointCodec.writeStreamedParts(nameFor,
+          metaActions, ix.checkpointPaths.map(new Path(_)),
+          ix.supersededPaths, ix.tailAdds, multiPartThreshold,
+          store.hadoopConf)
       case None =>
-        CheckpointCodec.write(checkpointFile(tableDir, v),
-          metaActions ++ snap.files, store.hadoopConf)
+        val adds: Seq[Action] = snap.files
+        if (metaActions.size + adds.size <= multiPartThreshold) {
+          CheckpointCodec.write(checkpointFile(tableDir, v),
+            metaActions ++ adds, store.hadoopConf)
+          1
+        } else {
+          // part 1 = ALL meta + a fill of adds (the reader contract:
+          // a spilled load takes metadata from part 1 alone); the
+          // rest of the adds chunk into ~threshold-sized parts
+          val fill = (multiPartThreshold - metaActions.size).max(1L).toInt
+          val chunks = (metaActions ++ adds.take(fill)) +:
+            adds.drop(fill).grouped(multiPartThreshold.toInt).toSeq
+          chunks.zipWithIndex.foreach { case (c, i) =>
+            CheckpointCodec.write(nameFor(i + 1, chunks.size), c,
+              store.hadoopConf)
+          }
+          chunks.size
+        }
     }
     store.writeReplace(lastCheckpointFile(tableDir),
-      Seq(s"""{"version":$v,"format":"parquet"}"""))
+      Seq(s"""{"version":$v,"format":"parquet","parts":$parts}"""))
   }
 
   /** Newest checkpoint version <= `until`, if any. Prefers the
@@ -297,7 +360,7 @@ object VintageLog {
     // SPILLED mode (huge checkpoint): the checkpoint's adds never
     // enter `files` — only the tail's do, with every tail remove
     // recorded so the index can subtract it from the checkpoint rows
-    var spillBase: Option[Path] = None
+    var spillBase: Option[Seq[Path]] = None
     val tailRemoves = scala.collection.mutable.LinkedHashSet[String]()
     def fold(a: Action, checkpoint: Boolean): Unit = a match {
       case a: AddFile    => files(a.path) = a
@@ -315,12 +378,14 @@ object VintageLog {
     }
     val start: Long = checkpointVersionFor(tableDir, until) match {
       case Some(cp) =>
-        val cpParquet = checkpointFile(tableDir, cp)
-        val spill = store.exists(cpParquet) &&
-          CheckpointCodec.recordCount(cpParquet, store.hadoopConf) >= spillThreshold
+        val parts = checkpointParquetParts(tableDir, cp)
+        val spill = parts.nonEmpty && parts.iterator
+          .map(CheckpointCodec.recordCount(_, store.hadoopConf))
+          .sum >= spillThreshold
         if (spill) {
-          spillBase = Some(cpParquet)
-          CheckpointCodec.readMeta(cpParquet, store.hadoopConf)
+          spillBase = Some(parts)
+          // writer contract: every non-add action lives in part 1
+          CheckpointCodec.readMeta(parts.head, store.hadoopConf)
             .foreach(fold(_, checkpoint = true))
         } else
           readCheckpointActions(tableDir, cp).foreach(fold(_, checkpoint = true))
@@ -346,8 +411,8 @@ object VintageLog {
         Snapshot(until, m.schema, files.values.toSeq, m.properties,
           commits.toSeq, m.partitionColumns, txns.toMap, ingested.toSet,
           proto, rowIdHwm)
-      case Some(cpPath) =>
-        val idx = SpilledIndex(cpPath.toString, files.values.toSeq,
+      case Some(cpPaths) =>
+        val idx = SpilledIndex(cpPaths.map(_.toString), files.values.toSeq,
           tailRemoves.toSet)
         val conf = store.hadoopConf
         Snapshot(until, m.schema, new LazyFileList(() => idx.materialize(conf)),

@@ -46,6 +46,58 @@ class MultimodalSpec extends AnyFunSuite {
       .foreach { case (id, b) => assert(b.length == sizes(id)) }
   }
 
+  test("real PNG codec: encode→decode roundtrip is pixel-exact") {
+    import MediaCodec._
+    val specs = (0 until 12).map { i =>
+      ImageSpec(i.toLong, 16 + (i % 4) * 8, 8 + (i % 3) * 8,
+        (i * 37) % 256, (i * 59) % 256, (i * 83) % 256, "png")
+    }.toDS().repartition(3)
+    val stats = decodeImages(renderImages(specs)).collect().map(s => s.media_id -> s).toMap
+    specs.collect().foreach { s =>
+      val st = stats(s.media_id)
+      val n = s.width.toLong * s.height
+      assert(st.width == s.width && st.height == s.height)
+      assert(st.sum_r == s.r * n && st.sum_g == s.g * n && st.sum_b == s.b * n,
+        s"PNG roundtrip must be lossless for media ${s.media_id}")
+      // encoded bytes are a real PNG container
+      assert(st.n_bytes > 8)
+    }
+  }
+
+  test("real JPEG codec: decode recovers dims; solid color within quant error") {
+    import MediaCodec._
+    val specs = Seq(ImageSpec(0L, 32, 24, 200, 100, 50, "jpg")).toDS()
+    val st = decodeImages(renderImages(specs)).head()
+    assert(st.width == 32 && st.height == 24)
+    val n = 32L * 24
+    assert(math.abs(st.sum_r / n.toDouble - 200) < 8, "JPEG is lossy but close")
+    assert(math.abs(st.sum_g / n.toDouble - 100) < 8)
+    assert(math.abs(st.sum_b / n.toDouble - 50) < 8)
+  }
+
+  test("real resize: dims change, solid color survives any interpolation") {
+    import MediaCodec._
+    val specs = Seq(ImageSpec(7L, 64, 48, 10, 250, 77, "png")).toDS()
+    val st = decodeImages(resizeImages(renderImages(specs), 20, 10)).head()
+    assert(st.width == 20 && st.height == 10)
+    val n = 20L * 10
+    assert(st.sum_r == 10 * n && st.sum_g == 250 * n && st.sum_b == 77 * n)
+  }
+
+  test("real WAV codec: container roundtrip preserves frames, rate, peak") {
+    import MediaCodec._
+    val specs = (0 until 6).map(i =>
+      AudioSpec(i.toLong, 800 + i * 100, 1000 + i * 2000, 16000)).toDS().repartition(2)
+    val stats = decodeWavs(renderWavs(specs)).collect().map(s => s.media_id -> s).toMap
+    specs.collect().foreach { s =>
+      val st = stats(s.media_id)
+      assert(st.n_samples == s.n_samples, "frame count from the RIFF header")
+      assert(st.sample_rate == s.sample_rate)
+      assert(st.peak == s.amplitude, "square-wave peak is exact in 16-bit PCM")
+      assert(st.n_bytes > s.n_samples * 2, "WAVE container adds a header")
+    }
+  }
+
   test("sampleFrames yields every stride-th chunk") {
     val media = synthesize(spark, 6).filter(col("kind") === "video")
     val out = sampleFrames(media, stride = 2, frameBytes = 64)

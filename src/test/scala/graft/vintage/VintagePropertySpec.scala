@@ -135,8 +135,10 @@ class VintagePropertySpec extends AnyFunSuite {
     var prevIds: Map[Long, Long] =
       if (trackRowIds) rowIds(t) else Map.empty
 
+    val ops = scala.collection.mutable.ArrayBuffer[Int]()
     (1 to 15).foreach { step =>
       val op = rnd.nextInt(5)
+      ops += op
       op match {
         case 0 => // merge: update some existing + insert some new keys
           val upd = model.keys.toSeq.sorted.take(rnd.nextInt(5) + 1)
@@ -202,17 +204,30 @@ class VintagePropertySpec extends AnyFunSuite {
     }
 
     // change feed: for every commit, changes(v-1, v) must equal the
-    // model's row-set diff — inserts and deletes exactly, nothing from
-    // the copy-on-write rewrite noise
+    // model's row-set diff — nothing from the copy-on-write rewrite
+    // noise. On a ROW-TRACKED table a key surviving with a changed
+    // value is the SAME row id through the rewrite, so it must
+    // classify as update_preimage/update_postimage — except under a
+    // full overwrite (op 3), which replaces the row set wholesale and
+    // re-allocates ids, degrading every changed row to delete+insert
     history.toSeq.sliding(2).zipWithIndex.foreach { case (Seq(prev, cur), i) =>
       val v = (i + 1).toLong
       val ch = t.changes(v - 1, v).collect().map { r =>
         (r.getLong(r.fieldIndex("k")), r.getDouble(r.fieldIndex("v")),
           r.getString(r.fieldIndex("_change_type")))
       }.toSet
-      val expIns = (cur.toSet -- prev.toSet).map { case (k, x) => (k, x, "insert") }
-      val expDel = (prev.toSet -- cur.toSet).map { case (k, x) => (k, x, "delete") }
-      assert(ch == expIns ++ expDel, s"change feed diverged from model diff at v$v")
+      val expIns = (cur.keySet -- prev.keySet).map(k => (k, cur(k), "insert"))
+      val expDel = (prev.keySet -- cur.keySet).map(k => (k, prev(k), "delete"))
+      val changed = (prev.keySet & cur.keySet).filter(k => prev(k) != cur(k))
+      val expChg: Set[(Long, Double, String)] =
+        if (trackRowIds && ops(i) != 3)
+          changed.flatMap(k => Seq((k, prev(k), "update_preimage"),
+            (k, cur(k), "update_postimage")))
+        else
+          changed.flatMap(k => Seq((k, prev(k), "delete"),
+            (k, cur(k), "insert")))
+      assert(ch == expIns ++ expDel ++ expChg,
+        s"change feed diverged from model diff at v$v (op ${ops(i)})")
     }
 
     // compaction + vacuum never change the logical state
