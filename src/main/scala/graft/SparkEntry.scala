@@ -68,6 +68,7 @@ object SparkEntry {
     "q47_row_tracking"     -> (RowLevelQueries.q47RowTracking _),
     "q48_stream_exactly_once" -> (StreamQueries.q48StreamExactlyOnce _),
     "q49_media_codec"      -> (MediaQueries.q49MediaCodec _),
+    "q50_stream_sessionize" -> (StreamQueries.q50StreamSessionize _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -128,5 +129,6 @@ object SparkEntry {
     "q47_row_tracking"     -> RowLevelQueries.q47Sql,
     "q48_stream_exactly_once" -> StreamQueries.q48Sql,
     "q49_media_codec"      -> MediaQueries.q49Sql,
+    "q50_stream_sessionize" -> StreamQueries.q50Sql,
   )
 }

@@ -17,11 +17,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +41,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A throwing query must leave a loud in-repo trace, not just a line
+    // on stderr: its row would otherwise be silently ABSENT from the
+    // correctness JSON and the cause lost (the round-8 forensics
+    // problem). _failed.json maps query → exception summary.
+    if (failed.nonEmpty) {
+      val fj = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_failed.json"), fj)
+      System.err.println(s"[verify] ${failed.size} queries failed -> $outDir/_failed.json")
+    }
     spark.stop()
   }
 }

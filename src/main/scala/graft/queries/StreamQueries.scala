@@ -91,6 +91,96 @@ object StreamQueries {
     * after images of the rkey=3 rows; the idle restart must have
     * committed nothing.
     */
+  /** Gate query for the STATEFUL streaming tier: the gap sessionizer
+    * (`flatMapGroupsWithState`, event-time timeout) replayed over real
+    * `events` rows fed through a memory source in event-time order,
+    * hash-pinned against a DuckDB batch sessionization of the same
+    * subset — the stream/batch equivalence contract
+    * ([[graft.streaming.StreamOps.sessionize]]) on the oracle gate
+    * instead of only a unit spec.
+    *
+    * Feed: a deterministic 1-in-20-users subset (~5% of events; 519
+    * rows at sf0.01), collected ONLY as the memory-source fixture —
+    * the production path is `readStream`, this bounded collect is the
+    * gate's replay harness, not the operator. Fed in event-time order
+    * across 8 micro-batches (the in-order regime where stream ==
+    * batch exactly); two far-future sentinel batches advance the
+    * watermark so every real session times out and emits.
+    */
+  def q50StreamSessionize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def micros(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val feed = Tables.events(spark, d)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, Timestamp)]
+      .collect()
+      .sortBy(r => (micros(r._2), r._1))
+    require(feed.nonEmpty, s"no events with user_id % 20 = 0 under $d")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = graft.streaming.StreamOps.sessionize(
+      mem.toDF.toDF("user_id", "ts"), "user_id", "ts",
+      gap = "30 minutes", delayThreshold = "1 minute")
+    val sink = "q50_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val batchSize = feed.length / 8 + 1
+      feed.grouped(batchSize).foreach { g =>
+        mem.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+      // sentinel user -1 far past every real deadline; the second
+      // batch runs with the advanced watermark so timeouts fire
+      val far = new Timestamp((micros(feed.last._2) / 1000) + 90L * 24 * 3600 * 1000)
+      mem.addData((-1L, far)); q.processAllAvailable()
+      mem.addData((-1L, far)); q.processAllAvailable()
+    } finally q.stop()
+
+    spark.table(sink)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** DuckDB batch sessionization of the identical subset: same 30-min
+    * gap rule (strict `>` on the micros delta — equal-to-gap joins, as
+    * the stream's inclusive window does), sessions rebuilt with the
+    * classic lag/cumsum idiom, bounds re-materialized from micros.
+    */
+  val q50Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events WHERE user_id % 20 = 0
+      |),
+      |l AS (
+      |  SELECT user_id, us,
+      |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+      |  FROM e
+      |),
+      |n AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS ns
+      |  FROM l
+      |),
+      |s AS (
+      |  SELECT user_id, us,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY us
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM n
+      |)
+      |SELECT user_id,
+      |  make_timestamp(min(us)) AS session_start,
+      |  make_timestamp(max(us)) AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val q48Sql: String =
     """WITH nat AS (
       |  SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS rkey FROM nation
