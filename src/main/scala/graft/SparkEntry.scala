@@ -69,6 +69,7 @@ object SparkEntry {
     "q48_stream_exactly_once" -> (StreamQueries.q48StreamExactlyOnce _),
     "q49_media_codec"      -> (MediaQueries.q49MediaCodec _),
     "q50_stream_sessionize" -> (StreamQueries.q50StreamSessionize _),
+    "q51_media_source"     -> (MediaQueries.q51MediaSource _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -130,5 +131,6 @@ object SparkEntry {
     "q48_stream_exactly_once" -> StreamQueries.q48Sql,
     "q49_media_codec"      -> MediaQueries.q49Sql,
     "q50_stream_sessionize" -> StreamQueries.q50Sql,
+    "q51_media_source"     -> MediaQueries.q51Sql,
   )
 }

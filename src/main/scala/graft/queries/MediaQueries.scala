@@ -58,6 +58,81 @@ object MediaQueries {
       .orderBy("stage", "n_nationkey")
   }
 
+  /** Gate query for the on-disk media layout ([[graft.sources.
+    * MediaSource]]): the same formula-predictable fixtures as q49, but
+    * round-tripped through REAL FILES — rendered blobs written as
+    * individual PNG/WAV files plus a CSV sidecar, read back through
+    * Spark's `binaryFile` source (ids recovered from file names,
+    * sidecar equi-joined), then decoded by the real codecs. Adds
+    * metadata-only `files_*` count rows that go through the
+    * blob-pruned scan path. A wrong byte on disk, a mis-joined
+    * sidecar row, or a lossy write would all break the hash.
+    */
+  def q51MediaSource(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Multimodal.MediaRecord
+    import graft.sources.MediaSource
+    val base = java.nio.file.Files.createTempDirectory("graft-q51").toString
+    val nations = Tables.nation(spark, d)
+      .select(col("n_nationkey").cast("long").as("k")).as[Long].collect().sorted
+
+    val imgSpecs = spark.createDataset(nations.map { k =>
+      ImageSpec(k, 16 + (k % 5).toInt * 8, 8 + (k % 3).toInt * 8,
+        ((k * 37) % 256).toInt, ((k * 59) % 256).toInt, ((k * 83) % 256).toInt, "png")
+    }.toSeq).repartition(4)
+    val audSpecs = spark.createDataset(nations.map { k =>
+      AudioSpec(k, 640 + k.toInt * 16, 500 + k.toInt * 777, 8000)
+    }.toSeq).repartition(4)
+    MediaSource.writeMediaDir(
+      MediaCodec.renderImages(imgSpecs).map(m => (m, "png"))
+        .union(MediaCodec.renderWavs(audSpecs).map(m => (m, "wav"))),
+      base, "csv")
+
+    val media = MediaSource.readMediaDir(spark, base, "csv")
+    def recordsOf(kind: String) = media.filter(col("kind") === kind)
+      .select("media_id", "kind", "bytes").as[MediaRecord]
+    val decode = MediaCodec.decodeImages(recordsOf("image"))
+      .select(col("media_id").as("n_nationkey"), lit("decode").as("stage"),
+        col("width").cast("long").as("a"), col("height").cast("long").as("b"),
+        col("sum_r").as("c"), col("sum_g").as("d"), col("sum_b").as("e"))
+    val audio = MediaCodec.decodeWavs(recordsOf("audio"))
+      .select(col("media_id").as("n_nationkey"), lit("audio").as("stage"),
+        col("n_samples").as("a"), col("sample_rate").cast("long").as("b"),
+        col("peak").cast("long").as("c"), lit(0L).as("d"), lit(0L).as("e"))
+    // metadata-only pass: counts per kind through the blob-pruned scan
+    val files = MediaSource.readMediaMeta(spark, base, "csv")
+      .groupBy("kind").agg(count(lit(1)).as("n"))
+      .select(lit(-1L).as("n_nationkey"),
+        concat(lit("files_"), col("kind")).as("stage"),
+        col("n").as("a"), lit(0L).as("b"), lit(0L).as("c"),
+        lit(0L).as("d"), lit(0L).as("e"))
+
+    decode.unionByName(audio).unionByName(files)
+      .orderBy("stage", "n_nationkey")
+  }
+
+  /** Same arithmetic as q49's oracle plus the per-kind file counts the
+    * sidecar join must reproduce.
+    */
+  val q51Sql: String =
+    """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |img AS (
+      |  SELECT k, 16 + (k % 5) * 8 AS w, 8 + (k % 3) * 8 AS h,
+      |         (k * 37) % 256 AS r, (k * 59) % 256 AS g, (k * 83) % 256 AS b
+      |  FROM k
+      |)
+      |SELECT n_nationkey, stage, a, b, c, d, e FROM (
+      |  SELECT k AS n_nationkey, 'decode' AS stage, w AS a, h AS b,
+      |         r * w * h AS c, g * w * h AS d, b * w * h AS e
+      |  FROM img
+      |  UNION ALL
+      |  SELECT k, 'audio', 640 + k * 16, 8000, 500 + k * 777, 0, 0 FROM k
+      |  UNION ALL
+      |  SELECT -1, 'files_audio', (SELECT count(*) FROM k), 0, 0, 0, 0
+      |  UNION ALL
+      |  SELECT -1, 'files_image', (SELECT count(*) FROM k), 0, 0, 0, 0
+      |) ORDER BY stage, n_nationkey""".stripMargin
+
   /** Pure arithmetic over nation: what a correct lossless codec
     * roundtrip MUST produce.
     */

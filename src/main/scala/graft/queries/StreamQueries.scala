@@ -103,9 +103,11 @@ object StreamQueries {
     * rows at sf0.01), collected ONLY as the memory-source fixture —
     * the production path is `readStream`, this bounded collect is the
     * gate's replay harness, not the operator. Fed in event-time order
-    * across 8 micro-batches (the in-order regime where stream ==
-    * batch exactly); two far-future sentinel batches advance the
-    * watermark so every real session times out and emits.
+    * across 5 micro-batches (the in-order regime where stream ==
+    * batch exactly — enough boundaries to exercise cross-batch session
+    * state without paying a per-batch state-store fixed cost ×10); two
+    * far-future sentinel batches advance the watermark so every real
+    * session times out and emits.
     */
   def q50StreamSessionize(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -131,7 +133,7 @@ object StreamQueries {
     val q = sessions.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
-      val batchSize = feed.length / 8 + 1
+      val batchSize = feed.length / 5 + 1
       feed.grouped(batchSize).foreach { g =>
         mem.addData(g.toSeq: _*); q.processAllAvailable()
       }

@@ -125,7 +125,10 @@ case class Metadata(
   * UNKNOWN log actions safe to skip: a future action type that
   * changes read semantics arrives together with a protocol bump, so
   * old readers stop at the protocol gate instead of mis-folding the
-  * log. Latest protocol action wins on replay; features only grow.
+  * log. Latest protocol action wins on replay; normal commits only
+  * GROW the feature set (via [[Protocol.union]]) — the one sanctioned
+  * shrink is `VintageTable.dropFeature`, which commits a smaller
+  * protocol only after proving nothing live depends on the feature.
   */
 case class Protocol(
     readerFeatures: Seq[String] = Nil,

@@ -1444,6 +1444,70 @@ class VintageTable private (
       NoRead): Unit
   }
 
+  /** `ALTER TABLE … DROP FEATURE`: shrink the protocol by `name` once
+    * the table no longer depends on it — the downgrade path for a
+    * table that turned a feature on, stopped using it, and wants plain
+    * readers/writers back at the gate. One commit carries BOTH the
+    * cleaned metadata (activating properties removed) and the shrunken
+    * [[Protocol]]; replay takes the latest protocol action, and time
+    * travel to pre-drop versions still sees (and gets gated by) the
+    * old protocol, so history stays exactly as committed.
+    *
+    * Dropping is refused while anything live still needs the feature:
+    *   - metadata that re-derives it (identity/generated/default
+    *     columns, an activating property this call doesn't own);
+    *   - live deletion vectors (run [[optimize]] first — it rewrites
+    *     every DV-carrying file);
+    *   - `columnMapping` / `typeWidening` ever: files on disk store
+    *     physical names / narrower types that only the feature's
+    *     metadata can read correctly. No purge short of rewriting and
+    *     re-creating the table removes that dependency.
+    *
+    * Row tracking IS droppable: `baseRowId`s on files and the
+    * high-water mark become inert metadata no reader consults once
+    * the property is gone.
+    *
+    * The DV liveness check reads the file list ([[Snapshot.files]] —
+    * the compatibility tier on spilled snapshots): a rare one-shot
+    * maintenance command, same cost class as vacuum/restore.
+    */
+  def dropFeature(name: String): Unit = {
+    val snap = snapshot
+    val p = snap.protocol
+    require(p.readerFeatures.contains(name) || p.writerFeatures.contains(name),
+      s"feature '$name' is not active on $path (reader=" +
+      s"${p.readerFeatures.mkString(",")}; writer=${p.writerFeatures.mkString(",")})")
+    require(name != Protocol.ColumnMappingFeature,
+      "columnMapping cannot be dropped: files store physical column names " +
+      "that only the mapping metadata can resolve")
+    require(name != Protocol.TypeWideningFeature,
+      "typeWidening cannot be dropped: files written before a widening " +
+      "store the narrower type and need the feature to read correctly")
+    // the activating properties leave in the SAME commit
+    val cleaned = snap.properties.filterNot { case (k, _) =>
+      k == s"${Protocol.FeaturePropPrefix}$name" ||
+      (name == Protocol.DeletionVectors && k == DeletionVectors.EnabledProp) ||
+      (name == Protocol.RowTrackingFeature && k == RowTracking.EnabledProp)
+    }
+    val still = Protocol.required(snap.schema, cleaned)
+    require(!(still.readerFeatures ++ still.writerFeatures).contains(name),
+      s"feature '$name' is still required by the table metadata " +
+      "(identity/generated/default columns or another activating property); " +
+      "remove the dependent metadata first")
+    if (name == Protocol.DeletionVectors) {
+      val dvFiles = snap.files.count(_.hasDv)
+      require(dvFiles == 0,
+        s"$dvFiles live files still carry deletion vectors; run optimize() " +
+        "to purge them, then drop the feature")
+    }
+    val shrunk = Protocol(
+      p.readerFeatures.filterNot(_ == name),
+      p.writerFeatures.filterNot(_ == name))
+    commitOp(snap, "DROP FEATURE", Map("feature" -> name), Nil, Nil,
+      Some(Metadata(snap.schema.json, cleaned, snap.partitionColumns)),
+      NoRead, extra = Seq(shrunk)): Unit
+  }
+
   /** Enable column mapping ("name" mode): stamps `physical = current
     * logical` on every field so all existing files stay readable, and
     * unlocks [[renameColumn]]/[[dropColumn]] as metadata-only commits.
