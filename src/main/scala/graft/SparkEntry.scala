@@ -70,6 +70,7 @@ object SparkEntry {
     "q49_media_codec"      -> (MediaQueries.q49MediaCodec _),
     "q50_stream_sessionize" -> (StreamQueries.q50StreamSessionize _),
     "q51_media_source"     -> (MediaQueries.q51MediaSource _),
+    "q52_stream_dedup"     -> (StreamQueries.q52StreamDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -132,5 +133,6 @@ object SparkEntry {
     "q49_media_codec"      -> MediaQueries.q49Sql,
     "q50_stream_sessionize" -> StreamQueries.q50Sql,
     "q51_media_source"     -> MediaQueries.q51Sql,
+    "q52_stream_dedup"     -> StreamQueries.q52Sql,
   )
 }

@@ -151,6 +151,60 @@ object StreamQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Gate query for streaming exact dedup
+    * ([[graft.streaming.StreamOps.dedupExactStreaming]] —
+    * `dropDuplicatesWithinWatermark` over a content hash): the same
+    * 1-in-20-users event subset, keyed by `event_type:user_id` (real
+    * duplicates: every user repeats event types), streamed through a
+    * memory source in 5 event-time-ordered micro-batches. The
+    * watermark delay exceeds the whole event span, so the state never
+    * evicts mid-feed and the output must be EXACTLY the distinct key
+    * set — a key emitted twice (broken cross-batch state) or never
+    * (overeager dedup) breaks the hash. Bounded-state eviction under a
+    * short watermark is pinned separately by StreamOpsSpec; survivor
+    * choice among same-key rows is shuffle-order-dependent, so the
+    * gate pins the key set, not a survivor attribute.
+    */
+  def q52StreamDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def micros(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val feed = Tables.events(spark, d)
+      .filter(col("user_id") % 20 === 0)
+      .select(concat(col("event_type"), lit(":"), col("user_id")).as("text"),
+        col("ts"))
+      .as[(String, Timestamp)]
+      .collect()
+      .sortBy(r => (micros(r._2), r._1))
+    require(feed.nonEmpty, s"no events with user_id % 20 = 0 under $d")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val deduped = graft.streaming.StreamOps.dedupExactStreaming(
+      mem.toDF.toDF("text", "ts"), "text", "ts",
+      delayThreshold = "400 days")
+    val sink = "q52_dedup_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val batchSize = feed.length / 5 + 1
+      feed.grouped(batchSize).foreach { g =>
+        mem.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    spark.table(sink).select(col("text")).orderBy("text")
+  }
+
+  /** The exactly-once distinct key set the stream must land. */
+  val q52Sql: String =
+    """SELECT DISTINCT event_type || ':' || CAST(user_id AS VARCHAR) AS text
+      |FROM events WHERE user_id % 20 = 0
+      |ORDER BY text""".stripMargin
+
   /** DuckDB batch sessionization of the identical subset: same 30-min
     * gap rule (strict `>` on the micros delta — equal-to-gap joins, as
     * the stream's inclusive window does), sessions rebuilt with the
