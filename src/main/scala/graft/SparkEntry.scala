@@ -71,6 +71,7 @@ object SparkEntry {
     "q50_stream_sessionize" -> (StreamQueries.q50StreamSessionize _),
     "q51_media_source"     -> (MediaQueries.q51MediaSource _),
     "q52_stream_dedup"     -> (StreamQueries.q52StreamDedup _),
+    "q53_video_codec"      -> (MediaQueries.q53VideoCodec _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -134,5 +135,6 @@ object SparkEntry {
     "q50_stream_sessionize" -> StreamQueries.q50Sql,
     "q51_media_source"     -> MediaQueries.q51Sql,
     "q52_stream_dedup"     -> StreamQueries.q52Sql,
+    "q53_video_codec"      -> MediaQueries.q53Sql,
   )
 }

@@ -9,14 +9,13 @@ import org.apache.spark.sql.functions._
   * training-data pipeline needs.
   *
   * Image (PNG/JPEG/BMP/GIF) and audio (WAVE) codecs are REAL — see
-  * [[MediaCodec]], which implements decode / resize / render with the
-  * JDK's `javax.imageio` and `javax.sound.sampled` in exactly the
-  * batch shapes below (the swap the stub stages were designed for).
-  * Only VIDEO remains a STUB (the JDK has no H.264/VP9): video media
-  * carries a deterministic 16-byte `GRFT` header (magic, kind, width,
-  * height, frame count) and "decoding" parses that header — for that
-  * kind the Spark-side shapes are the deliverable and are fully
-  * tested:
+  * [[MediaCodec]] (`javax.imageio` / `javax.sound.sampled`) — and so
+  * is VIDEO: [[VideoCodec]] muxes/demuxes real AVI containers with
+  * uncompressed DIB or Motion-JPEG frames, all JDK-only, in exactly
+  * the batch shapes below. Only inter-frame codecs (H.264/VP9) stay
+  * out of scope — no JDK implementation exists. The synthetic `GRFT`
+  * 16-byte-header rows remain as the format-agnostic plumbing
+  * fixture (schema, pruning, batch shapes):
   *   - schema: (media_id, kind, bytes, meta struct) — binary payload
   *     opaque to the engine, metadata queryable/prunable;
   *   - header parsing as codegen'd expressions (substring on binary +

@@ -133,6 +133,81 @@ object MediaQueries {
       |  SELECT -1, 'files_image', (SELECT count(*) FROM k), 0, 0, 0, 0
       |) ORDER BY stage, n_nationkey""".stripMargin
 
+  /** Gate query for the REAL VIDEO codec
+    * ([[graft.operators.VideoCodec]]): a true AVI container (RIFF
+    * muxer/demuxer) with lossless uncompressed DIB frames whose
+    * per-frame solid colors advance by a known formula — so a full
+    * render → probe → per-frame decode → stride-3 sample pipeline is
+    * hash-pinned against pure arithmetic. A mis-muxed chunk, a wrong
+    * stride pad, an off-by-one in frame ordering, or a sampler that
+    * decodes the wrong frames all break the hash.
+    */
+  def q53VideoCodec(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.VideoCodec
+    import graft.operators.VideoCodec.VideoSpec
+    val nations = Tables.nation(spark, d)
+      .select(col("n_nationkey").cast("long").as("k")).as[Long].collect().sorted
+
+    val specs = spark.createDataset(nations.map { k =>
+      VideoSpec(k, 16 + (k % 4).toInt * 8, 8 + (k % 3).toInt * 4,
+        4 + (k % 3).toInt * 2, ((k * 29) % 256).toInt, ((k * 53) % 256).toInt,
+        ((k * 71) % 256).toInt, 12 + (k % 5).toInt, "DIB ")
+    }.toSeq).repartition(4)
+    val avis = VideoCodec.renderAvis(specs).cache()
+
+    val probe = VideoCodec.probeAvis(avis)
+      .select(col("media_id").as("n_nationkey"), lit("probe").as("stage"),
+        col("width").cast("long").as("a"), col("height").cast("long").as("b"),
+        col("n_frames").as("c"), col("fps").cast("long").as("d"),
+        lit(0L).as("e"))
+    def agg(stride: Int, stage: String) =
+      VideoCodec.decodeFrames(avis, stride)
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("a"),
+          max(col("width").cast("long") * col("height")).as("b"),
+          sum(col("sum_r")).as("c"), sum(col("sum_g")).as("d"),
+          sum(col("sum_b")).as("e"))
+        .select(col("media_id").as("n_nationkey"), lit(stage).as("stage"),
+          col("a"), col("b"), col("c"), col("d"), col("e"))
+
+    probe.unionByName(agg(1, "frames")).unionByName(agg(3, "sample"))
+      .orderBy("stage", "n_nationkey")
+  }
+
+  /** The frame-color recurrence summed in SQL: what a correct AVI
+    * mux/demux/decode/sample MUST produce.
+    */
+  val q53Sql: String =
+    """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |v AS (
+      |  SELECT k, 16 + (k % 4) * 8 AS w, 8 + (k % 3) * 4 AS h,
+      |         4 + (k % 3) * 2 AS nf,
+      |         (k * 29) % 256 AS r0, (k * 53) % 256 AS g0, (k * 71) % 256 AS b0,
+      |         12 + (k % 5) AS fps
+      |  FROM k
+      |),
+      |f AS (
+      |  SELECT v.*, r.range AS i FROM v CROSS JOIN range(8) r WHERE r.range < v.nf
+      |)
+      |SELECT n_nationkey, stage, a, b, c, d, e FROM (
+      |  SELECT k AS n_nationkey, 'probe' AS stage, w AS a, h AS b, nf AS c,
+      |         fps AS d, CAST(0 AS BIGINT) AS e
+      |  FROM v
+      |  UNION ALL
+      |  SELECT k, 'frames', CAST(COUNT(*) AS BIGINT), w * h,
+      |         CAST(SUM(((r0 + 7 * i) % 256) * w * h) AS BIGINT),
+      |         CAST(SUM(((g0 + 11 * i) % 256) * w * h) AS BIGINT),
+      |         CAST(SUM(((b0 + 13 * i) % 256) * w * h) AS BIGINT)
+      |  FROM f GROUP BY k, w, h
+      |  UNION ALL
+      |  SELECT k, 'sample', CAST(COUNT(*) AS BIGINT), w * h,
+      |         CAST(SUM(((r0 + 7 * i) % 256) * w * h) AS BIGINT),
+      |         CAST(SUM(((g0 + 11 * i) % 256) * w * h) AS BIGINT),
+      |         CAST(SUM(((b0 + 13 * i) % 256) * w * h) AS BIGINT)
+      |  FROM f WHERE i % 3 = 0 GROUP BY k, w, h
+      |) ORDER BY stage, n_nationkey""".stripMargin
+
   /** Pure arithmetic over nation: what a correct lossless codec
     * roundtrip MUST produce.
     */
