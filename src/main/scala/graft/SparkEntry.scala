@@ -72,6 +72,7 @@ object SparkEntry {
     "q51_media_source"     -> (MediaQueries.q51MediaSource _),
     "q52_stream_dedup"     -> (StreamQueries.q52StreamDedup _),
     "q53_video_codec"      -> (MediaQueries.q53VideoCodec _),
+    "q54_dup_spans"        -> (PipelineQueries.q54DupSpans _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -136,5 +137,6 @@ object SparkEntry {
     "q51_media_source"     -> MediaQueries.q51Sql,
     "q52_stream_dedup"     -> StreamQueries.q52Sql,
     "q53_video_codec"      -> MediaQueries.q53Sql,
+    "q54_dup_spans"        -> PipelineQueries.q54Sql,
   )
 }

@@ -472,6 +472,54 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  /** C4/PaLM-style duplicated-span statistics: per document, how many
+    * token positions are covered by a word `n`-gram that occurs at
+    * least `minCount` times across the WHOLE corpus — the signal the
+    * "remove any span you have seen before" cleaning step acts on
+    * (repeated boilerplate, templated spam, mirrored pages).
+    *
+    * Shape (100 TB):
+    *   1. grams are built ARRAY-SIDE per document (`transform` +
+    *      `slice` over the token array, codegen'd) and only then
+    *      exploded — no per-token shuffle;
+    *   2. the global gram count shuffles once on the gram;
+    *   3. the hot-gram blacklist (count >= minCount) is BROADCAST into
+    *      a semi-join — by construction it shrinks as minCount grows,
+    *      and the raw gram stream never shuffles a second time;
+    *   4. covered positions union per document (distinct over
+    *      exploded `[pos, pos+n)` spans, bounded by the duplicated
+    *      spans only, not the corpus).
+    *
+    * Output: `idCol, n_tokens, n_dup_grams, n_masked` (all BIGINT;
+    * zero-filled for clean documents).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, minCount: Int = 3): DataFrame = {
+    require(n >= 2, s"span gram size must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    val grams = toks.filter(col("n_tokens") >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__toks) - $n), " +
+        s"i -> struct(CAST(i AS BIGINT) AS pos, " +
+        s"concat_ws(' ', slice(__toks, i + 1, $n)) AS gram))")).as("g"))
+      .select(col(idCol), col("g.pos").as("__pos"), col("g.gram").as("__gram"))
+    val hot = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount).select("__gram")
+    val dup = grams.join(broadcast(hot), Seq("__gram"), "left_semi")
+    val dupCounts = dup.groupBy(idCol).agg(count(lit(1)).as("n_dup_grams"))
+    val masked = dup
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__mpos"))
+      .distinct()
+      .groupBy(idCol).agg(count(lit(1)).as("n_masked"))
+    toks.select(col(idCol), col("n_tokens"))
+      .join(dupCounts, Seq(idCol), "left")
+      .join(masked, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_dup_grams", "n_masked"))
+  }
+
   /** All per-document features in one projection. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -979,4 +979,44 @@ object PipelineQueries {
       |SELECT lens.doc_id, lens.n AS n_tokens,
       |  coalesce(scored.xent_e4, 0)::BIGINT AS xent_e4
       |FROM lens LEFT JOIN scored USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Duplicated-span statistics (C4/PaLM "seen-before span" cleaning
+    * signal): 4-gram spans repeating >= 3 times corpus-wide, per-doc
+    * duplicated-gram and covered-position counts.
+    */
+  def q54DupSpans(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.dupSpanStats(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", n = 4, minCount = 3)
+      .orderBy("doc_id")
+
+  val q54Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(toks) - 3)) AS pos,
+      |    unnest(list_transform(range(1, len(toks) - 2),
+      |                          i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |  FROM t WHERE len(toks) >= 4
+      |),
+      |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3),
+      |dup AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (gram)),
+      |dc AS (SELECT doc_id, count(*) AS n_dup_grams FROM dup GROUP BY doc_id),
+      |mp AS (
+      |  SELECT DISTINCT doc_id, pos + j AS mpos
+      |  FROM dup CROSS JOIN unnest(range(0, 4)) AS u(j)
+      |),
+      |mc AS (SELECT doc_id, count(*) AS n_masked FROM mp GROUP BY doc_id)
+      |SELECT t.doc_id, len(t.toks) AS n_tokens,
+      |  CAST(coalesce(dc.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+      |  CAST(coalesce(mc.n_masked, 0) AS BIGINT) AS n_masked
+      |FROM t
+      |LEFT JOIN dc USING (doc_id)
+      |LEFT JOIN mc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -160,4 +160,39 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!r(2).getAs[Boolean]("keep")) // empty
     assert(r(2).getLong(r(2).fieldIndex("n_words")) == 0L)
   }
+
+  test("dupSpanStats masks exactly the positions of corpus-repeated n-grams") {
+    import spark.implicits._
+    // "p q r s" planted in docs 1-3 (>= minCount 3); doc 4 clean; doc 5 short
+    val docs = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "p q r s e f g h"),
+      (3L, "x y z p q r s"),
+      (4L, "unique words only here now"),
+      (5L, "p q")).toDF("doc_id", "text")
+    val r = TextAnalysis.dupSpanStats(docs, "doc_id", "text", n = 4, minCount = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 8L, 1L, 4L),   // gram at pos 2 → positions 2..5
+      (2L, 8L, 1L, 4L),   // gram at pos 0 → positions 0..3
+      (3L, 7L, 1L, 4L),   // gram at pos 3 → positions 3..6
+      (4L, 5L, 0L, 0L),   // clean
+      (5L, 2L, 0L, 0L)),  // shorter than the gram: zero, not an error
+      s"got $r")
+  }
+
+  test("dupSpanStats overlapping hot grams union their covered positions") {
+    import spark.implicits._
+    // "p q r s t" in 3 docs: two overlapping hot 4-grams per doc
+    // (p q r s @0, q r s t @1) → 5 masked positions, not 8
+    val docs = Seq(
+      (1L, "p q r s t"), (2L, "p q r s t a"), (3L, "b p q r s t"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.dupSpanStats(docs, "doc_id", "text", n = 4, minCount = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._3) == Seq(2L, 2L, 2L), s"two hot grams per doc: $r")
+    assert(r.map(_._4) == Seq(5L, 5L, 5L),
+      s"overlap must union, not double-count: $r")
+  }
 }
