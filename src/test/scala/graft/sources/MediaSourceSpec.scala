@@ -82,6 +82,59 @@ class MediaSourceSpec extends AnyFunSuite {
       Set("png", "bmp", "wav"))
   }
 
+  test("streaming binaryFile ingestion: new files decode into a vintage sink exactly once") {
+    import graft.operators.MediaCodec.ImageSpec
+    val dir = newDir()
+    val sinkDir = Files.createTempDirectory("media-sink").toString + "/t"
+    val cp = Files.createTempDirectory("media-cp").toString
+    def drop(ids: Range): Unit = MediaSource.writeMediaDir(
+      MediaCodec.renderImages(spark.createDataset(ids.map(k =>
+        ImageSpec(k.toLong, 8, 4, k % 256, (k * 2) % 256, (k * 3) % 256, "png"))))
+        .map(m => (m, "png")),
+      dir, "csv")
+    drop(0 until 3)
+
+    // the production ingestion shape: binaryFile is a file STREAMING
+    // source too — new blobs landing in the directory flow through the
+    // real decoder into a versioned sink, each file exactly once
+    val binSchema = "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    val stream = spark.readStream.format("binaryFile").schema(binSchema)
+      .load(s"$dir/media")
+      .select(
+        regexp_extract(col("path"), "/([0-9]+)_([a-z]+)\\.[a-zA-Z0-9]+$", 1)
+          .cast("long").as("media_id"),
+        regexp_extract(col("path"), "/([0-9]+)_([a-z]+)\\.[a-zA-Z0-9]+$", 2)
+          .as("kind"),
+        col("content").as("bytes"))
+      .as[MediaRecord]
+    val decoded = MediaCodec.decodeImages(stream)
+      .select(col("media_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+    // pre-create the sink so the stream appends versions to it (an
+    // empty BATCH frame — a streaming frame cannot batch-write)
+    graft.vintage.VintageTable.create(spark, sinkDir,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        decoded.schema))
+    def drain(): Unit = {
+      val q = decoded.writeStream.format("vintage")
+        .option("path", sinkDir).option("checkpointLocation", cp).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(spark.read.format("vintage").load(sinkDir).count() == 3)
+
+    drop(3 until 5) // two NEW files land; restart picks up only those
+    drain()
+    val rows = spark.read.format("vintage").load(sinkDir)
+    assert(rows.count() == 5, "each file lands exactly once across restarts")
+    val px = 8L * 4
+    val sums = rows.select("media_id", "sum_r").as[(Long, Long)].collect().toMap
+    (0 until 5).foreach { k =>
+      assert(sums(k.toLong) == (k % 256) * px, s"file $k decoded through the stream")
+    }
+  }
+
   test("metadata-only read prunes the content column from the scan") {
     val dir = newDir()
     val (_, _, recs) = fixtures()
