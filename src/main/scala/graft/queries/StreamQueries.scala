@@ -156,14 +156,16 @@ object StreamQueries {
     * `dropDuplicatesWithinWatermark` over a content hash): the same
     * 1-in-20-users event subset, keyed by `event_type:user_id` (real
     * duplicates: every user repeats event types), streamed through a
-    * memory source in 5 event-time-ordered micro-batches. The
+    * memory source in 3 event-time-ordered micro-batches. The
     * watermark delay exceeds the whole event span, so the state never
     * evicts mid-feed and the output must be EXACTLY the distinct key
     * set — a key emitted twice (broken cross-batch state) or never
     * (overeager dedup) breaks the hash. Bounded-state eviction under a
     * short watermark is pinned separately by StreamOpsSpec; survivor
     * choice among same-key rows is shuffle-order-dependent, so the
-    * gate pins the key set, not a survivor attribute.
+    * gate pins the key set, not a survivor attribute. Three
+    * micro-batches: dedup needs cross-batch boundaries, and each batch
+    * pays a fixed state-store cost the gate should not multiply.
     */
   def q52StreamDedup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -190,7 +192,7 @@ object StreamQueries {
     val q = deduped.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
     try {
-      val batchSize = feed.length / 5 + 1
+      val batchSize = feed.length / 3 + 1
       feed.grouped(batchSize).foreach { g =>
         mem.addData(g.toSeq: _*); q.processAllAvailable()
       }

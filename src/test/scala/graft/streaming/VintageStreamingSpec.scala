@@ -478,4 +478,63 @@ class VintageStreamingSpec extends AnyFunSuite {
         Map("startingVersion" -> "1", "startingTimestamp" -> "0"))
     }
   }
+
+  test("CDF-driven incremental aggregate tracks the base table through DML") {
+    import spark.implicits._
+    // The materialized-view maintenance pattern: a per-key SUM/COUNT
+    // aggregate kept current from the change feed alone — inserts and
+    // update postimages add, deletes and update preimages retract —
+    // applied by a fluent MERGE per micro-batch. The aggregate never
+    // rescans the base table; after every drain it must equal a fresh
+    // batch groupBy.
+    val base = Files.createTempDirectory("vintage-cdf-agg").toString + "/b"
+    val aggDir = Files.createTempDirectory("vintage-cdf-agg").toString + "/a"
+    val cp = Files.createTempDirectory("vintage-cdf-agg-cp").toString
+    val t = VintageTable.create(spark, base,
+      Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("k", "v"))
+    val aggT = VintageTable.create(spark, aggDir,
+      Seq.empty[(String, Long, Long)].toDF("k", "sum_v", "cnt"))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("vintage")
+        .option("readChangeFeed", "true").load(base)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val sign = when(col("_change_type").isin("insert", "update_postimage"),
+            lit(1L)).otherwise(lit(-1L))
+          val deltas = batch
+            .select(col("k"), (sign * col("v")).as("dv"), sign.as("dc"))
+            .groupBy("k")
+            .agg(sum("dv").as("dv"), sum("dc").as("dc"))
+          aggT.as("t").merge(deltas.as("s"), "t.k = s.k")
+            .whenMatched().update(Map(
+              "sum_v" -> (col("t.sum_v") + col("s.dv")),
+              "cnt" -> (col("t.cnt") + col("s.dc"))))
+            .whenNotMatched().insert(Map(
+              "k" -> col("s.k"), "sum_v" -> col("s.dv"), "cnt" -> col("s.dc")))
+            .execute()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def assertMirrors(): Unit = {
+      val live = aggT.toDF.filter(col("cnt") > 0)
+        .select("k", "sum_v", "cnt").as[(String, Long, Long)].collect().toSet
+      val batch = t.toDF.groupBy("k")
+        .agg(sum("v").as("sum_v"), count(lit(1)).as("cnt"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(live == batch, s"aggregate drifted: $live vs $batch")
+    }
+
+    drain(); assertMirrors()                       // initial snapshot as inserts
+    t.append(Seq(("b", 20L), ("c", 5L)).toDF("k", "v"))
+    drain(); assertMirrors()                       // plain inserts
+    t.update(col("k") === "a" && col("v") === 2L, Map("v" -> lit(7L)))
+    drain(); assertMirrors()                       // retract/emit pair nets +5
+    t.delete(col("k") === "b")
+    drain(); assertMirrors()                       // retractions drive cnt to 0
+    assert(aggT.toDF.filter(col("k") === "b").select("cnt")
+      .head().getLong(0) == 0L, "b fully retracted")
+  }
 }
