@@ -73,6 +73,11 @@ object SparkEntry {
     "q52_stream_dedup"     -> (StreamQueries.q52StreamDedup _),
     "q53_video_codec"      -> (MediaQueries.q53VideoCodec _),
     "q54_dup_spans"        -> (PipelineQueries.q54DupSpans _),
+    "q55_token_budget"     -> (PipelineQueries.q55TokenBudget _),
+    "q56_kmv_distinct"     -> (PipelineQueries.q56KmvDistinct _),
+    "q57_band_join"        -> (PipelineQueries.q57BandJoin _),
+    "q58_stream_band_join" -> (StreamQueries.q58StreamBandJoin _),
+    "q59_json_props"       -> (Analytics.q59JsonProps _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -138,5 +143,10 @@ object SparkEntry {
     "q52_stream_dedup"     -> StreamQueries.q52Sql,
     "q53_video_codec"      -> MediaQueries.q53Sql,
     "q54_dup_spans"        -> PipelineQueries.q54Sql,
+    "q55_token_budget"     -> PipelineQueries.q55Sql,
+    "q56_kmv_distinct"     -> PipelineQueries.q56Sql,
+    "q57_band_join"        -> PipelineQueries.q57Sql,
+    "q58_stream_band_join" -> StreamQueries.q58Sql,
+    "q59_json_props"       -> Analytics.q59Sql,
   )
 }

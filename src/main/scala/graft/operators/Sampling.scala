@@ -73,6 +73,63 @@ object Sampling {
       .drop("_sample_rank")
   }
 
+  /** Token-budget sampling: within each stratum, walk rows in
+    * deterministic `(unitHash(id), id)` order and keep a row iff the
+    * total weight of the rows BEFORE it is still under the stratum's
+    * budget — the "take N tokens from each domain" step of a
+    * pretraining data recipe (budgets in tokens, weights = per-doc
+    * token counts). Greedy prefix semantics: the first row that
+    * crosses the budget is still kept, everything after it is not, so
+    * the kept set is a deterministic function of content alone and a
+    * rerun/backfill re-selects exactly the same rows.
+    *
+    * Scale shape: the naive formulation is one window per stratum —
+    * a running sum ordered by hash — which serializes each stratum
+    * into a single partition (a wall once one domain holds billions
+    * of docs). This is the two-level exact prefix sum instead:
+    *   1. rows land in `buckets` hash-range buckets (bucket order IS
+    *      hash order, so concatenating buckets preserves the walk);
+    *   2. per-(stratum, bucket) weight totals aggregate map-side —
+    *      `strata * buckets` rows, driver-free;
+    *   3. a window over that TINY frame yields each bucket's starting
+    *      offset, broadcast back;
+    *   4. the running sum completes LOCALLY inside each
+    *      (stratum, bucket) partition — parallelism is
+    *      `strata * buckets`, not `strata`.
+    * Strata absent from `budgets` get budget 0 (dropped).
+    *
+    * Appends `tok_before` (exact weight sum of all preceding rows in
+    * the stratum's walk) to the kept rows.
+    */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
+                        weightCol: String, budgets: Map[String, Long],
+                        buckets: Int = 256): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val h = unitHash(col(idCol))
+    val withB = df
+      .withColumn("__h", h)
+      .withColumn("__b", floor(col("__h") * buckets).cast("int"))
+    val totals = withB.groupBy(col(strataCol), col("__b"))
+      .agg(sum(col(weightCol).cast("long")).as("__bt"))
+    val wOff = Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wOff), lit(0L)))
+      .drop("__bt")
+    val wLoc = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(0L): Column) {
+      case (acc, (k, v)) => when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    withB
+      .join(broadcast(offsets), Seq(strataCol, "__b"))
+      .withColumn("tok_before",
+        col("__off") + coalesce(sum(col(weightCol).cast("long")).over(wLoc), lit(0L)))
+      .filter(col("tok_before") < budget)
+      .drop("__h", "__b", "__off")
+  }
+
   /** Per-stratum sampling fractions that hit `targetShares` (shares of
     * the OUTPUT mix summing to 1) given observed stratum counts, scaled
     * as large as possible without any fraction exceeding 1 — the

@@ -114,4 +114,47 @@ object TimeSeries {
       .filter(col("__side") === 1 && col("__fill").isNotNull)
       .select(col(keyCol), col("__us").as("tick_us"), col("__fill").as(valueCol))
   }
+
+  /** Temporal band join: every (left, right) pair whose timestamps are
+    * within `widthSeconds` of each other (|t_l − t_r| <= width), with
+    * NO equi-key — the cross-entity correlation join ("errors near a
+    * purchase") that Spark's planner would otherwise execute as a
+    * broadcast-nested-loop or cartesian product, both O(|L|·|R|)
+    * walls at scale.
+    *
+    * Shape: bucketize time into `width`-sized cells. Each left row
+    * lands in its own cell; each right row is replicated into its cell
+    * and both neighbors (3× — any pair within `width` shares a cell
+    * under this scheme, and each qualifying pair meets in EXACTLY one
+    * cell, the left row's, so no post-join dedup). The join is then a
+    * plain equi-join on the cell — hash-partitioned, shuffle-once per
+    * side, no cross product (plan-asserted by TimeSeriesSpec) — with
+    * the exact band predicate as a cheap post-filter. Cost scales with
+    * true pair density per cell, not |L|·|R|; a pathological cell
+    * (everything in one time window) is the usual skew caveat — widen
+    * to a composite key or salt upstream if one window holds the
+    * corpus.
+    *
+    * Output: all left columns plus `rightIdCol` and `rightTsCol`
+    * renamed with a `matched_` prefix.
+    */
+  def bandJoin(left: DataFrame, right: DataFrame, tsCol: String,
+               rightIdCol: String, widthSeconds: Long): DataFrame = {
+    require(widthSeconds > 0, s"widthSeconds must be positive, got $widthSeconds")
+    val w = widthSeconds * 1000000L
+    // `div` = exact integer division (Column `/` is double division —
+    // a rounding hazard at epoch-micro magnitudes near cell edges)
+    val l = left
+      .withColumn("__lus", unix_micros(col(tsCol)))
+      .withColumn("__cell", expr(s"__lus div ${w}L"))
+    val r = right.select(col(rightIdCol).as("matched_" + rightIdCol),
+        unix_micros(col(tsCol)).as("__rus"))
+      .withColumn("__c0", expr(s"__rus div ${w}L"))
+      .withColumn("__cell", explode(sequence(col("__c0") - 1, col("__c0") + 1)))
+      .drop("__c0")
+    l.join(r, Seq("__cell"))
+      .filter(abs(col("__lus") - col("__rus")) <= w)
+      .withColumn("matched_ts_us", col("__rus"))
+      .drop("__cell", "__lus", "__rus")
+  }
 }

@@ -356,4 +356,36 @@ object Analytics {
       |EXCEPT
       |SELECT p_brand, p_size - 30 AS p_size FROM part WHERE p_size >= 40
       |ORDER BY p_brand, p_size""".stripMargin
+
+  /** Semi-structured column handling: `events.props` is a JSON string;
+    * parse it with a TYPED schema (`from_json`, codegen'd Jackson parse
+    * in the scan projection — the Spark-first path for JSON columns,
+    * no UDF, no driver round-trip) and aggregate the extracted field.
+    * Malformed documents parse to NULL and fall into the NULL bucket
+    * rather than failing the scan (PERMISSIVE mode, the 100-TB default:
+    * one bad row must not kill a corpus-wide pass).
+    */
+  def q59JsonProps(spark: SparkSession, d: String): DataFrame = {
+    val k = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k")
+    Tables.events(spark, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"), pmod(col("k"), lit(10L)).as("k_mod"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type", "k_mod")
+  }
+
+  val q59Sql: String =
+    """SELECT event_type,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+      |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -1019,4 +1019,123 @@ object PipelineQueries {
       |LEFT JOIN dc USING (doc_id)
       |LEFT JOIN mc USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source token budgets shared by q55 and its oracle. Chosen to
+    * exercise every edge: src9's budget exceeds its corpus (everything
+    * kept), src14's is 1 (exactly the first doc in hash order), the
+    * rest cut mid-corpus; the 15 unlisted sources get budget 0
+    * (dropped entirely).
+    */
+  private val tokenBudgets = Map(
+    "src0" -> 1000L, "src1" -> 600L, "src5" -> 250L,
+    "src9" -> 2000000L, "src14" -> 1L)
+
+  /** Token-budget mixture sampling — "take N tokens per domain" in
+    * deterministic hash order (the pretraining data-mixing draw),
+    * via [[Sampling.tokenBudgetSample]]'s two-level exact prefix sum
+    * (bucketized, so no domain ever serializes into one partition).
+    * `buckets = 8` keeps several docs per bucket at gate scale so the
+    * offsets + local-cumsum recombination is genuinely exercised.
+    */
+  def q55TokenBudget(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.tokenBudgetSample(docs, "source", "doc_id", "n_tokens",
+        tokenBudgets, buckets = 8)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("tok_before"))
+      .orderBy("source", "doc_id")
+  }
+
+  val q55Sql: String = {
+    val arms = tokenBudgets.toSeq.sorted
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ")
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+      |                         x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    ((doc_id::HUGEINT * 2654435761) % 4294967296) / 4294967296.0 AS h
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens, tok_before FROM c
+      |WHERE tok_before < CASE source $arms ELSE 0 END
+      |ORDER BY source, doc_id""".stripMargin
+  }
+
+  /** KMV distinct-token sketch per source: a bounded (k = 64 longs per
+    * group) native Catalyst aggregate estimates the distinct-token
+    * cardinality from the 64 smallest distinct token hashes — see
+    * [[graft.functions.KMinValues]]. The hash is the first 48 bits of
+    * md5 (portable: DuckDB recomputes it verbatim), so the sketch —
+    * normally "approximate" — is exactly reproducible and sits on the
+    * hash gate next to the exact `count(DISTINCT)` it approximates.
+    */
+  def q56KmvDistinct(spark: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(spark, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long").as("h"))
+    tok.groupBy("source")
+      .agg(graft.functions.KMinValues.kmvMinK(col("h"), 64).as("kmv"),
+        countDistinct(col("h")).as("n_distinct"))
+      .select(col("source"), col("n_distinct"),
+        col("kmv.kth").as("kth_hash"),
+        when(col("kmv.kth").isNull, col("n_distinct"))
+          .otherwise(floor(lit(63.0) * lit(281474976710656.0) / col("kmv.kth")))
+          .cast("long").as("est_distinct"))
+      .orderBy("source")
+  }
+
+  val q56Sql: String =
+    """WITH tok AS (
+      |  SELECT source, t.tok FROM documents,
+      |    LATERAL unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                               x -> x <> '')) t(tok)),
+      |h AS (SELECT DISTINCT source,
+      |        CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h FROM tok),
+      |r AS (SELECT source, h,
+      |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+      |a AS (SELECT source, count(*) AS n_distinct,
+      |        max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+      |      FROM r GROUP BY source)
+      |SELECT source, n_distinct, kth_hash,
+      |  CAST(CASE WHEN kth_hash IS NULL THEN n_distinct
+      |       ELSE floor(63.0 * 281474976710656.0 / kth_hash) END AS BIGINT) AS est_distinct
+      |FROM a ORDER BY source""".stripMargin
+
+  /** Temporal band join WITHOUT an equi-key: errors within ±120 s of
+    * each purchase, across all users — the correlation join Spark
+    * would plan as a nested-loop cross product, done instead as
+    * [[TimeSeries.bandJoin]]'s bucket-expansion equi-join (shuffle
+    * both sides on the time cell, 3× replication of the right side,
+    * no cartesian — plan-asserted by TimeSeriesSpec).
+    */
+  def q57BandJoin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("ts"))
+    TimeSeries.bandJoin(purchases, errors, "ts", "event_id", widthSeconds = 120)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_nearby_errors"),
+        min(col("matched_event_id")).as("first_error_id"),
+        max(col("matched_event_id")).as("last_error_id"))
+      .orderBy("event_id")
+  }
+
+  val q57Sql: String =
+    """SELECT p.event_id,
+      |  count(*) AS n_nearby_errors,
+      |  min(e.event_id) AS first_error_id,
+      |  max(e.event_id) AS last_error_id
+      |FROM events p JOIN events e
+      |  ON e.event_type = 'error'
+      | AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 120000000
+      |WHERE p.event_type = 'purchase'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }

@@ -239,6 +239,77 @@ object StreamQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Gate query for the stream–stream temporal band join
+    * ([[graft.streaming.StreamOps.bandJoinStreaming]]): purchases and
+    * errors from the 1-in-3-users event subset replayed as TWO live
+    * streams fed in event-time lockstep (4 micro-batch rounds), joined
+    * on |Δt| <= 600 s with a generous watermark (nothing in the replay
+    * is late, so the emitted pair set must be EXACTLY the batch band
+    * join's — the stream/batch equivalence contract; state eviction
+    * under a tight watermark is pinned by StreamOpsSpec instead).
+    * Pairs then roll up per purchase exactly like batch gate q57, and
+    * the DuckDB oracle recomputes the whole thing as one SQL join.
+    */
+  def q58StreamBandJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def micros(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val feed = Tables.events(spark, d)
+      .filter(col("user_id") % 3 === 0 &&
+        col("event_type").isin("purchase", "error"))
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .as[(String, Long, Timestamp)]
+      .collect()
+      .sortBy(r => (micros(r._3), r._2))
+    require(feed.nonEmpty, s"no purchase/error events with user_id % 3 = 0 under $d")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.StreamOps.bandJoinStreaming(
+      pMem.toDF.toDF("p_id", "p_ts"), eMem.toDF.toDF("e_id", "e_ts"),
+      "p_id", "p_ts", "e_id", "e_ts",
+      widthSeconds = 600, delayThreshold = "40 days")
+    val sink = "q58_band_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // both sides advance together so neither watermark outruns the
+      // other's in-flight rows; 4 rounds = 3 cross-batch boundaries
+      val batchSize = feed.length / 4 + 1
+      feed.grouped(batchSize).foreach { g =>
+        val p = g.collect { case ("purchase", id, t) => (id, t) }
+        val e = g.collect { case ("error", id, t) => (id, t) }
+        if (p.nonEmpty) pMem.addData(p.toSeq: _*)
+        if (e.nonEmpty) eMem.addData(e.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    spark.table(sink)
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(lit(1)).as("n_nearby_errors"),
+        min(col("e_id")).as("first_error_id"),
+        max(col("e_id")).as("last_error_id"))
+      .orderBy("event_id")
+  }
+
+  val q58Sql: String =
+    """SELECT p.event_id,
+      |  count(*) AS n_nearby_errors,
+      |  min(e.event_id) AS first_error_id,
+      |  max(e.event_id) AS last_error_id
+      |FROM events p JOIN events e
+      |  ON e.event_type = 'error'
+      | AND e.user_id % 3 = 0
+      | AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 600000000
+      |WHERE p.event_type = 'purchase' AND p.user_id % 3 = 0
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
   val q48Sql: String =
     """WITH nat AS (
       |  SELECT n_name AS name, CAST(n_regionkey AS BIGINT) AS rkey FROM nation

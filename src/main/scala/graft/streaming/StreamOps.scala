@@ -184,4 +184,50 @@ object StreamOps {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("n_docs"), col("n_tokens"))
+
+  /** Stream–stream temporal band join: every (left, right) pair with
+    * |t_l − t_r| <= `widthSeconds`, as both sides ARRIVE — the live
+    * twin of [[graft.operators.TimeSeries.bandJoin]] (same pair set,
+    * pinned by StreamOpsSpec and gate q58).
+    *
+    * Built on Spark's watermarked stream–stream inner join, which
+    * REQUIRES an equality predicate — a pure interval condition is
+    * rejected at planning ("stream-stream join without equality
+    * predicate is not supported"). The batch operator's
+    * bucket-expansion supplies it: both sides are keyed by a
+    * `width`-sized time cell (right side replicated into its cell ±1,
+    * so every in-band pair shares the left row's cell exactly once),
+    * and the join is cell-equality AND the exact band interval. The
+    * equality keys the join state like any shuffle; the interval
+    * bound + watermark let the engine EVICT — a buffered row stops
+    * matching once the other side's watermark passes `t ± width`, so
+    * state is bounded by (arrival skew + band width) × ingest rate,
+    * never the stream's history (pinned via `numRowsTotal` by
+    * StreamOpsSpec). Inner joins emit on match (no watermark wait);
+    * rows later than `delayThreshold` may miss pairs, exactly the
+    * built-in operator's contract.
+    *
+    * Column names must differ across sides (Spark's join condition
+    * needs unambiguous refs): left carries `lIdCol`/`lTsCol`, right
+    * `rIdCol`/`rTsCol`. Output: `lIdCol, rIdCol, l_ts_us, r_ts_us`.
+    */
+  def bandJoinStreaming(left: DataFrame, right: DataFrame,
+      lIdCol: String, lTsCol: String, rIdCol: String, rTsCol: String,
+      widthSeconds: Long, delayThreshold: String): DataFrame = {
+    require(widthSeconds > 0, s"widthSeconds must be positive, got $widthSeconds")
+    val w = widthSeconds * 1000000L
+    val l = left.withWatermark(lTsCol, delayThreshold)
+      .withColumn("__lcell", expr(s"unix_micros($lTsCol) div ${w}L"))
+    val r = right.withWatermark(rTsCol, delayThreshold)
+      .withColumn("__c0", expr(s"unix_micros($rTsCol) div ${w}L"))
+      .withColumn("__rcell", explode(sequence(col("__c0") - 1, col("__c0") + 1)))
+      .drop("__c0")
+    l.join(r,
+        col("__lcell") === col("__rcell") &&
+          expr(s"$rTsCol >= $lTsCol - interval $widthSeconds seconds AND " +
+            s"$rTsCol <= $lTsCol + interval $widthSeconds seconds"))
+      .select(col(lIdCol), col(rIdCol),
+        unix_micros(col(lTsCol)).as("l_ts_us"),
+        unix_micros(col(rTsCol)).as("r_ts_us"))
+  }
 }

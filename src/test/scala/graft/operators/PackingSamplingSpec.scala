@@ -101,4 +101,53 @@ class PackingSamplingSpec extends AnyFunSuite {
       assert(math.abs(out(k) / n - s) < 1e-9, s"$k: ${out(k) / n} vs $s")
     }
   }
+
+  /** Exact scalar model of [[Sampling.unitHash]]. */
+  private def hashModel(id: Long): Double =
+    ((BigInt(id) * BigInt(2654435761L)) mod BigInt(4294967296L)).toDouble / 4294967296.0
+
+  test("tokenBudgetSample: matches the single-walk greedy model across bucket counts") {
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"src${i % 3}", 10L + i % 23)
+    }
+    val df = rows.toDF("id", "src", "w")
+    val budgets = Map("src0" -> 700L, "src1" -> 1L, "src2" -> 1000000L)
+    // greedy model: walk each stratum in (hash, id) order, keep while
+    // the PRECEDING weight is under budget, recording that prefix sum
+    val expect = rows.groupBy(_._2).flatMap { case (src, rs) =>
+      val budget = budgets(src)
+      var acc = 0L
+      rs.sortBy { case (id, _, _) => (hashModel(id), id) }.flatMap { case (id, _, w) =>
+        val keep = acc < budget
+        val row = (src, id, acc)
+        acc += w
+        if (keep) Some(row) else None
+      }
+    }.toSet
+    // the two-level prefix sum must be EXACT for any bucket count,
+    // including buckets = 1 (degenerates to the single window)
+    for (b <- Seq(1, 4, 64)) {
+      val got = Sampling.tokenBudgetSample(df, "src", "id", "w", budgets, buckets = b)
+        .select("src", "id", "tok_before").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"buckets=$b")
+    }
+    // src1 budget 1: exactly the first doc in hash order survives
+    val first = Sampling.tokenBudgetSample(df, "src", "id", "w", budgets, buckets = 16)
+      .filter($"src" === "src1").collect()
+    assert(first.length == 1)
+    // strata without a budget are dropped
+    val none = Sampling.tokenBudgetSample(df, "src", "id", "w", Map("src0" -> 10L))
+      .filter($"src" =!= "src0").count()
+    assert(none == 0)
+  }
+
+  test("tokenBudgetSample: offsets frame joins broadcast, data side never re-shuffles for it") {
+    val rows = (0 until 300).map(i => (i.toLong, s"src${i % 3}", 10L))
+    val plan = Sampling.tokenBudgetSample(rows.toDF("id", "src", "w"),
+        "src", "id", "w", Map("src0" -> 100L, "src1" -> 100L, "src2" -> 100L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -176,4 +176,75 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(first(0).getAs[Long]("n_tokens") == 5)
     } finally q.stop()
   }
+
+  test("bandJoinStreaming agrees with the batch band join for in-bound feeds") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic times across several 60s cells, both sides
+    val lt = (0 until 40).map(i => (i.toLong, (i * 37L) % 600L))
+    val rt = (0 until 50).map(j => (j + 100L, (j * 53L) % 600L))
+    val pMem = MemoryStream[(Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.bandJoinStreaming(
+        pMem.toDF().toDF("p_id", "p_ts"), eMem.toDF().toDF("e_id", "e_ts"),
+        "p_id", "p_ts", "e_id", "e_ts",
+        widthSeconds = 60, delayThreshold = "1 hour")
+      .writeStream.format("memory").queryName("band_out")
+      .outputMode("append").start()
+    try {
+      // feed both sides in 3 time-ordered rounds so pairs must match
+      // ACROSS micro-batch boundaries via buffered state
+      val ls = lt.sortBy(_._2).grouped(14).toSeq
+      val rs = rt.sortBy(_._2).grouped(17).toSeq
+      for (i <- 0 until math.max(ls.size, rs.size)) {
+        ls.lift(i).foreach(g => pMem.addData(g.map { case (id, s) => (id, ts2(s)) }: _*))
+        rs.lift(i).foreach(g => eMem.addData(g.map { case (id, s) => (id, ts2(s)) }: _*))
+        q.processAllAvailable()
+      }
+      val got = spark.table("band_out").select("p_id", "e_id")
+        .as[(Long, Long)].collect().toList
+      val expect = for {
+        (l, a) <- lt; (r, b) <- rt if math.abs(a - b) <= 60
+      } yield (l, r)
+      assert(got.size == expect.size, s"${got.size} vs ${expect.size}")
+      assert(got.toSet == expect.toSet)
+    } finally q.stop()
+  }
+
+  test("bandJoinStreaming: watermark + band bound evict buffered state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pMem = MemoryStream[(Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.bandJoinStreaming(
+        pMem.toDF().toDF("p_id", "p_ts"), eMem.toDF().toDF("e_id", "e_ts"),
+        "p_id", "p_ts", "e_id", "e_ts",
+        widthSeconds = 60, delayThreshold = "1 minute")
+      .writeStream.format("memory").queryName("band_evict")
+      .outputMode("append").start()
+    try {
+      pMem.addData((1L, ts2(0)), (2L, ts2(10)))
+      eMem.addData((9L, ts2(5)))
+      q.processAllAvailable()
+      // advance both watermarks far past every buffered row's horizon
+      pMem.addData((3L, ts2(100000))); eMem.addData((8L, ts2(100000)))
+      q.processAllAvailable()
+      pMem.addData((4L, ts2(100060))); eMem.addData((7L, ts2(100030)))
+      q.processAllAvailable()
+      val rowsInState = q.lastProgress.stateOperators(0).numRowsTotal
+      // rows 1/2/9 are far older than watermark − band: evicted; only
+      // the newest frontier may remain buffered (right rows count ×3 —
+      // the cell replication), so ≤ 2 left + 2×3 right
+      assert(rowsInState <= 8, s"state holds $rowsInState rows")
+      val pairs = spark.table("band_evict").select("p_id", "e_id")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 9L)) && pairs.contains((2L, 9L)))
+      assert(pairs.contains((4L, 7L)))
+    } finally q.stop()
+  }
+
+  /** seconds → Timestamp, offset well past epoch 0 (a row AT the
+    * initial watermark would be dropped as late). */
+  private def ts2(s: Long): Timestamp =
+    new Timestamp(Timestamp.valueOf("2026-01-01 00:00:00").getTime + s * 1000L)
 }
