@@ -78,6 +78,7 @@ object SparkEntry {
     "q57_band_join"        -> (PipelineQueries.q57BandJoin _),
     "q58_stream_band_join" -> (StreamQueries.q58StreamBandJoin _),
     "q59_json_props"       -> (Analytics.q59JsonProps _),
+    "q60_simhash_portable" -> (PipelineQueries.q60SimhashPortable _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -119,6 +120,8 @@ object SparkEntry {
     // q40 exact cosine + planted recall), so a scoring regression
     // changes the rows even when cardinality holds. Exact semantics
     // pinned by SimilaritySpec / DedupSpec / PipelineSelfCertSpec.
+    // The simhash ALGORITHM CLASS is additionally hash-verified end
+    // to end by q60 over a portable md5-derived hash.
     "q30_contamination"    -> PipelineQueries.q30Sql,
     "q31_chunk_spans"      -> PipelineQueries.q31Sql,
     "q32_rare_tokens"      -> PipelineQueries.q32Sql,
@@ -148,5 +151,6 @@ object SparkEntry {
     "q57_band_join"        -> PipelineQueries.q57Sql,
     "q58_stream_band_join" -> StreamQueries.q58Sql,
     "q59_json_props"       -> Analytics.q59Sql,
+    "q60_simhash_portable" -> PipelineQueries.q60Sql,
   )
 }

@@ -310,6 +310,79 @@ object Dedup {
     }
   }
 
+  /** PORTABLE SimHash near-dup pairs: same pigeonhole-banded pipeline
+    * as [[simHashPairs]], but the signature is `bands × bandBits` bits
+    * over the first-48-bits-of-md5 token hash instead of xxhash64 —
+    * every stage (hash, bit-majority vote, banding, hamming) is
+    * reproducible by any engine with md5 and bit ops, which puts the
+    * simhash ALGORITHM CLASS on the exact DuckDB hash gate (q60) where
+    * the xxhash64 variant could only ever self-certify (q29).
+    *
+    * The majority vote runs as ONE codegen'd aggregation pass: per
+    * document, `bands*bandBits` conditional bit-sums + a token count
+    * (map-side combine, no per-bit re-scan — the HOF formulation
+    * re-walks the token array per bit). Banding is exact, not
+    * approximate, for `maxHamming < bands`: a pair within hamming h
+    * flips at most h bands, so with h < bands at least one band
+    * matches verbatim (pigeonhole) and the pair is found.
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b, hamming <= maxHamming.
+    * Documents with zero tokens carry no signature and never pair.
+    */
+  def simHashPortablePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 8, bandBits: Int = 6, maxHamming: Int = 2,
+      maxBucketSize: Int = 10000, materialize: Boolean = true): DataFrame = {
+    val bits = bands * bandBits
+    require(bits <= 62, s"signature of $bits bits does not fit a Long")
+    require(maxHamming < bands,
+      s"banding is only exact for maxHamming < bands ($maxHamming >= $bands)")
+    val tok = df
+      .select(col(idCol).as("__id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .select(col("__id"),
+        conv(substring(md5(col("__t")), 1, 12), 16, 10).cast("long").as("__h"))
+    val bitSums = (0 until bits).map(i =>
+      sum(shiftright(col("__h"), i).bitwiseAND(lit(1L))).as(s"__b$i"))
+    val agg = tok.groupBy("__id")
+      .agg(count(lit(1)).as("__n"), bitSums: _*)
+    val sig = (0 until bits).map(i =>
+      when(col(s"__b$i") * 2 > col("__n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val withSig = agg.select(col("__id"), sig.as("__sim"))
+    val mask = (1L << bandBits) - 1
+    val chunked0 = withSig.select(col("__id"), col("__sim"), posexplode(expr(
+      s"transform(sequence(0, ${bands - 1}), c -> shiftright(__sim, c * $bandBits) & $mask)"))
+      .as(Seq("__chunk", "__ckey")))
+    val chunked =
+      if (materialize) chunked0.persist(StorageLevel.MEMORY_AND_DISK)
+      else chunked0
+    val sizes = chunked.groupBy("__chunk", "__ckey")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucketSize))
+      .select("__chunk", "__ckey")
+    val eligible0 = chunked.join(sizes, Seq("__chunk", "__ckey"))
+    val eligible =
+      if (materialize) eligible0.persist(StorageLevel.MEMORY_AND_DISK)
+      else eligible0
+    val result = eligible.as("l")
+      .join(eligible.as("r"),
+        col("l.__chunk") === col("r.__chunk") &&
+        col("l.__ckey") === col("r.__ckey") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    if (!materialize) result
+    else {
+      val out = materializeSmall(result)
+      chunked.unpersist(blocking = false)
+      eligible.unpersist(blocking = false)
+      out
+    }
+  }
+
   /** Cross-corpus near-duplicates: corpus docs that near-match ANY
     * document of `reference` — the fuzzy-decontamination primitive of a
     * pretraining pipeline (drop training docs that near-duplicate an

@@ -1127,6 +1127,43 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
+  /** Portable-SimHash near-dup pairs with a FULL hash oracle — the
+    * algorithm class q29 could only self-certify (engine-specific
+    * xxhash64), re-run over the md5-derived 48-bit hash so DuckDB
+    * replays hash → bit-majority → banding → hamming verbatim.
+    * 8 bands × 6 bits, hamming <= 2 (< bands, so banding is exact:
+    * the output IS every pair within hamming 2, no approximation).
+    */
+  def q60SimhashPortable(spark: SparkSession, d: String): DataFrame =
+    Dedup.simHashPortablePairs(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", bands = 8, bandBits = 6, maxHamming = 2)
+      .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+      .orderBy("doc_a", "doc_b")
+
+  val q60Sql: String = {
+    val bits = 48
+    val sums = (0 until bits).map(i => s"sum((h >> $i) & 1) AS b$i").mkString(", ")
+    val sig = (0 until bits)
+      .map(i => s"CASE WHEN 2*b$i > n THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 12)) AS BIGINT) AS h
+      |  FROM documents,
+      |    LATERAL unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+      |                               x -> x <> '')) t(tok)),
+      |s AS (SELECT doc_id, count(*) AS n, $sums FROM tok GROUP BY doc_id),
+      |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s),
+      |band AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band*6)) & 63 AS key
+      |         FROM sig, (SELECT unnest(range(0, 8)) AS band) b),
+      |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        xor(a.simhash, b.simhash) AS x
+      |      FROM band a JOIN band b
+      |        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(x) AS BIGINT) AS hamming
+      |FROM p WHERE bit_count(x) <= 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val q57Sql: String =
     """SELECT p.event_id,
       |  count(*) AS n_nearby_errors,

@@ -278,8 +278,10 @@ object StreamQueries {
       .outputMode("append").start()
     try {
       // both sides advance together so neither watermark outruns the
-      // other's in-flight rows; 4 rounds = 3 cross-batch boundaries
-      val batchSize = feed.length / 4 + 1
+      // other's in-flight rows; 3 rounds = 2 cross-batch boundaries
+      // (cross-batch state is the contract under test; each extra
+      // round only multiplies fixed state-store cost)
+      val batchSize = feed.length / 3 + 1
       feed.grouped(batchSize).foreach { g =>
         val p = g.collect { case ("purchase", id, t) => (id, t) }
         val e = g.collect { case ("error", id, t) => (id, t) }

@@ -80,6 +80,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!found.contains((1L, 3L)) && !found.contains((2L, 3L)))
   }
 
+  test("portable simhash: planted near-dup found, far docs apart, no cross product") {
+    val longA = (1 to 300).map(i => s"word$i").mkString(" ")
+    val longB = (1 to 300).map(i => if (i == 150) "CHANGED" else s"word$i").mkString(" ")
+    val longC = (1 to 300).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, longA), (2L, longB), (3L, longC)).toDF("id", "text")
+    val pairs = Dedup.simHashPortablePairs(docs, "id", "text", maxHamming = 2)
+    val found = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((1L, 2L)), s"planted near-dup must collide, got $found")
+    assert(!found.contains((1L, 3L)) && !found.contains((2L, 3L)))
+    val plan = Dedup.simHashPortablePairs(docs, "id", "text", materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("portable simhash: identical docs are hamming 0; banding finds every close pair") {
+    // two identical docs + one 1-token variant: (1,2) at hamming 0,
+    // and the variant within the maxHamming=2 exactness window must
+    // appear regardless of which bands its flipped bits land in
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val variant = (1 to 200).map(i => if (i == 7) "swap" else s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, variant)).toDF("id", "text")
+    val got = Dedup.simHashPortablePairs(docs, "id", "text", maxHamming = 2)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => ((a, b), h) }.toMap
+    assert(got.get((1L, 2L)).contains(0L), s"identical docs must be hamming 0: $got")
+    // the variant pairs with BOTH identical docs at the same distance
+    assert(got.get((1L, 3L)) == got.get((2L, 3L)))
+  }
+
   test("hot bucket: pairs distribute, oversized buckets drop, dups still found") {
     // 300 identical docs put 300 members into the same bucket in every
     // band; pair generation must distribute (bucket self-join) instead
