@@ -79,6 +79,7 @@ object SparkEntry {
     "q58_stream_band_join" -> (StreamQueries.q58StreamBandJoin _),
     "q59_json_props"       -> (Analytics.q59JsonProps _),
     "q60_simhash_portable" -> (PipelineQueries.q60SimhashPortable _),
+    "q61_bloom_membership" -> (PipelineQueries.q61BloomMembership _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -152,5 +153,6 @@ object SparkEntry {
     "q58_stream_band_join" -> StreamQueries.q58Sql,
     "q59_json_props"       -> Analytics.q59Sql,
     "q60_simhash_portable" -> PipelineQueries.q60Sql,
+    "q61_bloom_membership" -> PipelineQueries.q61Sql,
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Bloom, Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /** Driver-gated queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis) over the `documents` and
@@ -1162,6 +1162,60 @@ object PipelineQueries {
       |        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
       |SELECT doc_a, doc_b, CAST(bit_count(x) AS BIGINT) AS hamming
       |FROM p WHERE bit_count(x) <= 2 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Bloom-filter membership against a "previous run" (sources
+    * src0-src4): the constant-size cross-run dedup/decontamination
+    * primitive — the filter is 1024 bits built from 5 md5-slice
+    * probes per fingerprint, broadcast to the probe side, which never
+    * shuffles. Output per doc: `maybe_member` (the bloom answer — may
+    * be a false positive, NEVER a false negative) next to
+    * `actual_member` (exact fingerprint semi-join), so the gate pins
+    * the exact FP/FN behavior of the filter, not just its size.
+    */
+  def q61BloomMembership(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val a = docs.filter(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4"))
+    val filter = Bloom.build(a, "text", mBits = 1024, k = 5)
+    val maybe = Bloom.testMembership(docs, filter, "doc_id", "text",
+      mBits = 1024, k = 5)
+    val actual = docs
+      .select(col("doc_id"), Bloom.fingerprint(col("text")).as("__fp"))
+      .join(a.select(Bloom.fingerprint(col("text")).as("__fp")).distinct(),
+        Seq("__fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("actual_member"))
+    maybe.join(actual, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("maybe_member"),
+        coalesce(col("actual_member"), lit(false)).as("actual_member"))
+      .orderBy("doc_id")
+  }
+
+  val q61Sql: String = {
+    val m = 1024
+    val arms = (0 until 5)
+      .map(j => s"(CAST(('0x'||substr(fp, ${j * 6 + 1}, 6)) AS BIGINT) % $m)")
+      .mkString(", ")
+    s"""WITH fpt AS (
+      |  SELECT doc_id, source,
+      |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |a AS (SELECT fp FROM fpt WHERE source IN ('src0','src1','src2','src3','src4')),
+      |pos AS (SELECT unnest([$arms]) AS pos FROM a),
+      |words AS (SELECT pos // 64 AS word_idx,
+      |            bit_or(CAST(1 AS UBIGINT) << CAST(pos % 64 AS INT)) AS bits
+      |          FROM pos GROUP BY 1),
+      |probes AS (SELECT doc_id, unnest(list_distinct([$arms])) AS pos FROM fpt),
+      |hit AS (SELECT doc_id,
+      |          CASE WHEN (coalesce(bits, CAST(0 AS UBIGINT))
+      |                     >> CAST(pos % 64 AS INT)) & 1 = 1
+      |               THEN 1 ELSE 0 END AS h
+      |        FROM probes LEFT JOIN words ON pos // 64 = word_idx),
+      |m AS (SELECT doc_id, count(*) = sum(h) AS maybe_member FROM hit GROUP BY doc_id),
+      |act AS (SELECT DISTINCT f.doc_id FROM fpt f JOIN a ON f.fp = a.fp)
+      |SELECT m.doc_id, m.maybe_member, (act.doc_id IS NOT NULL) AS actual_member
+      |FROM m LEFT JOIN act ON m.doc_id = act.doc_id ORDER BY m.doc_id""".stripMargin
   }
 
   val q57Sql: String =

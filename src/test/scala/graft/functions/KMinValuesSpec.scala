@@ -44,6 +44,16 @@ class KMinValuesSpec extends AnyFunSuite {
     assert(one("g") == ((32, Some(distinct(31)))))
   }
 
+  test("registered as a SQL aggregate: kmv_mink(hash, k) from spark.sql") {
+    (0 until 400).map(i => ("g", (i * 7919L) % 97L)).toDF("g", "v")
+      .createOrReplaceTempView("kmv_in")
+    val r = spark.sql(
+      "SELECT g, kmv_mink(v, 8).n_min AS n, kmv_mink(v, 8).kth AS kth " +
+      "FROM kmv_in GROUP BY g").head()
+    val distinct = (0 until 400).map(i => (i * 7919L) % 97L).distinct.sorted
+    assert(r.getInt(1) == 8 && r.getLong(2) == distinct(7))
+  }
+
   test("estimator recovers cardinality within KMV error bounds") {
     // 10k distinct uniform-ish 48-bit hashes via the md5 path q56 uses
     val df = (0 until 10000).map(i => ("g", s"tok$i")).toDF("g", "t")
