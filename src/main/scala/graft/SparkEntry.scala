@@ -80,6 +80,7 @@ object SparkEntry {
     "q59_json_props"       -> (Analytics.q59JsonProps _),
     "q60_simhash_portable" -> (PipelineQueries.q60SimhashPortable _),
     "q61_bloom_membership" -> (PipelineQueries.q61BloomMembership _),
+    "q62_semantic_portable" -> (PipelineQueries.q62SemanticPortable _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -154,5 +155,6 @@ object SparkEntry {
     "q59_json_props"       -> Analytics.q59Sql,
     "q60_simhash_portable" -> PipelineQueries.q60Sql,
     "q61_bloom_membership" -> PipelineQueries.q61Sql,
+    "q62_semantic_portable" -> PipelineQueries.q62Sql,
   )
 }

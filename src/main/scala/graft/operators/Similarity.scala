@@ -387,4 +387,79 @@ object Similarity {
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** PORTABLE semantic near-dup pairs — the embedding-cosine dedup
+    * class on EXACT integer arithmetic end to end, so an external
+    * engine replays it verbatim (gate q62; [[semanticDedupPairs]]'s
+    * KMeans cells are Spark-ML-specific and can only self-certify).
+    *
+    *   1. int8-style quantization `floor(v_d * scale)` — floor of an
+    *      exactly-shared double product, never round (half-way floats
+    *      are engine-fragile);
+    *   2. banded sign-LSH cells: plane components are ±1 from an
+    *      integer hash parity (`(plane*2654435761 + dim*40503) >> 16
+    *      & 1`), so a cell key is a pure integer function of the
+    *      quantized vector;
+    *   3. candidates = within-cell pairs per band (equi-join on
+    *      (band, key), bucket-capped, no cartesian), deduped;
+    *   4. verify with the EXACT rational cosine test
+    *      `num > 0 && num² · den ≥ thr² · na · nb` on BIGINTs —
+    *      no float ever crosses an engine boundary.
+    *
+    * `thresholdNumSq / thresholdDenSq` is the SQUARED cosine threshold
+    * as an exact rational (cos ≥ 0.4 → 4/25). Returns
+    * (id_a, id_b, num) with `num` the quantized dot product.
+    */
+  def semanticPairsPortable(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int = 6, bandBits: Int = 4,
+      thresholdNumSq: Long = 4, thresholdDenSq: Long = 25,
+      scale: Int = 256, maxBucketSize: Int = 10000): DataFrame = {
+    require(bands > 0 && bandBits > 0 && bandBits < 31)
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long"))
+    // all plane dots in ONE compiled pass per row (codegen'd
+    // expression; the per-plane HOF form re-walks the vector
+    // interpreted, planes× slower — see PlaneDots)
+    val dots = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.PlaneDots(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__qv")),
+        bands * bandBits))
+    def bandKey(b: Int): Column =
+      (0 until bandBits).map { p =>
+        when(element_at(col("__dots"), b * bandBits + p + 1) > 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val cells = df.select(col(idCol).as("__id"), qv.as("__qv"))
+      .withColumn("__dots", dots)
+      .select(col("__id"), col("__qv"),
+        posexplode(array((0 until bands).map(bandKey): _*))
+          .as(Seq("__band", "__key")))
+    val sizes = cells.groupBy("__band", "__key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucketSize))
+      .select("__band", "__key")
+    val eligible = cells.join(sizes, Seq("__band", "__key"))
+    val cand = eligible.as("l")
+      .join(eligible.as("r"),
+        col("l.__band") === col("r.__band") &&
+        col("l.__key") === col("r.__key") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .distinct()
+    val q = df.select(col(idCol).as("__id"), qv.as("__qv"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0L), (acc, v) => acc + v)
+    cand
+      .join(q.select(col("__id").as("id_a"), col("__qv").as("__qa")), Seq("id_a"))
+      .join(q.select(col("__id").as("id_b"), col("__qv").as("__qb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        dot(col("__qa"), col("__qb")).as("num"),
+        dot(col("__qa"), col("__qa")).as("__na"),
+        dot(col("__qb"), col("__qb")).as("__nb"))
+      .filter(col("num") > 0 &&
+        col("num") * col("num") * lit(thresholdDenSq) >=
+          lit(thresholdNumSq) * col("__na") * col("__nb"))
+      .select("id_a", "id_b", "num")
+  }
 }

@@ -1218,6 +1218,48 @@ object PipelineQueries {
       |FROM m LEFT JOIN act ON m.doc_id = act.doc_id ORDER BY m.doc_id""".stripMargin
   }
 
+  /** Embedding-cosine near-dup pairs on EXACT integer arithmetic
+    * ([[Similarity.semanticPairsPortable]]): int8-style quantization,
+    * integer-hash sign-LSH banding, rational cosine verify — the
+    * semantic-dedup class q40 can only self-certify (KMeans cells),
+    * replayed verbatim by DuckDB. Threshold cos >= 0.4 (4/25 squared).
+    */
+  def q62SemanticPortable(spark: SparkSession, d: String): DataFrame =
+    Similarity.semanticPairsPortable(
+      Tables.embeddings(spark, d), "vec_id", "embedding")
+      .orderBy("id_a", "id_b")
+
+  val q62Sql: String = {
+    val (bands, bits) = (6, 4)
+    def dotExpr(plane: Int): String =
+      s"list_sum(list_transform(qv, (x, i) -> " +
+        s"x * (1 - 2 * CAST(((($plane*2654435761) + (i-1)*40503) >> 16) & 1 AS BIGINT))))"
+    val keys = (0 until bands).map { b =>
+      "(" + (0 until bits).map(p =>
+        s"(CASE WHEN ${dotExpr(b * bits + p)} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ") + ")"
+    }.mkString(", ")
+    s"""WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> CAST(floor(x*256) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |cells AS (SELECT vec_id, qv, unnest(range(0, $bands)) AS band,
+      |            unnest([$keys]) AS key FROM q),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM cells a JOIN cells b
+      |           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      |v AS (SELECT id_a, id_b,
+      |        CAST(list_dot_product(qa.qv, qb.qv) AS BIGINT) AS num,
+      |        CAST(list_dot_product(qa.qv, qa.qv) AS BIGINT) AS na,
+      |        CAST(list_dot_product(qb.qv, qb.qv) AS BIGINT) AS nb
+      |      FROM cand JOIN q qa ON cand.id_a = qa.vec_id
+      |                JOIN q qb ON cand.id_b = qb.vec_id)
+      |SELECT id_a, id_b, num FROM v
+      |WHERE num > 0 AND num*num*25 >= 4*na*nb
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val q57Sql: String =
     """SELECT p.event_id,
       |  count(*) AS n_nearby_errors,

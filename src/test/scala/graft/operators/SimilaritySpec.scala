@@ -214,4 +214,51 @@ class SimilaritySpec extends AnyFunSuite {
       threshold = 0.0, numClusters = 2, maxClusterSize = 1)
     assert(capped.isEmpty)
   }
+
+  test("semanticPairsPortable matches the integer brute-force model exactly") {
+    import spark.implicits._
+    val dims = 64
+    // deterministic corpus: 40 base vectors + 5 planted near-dups of
+    // the first 5 (tiny perturbation -> cosine ~0.999)
+    def base(id: Int): Array[Float] =
+      Array.tabulate(dims)(d => (((id * 31 + d * 7919) % 1000) / 500.0f) - 1.0f)
+    val rows =
+      (0 until 40).map(i => (i.toLong, base(i))) ++
+      (0 until 5).map(i => (100L + i,
+        base(i).zipWithIndex.map { case (v, d) => v + (if (d == 0) 0.01f else 0f) }))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semanticPairsPortable(df, "vec_id", "embedding",
+        thresholdNumSq = 4, thresholdDenSq = 25)
+      .select("id_a", "id_b", "num")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // brute-force scalar model of every stage
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 256).toLong)
+    def sign(plane: Int, d: Int): Long =
+      1L - 2L * (((plane.toLong * 2654435761L + d.toLong * 40503L) >> 16) & 1L)
+    def key(q: Array[Long], b: Int): Long =
+      (0 until 4).map { p =>
+        val dot = q.zipWithIndex.map { case (x, d) => x * sign(b * 4 + p, d) }.sum
+        if (dot > 0) 1L << p else 0L
+      }.sum
+    val qs = rows.map { case (id, v) => id -> quant(v) }.toMap
+    val expect = (for {
+      (a, qa) <- qs.toSeq; (b, qb) <- qs.toSeq if a < b
+      if (0 until 6).exists(band => key(qa, band) == key(qb, band))
+      num = qa.zip(qb).map { case (x, y) => x * y }.sum
+      na = qa.map(x => x * x).sum; nb = qb.map(x => x * x).sum
+      if num > 0 && num * num * 25 >= 4 * na * nb
+    } yield (a, b, num)).toSet
+    assert(got == expect)
+    // the planted near-dups must actually be found
+    (0 until 5).foreach { i =>
+      assert(got.exists { case (a, b, _) => a == i.toLong && b == 100L + i },
+        s"planted pair ($i, ${100 + i}) missing")
+    }
+    val plan = Similarity.semanticPairsPortable(df, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
