@@ -81,6 +81,7 @@ object SparkEntry {
     "q60_simhash_portable" -> (PipelineQueries.q60SimhashPortable _),
     "q61_bloom_membership" -> (PipelineQueries.q61BloomMembership _),
     "q62_semantic_portable" -> (PipelineQueries.q62SemanticPortable _),
+    "q63_ann_portable"     -> (PipelineQueries.q63AnnPortable _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -122,8 +123,10 @@ object SparkEntry {
     // q40 exact cosine + planted recall), so a scoring regression
     // changes the rows even when cardinality holds. Exact semantics
     // pinned by SimilaritySpec / DedupSpec / PipelineSelfCertSpec.
-    // The simhash ALGORITHM CLASS is additionally hash-verified end
-    // to end by q60 over a portable md5-derived hash.
+    // Each of the three ALGORITHM CLASSES is additionally
+    // hash-verified end to end by a portable twin: q60 (simhash over
+    // an md5-derived hash), q62 (semantic dedup on exact integer
+    // arithmetic), q63 (IVF with hash-chosen pivots + integer L2).
     "q30_contamination"    -> PipelineQueries.q30Sql,
     "q31_chunk_spans"      -> PipelineQueries.q31Sql,
     "q32_rare_tokens"      -> PipelineQueries.q32Sql,
@@ -156,5 +159,6 @@ object SparkEntry {
     "q60_simhash_portable" -> PipelineQueries.q60Sql,
     "q61_bloom_membership" -> PipelineQueries.q61Sql,
     "q62_semantic_portable" -> PipelineQueries.q62Sql,
+    "q63_ann_portable"     -> PipelineQueries.q63Sql,
   )
 }

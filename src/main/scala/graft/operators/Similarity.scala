@@ -462,4 +462,74 @@ object Similarity {
           lit(thresholdNumSq) * col("__na") * col("__nb"))
       .select("id_a", "id_b", "num")
   }
+
+  /** PORTABLE IVF approximate-nearest-neighbor — the IVF SHAPE
+    * (coarse cells, nprobe probing, exact rescore of the probed
+    * candidates) of [[annIvf]] with every Spark-ML-specific piece
+    * replaced by engine-reproducible arithmetic, so the whole index
+    * sits on the exact hash gate (q63; KMeans-cell q28 self-certifies):
+    *
+    *   - pivots: the `numPivots` corpus vectors with the smallest
+    *     Knuth unit-hash of their id — deterministic, content-
+    *     addressed, and as uniformly spread over the corpus as a
+    *     random draw (ids carry no geometry);
+    *   - geometry: int8-style quantization (`floor(v·256)`), ALL
+    *     distances exact integer L2 (`na + nb − 2·dot`) — ranking
+    *     ties broken by id, so only integers ever cross engines;
+    *   - assignment = nearest pivot; probing = each query's `nprobe`
+    *     nearest cells; rescore = exact quantized L2 over the probed
+    *     cells only.
+    *
+    * The pivot set is driver-bounded (`orderBy.limit`, numPivots
+    * rows) and broadcast; assignment is the standard IVF
+    * corpus × pivots pass. Output: (query_id, neighbor_id, rk),
+    * rk ≤ k — integer ranks, the q14 portability shape.
+    */
+  def annIvfPortable(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      numPivots: Int = 16, nprobe: Int = 2, k: Int = 5,
+      scale: Int = 256): DataFrame = {
+    require(numPivots > 0 && nprobe > 0 && k > 0)
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, _ * _), lit(0L), (acc, v) => acc + v)
+    def dist(a: Column, b: Column): Column =
+      dot(a, a) + dot(b, b) - lit(2L) * dot(a, b)
+    val c = corpus.select(col(idCol).as("__id"), qv.as("__qv"))
+    val pivots = c
+      .withColumn("__h", Sampling.unitHash(col("__id")))
+      .orderBy(col("__h"), col("__id"))
+      .limit(numPivots)
+      .select(col("__id").as("__pid"), col("__qv").as("__pv"))
+    val assign = c.crossJoin(broadcast(pivots))
+      .select(col("__id"), col("__pid"),
+        dist(col("__qv"), col("__pv")).as("__dist"))
+    val wNear = Window.partitionBy(col("__id"))
+      .orderBy(col("__dist"), col("__pid"))
+    val cellOf = assign
+      .withColumn("__rn", row_number().over(wNear))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__pid").as("__cell"))
+    val probes = queries.select(col(idCol).as("__qid"), qv.as("__qqv"))
+      .crossJoin(broadcast(pivots))
+      .select(col("__qid"), col("__qqv"), col("__pid"),
+        dist(col("__qqv"), col("__pv")).as("__dist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__qid")).orderBy(col("__dist"), col("__pid"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__qqv"), col("__pid").as("__cell"))
+    val scored = probes
+      .join(cellOf, Seq("__cell"))
+      .filter(col("__id") =!= col("__qid"))
+      .join(c.select(col("__id"), col("__qv")), Seq("__id"))
+      .select(col("__qid"), col("__id"),
+        dist(col("__qqv"), col("__qv")).as("__dist"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("__qid")).orderBy(col("__dist"), col("__id"))))
+      .filter(col("rk") <= k)
+      .select(col("__qid").as("query_id"), col("__id").as("neighbor_id"),
+        col("rk").cast("long").as("rk"))
+  }
 }

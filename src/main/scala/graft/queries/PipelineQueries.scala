@@ -1260,6 +1260,55 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Portable IVF ANN ([[Similarity.annIvfPortable]]): the q28 index
+    * shape (cells → nprobe → exact rescore) with hash-chosen pivots
+    * and integer L2 throughout — 16 pivots, probe 4, top-5 for the
+    * 10 lowest-id query vectors, rank-only output (q14's shape).
+    */
+  def q63AnnPortable(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    Similarity.annIvfPortable(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", numPivots = 16, nprobe = 4, k = 5)
+      .orderBy("query_id", "rk")
+  }
+
+  val q63Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> CAST(floor(x*256) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |h AS (SELECT vec_id, qv,
+      |        ((vec_id::HUGEINT * 2654435761) % 4294967296) AS hh FROM q),
+      |piv AS (SELECT vec_id AS pivot_id, qv AS pv,
+      |          row_number() OVER (ORDER BY hh, vec_id) AS pn
+      |        FROM h QUALIFY pn <= 16),
+      |d AS (SELECT q.vec_id, p.pivot_id,
+      |        CAST(list_dot_product(q.qv, q.qv) + list_dot_product(p.pv, p.pv)
+      |             - 2*list_dot_product(q.qv, p.pv) AS BIGINT) AS dist
+      |      FROM q CROSS JOIN piv p),
+      |cell AS (SELECT vec_id, pivot_id AS cell FROM d
+      |         QUALIFY row_number() OVER (PARTITION BY vec_id
+      |                                    ORDER BY dist, pivot_id) = 1),
+      |probe AS (SELECT vec_id AS query_id, pivot_id AS cell,
+      |            row_number() OVER (PARTITION BY vec_id
+      |                               ORDER BY dist, pivot_id) AS pr
+      |          FROM d WHERE vec_id < 10 QUALIFY pr <= 4),
+      |cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+      |         FROM probe p JOIN cell c ON p.cell = c.cell
+      |         WHERE c.vec_id <> p.query_id),
+      |scored AS (SELECT query_id, neighbor_id,
+      |             CAST(list_dot_product(a.qv, a.qv) + list_dot_product(b.qv, b.qv)
+      |                  - 2*list_dot_product(a.qv, b.qv) AS BIGINT) AS dist
+      |           FROM cand JOIN q a ON cand.query_id = a.vec_id
+      |                     JOIN q b ON cand.neighbor_id = b.vec_id),
+      |r AS (SELECT query_id, neighbor_id,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY dist, neighbor_id) AS rk
+      |      FROM scored)
+      |SELECT query_id, neighbor_id, rk FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
+
   val q57Sql: String =
     """SELECT p.event_id,
       |  count(*) AS n_nearby_errors,

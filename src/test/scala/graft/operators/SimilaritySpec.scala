@@ -261,4 +261,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("annIvfPortable: exact over probed cells, deterministic, sane recall") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.annIvfPortable(emb, queries, "vec_id", "embedding",
+        nprobe = 4)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 50, s"10 queries x top-5, got ${got.length}")
+    // deterministic across reruns (content-addressed pivots, id ties)
+    val again = Similarity.annIvfPortable(emb, queries, "vec_id", "embedding",
+        nprobe = 4)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Long)].collect()
+    assert(got.sorted.toSeq == again.sorted.toSeq)
+    // recall@5 vs exact integer-L2 brute force over the same geometry
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 256).toLong)
+    val all = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().map { case (id, v) => id -> quant(v) }
+    val hits = (0L until 10L).map { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      def d(a: Array[Long], b: Array[Long]): Long = {
+        var i = 0; var na = 0L; var nb = 0L; var dt = 0L
+        while (i < a.length) { na += a(i)*a(i); nb += b(i)*b(i); dt += a(i)*b(i); i += 1 }
+        na + nb - 2 * dt
+      }
+      val exact = all.filter(_._1 != qid)
+        .map { case (id, v) => (d(qv, v), id) }.sorted.take(5).map(_._2).toSet
+      val approx = got.filter(_._1 == qid).map(_._2).toSet
+      exact.intersect(approx).size
+    }.sum
+    // nprobe=4 of 16 hash-chosen cells over near-uniform synthetic
+    // vectors (max pairwise cosine ~0.5 — no planted structure, the
+    // hardest case for any IVF): candidate coverage alone would give
+    // ~12.5/50, Voronoi locality must beat it clearly (measured 19);
+    // the oracle pins exactness of the ALGORITHM, this pins that the
+    // index is better than random probing
+    assert(hits >= 16, s"recall@5 not above the coverage line: $hits/50")
+  }
 }
