@@ -82,6 +82,8 @@ object SparkEntry {
     "q61_bloom_membership" -> (PipelineQueries.q61BloomMembership _),
     "q62_semantic_portable" -> (PipelineQueries.q62SemanticPortable _),
     "q63_ann_portable"     -> (PipelineQueries.q63AnnPortable _),
+    "q64_range_window"     -> (Analytics.q64RangeWindow _),
+    "q65_pivot"            -> (Analytics.q65Pivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -160,5 +162,7 @@ object SparkEntry {
     "q61_bloom_membership" -> PipelineQueries.q61Sql,
     "q62_semantic_portable" -> PipelineQueries.q62Sql,
     "q63_ann_portable"     -> PipelineQueries.q63Sql,
+    "q64_range_window"     -> Analytics.q64Sql,
+    "q65_pivot"            -> Analytics.q65Sql,
   )
 }

@@ -388,4 +388,59 @@ object Analytics {
       |FROM events
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
+
+  /** RANGE-interval window frames (the time-based sibling of q11's
+    * ROWS frames): per event, the count and exact-decimal sum of the
+    * same user's values in the trailing 10 minutes of EVENT TIME —
+    * peers at the same microsecond share one frame, which ROWS frames
+    * cannot express. Single shuffle on the user key; frame math on
+    * integer epoch-micros for engine parity.
+    */
+  def q64RangeWindow(spark: SparkSession, d: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(us)
+      .rangeBetween(-600L * 1000000L, 0)
+    Tables.events(spark, d)
+      .select(col("user_id"), col("event_id"), us.as("ts_us"),
+        count(lit(1)).over(w).as("n_10min"),
+        sum(col("value").cast("decimal(24,6)")).over(w)
+          .cast("decimal(38,6)").cast("string").as("sum_10min"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val q64Sql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  count(*) OVER w AS n_10min,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(24,6))) OVER w AS DECIMAL(38,6)) AS VARCHAR) AS sum_10min
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  /** PIVOT: event-type counts spread into one column per type, keyed
+    * by user-id decile — Spark's `pivot` with an EXPLICIT value list
+    * (the open-ended form scans twice to discover values and cannot
+    * be planned in one pass at scale). Absent cells coalesce to 0.
+    */
+  def q65Pivot(spark: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, d)
+      .groupBy(pmod(col("user_id"), lit(10L)).as("user_mod"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("user_mod") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy("user_mod")
+  }
+
+  val q65Sql: String = {
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+      .map(t => s"count(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t")
+      .mkString(",\n      |  ")
+    s"""SELECT user_id % 10 AS user_mod,
+      |  $arms
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+  }
 }
