@@ -84,6 +84,12 @@ object SparkEntry {
     "q63_ann_portable"     -> (PipelineQueries.q63AnnPortable _),
     "q64_range_window"     -> (Analytics.q64RangeWindow _),
     "q65_pivot"            -> (Analytics.q65Pivot _),
+    "q66_rollup"           -> (Analytics.q66Rollup _),
+    "q67_percentile"       -> (Analytics.q67Percentile _),
+    "q68_salted_join"      -> (Analytics.q68SaltedJoin _),
+    "q69_fuzzy_join"       -> (PipelineQueries.q69FuzzyJoin _),
+    "q70_hll_registers"    -> (PipelineQueries.q70HllRegisters _),
+    "q71_profile"          -> (PipelineQueries.q71Profile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -164,5 +170,11 @@ object SparkEntry {
     "q63_ann_portable"     -> PipelineQueries.q63Sql,
     "q64_range_window"     -> Analytics.q64Sql,
     "q65_pivot"            -> Analytics.q65Sql,
+    "q66_rollup"           -> Analytics.q66Sql,
+    "q67_percentile"       -> Analytics.q67Sql,
+    "q68_salted_join"      -> Analytics.q68Sql,
+    "q69_fuzzy_join"       -> PipelineQueries.q69Sql,
+    "q70_hll_registers"    -> PipelineQueries.q70Sql,
+    "q71_profile"          -> PipelineQueries.q71Sql,
   )
 }

@@ -443,4 +443,95 @@ object Analytics {
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
   }
+
+  /** ROLLUP with `grouping_id()`: the multi-granularity aggregate
+    * (leaf / per-flag / grand total) in ONE pass — Spark plans one
+    * Expand over the scan feeding a single partial-aggregatable
+    * hash aggregate, instead of the three scans the UNION ALL
+    * formulation costs at 100 TB. Sums ride an exact decimal cast so
+    * float summation order can't smear the gate; NULL group markers
+    * are coalesced to a sentinel (the data has no real NULL keys) so
+    * row identity is representation-stable across engines.
+    */
+  def q66Rollup(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("sum_qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("gid", "flag", "status")
+
+  val q66Sql: String =
+    """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  coalesce(l_returnflag, '(all)') AS flag,
+      |  coalesce(l_linestatus, '(all)') AS status,
+      |  count(*) AS n,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY gid, flag, status""".stripMargin
+
+  /** EXACT quartiles per group — Spark's `percentile` (true
+    * sort-based percentile, not the approx sketch) against DuckDB's
+    * `quantile_cont`. Gate-safe because every input is an
+    * integer-valued double and the probed fractions are dyadic
+    * (.25/.5/.75): the linear interpolation `lo + (hi-lo)·f` is then
+    * exact IEEE arithmetic on any engine, so the doubles hash-match
+    * bit-for-bit. At 100 TB the exact form costs a per-group sort —
+    * swap to `percentile_approx` (t-digest-style, partial-mergeable)
+    * when 1-ulp answers stop mattering; the gate pins the exact one.
+    */
+  def q67Percentile(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        percentile(col("l_quantity"), lit(0.25)).as("q25"),
+        percentile(col("l_quantity"), lit(0.5)).as("q50"),
+        percentile(col("l_quantity"), lit(0.75)).as("q75"))
+      .orderBy("l_returnflag")
+
+  val q67Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  quantile_cont(l_quantity, 0.25) AS q25,
+      |  quantile_cont(l_quantity, 0.50) AS q50,
+      |  quantile_cont(l_quantity, 0.75) AS q75
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Skew-salted fact/dimension join ([[graft.operators.Skew]]):
+    * lineitem→orders salted 8 ways on the line number, then
+    * aggregated by priority. The gate proves pair-exactness — the
+    * salted plan must reproduce the plain join's row multiset
+    * bit-for-bit (each match meets in exactly one salt cell); the
+    * plan mechanics (join keys include the salt, small side
+    * replicated, no broadcast of the large side) are asserted in
+    * SkewSpec.
+    */
+  def q68SaltedJoin(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d)
+      .select(col("l_orderkey").as("okey"), col("l_linenumber"),
+        col("l_quantity"))
+    val ords = Tables.orders(spark, d)
+      .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedEquiJoin(li, ords, "okey",
+        col("l_linenumber"), salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q68Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

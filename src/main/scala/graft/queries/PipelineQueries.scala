@@ -1320,4 +1320,74 @@ object PipelineQueries {
       |WHERE p.event_type = 'purchase'
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** Blocked edit-distance entity resolution
+    * ([[Dedup.fuzzyBlockedPairs]]): customer-name pairs within ONE
+    * Levenshtein edit, candidates formed only inside a 16-char prefix
+    * block (a plain shuffled equi-join — no cross product; oversized
+    * blocks are dropped whole by the cap, the LSH-bucket guard
+    * transplanted to record linkage). Both engines run the same
+    * textbook DP, so distances — including the sub-substitution
+    * insert/delete paths — hash-match exactly.
+    */
+  def q69FuzzyJoin(spark: SparkSession, d: String): DataFrame =
+    Dedup.fuzzyBlockedPairs(Tables.customer(spark, d), "c_custkey",
+        "c_name", substring(col("c_name"), 1, 16), maxDist = 1)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+      .orderBy("a_id", "b_id")
+
+  val q69Sql: String =
+    """WITH c AS (SELECT c_custkey, c_name,
+      |             substr(c_name, 1, 16) AS blk FROM customer)
+      |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+      |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM c a JOIN c b USING (blk)
+      |WHERE a.c_custkey < b.c_custkey
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Portable HyperLogLog register table ([[graft.operators.Hll]]):
+    * the 64-bucket sketch of distinct event users, on the exact hash
+    * gate — bucket split, highest-set-bit rank, and max-register fold
+    * are all integer/string logic both engines replay verbatim. The
+    * aggregation state is ONE int per bucket (map-side combined:
+    * the shuffle carries ≤ 64×partitions rows at any input size) —
+    * the constant-memory distinct counter next to q56's KMV.
+    */
+  def q70HllRegisters(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Hll.registers(
+        Tables.events(spark, d), col("user_id"), m = 64)
+      .orderBy("bucket")
+
+  val q70Sql: String =
+    """WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+      |                  AS BIGINT) AS h FROM events),
+      |r AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h),
+      |x AS (SELECT bucket,
+      |        CASE WHEN rest = 0 THEN 43
+      |             ELSE 43 - length(bin(rest)) END AS rho FROM r)
+      |SELECT CAST(bucket AS INTEGER) AS bucket,
+      |  CAST(max(rho) AS INTEGER) AS max_rho
+      |FROM x GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** One-pass column census ([[graft.operators.Profile]]) of the
+    * documents table: non-null / exact-distinct counts and native-
+    * order min/max per column, all 16 measures in a single aggregate
+    * (one Expand-backed scan, wide→long stack). The corpus health
+    * check that fronts every pipeline run.
+    */
+  def q71Profile(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Profile.profile(Tables.documents(spark, d),
+        Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("column_name")
+
+  val q71Sql: String = {
+    val arms = Seq("doc_id", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS column_name, count($c) AS n_nonnull,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s,
+         |  CAST(max($c) AS VARCHAR) AS max_s FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$arms\nORDER BY column_name"
+  }
 }

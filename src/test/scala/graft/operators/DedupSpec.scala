@@ -156,4 +156,47 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 0.0)
     assert(r.getDouble(2) > 0.6 && r.getDouble(2) < 1.0)
   }
+
+  test("fuzzyBlockedPairs: exact pair set within the block, a_id < b_id") {
+    val df = Seq(
+      (1L, "record-alpha"), (2L, "record-alphX"), // dist 1
+      (3L, "record-alXhX"), // dist 2 of 1, dist 1 of 2... but capped at 1
+      (4L, "totally-other"), (5L, "record-alpha")) // 5 dups 1 (dist 0)
+      .toDF("id", "name")
+    val got = Dedup.fuzzyBlockedPairs(df, "id", "name", lit("one-block"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force model at threshold 1
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rows = Seq((1L, "record-alpha"), (2L, "record-alphX"),
+      (3L, "record-alXhX"), (4L, "totally-other"), (5L, "record-alpha"))
+    val want = (for {
+      (ai, as) <- rows; (bi, bs) <- rows
+      if ai < bi && lev(as, bs) <= 1
+    } yield (ai, bi, lev(as, bs))).toSet
+    assert(got == want)
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
+  test("fuzzyBlockedPairs: candidates never cross blocks") {
+    val df = Seq((1L, "aaaa"), (2L, "aaab"), (3L, "aaac"))
+      .toDF("id", "name")
+    val out = Dedup.fuzzyBlockedPairs(df, "id", "name",
+      col("id") % 2, maxDist = 2) // 1,3 share block; 2 alone
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 3L)))
+  }
+
+  test("fuzzyBlockedPairs: oversized blocks are dropped whole, not exploded") {
+    val big = (1L to 50L).map(i => (i, s"x$i")).toDF("id", "name")
+    val out = Dedup.fuzzyBlockedPairs(big, "id", "name", lit("hot"),
+      maxDist = 5, maxBlock = 10)
+    assert(out.count() == 0, "block of 50 over cap 10 must contribute no pairs")
+  }
 }
