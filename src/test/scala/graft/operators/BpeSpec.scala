@@ -101,7 +101,7 @@ class BpeSpec extends AnyFunSuite {
 
   test("vocab lists chars then fused symbols in rank order") {
     val merges = Seq(("e", "s"), ("es", "t"))
-    assert(Bpe.vocab(merges) == Seq("e", "s", "es", "est"))
+    assert(Bpe.vocab(merges) == Seq("e", "s", "t", "es", "est"))
   }
 
   test("real corpus smoke: encoding shrinks token count vs chars") {
