@@ -90,6 +90,7 @@ object SparkEntry {
     "q69_fuzzy_join"       -> (PipelineQueries.q69FuzzyJoin _),
     "q70_hll_registers"    -> (PipelineQueries.q70HllRegisters _),
     "q71_profile"          -> (PipelineQueries.q71Profile _),
+    "q72_bpe_encode"       -> (PipelineQueries.q72BpeEncode _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,5 +177,6 @@ object SparkEntry {
     "q69_fuzzy_join"       -> PipelineQueries.q69Sql,
     "q70_hll_registers"    -> PipelineQueries.q70Sql,
     "q71_profile"          -> PipelineQueries.q71Sql,
+    "q72_bpe_encode"       -> PipelineQueries.q72Sql,
   )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.operators.{Bloom, Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Bloom, Bpe, Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /** Driver-gated queries for the LLM-data-pipeline operators (dedup,
   * similarity search, text analysis) over the `documents` and
@@ -1389,5 +1389,85 @@ object PipelineQueries {
          |  CAST(max($c) AS VARCHAR) AS max_s FROM documents""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"$arms\nORDER BY column_name"
+  }
+
+  /** Frozen BPE merge table: trained once by `graft.tools.TrainBpe`
+    * over the sf0.001 documents corpus (89 merges — [[Bpe.train]]
+    * exhausts the small synthetic charset before the requested 96),
+    * then frozen as data so the gate pins exact ENCODE semantics
+    * against an independent DuckDB re-implementation rather than
+    * re-deriving the table per run. Train-on-a-sample, encode-the-
+    * corpus is also the realistic 100 TB deployment shape.
+    */
+  private[graft] val bpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+    ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+    ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+    ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"),
+    ("s", "ort"), ("par", "t"), ("u", "p"), ("a", "g"), ("ag", "g"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("in", "e"),
+    ("l", "ine"), ("e", "y"), ("k", "ey"), ("j", "o"), ("jo", "in"),
+    ("g", "e"), ("mer", "ge"), ("er", "y"), ("g", "r"), ("gr", "o"),
+    ("gro", "up"), ("q", "u"), ("qu", "ery"), ("c", "t"),
+    ("ct", "or"), ("e", "ctor"), ("v", "ector"), ("a", "s"),
+    ("as", "h"), ("h", "ash"), ("l", "ow"), ("s", "low"),
+    ("a", "m"), ("e", "am"), ("r", "eam"), ("st", "ream"),
+    ("f", "i"), ("fi", "l"), ("fil", "t"), ("filt", "er"),
+    ("a", "st"), ("f", "ast"), ("at", "c"), ("atc", "h"),
+    ("b", "atch"), ("h", "e"), ("par", "k"), ("s", "park"),
+    ("t", "he"), ("a", "b"), ("ab", "l"), ("abl", "e"),
+    ("t", "able"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("at", "a"), ("d", "ata"), ("b", "i"),
+    ("bi", "g"), ("c", "u"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("r", "ow"), ("d", "up"))
+
+  /** BPE-encode every document with the frozen merge table
+    * ([[Bpe.encode]]): per doc, the subword token count and the full
+    * token stream (space-joined — every token boundary is hash-pinned,
+    * not just the count). Encoding is embarrassingly parallel: ranks
+    * ride a broadcast, a per-partition word→tokens memo collapses
+    * repeated word types, no shuffle until the gate's orderBy.
+    *
+    * The oracle re-implements BPE encoding independently in SQL:
+    * chars joined by single spaces inside ' ' sentinels, then each
+    * merge applied in rank order as a string replace of ' a b '→' ab '
+    * (3 passes per rank — SQL replace is non-overlapping
+    * left-to-right, so back-to-back occurrences sharing a boundary
+    * space need extra passes; 3 covers the corpus's ≤8-char words) —
+    * over the DISTINCT word-type table, joined back positionally.
+    */
+  def q72BpeEncode(spark: SparkSession, d: String): DataFrame =
+    Bpe.encode(
+        Tables.documents(spark, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", bpeMerges)
+      .select(col("id").as("doc_id"), col("n_bpe_tokens"),
+        array_join(col("bpe_tokens"), " ").as("bpe_text"))
+      .orderBy("doc_id")
+
+  val q72Sql: String = {
+    val vals = bpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")
+    s"""WITH merges(r, a, b) AS (VALUES $vals),
+       |ms AS (SELECT list(a || ' ' || b ORDER BY r, p.p) AS l
+       |       FROM merges CROSS JOIN (VALUES (1), (2), (3)) p(p)),
+       |docs AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                x -> x <> '') AS ws FROM documents),
+       |words AS (SELECT docs.doc_id, t.i AS i, docs.ws[t.i] AS w
+       |          FROM docs, LATERAL unnest(range(1, len(ws) + 1)) t(i)),
+       |enc AS (SELECT w,
+       |    trim(list_reduce(
+       |      list_prepend(
+       |        ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' ',
+       |        (SELECT l FROM ms)),
+       |      (acc, m) -> replace(acc, ' ' || m || ' ',
+       |                          ' ' || replace(m, ' ', '') || ' '))) AS e
+       |  FROM (SELECT DISTINCT w FROM words)),
+       |j AS (SELECT words.doc_id, words.i, enc.e FROM words JOIN enc USING (w))
+       |SELECT doc_id,
+       |  CAST(sum(len(regexp_split_to_array(e, ' '))) AS BIGINT) AS n_bpe_tokens,
+       |  string_agg(e, ' ' ORDER BY i) AS bpe_text
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 }
