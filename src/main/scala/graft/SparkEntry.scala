@@ -91,6 +91,10 @@ object SparkEntry {
     "q70_hll_registers"    -> (PipelineQueries.q70HllRegisters _),
     "q71_profile"          -> (PipelineQueries.q71Profile _),
     "q72_bpe_encode"       -> (PipelineQueries.q72BpeEncode _),
+    "q73_dsir_weights"     -> (PipelineQueries.q73DsirWeights _),
+    "q74_bigram_lm"        -> (PipelineQueries.q74BigramLm _),
+    "q75_bucketed_join"    -> (Analytics.q75BucketedJoin _),
+    "q76_pagerank"         -> (Analytics.q76PageRank _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -178,5 +182,9 @@ object SparkEntry {
     "q70_hll_registers"    -> PipelineQueries.q70Sql,
     "q71_profile"          -> PipelineQueries.q71Sql,
     "q72_bpe_encode"       -> PipelineQueries.q72Sql,
+    "q73_dsir_weights"     -> PipelineQueries.q73Sql,
+    "q74_bigram_lm"        -> PipelineQueries.q74Sql,
+    "q75_bucketed_join"    -> Analytics.q75Sql,
+    "q76_pagerank"         -> Analytics.q76Sql,
   )
 }

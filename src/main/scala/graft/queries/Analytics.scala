@@ -534,4 +534,98 @@ object Analytics {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Bucketed co-located join ([[graft.operators.Bucketed]]): orders
+    * and customer written as 8-bucket hash-clustered tables on their
+    * custkeys, then joined WITHOUT a shuffle on either side (the
+    * zero-Exchange plan is asserted in BucketedSpec; this gate pins
+    * that the pre-shuffled path is RESULT-identical to the plain
+    * join). The write is the gate's fixture step — at 100 TB it's the
+    * one-time layout investment that every later fact⋈dim run
+    * amortizes.
+    */
+  def q75BucketedJoin(spark: SparkSession, d: String): DataFrame = {
+    val db = "graft_buckets"
+    if (!spark.catalog.databaseExists(db)) {
+      val loc = java.nio.file.Files.createTempDirectory("graft-q75-wh")
+      spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    }
+    graft.operators.Bucketed.writeBucketed(
+      Tables.orders(spark, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      s"$db.orders_b", "o_custkey", buckets = 8)
+    graft.operators.Bucketed.writeBucketed(
+      Tables.customer(spark, d).select("c_custkey", "c_mktsegment"),
+      s"$db.customer_b", "c_custkey", buckets = 8)
+    graft.operators.Bucketed.cojoin(spark,
+        s"$db.orders_b", s"$db.customer_b", "o_custkey", "c_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(24,2)"))
+          .cast("decimal(38,2)").cast("string").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q75Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(24,2))) AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Integer fixed-point PageRank ([[graft.operators.PageRank]]) over
+    * the nation-to-nation trade graph (customer nation → supplier
+    * nation, weighted by lineitem count — a 4-way join builds the edge
+    * list), 5 damped iterations. Every division is a positive-long
+    * floor, so the whole trajectory is exact and the oracle replays
+    * all 5 iterations as chained CTEs.
+    */
+  def q76PageRank(spark: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_suppkey")
+    val ords = Tables.orders(spark, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, d).select("n_nationkey", "n_name")
+    val edges = li
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("src")), col("c_nationkey") === col("cnk"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nat.select(col("n_nationkey").as("snk"),
+        col("n_name").as("dst")), col("s_nationkey") === col("snk"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    graft.operators.PageRank.ranks(edges, iters = 5).orderBy("v")
+  }
+
+  val q76Sql: String = {
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (SELECT nodes.v,
+         |  CAST(15000000000000 // (100 * nn.n) AS BIGINT)
+         |  + CAST((85 * coalesce(s.m, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (SELECT e.dst AS v,
+         |      sum(CAST((p.r * e.w) // ow.ow AS BIGINT)) AS m
+         |    FROM e JOIN $prev p ON e.src = p.v
+         |    JOIN outw ow ON ow.src = e.src
+         |    GROUP BY e.dst) s ON s.v = nodes.v)""".stripMargin
+    val iters = (1 to 5)
+      .map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+       |  JOIN supplier sup ON l.l_suppkey = sup.s_suppkey
+       |  JOIN nation sn ON sup.s_nationkey = sn.n_nationkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+       |r0 AS (SELECT v, CAST(1000000000000 // nn.n AS BIGINT) AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT v, r AS rank_e12 FROM r5 ORDER BY v""".stripMargin
+  }
 }

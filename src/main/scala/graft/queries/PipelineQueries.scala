@@ -1470,4 +1470,105 @@ object PipelineQueries {
        |  string_agg(e, ' ' ORDER BY i) AS bpe_text
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  /** DSIR importance resampling ([[graft.operators.Dsir]]): score the
+    * raw corpus (sources src4+) against the target corpus (src0-src3)
+    * with +1-smoothed hashed-bigram unigram models; keep the global
+    * top-100. Weights are integer-scaled PER BUCKET before the per-doc
+    * sum, so scores are partitioning-independent and the oracle
+    * replays them exactly (same md5 bucketing, same ln term order).
+    */
+  def q73DsirWeights(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val tgtSrc = Seq("src0", "src1", "src2", "src3")
+    graft.operators.Dsir.importanceWeights(
+        raw = docs.filter(!col("source").isin(tgtSrc: _*)),
+        target = docs.filter(col("source").isin(tgtSrc: _*)),
+        idCol = "doc_id", textCol = "text", m = 256, keep = 100)
+      .orderBy("doc_id")
+  }
+
+  val q73Sql: String =
+    """WITH tw AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                     x -> x <> '') AS ws
+      |  FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |rw AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS ws
+      |  FROM documents WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')),
+      |tocc AS (
+      |  SELECT CAST(('0x' || substr(md5(t.bg), 1, 6)) AS BIGINT) % 256 AS b
+      |  FROM tw, LATERAL unnest(
+      |    list_transform(range(1, len(ws)),
+      |                   i -> ws[i] || ' ' || ws[i + 1])) t(bg)),
+      |rocc AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(t.bg), 1, 6)) AS BIGINT) % 256 AS b
+      |  FROM rw, LATERAL unnest(
+      |    list_transform(range(1, len(ws)),
+      |                   i -> ws[i] || ' ' || ws[i + 1])) t(bg)),
+      |tc AS (SELECT b, count(*) AS ct FROM tocc GROUP BY b),
+      |rc AS (SELECT b, count(*) AS cr FROM rocc GROUP BY b),
+      |tt AS (SELECT count(*) AS n FROM tocc),
+      |rt AS (SELECT count(*) AS n FROM rocc),
+      |lr AS (
+      |  SELECT rc.b,
+      |    CAST(round((ln(coalesce(tc.ct, 0) + 1) - ln(tt.n + 256)
+      |               - ln(rc.cr + 1) + ln(rt.n + 256)) * 10000) AS BIGINT)
+      |      AS lr_e4
+      |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tt CROSS JOIN rt),
+      |scored AS (
+      |  SELECT rocc.doc_id, count(*) AS n_bigrams, sum(lr.lr_e4) AS w
+      |  FROM rocc JOIN lr USING (b) GROUP BY doc_id)
+      |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(w AS BIGINT) AS weight_e4,
+      |  CAST(CASE WHEN row_number() OVER (ORDER BY w DESC, doc_id) <= 100
+      |       THEN 1 ELSE 0 END AS INTEGER) AS selected
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** Interpolated bigram-LM self-scoring ([[graft.operators.NgramLm]]):
+    * the CCNet/KenLM-shaped fluency signal — train unigram+bigram count
+    * tables on the corpus, score every doc by Σ round(1e4·ln p) with p
+    * the evenly-interpolated add-one conditional/unigram mix. Per-TERM
+    * integer scaling makes the per-doc sum order-independent and the
+    * whole model exactly replayable in SQL.
+    */
+  def q74BigramLm(spark: SparkSession, d: String): DataFrame =
+    graft.operators.NgramLm.score(
+        Tables.documents(spark, d).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q74Sql: String =
+    """WITH dt AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS ws FROM documents),
+      |tok AS (SELECT t.w FROM dt, LATERAL unnest(ws) t(w)),
+      |cu AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS t_total,
+      |               count(*) AS v_size FROM cu),
+      |bg AS (SELECT dt.doc_id, dt.ws[t.i] AS w1, dt.ws[t.i + 1] AS w2
+      |       FROM dt, LATERAL unnest(range(1, len(ws))) t(i)),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+      |terms AS (
+      |  SELECT bg.doc_id,
+      |    CAST(round(ln(
+      |      ((cb.cb + 1)::DOUBLE / (cu1.cu + tot.v_size)::DOUBLE
+      |       + (cu2.cu + 1)::DOUBLE / (tot.t_total + tot.v_size)::DOUBLE)
+      |      / 2::DOUBLE) * 10000) AS BIGINT) AS term_e4
+      |  FROM bg JOIN cb USING (w1, w2)
+      |    JOIN cu cu1 ON cu1.w = bg.w1
+      |    JOIN cu cu2 ON cu2.w = bg.w2
+      |    CROSS JOIN tot),
+      |scored AS (SELECT doc_id, count(*) AS n_bigrams,
+      |                  sum(term_e4) AS lp FROM terms GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(scored.n_bigrams, 0)::BIGINT AS n_bigrams,
+      |  coalesce(scored.lp, 0)::BIGINT AS logprob_e4
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN scored USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }
