@@ -43,11 +43,19 @@ object Dsir {
   def bucketOf(bg: Column, m: Int): Column =
     (conv(substring(md5(bg), 1, 6), 16, 10).cast("long") % m).cast("int")
 
-  /** Per-doc (id, bucket) bigram occurrences. */
+  /** Per-doc (id, bucket) bigram occurrences. The token array is
+    * materialized in its own projection BEFORE `bigramsOf` touches it:
+    * `element_at` inside a higher-order-function lambda re-evaluates
+    * its array child per element (no common-subexpression elimination
+    * across the lambda boundary), so feeding `tokens(text)` in
+    * directly would re-tokenize the document O(tokens) times per row —
+    * measured 10× slower at sf0.1.
+    */
   private def occurrences(df: DataFrame, idCol: String, textCol: String,
       m: Int): DataFrame =
     df.select(col(idCol).cast("long").as("doc_id"),
-        explode(bigramsOf(TextAnalysis.tokens(col(textCol)))).as("bg"))
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(bigramsOf(col("__toks"))).as("bg"))
       .select(col("doc_id"), bucketOf(col("bg"), m).as("b"))
 
   /** Score every `raw` document against the `target` corpus. Output:

@@ -45,13 +45,17 @@ object NgramLm {
     // scalars: T = token occurrences, V = distinct types
     val tot = cu.agg(sum("cu").as("t_total"),
       count(lit(1)).as("v_size"))
+    // tokens materialized BEFORE bigramsOf — element_at inside the
+    // lambda re-evaluates its array child per element otherwise (see
+    // Dsir.occurrences)
     val cb = train
-      .select(explode(Dsir.bigramsOf(TextAnalysis.tokens(col(textCol))))
-        .as("bg"))
+      .select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(explode(Dsir.bigramsOf(col("__toks"))).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("cb"))
 
     val occ = docs.select(col(idCol).cast("long").as("doc_id"),
-        explode(Dsir.bigramsOf(TextAnalysis.tokens(col(textCol)))).as("bg"))
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), explode(Dsir.bigramsOf(col("__toks"))).as("bg"))
       .select(col("doc_id"), col("bg"),
         split(col("bg"), " ").getItem(0).as("w1"),
         split(col("bg"), " ").getItem(1).as("w2"))
