@@ -95,6 +95,8 @@ object SparkEntry {
     "q74_bigram_lm"        -> (PipelineQueries.q74BigramLm _),
     "q75_bucketed_join"    -> (Analytics.q75BucketedJoin _),
     "q76_pagerank"         -> (Analytics.q76PageRank _),
+    "q77_count_min"        -> (PipelineQueries.q77CountMin _),
+    "q78_stream_outer_join" -> (StreamQueries.q78StreamOuterJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -186,5 +188,7 @@ object SparkEntry {
     "q74_bigram_lm"        -> PipelineQueries.q74Sql,
     "q75_bucketed_join"    -> Analytics.q75Sql,
     "q76_pagerank"         -> Analytics.q76Sql,
+    "q77_count_min"        -> PipelineQueries.q77Sql,
+    "q78_stream_outer_join" -> StreamQueries.q78Sql,
   )
 }

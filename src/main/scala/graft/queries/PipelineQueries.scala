@@ -1571,4 +1571,44 @@ object PipelineQueries {
       |FROM (SELECT DISTINCT doc_id FROM documents) d
       |LEFT JOIN scored USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** Count-min frequency sketch ([[graft.operators.CountMin]]) over
+    * event user ids: 4×256 exact integer counters (the build shuffle
+    * carries ≤ 1024 cells at ANY input size), probed for the 20
+    * smallest user ids next to their true counts — the gate pins the
+    * exact counter grid AND the one-sided estimate (est ≥ truth, with
+    * whatever collisions this corpus produces, bit-for-bit).
+    */
+  def q77CountMin(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+    val sk = graft.operators.CountMin.sketch(ev, col("user_id"))
+    val probes = ev.select(col("user_id")).distinct()
+      .orderBy("user_id").limit(20)
+    val est = graft.operators.CountMin.estimate(sk, probes, col("user_id"))
+    val truth = ev.groupBy(col("user_id").cast("string").as("key"))
+      .agg(count(lit(1)).as("true_cnt"))
+    est.join(truth, "key")
+      .select(col("key").cast("long").as("user_id"), col("true_cnt"),
+        col("est").as("est_cnt"))
+      .orderBy("user_id")
+  }
+
+  val q77Sql: String =
+    """WITH h AS (SELECT user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+      |cells AS (SELECT user_id, j.j AS row,
+      |    CAST(CAST(('0x' || substr(hx, j.j * 6 + 1, 6)) AS BIGINT) % 256
+      |         AS INTEGER) AS col
+      |  FROM h, (SELECT unnest(range(0, 4)) AS j) j),
+      |sk AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col),
+      |probes AS (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 20),
+      |pc AS (SELECT p.user_id, j.j AS row,
+      |    CAST(CAST(('0x' || substr(md5(CAST(p.user_id AS VARCHAR)),
+      |                              j.j * 6 + 1, 6)) AS BIGINT) % 256
+      |         AS INTEGER) AS col
+      |  FROM probes p, (SELECT unnest(range(0, 4)) AS j) j),
+      |est AS (SELECT pc.user_id, min(sk.cnt) AS est_cnt
+      |        FROM pc JOIN sk USING (row, col) GROUP BY pc.user_id),
+      |truth AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id)
+      |SELECT est.user_id, truth.true_cnt, CAST(est.est_cnt AS BIGINT) AS est_cnt
+      |FROM est JOIN truth USING (user_id) ORDER BY user_id""".stripMargin
 }

@@ -336,4 +336,81 @@ object StreamQueries {
       |  UNION ALL
       |  SELECT 'meta', 'noop_restart_delta=0', CAST(0 AS BIGINT)
       |) ORDER BY part, name, rkey""".stripMargin
+
+  /** Stream–stream LEFT OUTER join
+    * ([[graft.streaming.StreamOps.leftOuterFollowupJoin]]): purchases
+    * of the user_id%3=1 slice left-joined to the same users' errors in
+    * the following 10 minutes, replayed as two memory streams in
+    * event-time lockstep over 3 micro-batch rounds. The outer NULL
+    * rows only exist because the watermark proved no match can still
+    * arrive — a sentinel far-future row on BOTH streams flushes the
+    * tail so every unmatched purchase surfaces before the query stops.
+    * Gate: per purchase, follow-up count and first follow-up error id
+    * (-1 when none) must equal the batch LEFT JOIN bit-for-bit.
+    */
+  def q78StreamOuterJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def micros(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val feed = Tables.events(spark, d)
+      .filter(col("user_id") % 3 === 1 &&
+        col("event_type").isin("purchase", "error"))
+      .select(col("event_type"), col("event_id"), col("user_id"), col("ts"))
+      .as[(String, Long, Long, Timestamp)]
+      .collect()
+      .sortBy(r => (micros(r._4), r._2))
+    require(feed.nonEmpty, s"no purchase/error events with user_id % 3 = 1 under $d")
+    val flushTs = new Timestamp(feed.map(_._4.getTime).max + 86400000L)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.StreamOps.leftOuterFollowupJoin(
+      pMem.toDF.toDF("p_id", "p_user", "p_ts"),
+      eMem.toDF.toDF("e_id", "e_user", "e_ts"),
+      "p_id", "p_user", "p_ts", "e_id", "e_user", "e_ts",
+      windowSeconds = 600, delayThreshold = "30 minutes")
+    val sink = "q78_outer_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      val batchSize = feed.length / 3 + 1
+      feed.grouped(batchSize).foreach { g =>
+        val p = g.collect { case ("purchase", id, u, t) => (id, u, t) }
+        val e = g.collect { case ("error", id, u, t) => (id, u, t) }
+        if (p.nonEmpty) pMem.addData(p.toSeq: _*)
+        if (e.nonEmpty) eMem.addData(e.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // watermark flush: a far-future sentinel on BOTH streams (the
+      // query watermark is the min across inputs) releases every
+      // pending outer NULL row; user -1 matches nothing
+      pMem.addData((-1L, -1L, flushTs))
+      eMem.addData((-1L, -1L, flushTs))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    spark.table(sink)
+      .filter(col("p_id") =!= -1L)
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(col("e_id")).as("n_followups"),
+        coalesce(min(col("e_id")), lit(-1L)).as("first_followup_id"))
+      .orderBy("event_id")
+  }
+
+  val q78Sql: String =
+    """SELECT p.event_id,
+      |  count(e.event_id) AS n_followups,
+      |  coalesce(min(e.event_id), -1) AS first_followup_id
+      |FROM events p LEFT JOIN events e
+      |  ON e.event_type = 'error'
+      | AND e.user_id = p.user_id
+      | AND e.ts >= p.ts
+      | AND e.ts <= p.ts + INTERVAL 600 SECONDS
+      |WHERE p.event_type = 'purchase' AND p.user_id % 3 = 1
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
 }

@@ -230,4 +230,32 @@ object StreamOps {
         unix_micros(col(lTsCol)).as("l_ts_us"),
         unix_micros(col(rTsCol)).as("r_ts_us"))
   }
+
+  /** Stream–stream LEFT OUTER equi+interval join — "every purchase,
+    * with the errors that followed it within `windowSeconds`, OR a
+    * null row if none ever did". The OUTER side is the semantics
+    * Spark's inner join can't give: a left row's null result may only
+    * emit once the watermark proves no matching right row can still
+    * arrive, so state is bounded by (delay + window) × rate on both
+    * sides and unmatched rows surface exactly once. `delayThreshold`
+    * must exceed the window or in-flight partners could be evicted
+    * before their match arrives.
+    *
+    * Output: `(l_id, r_id NULL-able, l_ts_us)`.
+    */
+  def leftOuterFollowupJoin(left: DataFrame, right: DataFrame,
+      lIdCol: String, lKeyCol: String, lTsCol: String,
+      rIdCol: String, rKeyCol: String, rTsCol: String,
+      windowSeconds: Long, delayThreshold: String): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive, got $windowSeconds")
+    val l = left.withWatermark(lTsCol, delayThreshold)
+    val r = right.withWatermark(rTsCol, delayThreshold)
+    l.join(r,
+        col(lKeyCol) === col(rKeyCol) &&
+          expr(s"$rTsCol >= $lTsCol AND " +
+            s"$rTsCol <= $lTsCol + interval $windowSeconds seconds"),
+        "left_outer")
+      .select(col(lIdCol), col(rIdCol),
+        unix_micros(col(lTsCol)).as("l_ts_us"))
+  }
 }

@@ -86,7 +86,16 @@ object AddFile {
     if (p.startsWith("/") || SchemeRe.matches(p)) p else s"$tableDir/$p"
 }
 
-case class ColStats(min: Option[String], max: Option[String], nullCount: Option[Long])
+/** Per-column file statistics. `bloom` is an optional per-FILE Bloom
+  * filter over the column's values (self-describing
+  * `mBits:k:base64(words)`, see [[StatsBloom]]) — min/max ranges
+  * cannot prune point lookups on high-cardinality UNSORTED columns
+  * (every file's range spans everything), a 128-byte bloom per file
+  * can. Absent on logs written before the feature or for unsupported
+  * types; absence simply means no bloom pruning (sound).
+  */
+case class ColStats(min: Option[String], max: Option[String],
+    nullCount: Option[Long], bloom: Option[String] = None)
 
 /** Reference to an external deletion-vector sidecar: a parquet
   * directory of `(file_key string, pos long)` rows, `path` relative to
@@ -258,7 +267,8 @@ object Action {
           ("dataChange" -> f.dataChange) ~
           ("numRecords" -> f.numRecords) ~
           ("stats" -> f.stats.map { case (c, s) =>
-            c -> (("min" -> s.min) ~ ("max" -> s.max) ~ ("nullCount" -> s.nullCount))
+            c -> (("min" -> s.min) ~ ("max" -> s.max) ~
+              ("nullCount" -> s.nullCount) ~ ("bloom" -> s.bloom))
           }) ~
           ("partitionValues" -> f.partitionValues) ~
           // omitted when empty: the common no-deletions case costs zero
@@ -339,7 +349,8 @@ object Action {
             case o: JObject => o.obj.map { case (c, s) =>
               c -> ColStats((s \ "min").extractOpt[String],
                             (s \ "max").extractOpt[String],
-                            (s \ "nullCount").extractOpt[Long])
+                            (s \ "nullCount").extractOpt[Long],
+                            (s \ "bloom").extractOpt[String])
             }.toMap
             case _ => Map.empty
           },

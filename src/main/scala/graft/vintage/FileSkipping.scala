@@ -162,16 +162,32 @@ object FileSkipping {
       case _ => true
     }
 
-  /** Whether the file's [min,max] could contain value `v` of type `t`. */
+  /** Whether the file could contain value `v` of type `t`: the [min,
+    * max] range test, AND the per-file bloom when one was written —
+    * the range cannot prune point lookups on high-cardinality
+    * unsorted columns (every file spans the domain); the bloom can.
+    * `renderLiteral` declines type pairings whose rendering isn't
+    * provably the writer's, so the bloom never produces a false
+    * negative.
+    */
   private def rangeContains(schema: StructType, f: AddFile, col: String,
                             v: Any, t: DataType): Boolean =
     if (v == null) false // `col = null` matches no rows
     else stats(f, col).forall { s =>
-      (s.min, s.max) match {
+      val rangeOk = (s.min, s.max) match {
         case (Some(mn), Some(mx)) =>
           cmp(schema, col, mn, v, t).forall(_ <= 0) &&
           cmp(schema, col, mx, v, t).forall(_ >= 0)
         case _ => s.nullCount.isEmpty // all-null file matches no equality
+      }
+      rangeOk && s.bloom.forall { b =>
+        val colType = schema.fields.collectFirst {
+          case fd if fd.name.equalsIgnoreCase(col) => fd.dataType
+        }
+        colType.flatMap(ct => StatsBloom.renderLiteral(ct, v, t)) match {
+          case Some(r) => StatsBloom.mightContain(b, r)
+          case None => true
+        }
       }
     }
 

@@ -169,7 +169,7 @@ object IdentityColumns {
     if (nonEmpty.isEmpty) return None
     val fromStats = nonEmpty.flatMap { a =>
       a.stats.get(physCol) match {
-        case Some(ColStats(Some(mn), Some(mx), nulls)) =>
+        case Some(ColStats(Some(mn), Some(mx), nulls, _)) =>
           Some((mn.toLong, mx.toLong, nulls.getOrElse(0L)))
         case _ => None
       }

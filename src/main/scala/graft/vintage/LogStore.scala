@@ -55,15 +55,28 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
   override def hadoopConf: Configuration = conf
 
   override def readLines(path: Path): Seq[String] = {
-    val in = fs(path).open(path)
-    try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      new String(bytes.toByteArray, StandardCharsets.UTF_8)
-        .split("\n", -1).toSeq
-    } finally in.close()
+    def readOnce(): Seq[String] = {
+      val in = fs(path).open(path)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new String(bytes.toByteArray, StandardCharsets.UTF_8)
+          .split("\n", -1).toSeq
+      } finally in.close()
+    }
+    try readOnce()
+    catch {
+      // ChecksumFileSystem (local FS in tests) races its .crc sidecar
+      // against a concurrent committer's just-published file; the data
+      // file itself is immutable once published, so one short-delay
+      // retry reads the settled pair. Object stores have no sidecar —
+      // this branch never fires there.
+      case _: org.apache.hadoop.fs.ChecksumException =>
+        Thread.sleep(50)
+        readOnce()
+    }
   }
 
   private def writeTemp(path: Path, lines: Seq[String]): Path = {

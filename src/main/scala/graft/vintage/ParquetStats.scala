@@ -102,6 +102,72 @@ object ParquetStats {
     } finally reader.close()
   }
 
+  /** Build per-FILE bloom filters for the requested columns by reading
+    * the file's values back with a column-pruned Group reader — runs
+    * in the same executor task wave as [[read]], one extra columnar
+    * scan of ONLY the opted-in columns. Columns whose physical type
+    * has no canonical rendering ([[StatsBloom.renderLiteral]]'s
+    * contract: UTF8 strings, plain/int-annotated INT32/INT64) are
+    * silently excluded — no bloom, no pruning, sound.
+    */
+  def bloomStats(file: Path, conf: Configuration, cols: Seq[String],
+      mBits: Int): Map[String, String] = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (cols.isEmpty) return Map.empty
+    val fileSchema = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    def renderable(p: PrimitiveType): Boolean = {
+      val ann = p.getLogicalTypeAnnotation
+      p.getPrimitiveTypeName match {
+        case BINARY =>
+          ann.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+        case INT32 | INT64 =>
+          ann == null ||
+            ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+        case _ => false
+      }
+    }
+    val fields = fileSchema.getFields.asScala.collect {
+      case p: PrimitiveType
+        if cols.exists(_.equalsIgnoreCase(p.getName)) && renderable(p) => p
+    }.toSeq
+    if (fields.isEmpty) return Map.empty
+    val projection = new MessageType("graft_bloom_projection",
+      fields.map(_.asInstanceOf[org.apache.parquet.schema.Type]).asJava)
+    val readConf = new Configuration(conf)
+    readConf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), file)
+      .withConf(readConf).build()
+    val builders = fields.map(f => f.getName -> new StatsBloom.Builder(mBits))
+    try {
+      var g = reader.read()
+      while (g != null) {
+        var i = 0
+        while (i < fields.size) {
+          val f = fields(i)
+          val idx = projection.getFieldIndex(f.getName)
+          if (g.getFieldRepetitionCount(idx) > 0) {
+            val s = f.getPrimitiveTypeName match {
+              case BINARY => g.getString(idx, 0)
+              case INT64 => g.getLong(idx, 0).toString
+              case INT32 => g.getInteger(idx, 0).toString
+              case _ => null
+            }
+            if (s != null) builders(i)._2.add(s)
+          }
+          i += 1
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    builders.iterator.flatMap { case (n, b) => b.encode().map(n -> _) }.toMap
+  }
+
   /** Type-aware less-than on the string-encoded stat values. */
   private def lt(dt: DataType, a: String, b: String): Boolean = dt match {
     case StringType => cpCompare(a, b) < 0

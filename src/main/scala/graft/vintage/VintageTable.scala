@@ -2525,6 +2525,12 @@ object VintageTable {
        s"${prefix}part-${UUID.randomUUID().toString}.snappy.parquet")
     }
     val statCols = ParquetStats.statsColumns(physDf.schema)
+    // log-level per-file blooms for the opted-in columns (PHYSICAL
+    // names — stats are keyed physical in the log, remapped to logical
+    // on read like min/max)
+    val bloomPhysCols = bloomColumns(props).map(phys)
+    val bloomBits = props.getOrElse("vintage.bloom.bits",
+      StatsBloom.DefaultBits.toString).toInt
     val tableDirStr = tableDir
     // ship the session Hadoop conf to the executors: object stores and
     // custom filesystems are configured there (credentials, fs.* impls),
@@ -2545,9 +2551,16 @@ object VintageTable {
           if (!efs.rename(srcPath, target))
             throw new java.io.IOException(s"rename $srcPath -> $target failed")
           val (numRecords, stats) = ParquetStats.read(target, conf, statCols)
+          val blooms =
+            if (bloomPhysCols.isEmpty) Map.empty[String, String]
+            else ParquetStats.bloomStats(target, conf, bloomPhysCols, bloomBits)
+          val withBlooms = blooms.foldLeft(stats) { case (m, (c, b)) =>
+            m.updated(c, m.getOrElse(c, ColStats(None, None, None))
+              .copy(bloom = Some(b)))
+          }
           val st = efs.getFileStatus(target)
           AddFile(name, st.getLen, st.getModificationTime, dataChange,
-            Some(numRecords), stats,
+            Some(numRecords), withBlooms,
             PartitionPaths.parsePartitionValues(name))
         }.collect().toSeq
       // a failure mid-rename-wave leaves already-renamed files at final

@@ -138,9 +138,16 @@ class VintageWrite(
           else Some((c, ord, spec.nextBase(
             graft.vintage.IdentityColumns.hwm(tableProperties, c)), spec.step))
       }
+    // log-level per-file bloom stats (physical names), mirroring
+    // VintageTable.writeFiles
+    val logBloomCols = graft.vintage.VintageTable.bloomColumns(tableProperties)
+      .map(c => ColumnMapping.toPhysical(tableSchema, c))
+    val logBloomBits = tableProperties.getOrElse("vintage.bloom.bits",
+      graft.vintage.StatsBloom.DefaultBits.toString).toInt
     new VintageBatchWrite(tablePath, tableSchema.json, dataSchema.json,
       physDataSchema.json, partitionCols, physPartitionCols, overwrite, factory,
-      new SerializableConfiguration(job.getConfiguration), constraints, idFills)
+      new SerializableConfiguration(job.getConfiguration), constraints, idFills,
+      logBloomCols, logBloomBits)
   }
 }
 
@@ -200,7 +207,9 @@ class VintageBatchWrite(
     overwrite: Boolean,
     factory: OutputWriterFactory, conf: SerializableConfiguration,
     constraints: Seq[(String, String, Expression)] = Nil,
-    idFills: Seq[(String, Int, Long, Long)] = Nil)
+    idFills: Seq[(String, Int, Long, Long)] = Nil,
+    logBloomCols: Seq[String] = Nil,
+    logBloomBits: Int = graft.vintage.StatsBloom.DefaultBits)
     extends BatchWrite {
 
   /** (column -> allocation base) of this write's identity fills — the
@@ -212,7 +221,7 @@ class VintageBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new VintageWriterFactory(tablePath, tableSchemaJson, dataSchemaJson,
       physDataSchemaJson, partitionCols, physPartitionCols, factory, conf,
-      constraints, idFills)
+      constraints, idFills, logBloomCols, logBloomBits)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq
@@ -249,7 +258,9 @@ class VintageWriterFactory(
     factory: OutputWriterFactory,
     conf: SerializableConfiguration,
     constraints: Seq[(String, String, Expression)] = Nil,
-    idFills: Seq[(String, Int, Long, Long)] = Nil)
+    idFills: Seq[(String, Int, Long, Long)] = Nil,
+    logBloomCols: Seq[String] = Nil,
+    logBloomBits: Int = graft.vintage.StatsBloom.DefaultBits)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -258,7 +269,7 @@ class VintageWriterFactory(
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(physDataSchemaJson).asInstanceOf[StructType],
       partitionCols, physPartitionCols, factory, conf, partitionId, taskId,
-      constraints, idFills)
+      constraints, idFills, logBloomCols, logBloomBits)
 }
 
 /** Task-side writer: one open parquet `OutputWriter` per partition
@@ -273,7 +284,9 @@ class VintageDataWriter(
     factory: OutputWriterFactory,
     conf: SerializableConfiguration, partitionId: Int, taskId: Long,
     constraints: Seq[(String, String, Expression)] = Nil,
-    idFills: Seq[(String, Int, Long, Long)] = Nil)
+    idFills: Seq[(String, Int, Long, Long)] = Nil,
+    logBloomCols: Seq[String] = Nil,
+    logBloomBits: Int = graft.vintage.StatsBloom.DefaultBits)
     extends DataWriter[InternalRow] {
 
   private val hconf = conf.value
@@ -436,9 +449,16 @@ class VintageDataWriter(
       val target = new HPath(tableDir, rel)
       val fs = target.getFileSystem(hconf)
       val (numRecords, stats) = ParquetStats.read(target, hconf, statCols)
+      val blooms =
+        if (logBloomCols.isEmpty) Map.empty[String, String]
+        else ParquetStats.bloomStats(target, hconf, logBloomCols, logBloomBits)
+      val withBlooms = blooms.foldLeft(stats) { case (m, (c, b)) =>
+        m.updated(c, m.getOrElse(c, graft.vintage.ColStats(None, None, None))
+          .copy(bloom = Some(b)))
+      }
       val st = fs.getFileStatus(target)
       AddFile(rel, st.getLen, st.getModificationTime, dataChange = true,
-        Some(numRecords), stats, PartitionPaths.parsePartitionValues(rel))
+        Some(numRecords), withBlooms, PartitionPaths.parsePartitionValues(rel))
     }
     VintageCommitMessage(adds, idFillCount > 0)
   }

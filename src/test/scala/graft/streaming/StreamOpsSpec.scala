@@ -243,6 +243,41 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("leftOuterFollowupJoin: matches emit; unmatched emit ONE null row after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, Timestamp)]
+    val eMem = MemoryStream[(Long, Long, Timestamp)]
+    val sink = "outer_out_" + java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = StreamOps.leftOuterFollowupJoin(
+        pMem.toDF().toDF("p_id", "p_user", "p_ts"),
+        eMem.toDF().toDF("e_id", "e_user", "e_ts"),
+        "p_id", "p_user", "p_ts", "e_id", "e_user", "e_ts",
+        windowSeconds = 600, delayThreshold = "700 seconds")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // user 1's purchase gets an error 30s later (match); user 2's
+      // only error comes 900s later (outside window); user 3 has none
+      pMem.addData((10L, 1L, ts2(0)), (20L, 2L, ts2(60)), (30L, 3L, ts2(60)))
+      eMem.addData((100L, 1L, ts2(30)), (200L, 2L, ts2(960)))
+      q.processAllAvailable()
+      // nothing unmatched may emit yet: watermark hasn't passed
+      val early = spark.table(sink).filter($"e_id".isNull).count()
+      assert(early == 0, s"null rows before watermark: $early")
+      // sentinels push BOTH watermarks far past every pending row
+      pMem.addData((-1L, -1L, ts2(100000)))
+      eMem.addData((-2L, -1L, ts2(100000)))
+      q.processAllAvailable()
+      val got = spark.table(sink).filter($"p_id" > 0)
+        .select("p_id", "e_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toList
+      assert(got.size == 3, s"each purchase exactly once: $got")
+      assert(got.toMap == Map(10L -> Some(100L), 20L -> None, 30L -> None), s"$got")
+    } finally q.stop()
+  }
+
   /** seconds → Timestamp, offset well past epoch 0 (a row AT the
     * initial watermark would be dropped as late). */
   private def ts2(s: Long): Timestamp =
