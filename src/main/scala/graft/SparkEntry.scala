@@ -97,6 +97,7 @@ object SparkEntry {
     "q76_pagerank"         -> (Analytics.q76PageRank _),
     "q77_count_min"        -> (PipelineQueries.q77CountMin _),
     "q78_stream_outer_join" -> (StreamQueries.q78StreamOuterJoin _),
+    "q79_incremental_mv"   -> (RowLevelQueries.q79IncrementalMv _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -190,5 +191,6 @@ object SparkEntry {
     "q76_pagerank"         -> Analytics.q76Sql,
     "q77_count_min"        -> PipelineQueries.q77Sql,
     "q78_stream_outer_join" -> StreamQueries.q78Sql,
+    "q79_incremental_mv"   -> RowLevelQueries.q79Sql,
   )
 }

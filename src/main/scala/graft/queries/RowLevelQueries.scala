@@ -302,4 +302,64 @@ object RowLevelQueries {
       |)
       |SELECT c_custkey, c_mktsegment, bal_cents FROM merged
       |WHERE bal_cents >= 0 ORDER BY c_custkey""".stripMargin
+
+  /** Incremental materialized-view maintenance — the medallion
+    * pattern's silver layer: a per-priority (count, sum) aggregate is
+    * seeded ONCE from the v0 snapshot, then maintained purely from the
+    * change feed of three later commits (append / conditional DELETE /
+    * conditional UPDATE), never recomputed. CDF rows apply as signed
+    * deltas (insert & update_postimage → +, delete & update_preimage
+    * → −; without row tracking an update surfaces as delete+insert —
+    * the signed algebra is indifferent). At 100 TB this is the
+    * difference between touching each night's changes and rescanning
+    * the table; the oracle replays the same DML relationally and the
+    * maintained view must match it bit-for-bit.
+    */
+  def q79IncrementalMv(spark: SparkSession, d: String): DataFrame = {
+    import graft.vintage.VintageTable
+    val dir = Files.createTempDirectory("graft-q79").toString + "/t"
+    val base = Tables.orders(spark, d).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val t = VintageTable.create(spark, dir,
+      base.filter(col("o_orderkey") % 2 === 0))                  // v0
+    t.append(base.filter(col("o_orderkey") % 2 === 1))           // v1
+    t.delete("o_orderstatus = 'F'")                              // v2
+    t.update(col("o_orderpriority") === "1-URGENT",              // v3
+      Map("cents" -> (col("cents") + lit(100))))
+    val seed = t.toDFAsOf(0).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n0"), sum("cents").as("s0"))
+    // (fromVersion, to] — changes AFTER the v0 seed: versions 1..3
+    val deltas = t.changes(0, 3)
+      .withColumn("sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign") * col("cents")).as("ds"))
+    seed.join(deltas, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+          .as("sum_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy("o_orderpriority")
+  }
+
+  val q79Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority, o_orderstatus,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |final AS (
+      |  SELECT o_orderpriority,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN cents + 100
+      |         ELSE cents END AS cents
+      |  FROM base WHERE o_orderstatus <> 'F')
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents
+      |FROM final GROUP BY o_orderpriority
+      |HAVING count(*) > 0
+      |ORDER BY o_orderpriority""".stripMargin
 }
