@@ -98,6 +98,8 @@ object SparkEntry {
     "q77_count_min"        -> (PipelineQueries.q77CountMin _),
     "q78_stream_outer_join" -> (StreamQueries.q78StreamOuterJoin _),
     "q79_incremental_mv"   -> (RowLevelQueries.q79IncrementalMv _),
+    "q80_token_ids"        -> (PipelineQueries.q80TokenIds _),
+    "q81_stream_upsert"    -> (StreamQueries.q81StreamUpsert _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -192,5 +194,7 @@ object SparkEntry {
     "q77_count_min"        -> PipelineQueries.q77Sql,
     "q78_stream_outer_join" -> StreamQueries.q78Sql,
     "q79_incremental_mv"   -> RowLevelQueries.q79Sql,
+    "q80_token_ids"        -> PipelineQueries.q80Sql,
+    "q81_stream_upsert"    -> StreamQueries.q81Sql,
   )
 }

@@ -1572,6 +1572,83 @@ object PipelineQueries {
       |LEFT JOIN scored USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Model-ready token-id tensors — the last hop from text to training
+    * batch: q72's BPE subwords mapped to vocabulary ids (pad=0, unk=1,
+    * vocab from rank 2), truncated at `maxLen`=24, right-padded with
+    * 0s, plus the attention-mask length. Pure array plumbing over the
+    * frozen vocab (a ≤200-entry broadcast lookup); the oracle rebuilds
+    * the same vocab as VALUES and replays the whole shaping.
+    */
+  def q80TokenIds(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val maxLen = 24
+    val vocab = Bpe.vocab(bpeMerges)
+    val vocabDf = spark.createDataFrame(
+      vocab.zipWithIndex.map { case (t, i) => (t, i + 2L) })
+      .toDF("tok", "tok_id")
+    val enc = Bpe.encode(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", bpeMerges)
+    val ids = enc
+      .select(col("id").as("doc_id"), posexplode(col("bpe_tokens")))
+      .withColumnRenamed("col", "tok").withColumnRenamed("pos", "pos")
+      .filter(col("pos") < maxLen)
+      .join(broadcast(vocabDf), Seq("tok"), "left")
+      .withColumn("tok_id", coalesce(col("tok_id"), lit(1L)))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok_id"))))
+        .as("ps"))
+      .select(col("doc_id"), transform(col("ps"), p => p("tok_id")).as("ids"))
+    ids
+      .select(col("doc_id"),
+        concat(col("ids"),
+          array_repeat(lit(0L), lit(maxLen) - size(col("ids"))))
+          .as("padded"),
+        size(col("ids")).cast("long").as("attn_len"))
+      .select(col("doc_id"),
+        array_join(col("padded"), " ").as("token_ids"), col("attn_len"))
+      .orderBy("doc_id")
+  }
+
+  val q80Sql: String = {
+    val vocabVals = Bpe.vocab(bpeMerges).zipWithIndex
+      .map { case (t, i) => s"('$t', ${i + 2})" }.mkString(", ")
+    val merges = bpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"($i, '$a', '$b')" }.mkString(", ")
+    s"""WITH merges(r, a, b) AS (VALUES $merges),
+       |vocab(tok, tok_id) AS (VALUES $vocabVals),
+       |ms AS (SELECT list(a || ' ' || b ORDER BY r, p.p) AS l
+       |       FROM merges CROSS JOIN (VALUES (1), (2), (3)) p(p)),
+       |docs AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                x -> x <> '') AS ws FROM documents),
+       |words AS (SELECT docs.doc_id, t.i AS i, docs.ws[t.i] AS w
+       |          FROM docs, LATERAL unnest(range(1, len(ws) + 1)) t(i)),
+       |enc AS (SELECT w,
+       |    regexp_split_to_array(trim(list_reduce(
+       |      list_prepend(
+       |        ' ' || array_to_string(regexp_split_to_array(w, ''), ' ') || ' ',
+       |        (SELECT l FROM ms)),
+       |      (acc, m) -> replace(acc, ' ' || m || ' ',
+       |                          ' ' || replace(m, ' ', '') || ' '))), ' ') AS toks
+       |  FROM (SELECT DISTINCT w FROM words)),
+       |doctoks AS (
+       |  SELECT doc_id, flatten(list(toks ORDER BY i)) AS toks
+       |  FROM words JOIN enc USING (w) GROUP BY doc_id),
+       |vm AS (SELECT map(list(tok), list(tok_id)) AS m FROM vocab),
+       |shaped AS (
+       |  SELECT doc_id,
+       |    list_transform(toks[1:24],
+       |      t -> coalesce(map_extract(vm.m, t)[1], 1)) AS ids
+       |  FROM doctoks, vm)
+       |SELECT doc_id,
+       |  array_to_string(
+       |    list_concat(ids, list_transform(range(1, 25 - len(ids)), x -> 0)),
+       |    ' ') AS token_ids,
+       |  CAST(len(ids) AS BIGINT) AS attn_len
+       |FROM shaped ORDER BY doc_id""".stripMargin
+  }
+
   /** Count-min frequency sketch ([[graft.operators.CountMin]]) over
     * event user ids: 4×256 exact integer counters (the build shuffle
     * carries ≤ 1024 cells at ANY input size), probed for the 20

@@ -413,4 +413,75 @@ object StreamQueries {
       |WHERE p.event_type = 'purchase' AND p.user_id % 3 = 1
       |GROUP BY 1
       |ORDER BY 1""".stripMargin
+
+  /** Streaming CDC-apply — the canonical `foreachBatch` + MERGE
+    * pattern: a keyed update stream (the %5=2 user slice of events,
+    * replayed in event-time order over 3 micro-batches) upserts into a
+    * vintage table; each batch first collapses to one row per key
+    * (latest by (ts, event_id) — MERGE forbids duplicate source
+    * matches), then `whenMatched.updateAll / whenNotMatched.insertAll`
+    * applies last-write-wins. Final table state must equal the batch
+    * "latest row per key" query bit-for-bit. At 100 TB each refresh
+    * costs the batch's keys' touched files (stats-pruned), never the
+    * table.
+    */
+  def q81StreamUpsert(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.vintage.VintageTable
+
+    val feed = Tables.events(spark, d)
+      .filter(col("user_id") % 5 === 2)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, Double, Long, Long)]
+      .collect()
+      .sortBy(r => (r._3, r._4))
+    require(feed.nonEmpty, s"no events with user_id % 5 = 2 under $d")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-q81").toString + "/t"
+    val empty = Seq.empty[(Long, Double, Long)]
+      .toDF("user_id", "last_value", "last_event_id")
+    val t = VintageTable.create(spark, dir, empty)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Long, Long)]
+    val q = mem.toDF.toDF("user_id", "value", "ts_us", "event_id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("value").as("last_value"),
+            col("event_id").as("last_event_id"))
+        t.as("t")
+          .merge(latest.as("s"), "t.user_id = s.user_id")
+          .whenMatched().updateAll()
+          .whenNotMatched().insertAll()
+          .execute()
+      }
+      .start()
+    try {
+      val batchSize = feed.length / 3 + 1
+      feed.grouped(batchSize).foreach { g =>
+        mem.addData(g.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    t.toDF.select("user_id", "last_value", "last_event_id")
+      .orderBy("user_id")
+  }
+
+  val q81Sql: String =
+    """SELECT user_id, value AS last_value, event_id AS last_event_id
+      |FROM (
+      |  SELECT user_id, value, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events WHERE user_id % 5 = 2)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
 }
