@@ -102,6 +102,21 @@ class BloomSkippingSpec extends AnyFunSuite {
     assert(t2.candidateFiles(t2.snapshot, col("name") === "extra_3").size == 1)
   }
 
+  test("compaction rewrites blooms for the merged files") {
+    val t = interleavedTable()
+    t.compact(1)
+    val files = t.snapshot.files.filter(_.numRecords.exists(_ > 0))
+    assert(files.size == 1, s"expected one compacted file, got ${files.size}")
+    assert(files.head.stats("id").bloom.isDefined,
+      "compacted file must carry a fresh bloom")
+    // the merged file contains everything: no value may be pruned away
+    val snap = t.snapshot
+    (1 to 200).foreach { i =>
+      assert(t.candidateFiles(snap, col("id") === i.toLong).nonEmpty,
+        s"false negative after compaction for id=$i")
+    }
+  }
+
   test("native SQL INSERT path writes log blooms too") {
     val s = spark
     s.conf.set("spark.sql.catalog.vbs", "graft.vintage.connector.VintageCatalog")
