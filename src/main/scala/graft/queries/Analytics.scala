@@ -628,4 +628,193 @@ object Analytics {
        |$iters
        |SELECT v, r AS rank_e12 FROM r5 ORDER BY v""".stripMargin
   }
+
+  /** CUBE: all four grouping granularities of (returnflag, ship-year)
+    * — leaf, per-flag, per-year, grand total — in ONE pass.
+    * Like q66's ROLLUP, Spark plans a single Expand feeding one
+    * partial-aggregatable hash aggregate, vs the 4 scans a UNION ALL
+    * costs at 100 TB; CUBE's extra cross-marginal (per-year) is the
+    * grouping-set q66 cannot produce. Decimal-exact sums, sentinel
+    * labels for NULL group markers.
+    */
+  def q82Cube(spark: SparkSession, d: String): DataFrame =
+    Tables.lineitem(spark, d)
+      .cube(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").cast("string").as("sum_qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("ship_year").cast("string"), lit("(all)")).as("yr"),
+        col("n"), col("sum_qty"))
+      .orderBy("gid", "flag", "yr")
+
+  val q82Sql: String =
+    """SELECT GROUPING(l_returnflag, year(l_shipdate)) AS gid,
+      |  coalesce(l_returnflag, '(all)') AS flag,
+      |  coalesce(CAST(year(l_shipdate) AS VARCHAR), '(all)') AS yr,
+      |  count(*) AS n,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, year(l_shipdate))
+      |ORDER BY gid, flag, yr""".stripMargin
+
+  /** UNPIVOT (melt): q65's wide per-type counts folded back to long
+    * (user_mod, event_col, n) rows with Spark's native `unpivot` — a
+    * zero-shuffle Expand over the aggregated frame, NOT a 5-way
+    * UNION ALL re-scan. Wide cells are coalesced to 0 first because
+    * unpivot-then-drop-NULL semantics differ across engines; with no
+    * NULLs both agree.
+    */
+  def q83Unpivot(spark: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(spark, d)
+      .groupBy(pmod(col("user_id"), lit(10L)).as("user_mod"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    val filled = wide.select(col("user_mod") +:
+      types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+    filled.unpivot(
+        Array(col("user_mod")),
+        types.map(t => col(s"n_$t")).toArray,
+        "event_col", "n")
+      .orderBy("user_mod", "event_col")
+  }
+
+  val q83Sql: String = {
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+      .map(t =>
+        s"""SELECT user_id % 10 AS user_mod, 'n_$t' AS event_col,
+           |  count(CASE WHEN event_type = '$t' THEN 1 END) AS n
+           |FROM events GROUP BY 1""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$arms
+       |ORDER BY user_mod, event_col""".stripMargin
+  }
+
+  /** Navigation + distribution window functions in one pass: per
+    * priority class over (orderdate, orderkey) order — lag/lead of the
+    * order key, ntile(4) quartile bucket, plus rank/dense_rank and
+    * e6-scaled percent_rank/cume_dist computed over orderDATE alone so
+    * real ties exercise the tie semantics (equal dates share a rank
+    * and a cume_dist, deterministically on any engine). One shuffle on
+    * the partition key serves all seven functions — at 100 TB the
+    * win is exactly this sharing: N window functions, one sort.
+    * percent_rank/cume_dist are ratios of exact small ints, identical
+    * IEEE doubles on both engines; scaled-round pins them as BIGINT.
+    */
+  def q84WindowFuncs(spark: SparkSession, d: String): DataFrame = {
+    val wUnique = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wTies = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderdate"))
+    Tables.orders(spark, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1, -1L).over(wUnique).as("prev_key"),
+        lead(col("o_orderkey"), 1, -1L).over(wUnique).as("next_key"),
+        ntile(4).over(wUnique).as("quartile"),
+        rank().over(wTies).as("rk"),
+        dense_rank().over(wTies).as("drk"),
+        round(percent_rank().over(wTies) * 1000000).cast("long").as("prk_e6"),
+        round(cume_dist().over(wTies) * 1000000).cast("long").as("cd_e6"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val q84Sql: String =
+    """SELECT o_orderpriority, o_orderkey,
+      |  coalesce(lag(o_orderkey, 1) OVER wu, -1) AS prev_key,
+      |  coalesce(lead(o_orderkey, 1) OVER wu, -1) AS next_key,
+      |  CAST(ntile(4) OVER wu AS INTEGER) AS quartile,
+      |  rank() OVER wt AS rk,
+      |  dense_rank() OVER wt AS drk,
+      |  CAST(round(percent_rank() OVER wt * 1000000) AS BIGINT) AS prk_e6,
+      |  CAST(round(cume_dist() OVER wt * 1000000) AS BIGINT) AS cd_e6
+      |FROM orders
+      |WINDOW wu AS (PARTITION BY o_orderpriority
+      |              ORDER BY o_orderdate, o_orderkey),
+      |       wt AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Argmax/argmin aggregation: per customer-nation, the order key of
+    * the latest/earliest order (`max_by`/`min_by` keyed on the unique
+    * orderkey — deterministic) plus a `count_if` predicate count.
+    * Single partial-aggregatable pass — max_by carries one (key,
+    * value) pair per group through the map-side combine, NOT a sorted
+    * window; this is the scan-shaped way to answer "row of the max"
+    * at 100 TB (the window formulation sorts every group).
+    */
+  def q85ArgExtremes(spark: SparkSession, d: String): DataFrame =
+    Tables.orders(spark, d)
+      .join(Tables.customer(spark, d),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        max_by(col("o_orderkey"), col("o_orderkey")).as("latest_key"),
+        min_by(col("o_orderkey"), col("o_orderkey")).as("first_key"),
+        count_if(col("o_totalprice") > lit(150000.0)).as("n_big"))
+      .orderBy("c_nationkey")
+
+  val q85Sql: String =
+    """SELECT c_nationkey, count(*) AS n_orders,
+      |  arg_max(o_orderkey, o_orderkey) AS latest_key,
+      |  arg_min(o_orderkey, o_orderkey) AS first_key,
+      |  CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_big
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** Exact-moment correlation/variance: Pearson corr and population
+    * stddev of (quantity, extendedprice-in-cents) per returnflag,
+    * computed from EXACT integer moment sums (Σx Σy Σxy Σx² Σy² as
+    * DECIMAL(38,0) — quantities are integral, prices exact in cents)
+    * and only then combined in closed form. A direct `corr()` is a
+    * float aggregation whose partial-merge order perturbs low bits
+    * across cluster layouts; the moment form is ONE partial-
+    * aggregatable pass whose result is bit-identical on any layout
+    * and any engine — the distributed-determinism pattern for second-
+    * order stats at 100 TB.
+    */
+  def q86MomentCorr(spark: SparkSession, d: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val x = col("l_quantity").cast("long")
+    val y = round(col("l_extendedprice") * 100).cast("long")
+    Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), x.as("x"), y.as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          / sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          * 1000000).cast("long").as("corr_e6"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          / col("n").cast("double") * 1000000).cast("long").as("sd_x_e6"))
+      .orderBy("l_returnflag")
+  }
+
+  val q86Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sx,
+      |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sy,
+      |    sum(CAST(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS sxy,
+      |    sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS sxx,
+      |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 1000000) AS BIGINT) AS corr_e6,
+      |  CAST(round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS sd_x_e6
+      |FROM m ORDER BY l_returnflag""".stripMargin
 }

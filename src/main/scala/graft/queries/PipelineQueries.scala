@@ -1688,4 +1688,95 @@ object PipelineQueries {
       |truth AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id)
       |SELECT est.user_id, truth.true_cnt, CAST(est.est_cnt AS BIGINT) AS est_cnt
       |FROM est JOIN truth USING (user_id) ORDER BY user_id""".stripMargin
+
+  /** Deterministic train/val/test split ([[graft.operators.Splits]]):
+    * every document assigned 80/10/10 by md5 bucket of its id — a pure
+    * per-row decision (no RNG, no shuffle) that stays stable when the
+    * corpus grows or is re-partitioned, which is what makes a 100 TB
+    * split reproducible. The gate pins every row's bucket AND split
+    * label; the oracle replays the identical md5 arithmetic.
+    */
+  def q87SplitAssign(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Splits.assign(
+        Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        "doc_id", Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select(col("doc_id"), col("source"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+
+  val q87Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+      |         AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, source, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  /** Weighted corpus mixing ([[graft.operators.Splits.mix]]): each
+    * source replayed at its target rate — src0 ×2.5, src1 ×1.5,
+    * src2 ×1, src3 ×0.25, everything else dropped — via whole epochs
+    * plus an md5-thresholded fractional epoch per (doc, epoch). The
+    * Llama/Pile-style mixture step, as exact integer row fan-out:
+    * zero shuffle, and the same doc always lands in the same epochs
+    * regardless of layout. Gate pins the full (doc, epoch) multiset.
+    */
+  def q88CorpusMix(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Splits.mix(
+        Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 2500000L, "src1" -> 1500000L,
+            "src2" -> 1000000L, "src3" -> 250000L))
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+
+  val q88Sql: String =
+    """WITH r(source, rate_e6) AS (VALUES
+      |    ('src0', 2500000), ('src1', 1500000),
+      |    ('src2', 1000000), ('src3', 250000)),
+      |d AS (SELECT doc_id, d0.source, rate_e6,
+      |        rate_e6 // 1000000 AS whole, rate_e6 % 1000000 AS frac
+      |      FROM documents d0 JOIN r USING (source)),
+      |fan AS (SELECT doc_id, source, whole, frac, t.e AS epoch
+      |        FROM d, LATERAL unnest(range(0,
+      |          CASE WHEN frac = 0 THEN whole ELSE whole + 1 END)) t(e))
+      |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+      |FROM fan
+      |WHERE epoch < whole
+      |   OR CAST(('0x' || substr(md5(doc_id || ':' || epoch), 1, 6))
+      |           AS BIGINT) % 1000000 < frac
+      |ORDER BY doc_id, epoch""".stripMargin
+
+  /** Signed random projection ([[graft.operators.Projection]]): the
+    * 64-dim embeddings reduced to 16 integer components through a
+    * ±1 matrix derived from md5 parity of each (i, j) cell —
+    * regenerated identically on every executor and by the oracle,
+    * nothing shipped. e3 quantization first, so the projection is
+    * exact integer arithmetic and the full 16-vector hash-matches
+    * bit-for-bit.
+    */
+  def q89RandomProjection(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Projection.project(
+        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dims = 64, k = 16)
+      .select(col("vec_id"), col("proj"), col("k"))
+      .orderBy("vec_id")
+
+  val q89Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, t.i AS i,
+      |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) t(i)),
+      |m AS (
+      |  SELECT i.i AS i, j.j AS j,
+      |    CASE WHEN CAST(('0x' || substr(md5(i.i || '_' || j.j), 1, 1))
+      |              AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(1, 65)) AS i) i,
+      |       (SELECT unnest(range(0, 16)) AS j) j),
+      |p AS (SELECT q.vec_id, m.j, sum(m.s * q.q) AS p
+      |      FROM q JOIN m USING (i) GROUP BY q.vec_id, m.j)
+      |SELECT vec_id, string_agg(CAST(p AS VARCHAR), ' ' ORDER BY j) AS proj,
+      |  CAST(count(*) AS INTEGER) AS k
+      |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }

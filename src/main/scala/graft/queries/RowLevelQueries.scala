@@ -362,4 +362,46 @@ object RowLevelQueries {
       |FROM final GROUP BY o_orderpriority
       |HAVING count(*) > 0
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Bucketed vintage tables end to end ([[graft.vintage.Bucketing]]):
+    * orders and customer created as 8-bucket hash tables on their
+    * custkeys, the fact then APPENDED to and DELETEd from — proving the
+    * bucket layout survives DML — and finally joined on the bucket key.
+    * BucketedVintageSpec asserts the join plans with zero Exchange;
+    * this gate pins that the shuffle-free plan is RESULT-identical to
+    * the plain recomputation the oracle does. The one-time bucketed
+    * layout investment is what every later fact⋈dim run amortizes at
+    * 100 TB.
+    */
+  def q90BucketedVintage(spark: SparkSession, d: String): DataFrame = {
+    import graft.vintage.{Bucketing, VintageTable}
+    val dir = Files.createTempDirectory("graft-q90").toString
+    val props = Map(Bucketing.ColumnsProp -> "o_custkey",
+      Bucketing.BucketsProp -> "8")
+    val orders = Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val t = VintageTable.create(spark, s"$dir/orders_b",
+      orders.filter(col("o_orderkey") % 2 === 0), props)
+    t.append(orders.filter(col("o_orderkey") % 2 =!= 0))
+    t.delete("o_orderpriority = '1-URGENT'")
+    VintageTable.create(spark, s"$dir/customer_b",
+      Tables.customer(spark, d).select(col("c_custkey"), col("c_mktsegment")),
+      Map(Bucketing.ColumnsProp -> "c_custkey", Bucketing.BucketsProp -> "8"))
+    spark.read.format("vintage").load(s"$dir/orders_b")
+      .join(spark.read.format("vintage").load(s"$dir/customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q90Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderpriority <> '1-URGENT'
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
 }

@@ -155,6 +155,7 @@ object Protocol {
   val IdentityColumnsFeature = "identityColumns"
   val DefaultColumnsFeature = "defaultColumns"
   val RowTrackingFeature = "rowTracking"
+  val BucketingFeature = "bucketing"
 
   /** Reader features this engine generation implements. */
   val SupportedReader: Set[String] =
@@ -165,7 +166,7 @@ object Protocol {
     */
   val SupportedWriter: Set[String] = SupportedReader ++
     Set(GeneratedColumnsFeature, IdentityColumnsFeature,
-      DefaultColumnsFeature, RowTrackingFeature)
+      DefaultColumnsFeature, RowTrackingFeature, BucketingFeature)
 
   val base: Protocol = Protocol(Nil, Nil)
 
@@ -208,6 +209,10 @@ object Protocol {
       writer += IdentityColumnsFeature
     if (properties.get("vintage.rowTracking.enabled").exists(_.toBoolean))
       writer += RowTrackingFeature
+    // a writer unaware of bucketing would append unaligned files and
+    // silently invalidate every bucketed-join plan — gate it
+    if (properties.contains("vintage.bucketing.columns"))
+      writer += BucketingFeature
     if (schema.fields.exists(f => f.metadata.contains("CURRENT_DEFAULT") ||
         f.metadata.contains("EXISTS_DEFAULT")))
       writer += DefaultColumnsFeature

@@ -1435,6 +1435,11 @@ class VintageTable private (
     require(!props.contains(ColumnMapping.ModeProp),
       s"set ${ColumnMapping.ModeProp} via enableColumnMapping() — the " +
       "schema must be stamped with physical names in the same commit")
+    // bucketing is a physical-layout contract over files that already
+    // exist — it can only be declared at CREATE, when there are none
+    require(!props.keys.exists(_.startsWith("vintage.bucketing.")),
+      "bucketing is fixed at table creation; existing files would not " +
+      "carry the claimed bucket layout")
     val snap = snapshot
     commitOp(snap, "SET TBLPROPERTIES",
       Map("properties" -> props.keys.toSeq.sorted.mkString(",")),
@@ -2291,6 +2296,7 @@ object VintageTable {
     val missing = partitionBy.filterNot(c =>
       df1.schema.fieldNames.exists(_.equalsIgnoreCase(c)))
     require(missing.isEmpty, s"partition columns not in schema: $missing")
+    Bucketing.validate(properties, df1.schema, partitionBy)
     // creating directly in column-mapping mode: stamp physical names up
     // front so the first files are already written under them
     val schema0 =
@@ -2483,10 +2489,22 @@ object VintageTable {
     // clustering) skip the check: their rows were validated when first
     // written
     val checked = if (dataChange) Constraints.enforce(df, props) else df
-    val physDf =
+    val physDf0 =
       if (!mappingOn) checked
       else checked.select(checked.schema.fieldNames.toIndexedSeq
         .map(c => col(c).as(phys(c))): _*)
+    // bucketed table: hash-repartition so the task partition index IS
+    // the bucket id (repartition's HashPartitioning is the identical
+    // pmod(murmur3, n) the bucketed-scan planner assumes); the rename
+    // below then stamps that id into the committed file name. Applies
+    // to EVERY write path — appends, CoW rewrites, compaction — so the
+    // layout invariant survives arbitrary DML (see [[Bucketing]]).
+    val bucketing = Bucketing.spec(props)
+    val physDf = bucketing match {
+      case Some((cols, n)) =>
+        physDf0.repartition(n, cols.map(c => col(phys(c))): _*)
+      case None => physDf0
+    }
     val physPartitionBy = partitionBy.map(phys)
     var writer = physDf.write.mode("overwrite")
     // `vintage.bloom.columns` table property: write parquet bloom
@@ -2521,8 +2539,14 @@ object VintageTable {
       val relDir = tmpUri.relativize(fs.makeQualified(s.getPath.getParent).toUri)
         .getPath.stripSuffix("/")
       val prefix = if (relDir.isEmpty) "" else s"$relDir/"
+      // bucketed: carry the staged task index (== bucket id under the
+      // repartition above) into the committed name as the `_NNNNN`
+      // suffix Spark's BucketingUtils parses on the scan side
+      val bucketSuffix = bucketing.flatMap { _ =>
+        Bucketing.stagedTaskId(s.getPath.getName)
+      }.map(id => f"_$id%05d").getOrElse("")
       (s.getPath.toString,
-       s"${prefix}part-${UUID.randomUUID().toString}.snappy.parquet")
+       s"${prefix}part-${UUID.randomUUID().toString}$bucketSuffix.snappy.parquet")
     }
     val statCols = ParquetStats.statsColumns(physDf.schema)
     // log-level per-file blooms for the opted-in columns (PHYSICAL

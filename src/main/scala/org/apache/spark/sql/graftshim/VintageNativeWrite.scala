@@ -85,6 +85,13 @@ class VintageWrite(
 
   private lazy val prepared: VintageBatchWrite = {
     val spark = SparkSession.active
+    // the native task writer does not (yet) hash-repartition into the
+    // declared bucket layout; writing through it would silently break
+    // every bucketed-join plan — refuse loudly. Bucketed tables write
+    // through the path-based/fluent API (VintageTable.writeFiles).
+    require(graft.vintage.Bucketing.spec(tableProperties).isEmpty,
+      s"bucketed vintage table $tablePath: native SQL writes do not " +
+      "produce bucket-aligned files yet; use the DataFrame/fluent API")
     val dataSchema = StructType(tableSchema.filterNot(f =>
       partitionCols.exists(_.equalsIgnoreCase(f.name))))
     // column mapping: projections, constraints, and partition-ordinal

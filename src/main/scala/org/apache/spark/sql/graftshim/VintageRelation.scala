@@ -97,11 +97,25 @@ object VintageRelation {
       if (!ColumnMapping.mapped(snapshot.schema)) new ParquetFileFormat()
       else new MappedParquetFileFormat(snapshot.schema.fields
         .map(f => f.name -> ColumnMapping.physicalName(f)).toMap)
+    // bucketed table: declare the layout so joins/aggregations on the
+    // bucket columns plan without an Exchange on this side. Every
+    // write path re-buckets (see graft.vintage.Bucketing), so the
+    // claim holds across DML; the cheap per-name check below guards
+    // the non-spilled case anyway (a spilled million-file snapshot
+    // trusts the writer invariant rather than materialize its list).
+    val bucketSpec = graft.vintage.Bucketing.spec(snapshot.properties) match {
+      case Some((cols, n))
+          if snapshot.spilled.isDefined ||
+             snapshot.files.forall(f => graft.vintage.Bucketing
+               .bucketId(new Path(f.path).getName).isDefined) =>
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil))
+      case _ => None
+    }
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
-      bucketSpec = None,
+      bucketSpec = bucketSpec,
       fileFormat = format,
       options = Map.empty)(ClassicConversions.castToImpl(spark))
   }

@@ -1,0 +1,145 @@
+package graft.vintage
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Bucketed vintage tables: hash-bucket layout declared at CREATE,
+  * preserved by every write path, and surfaced to the planner as a
+  * BucketSpec so joins on the bucket columns plan without an Exchange.
+  */
+class BucketedVintageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-bvint").toString
+
+  private val bucketProps = Map(
+    Bucketing.ColumnsProp -> "key", Bucketing.BucketsProp -> "8")
+
+  private def fact(n: Long) =
+    (1L to n).map(i => (i, i % 97, i * 3.0)).toDF("id", "key", "v")
+
+  private def readV(p: String) = spark.read.format("vintage").load(p)
+
+  test("create writes bucket-suffixed files; read declares the BucketSpec") {
+    val p = tmp()
+    VintageTable.create(spark, p, fact(2000), bucketProps)
+    val snap = VintageLog.replay(p)
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(f =>
+      Bucketing.bucketId(new org.apache.hadoop.fs.Path(f.path).getName).isDefined),
+      s"every file must carry a bucket id: ${snap.files.map(_.path)}")
+    assert(snap.files.flatMap(f => Bucketing.bucketId(
+      new org.apache.hadoop.fs.Path(f.path).getName)).forall(b => b >= 0 && b < 8))
+    // protocol gates foreign writers
+    assert(snap.protocol.writerFeatures.contains("bucketing"))
+    // logical plan exposes the bucketed relation
+    val rel = readV(p).queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l.relation
+    }.get.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    assert(rel.bucketSpec.exists(b => b.numBuckets == 8 &&
+      b.bucketColumnNames == Seq("key")))
+  }
+
+  test("bucketed vintage ⋈ bucketed vintage on the key: zero Exchange, right rows") {
+    val pa = tmp(); val pb = tmp()
+    VintageTable.create(spark, pa, fact(2000), bucketProps)
+    VintageTable.create(spark, pb,
+      (0L to 96L).map(k => (k, s"label_$k")).toDF("key", "label"), bucketProps)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val j = readV(pa).join(readV(pb), "key")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed vintage join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // and the result matches the plain computation
+      val plain = fact(2000).join(
+        (0L to 96L).map(k => (k, s"label_$k")).toDF("key", "label"), "key")
+      assert(j.count() == plain.count())
+      assert(j.select("id", "v", "label")
+        .exceptAll(plain.select("id", "v", "label")).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("append and DELETE keep every file bucket-aligned (plan still shuffle-free)") {
+    val p = tmp()
+    val t = VintageTable.create(spark, p, fact(1000), bucketProps)
+    t.append(fact(200).withColumn("id", col("id") + 10000))
+    t.delete("id % 5 = 0")
+    val snap = VintageLog.replay(p)
+    assert(snap.files.forall(f => Bucketing.bucketId(
+      new org.apache.hadoop.fs.Path(f.path).getName).isDefined),
+      s"post-DML files must stay bucketed: ${snap.files.map(_.path)}")
+    // groupBy on the bucket key also plans without a shuffle
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val agg = readV(p).groupBy("key").agg(sum("v"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"groupBy on bucket key must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // content check vs a locally-replayed model
+    val expect = fact(1000).unionByName(
+        fact(200).withColumn("id", col("id") + 10000))
+      .filter(col("id") % 5 =!= 0)
+    assert(readV(p).exceptAll(expect).isEmpty &&
+      expect.exceptAll(readV(p)).isEmpty)
+  }
+
+  test("UPDATE that moves a row across buckets re-buckets it") {
+    val p = tmp()
+    val t = VintageTable.create(spark, p, fact(500), bucketProps)
+    // key := key + 1 moves every row to a different hash cell
+    t.update(col("id") <= 100, Map("key" -> (col("key") + 1)))
+    val snap = VintageLog.replay(p)
+    assert(snap.files.forall(f => Bucketing.bucketId(
+      new org.apache.hadoop.fs.Path(f.path).getName).isDefined))
+    // the moved rows are found by a bucket-pruned-style equality scan
+    val got = readV(p).filter(col("id") <= 100)
+      .agg(sum("key")).head.getLong(0)
+    val want = (1L to 100L).map(i => i % 97 + 1).sum
+    assert(got == want)
+  }
+
+  test("bucketing is fixed at creation: setProperties refuses, create validates") {
+    val p = tmp()
+    val t = VintageTable.create(spark, p, fact(100))
+    intercept[IllegalArgumentException] {
+      t.setProperties(Map(Bucketing.ColumnsProp -> "key",
+        Bucketing.BucketsProp -> "4"))
+    }
+    intercept[IllegalArgumentException] {
+      VintageTable.create(spark, tmp(), fact(100),
+        Map(Bucketing.ColumnsProp -> "nope", Bucketing.BucketsProp -> "4"))
+    }
+    intercept[IllegalArgumentException] {
+      VintageTable.create(spark, tmp(), fact(100),
+        Map(Bucketing.ColumnsProp -> "key"))
+    }
+  }
+
+  test("time travel on a bucketed table stays bucket-planned and version-exact") {
+    val p = tmp()
+    val t = VintageTable.create(spark, p, fact(300), bucketProps)
+    t.append(fact(100).withColumn("id", col("id") + 5000))
+    val v0 = spark.read.format("vintage").option("versionAsOf", "0").load(p)
+    assert(v0.count() == 300)
+    val rel = v0.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l.relation
+    }.get.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+    assert(rel.bucketSpec.isDefined)
+  }
+}
