@@ -33,7 +33,26 @@ import graft.vintage.{RowTracking, VintageTable}
   */
 object StreamQueries {
 
-  def q48StreamExactlyOnce(spark: SparkSession, d: String): DataFrame = {
+  /** Run a streaming choreography with the shuffle-partition count
+    * sized to its STATE, not the session default: every micro-batch
+    * pays a per-partition state-store open/commit, so a fixture-sized
+    * stateful query at the session's 32 partitions spends its whole
+    * budget on empty state files. The session value is restored before
+    * the returned (lazy) result frame executes — only the streaming
+    * epochs run narrow. At 100 TB the same dial turns the other way:
+    * size `spark.sql.shuffle.partitions` to state volume per query.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  def q48StreamExactlyOnce(spark: SparkSession, d: String): DataFrame =
+    withStatePartitions(spark, 4)(q48Body(spark, d))
+
+  private def q48Body(spark: SparkSession, d: String): DataFrame = {
     val base = Files.createTempDirectory("graft-q48").toString
     val src = s"$base/src"
     val dst = s"$base/dst"
@@ -109,7 +128,10 @@ object StreamQueries {
     * far-future sentinel batches advance the watermark so every real
     * session times out and emits.
     */
-  def q50StreamSessionize(spark: SparkSession, d: String): DataFrame = {
+  def q50StreamSessionize(spark: SparkSession, d: String): DataFrame =
+    withStatePartitions(spark, 4)(q50Body(spark, d))
+
+  private def q50Body(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -167,7 +189,10 @@ object StreamQueries {
     * micro-batches: dedup needs cross-batch boundaries, and each batch
     * pays a fixed state-store cost the gate should not multiply.
     */
-  def q52StreamDedup(spark: SparkSession, d: String): DataFrame = {
+  def q52StreamDedup(spark: SparkSession, d: String): DataFrame =
+    withStatePartitions(spark, 4)(q52Body(spark, d))
+
+  private def q52Body(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -250,7 +275,10 @@ object StreamQueries {
     * Pairs then roll up per purchase exactly like batch gate q57, and
     * the DuckDB oracle recomputes the whole thing as one SQL join.
     */
-  def q58StreamBandJoin(spark: SparkSession, d: String): DataFrame = {
+  def q58StreamBandJoin(spark: SparkSession, d: String): DataFrame =
+    withStatePartitions(spark, 4)(q58Body(spark, d))
+
+  private def q58Body(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -348,7 +376,10 @@ object StreamQueries {
     * Gate: per purchase, follow-up count and first follow-up error id
     * (-1 when none) must equal the batch LEFT JOIN bit-for-bit.
     */
-  def q78StreamOuterJoin(spark: SparkSession, d: String): DataFrame = {
+  def q78StreamOuterJoin(spark: SparkSession, d: String): DataFrame =
+    withStatePartitions(spark, 4)(q78Body(spark, d))
+
+  private def q78Body(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -425,7 +456,10 @@ object StreamQueries {
     * costs the batch's keys' touched files (stats-pruned), never the
     * table.
     */
-  def q81StreamUpsert(spark: SparkSession, d: String): DataFrame = {
+  def q81StreamUpsert(spark: SparkSession, d: String): DataFrame =
+    withStatePartitions(spark, 4)(q81Body(spark, d))
+
+  private def q81Body(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.vintage.VintageTable
