@@ -122,6 +122,81 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product over `array<long>`/`array<int>` — the
+  * verify inner loop of the PORTABLE (integer-arithmetic) similarity
+  * operators. Semantically identical to
+  * `aggregate(zip_with(a, b, (x, y) -> x*y), 0L, (acc, v) -> acc+v)`
+  * on equal-length, non-null arrays, but HOFs evaluate interpreted
+  * lambdas per element; per candidate PAIR that is dim interpreted
+  * calls where this runs one compiled loop. Null if either array is
+  * null, lengths differ, or any element is null.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def checkIntVec(dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(LongType | IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<bigint>/array<int>, got ${other.sql}")
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkIntVec(left.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess => checkIntVec(right.dataType)
+      case fail => fail
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "long_dot_product"
+
+  private def getter(dt: DataType, arr: String, i: String): String =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => s"(long) $arr.getInt($i)"
+      case _ => s"$arr.getLong($i)"
+    }
+  private def get(dt: DataType, arr: ArrayData, i: Int): Long =
+    dt.asInstanceOf[ArrayType].elementType match {
+      case IntegerType => arr.getInt(i).toLong
+      case _ => arr.getLong(i)
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(left.dataType, a, i) * get(right.dataType, b, i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Symmetric per-vector int8 scalar quantization:
   * q[i] = round(127 * v[i] / max|v|), clamped to [-127, 127] — the
   * standard embedding-compression step that cuts vector storage and

@@ -447,16 +447,25 @@ object Similarity {
         col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
+    // exact verify: the pair dot runs as a codegen'd integer loop
+    // ([[graft.functions.LongDotProduct]] — the HOF form pays dim
+    // interpreted lambda calls per PAIR), and self-norms are computed
+    // once per VECTOR here rather than once per pair after the join
+    def longDot(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.LongDotProduct(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(a),
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(b)))
     val q = df.select(col(idCol).as("__id"), qv.as("__qv"))
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0L), (acc, v) => acc + v)
+      .withColumn("__norm", longDot(col("__qv"), col("__qv")))
     cand
-      .join(q.select(col("__id").as("id_a"), col("__qv").as("__qa")), Seq("id_a"))
-      .join(q.select(col("__id").as("id_b"), col("__qv").as("__qb")), Seq("id_b"))
+      .join(q.select(col("__id").as("id_a"), col("__qv").as("__qa"),
+        col("__norm").as("__na")), Seq("id_a"))
+      .join(q.select(col("__id").as("id_b"), col("__qv").as("__qb"),
+        col("__norm").as("__nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        dot(col("__qa"), col("__qb")).as("num"),
-        dot(col("__qa"), col("__qa")).as("__na"),
-        dot(col("__qb"), col("__qb")).as("__nb"))
+        longDot(col("__qa"), col("__qb")).as("num"),
+        col("__na"), col("__nb"))
       .filter(col("num") > 0 &&
         col("num") * col("num") * lit(thresholdDenSq) >=
           lit(thresholdNumSq) * col("__na") * col("__nb"))
@@ -492,8 +501,13 @@ object Similarity {
     require(numPivots > 0 && nprobe > 0 && k > 0)
     val qv = transform(col(vecCol),
       x => floor(x.cast("double") * scale).cast("long"))
+    // codegen'd integer dots (LongDotProduct) — the corpus×pivots
+    // assignment pass is numPivots·3 dots per corpus row, the hot loop
     def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, _ * _), lit(0L), (acc, v) => acc + v)
+      org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.LongDotProduct(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(a),
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(b)))
     def dist(a: Column, b: Column): Column =
       dot(a, a) + dot(b, b) - lit(2L) * dot(a, b)
     val c = corpus.select(col(idCol).as("__id"), qv.as("__qv"))
