@@ -176,6 +176,14 @@ class VintageRowLevelOperation(
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite = {
           val spark = SparkSession.active
+          // the delta (row-level) plan does not request the bucket
+          // distribution, so its re-inserted rows would land in
+          // unaligned files and silently invalidate every bucketed-join
+          // plan — refuse; fluent DML re-buckets via writeFiles
+          require(graft.vintage.Bucketing.spec(snap.properties).isEmpty,
+            s"bucketed vintage table $tablePath: native SQL $opName " +
+            "does not produce bucket-aligned files; use the fluent " +
+            "delete/update/merge API")
           // reuse the native INSERT machinery wholesale for the row
           // side: same parquet writer, footer stats, constraints,
           // dynamic partition routing. On row-tracked tables the

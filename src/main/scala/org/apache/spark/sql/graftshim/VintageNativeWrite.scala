@@ -50,6 +50,8 @@ class VintageWrite(
     queryId: String = "") extends Write
     with RequiresDistributionAndOrdering {
 
+  private val bucketing = graft.vintage.Bucketing.spec(tableProperties)
+
   // Partitioned writes request a LOCAL sort by the partition columns
   // (no distribution → no shuffle): each task then sees its partition
   // values as contiguous runs, so the dynamic writer holds ONE open
@@ -57,8 +59,21 @@ class VintageWrite(
   // reason Spark's own dynamic-partition insert sorts by partition
   // expressions. The LRU cap in VintageDataWriter stays as a backstop
   // for unsorted paths.
+  //
+  // BUCKETED tables instead require a clustered distribution on the
+  // bucket columns with exactly `numBuckets` partitions: Spark plans
+  // the same HashPartitioning the bucketed-scan side assumes, so the
+  // write task's partition index IS the bucket id the task writer
+  // stamps into its file names.
   override def requiredDistribution(): distributions.Distribution =
-    distributions.Distributions.unspecified()
+    bucketing match {
+      case Some((cols, _)) => distributions.Distributions.clustered(
+        cols.map(c => expressions.Expressions.identity(c): expressions.Expression)
+          .toArray)
+      case None => distributions.Distributions.unspecified()
+    }
+  override def requiredNumPartitions(): Int =
+    bucketing.map(_._2).getOrElse(0)
   override def requiredOrdering(): Array[expressions.SortOrder] =
     partitionCols.map { c =>
       expressions.Expressions.sort(
@@ -80,18 +95,18 @@ class VintageWrite(
     * native).
     */
   override def toStreaming
-      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    // streaming epochs do not honor a write distribution requirement,
+    // so a streamed micro-batch cannot be bucket-aligned — refuse
+    // rather than corrupt the layout
+    require(bucketing.isEmpty,
+      s"bucketed vintage table $tablePath: the streaming sink cannot " +
+      "produce bucket-aligned files; stream into an unbucketed table")
     new VintageStreamingWrite(prepared, tablePath, overwrite, queryId)
+  }
 
   private lazy val prepared: VintageBatchWrite = {
     val spark = SparkSession.active
-    // the native task writer does not (yet) hash-repartition into the
-    // declared bucket layout; writing through it would silently break
-    // every bucketed-join plan — refuse loudly. Bucketed tables write
-    // through the path-based/fluent API (VintageTable.writeFiles).
-    require(graft.vintage.Bucketing.spec(tableProperties).isEmpty,
-      s"bucketed vintage table $tablePath: native SQL writes do not " +
-      "produce bucket-aligned files yet; use the DataFrame/fluent API")
     val dataSchema = StructType(tableSchema.filterNot(f =>
       partitionCols.exists(_.equalsIgnoreCase(f.name))))
     // column mapping: projections, constraints, and partition-ordinal
@@ -154,7 +169,7 @@ class VintageWrite(
     new VintageBatchWrite(tablePath, tableSchema.json, dataSchema.json,
       physDataSchema.json, partitionCols, physPartitionCols, overwrite, factory,
       new SerializableConfiguration(job.getConfiguration), constraints, idFills,
-      logBloomCols, logBloomBits)
+      logBloomCols, logBloomBits, bucketed = bucketing.isDefined)
   }
 }
 
@@ -216,7 +231,8 @@ class VintageBatchWrite(
     constraints: Seq[(String, String, Expression)] = Nil,
     idFills: Seq[(String, Int, Long, Long)] = Nil,
     logBloomCols: Seq[String] = Nil,
-    logBloomBits: Int = graft.vintage.StatsBloom.DefaultBits)
+    logBloomBits: Int = graft.vintage.StatsBloom.DefaultBits,
+    bucketed: Boolean = false)
     extends BatchWrite {
 
   /** (column -> allocation base) of this write's identity fills — the
@@ -228,7 +244,7 @@ class VintageBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new VintageWriterFactory(tablePath, tableSchemaJson, dataSchemaJson,
       physDataSchemaJson, partitionCols, physPartitionCols, factory, conf,
-      constraints, idFills, logBloomCols, logBloomBits)
+      constraints, idFills, logBloomCols, logBloomBits, bucketed)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq
@@ -267,7 +283,8 @@ class VintageWriterFactory(
     constraints: Seq[(String, String, Expression)] = Nil,
     idFills: Seq[(String, Int, Long, Long)] = Nil,
     logBloomCols: Seq[String] = Nil,
-    logBloomBits: Int = graft.vintage.StatsBloom.DefaultBits)
+    logBloomBits: Int = graft.vintage.StatsBloom.DefaultBits,
+    bucketed: Boolean = false)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -276,7 +293,7 @@ class VintageWriterFactory(
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType],
       DataType.fromJson(physDataSchemaJson).asInstanceOf[StructType],
       partitionCols, physPartitionCols, factory, conf, partitionId, taskId,
-      constraints, idFills, logBloomCols, logBloomBits)
+      constraints, idFills, logBloomCols, logBloomBits, bucketed)
 }
 
 /** Task-side writer: one open parquet `OutputWriter` per partition
@@ -293,7 +310,8 @@ class VintageDataWriter(
     constraints: Seq[(String, String, Expression)] = Nil,
     idFills: Seq[(String, Int, Long, Long)] = Nil,
     logBloomCols: Seq[String] = Nil,
-    logBloomBits: Int = graft.vintage.StatsBloom.DefaultBits)
+    logBloomBits: Int = graft.vintage.StatsBloom.DefaultBits,
+    bucketed: Boolean = false)
     extends DataWriter[InternalRow] {
 
   private val hconf = conf.value
@@ -395,7 +413,12 @@ class VintageDataWriter(
           writers.remove(oldKey)
           completedPaths += openPaths.remove(oldKey).get
         }
-        val name = s"part-${UUID.randomUUID().toString}.snappy.parquet"
+        // bucketed: the required clustered distribution made this
+        // task's partition index the bucket id — stamp it in the name
+        val name =
+          if (bucketed)
+            f"part-${UUID.randomUUID().toString}_$partitionId%05d.snappy.parquet"
+          else s"part-${UUID.randomUUID().toString}.snappy.parquet"
         val rel = if (key.isEmpty) name else s"$key/$name"
         val target = new HPath(tableDir, rel)
         val fs = target.getFileSystem(hconf)

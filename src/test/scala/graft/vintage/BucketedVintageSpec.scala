@@ -131,6 +131,60 @@ class BucketedVintageSpec extends AnyFunSuite {
     }
   }
 
+  test("native SQL INSERT produces bucket-aligned files; row-level DML and streaming refuse") {
+    spark.conf.set("spark.sql.catalog.bvint", "graft.vintage.connector.VintageCatalog")
+    if (spark.conf.getOption("spark.sql.catalog.bvint.warehouse").isEmpty)
+      spark.conf.set("spark.sql.catalog.bvint.warehouse",
+        Files.createTempDirectory("graft-bvint-wh").toString)
+    spark.sql("DROP TABLE IF EXISTS bvint.bt")
+    spark.sql(
+      """CREATE TABLE bvint.bt (id BIGINT, key BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('vintage.bucketing.columns'='key',
+        |               'vintage.bucketing.buckets'='8')""".stripMargin)
+    fact(500).createOrReplaceTempView("bvint_src")
+    spark.sql("INSERT INTO bvint.bt SELECT id, key, v FROM bvint_src")
+    val wh = spark.conf.get("spark.sql.catalog.bvint.warehouse")
+    val p = s"$wh/bt"
+    val snap = VintageLog.replay(p)
+    assert(snap.files.nonEmpty)
+    assert(snap.files.forall(f => Bucketing.bucketId(
+      new org.apache.hadoop.fs.Path(f.path).getName).isDefined),
+      s"native INSERT must write bucket ids: ${snap.files.map(_.path)}")
+    // the landed bucket assignment must be the SAME murmur3 pmod the
+    // scan side assumes: a shuffle-free groupBy returns exact counts
+    assert(spark.sql("SELECT count(*) FROM bvint.bt").head.getLong(0) == 500)
+    assert(readV(p).groupBy("key").count()
+      .exceptAll(fact(500).groupBy("key").count()).isEmpty)
+    // the file-name bucket must match the content's recomputed bucket:
+    // read each file's rows with their file name and re-hash the key
+    val byFile = readV(p)
+      .select(col("key"),
+        element_at(split(col("_metadata.file_path"), "/"), -1).as("fname"))
+      .collect()
+    byFile.foreach { r =>
+      val expect = Bucketing.bucketId(r.getString(1)).get
+      val got = org.apache.spark.sql.catalyst.expressions.Pmod(
+        new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(r.getLong(0)))),
+        org.apache.spark.sql.catalyst.expressions.Literal(8))
+        .eval(null).asInstanceOf[Int]
+      assert(got == expect, s"key ${r.getLong(0)} in file ${r.getString(1)}")
+    }
+    // simple-predicate SQL DELETE routes through SupportsDeleteV2 →
+    // the fluent delete → writeFiles, so it stays bucket-aligned
+    spark.sql("DELETE FROM bvint.bt WHERE id <= 10")
+    assert(spark.sql("SELECT count(*) FROM bvint.bt").head.getLong(0) == 490)
+    val snap2 = VintageLog.replay(p)
+    assert(snap2.files.forall(f => Bucketing.bucketId(
+      new org.apache.hadoop.fs.Path(f.path).getName).isDefined))
+    // UPDATE goes through the row-level WriteDelta plan, which cannot
+    // bucket-align its re-inserted rows — it must refuse
+    val e = intercept[Exception] {
+      spark.sql("UPDATE bvint.bt SET v = v + 1 WHERE id = 20")
+    }
+    assert(e.getMessage.contains("bucket"), e.getMessage)
+  }
+
   test("time travel on a bucketed table stays bucket-planned and version-exact") {
     val p = tmp()
     val t = VintageTable.create(spark, p, fact(300), bucketProps)
