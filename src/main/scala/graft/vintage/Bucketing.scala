@@ -37,6 +37,7 @@ object Bucketing {
 
   val ColumnsProp = "vintage.bucketing.columns"
   val BucketsProp = "vintage.bucketing.buckets"
+  val SortProp = "vintage.bucketing.sortColumns"
 
   /** (bucket columns, bucket count) when the table is bucketed. */
   def spec(properties: Map[String, String]): Option[(Seq[String], Int)] =
@@ -50,12 +51,23 @@ object Bucketing {
       (cols, n)
     }
 
+  /** In-bucket sort columns (optional): files are written sorted by
+    * these within each bucket and the read-side BucketSpec declares
+    * them — a merge join on a freshly written (one-file-per-bucket)
+    * table then needs neither Exchange NOR Sort. After appends a
+    * bucket holds several files and Spark correctly stops claiming
+    * the ordering (compaction restores it).
+    */
+  def sortCols(properties: Map[String, String]): Seq[String] =
+    properties.get(SortProp).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
   /** Create-time validation: columns exist and are not partition
     * columns (a hive-partitioned column never reaches the data files,
     * so it cannot carry a file-level bucket hash).
     */
   def validate(properties: Map[String, String], schema: StructType,
-      partitionBy: Seq[String]): Unit =
+      partitionBy: Seq[String]): Unit = {
     spec(properties).foreach { case (cols, _) =>
       cols.foreach { c =>
         require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
@@ -64,6 +76,12 @@ object Bucketing {
           s"bucketing column '$c' cannot also be a partition column")
       }
     }
+    val sorts = sortCols(properties)
+    require(sorts.isEmpty || spec(properties).isDefined,
+      s"$SortProp requires $ColumnsProp/$BucketsProp")
+    sorts.foreach(c => require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"bucket sort column '$c' not in schema"))
+  }
 
   private val StagedName = """part-(\d+)-.*""".r
 

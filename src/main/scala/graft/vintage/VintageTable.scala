@@ -2502,7 +2502,14 @@ object VintageTable {
     val bucketing = Bucketing.spec(props)
     val physDf = bucketing match {
       case Some((cols, n)) =>
-        physDf0.repartition(n, cols.map(c => col(phys(c))): _*)
+        val parted = physDf0.repartition(n, cols.map(c => col(phys(c))): _*)
+        // declared in-bucket sort order: written sorted so a fresh
+        // (one-file-per-bucket) layout serves merge joins with no Sort
+        Bucketing.sortCols(props) match {
+          case Nil => parted
+          case sorts => parted.sortWithinPartitions(
+            sorts.map(c => col(phys(c))): _*)
+        }
       case None => physDf0
     }
     val physPartitionBy = partitionBy.map(phys)

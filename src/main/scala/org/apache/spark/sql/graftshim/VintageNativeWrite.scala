@@ -75,7 +75,8 @@ class VintageWrite(
   override def requiredNumPartitions(): Int =
     bucketing.map(_._2).getOrElse(0)
   override def requiredOrdering(): Array[expressions.SortOrder] =
-    partitionCols.map { c =>
+    (partitionCols ++
+      graft.vintage.Bucketing.sortCols(tableProperties)).map { c =>
       expressions.Expressions.sort(
         expressions.Expressions.identity(c),
         expressions.SortDirection.ASCENDING)

@@ -108,7 +108,8 @@ object VintageRelation {
           if snapshot.spilled.isDefined ||
              snapshot.files.forall(f => graft.vintage.Bucketing
                .bucketId(new Path(f.path).getName).isDefined) =>
-        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols, Nil))
+        Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cols,
+          graft.vintage.Bucketing.sortCols(snapshot.properties)))
       case _ => None
     }
     HadoopFsRelation(

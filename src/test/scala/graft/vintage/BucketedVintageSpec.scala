@@ -185,6 +185,51 @@ class BucketedVintageSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket"), e.getMessage)
   }
 
+  test("sorted buckets: fresh tables merge-join with neither Exchange nor Sort") {
+    val pa = tmp(); val pb = tmp()
+    val sortedProps = bucketProps + (Bucketing.SortProp -> "key")
+    VintageTable.create(spark, pa, fact(2000), sortedProps)
+    VintageTable.create(spark, pb,
+      (0L to 96L).map(k => (k, s"label_$k")).toDF("key", "label"), sortedProps)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // claiming scan output ordering from sorted buckets sits behind
+    // Spark's legacy flag (off by default: the claim requires a
+    // one-file-per-bucket check); the files ARE written sorted, so
+    // enabling it is sound and drops the SMJ's Sort
+    val orderingKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prevOrd = spark.conf.getOption(orderingKey)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set(orderingKey, "true")
+      val j = readV(pa).join(readV(pb), "key")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"must not shuffle:\n$plan")
+      assert(!plan.contains("Sort "), s"declared in-bucket order must serve the SMJ:\n$plan")
+      assert(j.count() == fact(2000).join(
+        (0L to 96L).map(k => (k, s"label_$k")).toDF("key", "label"), "key").count())
+      // after an append a bucket holds two files: ordering is no longer
+      // claimable, but the join stays Exchange-free and correct
+      VintageTable.forPath(spark, pa)
+        .append(fact(100).withColumn("id", col("id") + 9000))
+      val j2 = readV(pa).join(readV(pb), "key")
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange"), s"append must keep the layout:\n$plan2")
+      assert(j2.count() == fact(2000).unionByName(
+          fact(100).withColumn("id", col("id") + 9000))
+        .join((0L to 96L).map(k => (k, s"label_$k")).toDF("key", "label"), "key")
+        .count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prevOrd match {
+        case Some(v) => spark.conf.set(orderingKey, v)
+        case None => spark.conf.unset(orderingKey)
+      }
+    }
+  }
+
   test("time travel on a bucketed table stays bucket-planned and version-exact") {
     val p = tmp()
     val t = VintageTable.create(spark, p, fact(300), bucketProps)
