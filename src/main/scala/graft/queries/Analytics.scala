@@ -817,4 +817,134 @@ object Analytics {
       |  CAST(round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
       |    / CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS sd_x_e6
       |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Ordered-sequence funnel (view → click → purchase): per user, the
+    * first view, the first click AT OR AFTER it, the first purchase at
+    * or after that — the product-analytics staple that needs
+    * cross-stage ordering, not just per-type mins. Three conditional
+    * aggregations, each shuffling on the SAME user key (the exchange
+    * is planned once and reused); no per-user event-list
+    * materialization, so user cardinality is the only scale axis.
+    * Unreached stages surface as -1.
+    */
+  def q91Funnel(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("us") >= col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("us") >= col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1"),
+        coalesce(col("t2"), lit(-1L)).as("t2"),
+        coalesce(col("t3"), lit(-1L)).as("t3"))
+      .orderBy("user_id")
+  }
+
+  val q91Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1
+      |  GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2
+      |  GROUP BY 1)
+      |SELECT s1.user_id, t1,
+      |  coalesce(t2, -1) AS t2, coalesce(t3, -1) AS t3
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
+  /** Retention cohort matrix: users grouped by the epoch-week of their
+    * FIRST event, counted distinct per week offset — the
+    * week-over-week retention table. Two shuffles: first-touch per
+    * user, then (cohort, offset) distinct-count; epoch-week is exact
+    * integer division of micros (calendar-free, engine-identical).
+    */
+  def q92Retention(spark: SparkSession, d: String): DataFrame = {
+    val wk = 604800000000L // micros per week
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val first = ev.groupBy("user_id").agg(min("us").as("f"))
+    // `div` is true integer division — a double divide-then-cast can
+    // misplace bucket boundaries at epoch-micros magnitudes
+    ev.join(first, "user_id")
+      .select(col("user_id"),
+        expr(s"f div ${wk}L").as("cohort_week"),
+        expr(s"us div ${wk}L - f div ${wk}L").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q92Sql: String =
+    """WITH f AS (SELECT user_id, min(epoch_us(ts)) AS f FROM events GROUP BY 1)
+      |SELECT f.f // 604800000000 AS cohort_week,
+      |  epoch_us(e.ts) // 604800000000 - f.f // 604800000000 AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Hourly volume anomaly z-scores per user decile — the monitoring
+    * query over event streams: bucket counts, then each bucket scored
+    * against ITS GROUP's mean/std computed from exact integer moment
+    * sums (q86's determinism pattern — a running `stddev()` would be
+    * partial-merge-order sensitive). Two shuffles sharing the group
+    * key; z is e6-scaled from the closed form so both engines round
+    * the identical double. Zero-variance groups score 0 by definition.
+    */
+  def q93AnomalyZ(spark: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(spark, d)
+      .select(pmod(col("user_id"), lit(10L)).as("user_mod"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("user_mod"), expr("us div 3600000000L").as("hour"))
+    val counts = ev.groupBy("user_mod", "hour")
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.groupBy("user_mod")
+      .agg(count(lit(1)).as("k"), sum("n").as("s"),
+        sum(col("n") * col("n")).as("s2"))
+    val mean = col("s").cast("double") / col("k").cast("double")
+    val variance = (col("s2").cast("double") / col("k").cast("double")) -
+      (mean * mean)
+    counts.join(stats, "user_mod")
+      .select(col("user_mod"), col("hour"), col("n"),
+        when(variance <= 0, lit(0L)).otherwise(
+          round((col("n").cast("double") - mean) / sqrt(variance) * 1000000)
+            .cast("long")).as("z_e6"))
+      .orderBy("user_mod", "hour")
+  }
+
+  val q93Sql: String =
+    """WITH c AS (
+      |  SELECT user_id % 10 AS user_mod,
+      |    epoch_us(ts) // 3600000000 AS hour, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT user_mod, count(*) AS k,
+      |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM c GROUP BY 1)
+      |SELECT c.user_mod, c.hour, c.n,
+      |  CASE WHEN CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+      |            - (CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+      |              * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) <= 0 THEN 0
+      |  ELSE CAST(round((CAST(c.n AS DOUBLE)
+      |    - CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+      |    / sqrt(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+      |           - (CAST(s AS DOUBLE) / CAST(k AS DOUBLE))
+      |             * (CAST(s AS DOUBLE) / CAST(k AS DOUBLE)))
+      |    * 1000000) AS BIGINT) END AS z_e6
+      |FROM c JOIN st USING (user_mod)
+      |ORDER BY user_mod, hour""".stripMargin
 }
