@@ -1779,4 +1779,112 @@ object PipelineQueries {
       |SELECT vec_id, string_agg(CAST(p AS VARCHAR), ' ' ORDER BY j) AS proj,
       |  CAST(count(*) AS INTEGER) AS k
       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Spark's NATIVE `session_window` aggregation in batch mode — the
+    * built-in gap-session operator next to q20's hand-rolled
+    * lag/cumsum sessionizer and q50's stateful streaming one. One
+    * groupBy plans the whole merge (no window-function sort pass);
+    * sessions split when the gap is >= 30 min (Spark merges windows
+    * only while the next start is strictly before the current end),
+    * and the emitted end is last-event + gap. The oracle replays that
+    * exact boundary rule.
+    */
+  def q94SessionWindow(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+      .orderBy("user_id", "start_us")
+
+  val q94Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      |l AS (SELECT user_id, us,
+      |        lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+      |      FROM e),
+      |n AS (SELECT user_id, us,
+      |        CASE WHEN prev IS NULL OR us - prev >= 1800000000
+      |             THEN 1 ELSE 0 END AS ns
+      |      FROM l),
+      |s AS (SELECT user_id, us,
+      |        sum(ns) OVER (PARTITION BY user_id ORDER BY us
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS sid
+      |      FROM n)
+      |SELECT user_id, min(us) AS start_us,
+      |  max(us) + 1800000000 AS end_us,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin
+
+  /** TF-IDF pair cosine through an INVERTED INDEX — the sparse-vector
+    * sibling of the dense-embedding dedup tier: per-(doc, term) weights
+    * `tf · round(1e4·ln(N/df))`, high-df terms (df > 50) dropped from
+    * weights AND norms (the stop-term guard that bounds every term's
+    * posting-join fanout at df² — without it one common term is a
+    * corpus² blowup), candidate pairs meet ONLY through shared
+    * postings (no cartesian), rational-cosine accept `4·num² ≥ na·nb`
+    * (cos ≥ 0.5) on exact DECIMAL(38) integers. ln rides a single
+    * explicit round — both engines compute the identical double, so
+    * the whole metric hash-matches.
+    */
+  def q95TfidfPairs(spark: SparkSession, d: String): DataFrame = {
+    val dfCap = 50
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val posts = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val nDocs = docs.select(countDistinct("doc_id").as("n"))
+    val w = posts.join(dfs, "term").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * round(log(col("n").cast("double") / col("df").cast("double"))
+          * 10000).cast("long")).as("w"))
+    val norms = w.groupBy("doc_id")
+      .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("nrm"))
+    val pairs = w.select(col("doc_id").as("id_a"), col("term"), col("w").as("wa"))
+      .join(w.select(col("doc_id").as("id_b"), col("term"), col("w").as("wb")),
+        Seq("term"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum((col("wa") * col("wb")).cast("decimal(38,0)")).as("num"))
+    pairs
+      .join(norms.select(col("doc_id").as("id_a"), col("nrm").as("na")), Seq("id_a"))
+      .join(norms.select(col("doc_id").as("id_b"), col("nrm").as("nb")), Seq("id_b"))
+      .filter(col("num") > 0 &&
+        col("num") * col("num") * lit(4) >= col("na") * col("nb"))
+      .select(col("id_a"), col("id_b"), col("num").cast("string").as("num"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q95Sql: String =
+    """WITH posts AS (
+      |  SELECT doc_id, t.term, count(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                      x -> x <> '') AS ws FROM documents) d,
+      |       LATERAL unnest(ws) t(term)
+      |  GROUP BY 1, 2),
+      |dfs AS (SELECT term, count(*) AS df FROM posts GROUP BY 1
+      |        HAVING count(*) <= 50),
+      |nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+      |w AS (SELECT doc_id, term,
+      |        tf * CAST(round(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+      |                        * 10000) AS BIGINT) AS w
+      |      FROM posts JOIN dfs USING (term) CROSS JOIN nd),
+      |norms AS (SELECT doc_id, sum(CAST(w * w AS HUGEINT)) AS nrm
+      |          FROM w GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |            sum(CAST(a.w * b.w AS HUGEINT)) AS num
+      |          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(num AS VARCHAR) AS num
+      |FROM pairs
+      |JOIN norms na ON na.doc_id = id_a
+      |JOIN norms nb ON nb.doc_id = id_b
+      |WHERE num > 0 AND num * num * 4 >= na.nrm * nb.nrm
+      |ORDER BY id_a, id_b""".stripMargin
 }
