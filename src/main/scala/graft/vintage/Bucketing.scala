@@ -30,8 +30,16 @@ import org.apache.spark.sql.types.StructType
   *    partitioning; correctness unaffected).
   *  - The `bucketing` WRITER feature gates foreign writers that would
   *    break the alignment; readers ignoring the layout stay correct.
-  *  - The DSv2 native-SQL write path does not yet re-bucket and
-  *    refuses bucketed tables loudly rather than corrupt the layout.
+  *  - The DSv2 native-SQL paths re-bucket too: INSERT/CTAS and the
+  *    row-level WriteDelta (UPDATE/MERGE) request a clustered
+  *    distribution on the bucket columns with exactly numBuckets
+  *    partitions, so their task partition index is the bucket id.
+  *    Only the STREAMING sink refuses (epochs honor no distribution
+  *    requirement).
+  *  - While a row-level op's deletion vectors are outstanding, reads
+  *    go through the DV merge-on-read relation, which does not claim
+  *    the BucketSpec — joins shuffle again until OPTIMIZE purges the
+  *    DVs (the layout itself stays aligned throughout).
   */
 object Bucketing {
 

@@ -173,17 +173,36 @@ class VintageRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new DeltaWrite {
+      override def build(): DeltaWrite = new DeltaWrite
+          with RequiresDistributionAndOrdering {
+        // bucketed table: request the bucket clustering so Spark plans
+        // the same HashPartitioning the bucketed scan assumes — each
+        // write task's partition index is then the bucket id its
+        // re-inserted rows' files carry. DELETE verdict rows hash on
+        // NULL data columns into one fixed partition; their output is
+        // position files keyed by source path, which need no
+        // alignment (a mass-delete skew trade the metadata-path SQL
+        // DELETE avoids entirely).
+        private val bucketing = graft.vintage.Bucketing.spec(snap.properties)
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          bucketing match {
+            case Some((cols, _)) =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(cols.map(c => Expressions.identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression)
+                  .toArray)
+            case None =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .unspecified()
+          }
+        override def requiredNumPartitions(): Int =
+          bucketing.map(_._2).getOrElse(0)
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toBatch: DeltaBatchWrite = {
           val spark = SparkSession.active
-          // the delta (row-level) plan does not request the bucket
-          // distribution, so its re-inserted rows would land in
-          // unaligned files and silently invalidate every bucketed-join
-          // plan — refuse; fluent DML re-buckets via writeFiles
-          require(graft.vintage.Bucketing.spec(snap.properties).isEmpty,
-            s"bucketed vintage table $tablePath: native SQL $opName " +
-            "does not produce bucket-aligned files; use the fluent " +
-            "delete/update/merge API")
           // reuse the native INSERT machinery wholesale for the row
           // side: same parquet writer, footer stats, constraints,
           // dynamic partition routing. On row-tracked tables the

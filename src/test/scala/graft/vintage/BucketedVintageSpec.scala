@@ -177,12 +177,36 @@ class BucketedVintageSpec extends AnyFunSuite {
     val snap2 = VintageLog.replay(p)
     assert(snap2.files.forall(f => Bucketing.bucketId(
       new org.apache.hadoop.fs.Path(f.path).getName).isDefined))
-    // UPDATE goes through the row-level WriteDelta plan, which cannot
-    // bucket-align its re-inserted rows — it must refuse
-    val e = intercept[Exception] {
-      spark.sql("UPDATE bvint.bt SET v = v + 1 WHERE id = 20")
+    // UPDATE goes through the row-level WriteDelta plan, which now
+    // requests the bucket clustering — its re-inserted rows must land
+    // in aligned files with the CORRECT bucket for their key
+    spark.sql("UPDATE bvint.bt SET v = v + 1 WHERE id % 7 = 0")
+    val snap3 = VintageLog.replay(p)
+    assert(snap3.files.forall(f => Bucketing.bucketId(
+      new org.apache.hadoop.fs.Path(f.path).getName).isDefined),
+      s"post-UPDATE files must stay bucketed: ${snap3.files.map(_.path)}")
+    // per-file raw check (the UPDATE's position deletes put the table
+    // on the DV merge-on-read path, which hides _metadata): every key
+    // in every live file must hash to the file's named bucket
+    snap3.files.foreach { f =>
+      val fname = new org.apache.hadoop.fs.Path(f.path).getName
+      val expect = Bucketing.bucketId(fname).get
+      spark.read.parquet(s"$p/${f.path}").select("key").collect().foreach { r =>
+        val got = org.apache.spark.sql.catalyst.expressions.Pmod(
+          new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+            org.apache.spark.sql.catalyst.expressions.Literal(r.getLong(0)))),
+          org.apache.spark.sql.catalyst.expressions.Literal(8))
+          .eval(null).asInstanceOf[Int]
+        assert(got == expect,
+          s"post-UPDATE key ${r.getLong(0)} misbucketed in $fname")
+      }
     }
-    assert(e.getMessage.contains("bucket"), e.getMessage)
+    // and the content is right
+    assert(spark.sql(
+      "SELECT CAST(sum(v) AS BIGINT) FROM bvint.bt").head.getLong(0) ==
+      fact(500).filter(col("id") > 10)
+        .withColumn("v", when(col("id") % 7 === 0, col("v") + 1).otherwise(col("v")))
+        .agg(sum("v").cast("long")).head.getLong(0))
   }
 
   test("sorted buckets: fresh tables merge-join with neither Exchange nor Sort") {
