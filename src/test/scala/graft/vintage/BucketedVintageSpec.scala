@@ -254,6 +254,24 @@ class BucketedVintageSpec extends AnyFunSuite {
     }
   }
 
+  test("point lookup on the bucket key prunes to a single bucket") {
+    val p = tmp()
+    VintageTable.create(spark, p, fact(2000), bucketProps)
+    // the auto heuristic may disable bucketed scans when no join/agg
+    // needs the partitioning — turning it off shows the pruning a
+    // point lookup gets from the declared layout
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val q = readV(p).filter(col("key") === 41L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"equality on the bucket column must prune 7 of 8 buckets:\n$plan")
+      assert(q.count() == fact(2000).filter(col("key") === 41L).count())
+    } finally spark.conf.set(key, prev)
+  }
+
   test("time travel on a bucketed table stays bucket-planned and version-exact") {
     val p = tmp()
     val t = VintageTable.create(spark, p, fact(300), bucketProps)
