@@ -947,4 +947,85 @@ object Analytics {
       |    * 1000000) AS BIGINT) END AS z_e6
       |FROM c JOIN st USING (user_mod)
       |ORDER BY user_mod, hour""".stripMargin
+
+  /** MERGEABLE histogram quantiles: order totals binned at $10k, ONE
+    * map-side-combined groupBy whose key space is ≤ #bins at ANY input
+    * size (the partial-mergeable sketch shape q67's exact sort-based
+    * percentile lacks), then each probed quantile resolved to the
+    * first bin whose cumulative count reaches ceil(q·n). Everything
+    * integer-exact: bin ids, cumulative counts, thresholds — the
+    * approximation is the DECLARED bin width, not float drift.
+    */
+  def q96HistQuantiles(spark: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy("bin")
+    val bins = Tables.orders(spark, d)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .select(expr("cents div 1000000L").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum("n").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = bins.agg(sum("n").as("total"))
+    val probes = spark.range(1).select(
+      explode(array(lit(25), lit(50), lit(75), lit(90), lit(99))).as("q_pct"))
+    probes.crossJoin(broadcast(total))
+      .join(bins, col("cum") * 100 >= col("q_pct") * col("total"))
+      .groupBy("q_pct", "total")
+      .agg(min("bin").as("bin"))
+      .select(col("q_pct"),
+        (col("bin") * 1000000L).as("bin_lo_cents"),
+        col("total").cast("long").as("n"))
+      .orderBy("q_pct")
+  }
+
+  val q96Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 1000000 AS bin,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1),
+      |c AS (SELECT bin, n,
+      |        sum(n) OVER (ORDER BY bin
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |          AS cum
+      |      FROM b),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM b),
+      |p AS (SELECT unnest([25, 50, 75, 90, 99]) AS q_pct)
+      |SELECT p.q_pct, min(c.bin) * 1000000 AS bin_lo_cents, t.total AS n
+      |FROM p CROSS JOIN t JOIN c ON c.cum * 100 >= p.q_pct * t.total
+      |GROUP BY p.q_pct, t.total
+      |ORDER BY p.q_pct""".stripMargin
+
+  /** Event-SEQUENCE pattern mining: each user's events rendered as an
+    * ordered type-initial string (one shuffle, array sort — no window
+    * pass), then regex analytics over the sequence — adjacent
+    * view→click count and the full view→…→click→…→purchase
+    * conversion flag. The per-user string is bounded by that user's
+    * event count (activity-bounded, not corpus-bounded), which is
+    * what keeps sequence mining feasible at 100 TB.
+    */
+  def q97EventSeq(spark: SparkSession, d: String): DataFrame =
+    Tables.events(spark, d)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(col("user_id"),
+        size(col("es")).cast("long").as("n_events"),
+        array_join(transform(col("es"), e => e("ch")), "").as("seq"))
+      .select(col("user_id"), col("n_events"),
+        regexp_count(col("seq"), lit("vc")).cast("long").as("n_view_click"),
+        when(col("seq").rlike("v.*c.*p"), 1L).otherwise(0L).as("converted"))
+      .orderBy("user_id")
+
+  val q97Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |               ORDER BY epoch_us(ts), event_id) AS seq
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, n_events,
+      |  CAST(len(regexp_extract_all(seq, 'vc')) AS BIGINT) AS n_view_click,
+      |  CAST(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END
+      |       AS BIGINT) AS converted
+      |FROM s ORDER BY user_id""".stripMargin
 }
