@@ -122,4 +122,101 @@ object KMinValues {
   /** `kmv_mink(c, k)` as a user-facing aggregate Column. */
   def kmvMinK(c: Column, k: Int): Column =
     ColumnExpr.column(KMinValues(ColumnExpr.expr(c), k).toAggregateExpression())
+
+  /** `kmv_minarray(c, k)` — the SKETCH itself (sorted k smallest
+    * distinct values) as a bounded array Column, for cross-group
+    * merging.
+    */
+  def kmvMinArray(c: Column, k: Int): Column =
+    ColumnExpr.column(KMinArray(ColumnExpr.expr(c), k).toAggregateExpression())
+}
+
+/** The KMV sketch EMITTED WHOLE: the same bounded k-smallest-distinct
+  * buffer as [[KMinValues]], evaluated to the sorted value array
+  * instead of the (n, kth) summary — the MERGEABLE form. Pre-compute
+  * one array per fine grain (hour, shard, day), then roll any coarser
+  * grain up with plain array algebra (`k smallest distinct of the
+  * union of k-min lists` IS the k-min list of the union), without
+  * rescanning rows: the sliding-window / cube-rollup sketch pattern
+  * at 100 TB. Arrays are deterministic sorted integers, so merged
+  * results stay exactly engine-reproducible.
+  */
+case class KMinArray(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k > 0, s"kmv_minarray needs a positive k, got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kmv_minarray needs an integral input (a hash), got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_minarray"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) {
+      if (buf.add(v)) { buf.pollLast(); () }
+    }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Number].longValue())
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinArray =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinArray =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KMinArray =
+    copy(child = newChild)
 }

@@ -1887,4 +1887,77 @@ object PipelineQueries {
       |JOIN norms nb ON nb.doc_id = id_b
       |WHERE num > 0 AND num * num * 4 >= na.nrm * nb.nrm
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** SLIDING-WINDOW distinct users by KMV SKETCH MERGE
+    * ([[graft.functions.KMinArray]]): one bounded k-min sketch per
+    * HOUR (the only row-scan), then every 3-hour window rolled up
+    * with pure array algebra — the k smallest distinct of the union
+    * of k-min lists IS the union's k-min list, so coarser grains
+    * never rescan rows. That is the sketch-merge pattern that makes
+    * sliding windows / cube rollups affordable at 100 TB (the naive
+    * form re-aggregates raw rows once per window an event belongs
+    * to). Exact distinct counts ride alongside; the estimator is
+    * q56's `floor(63·2⁴⁸ / kth)`, and windows whose merged list holds
+    * fewer than k values report their EXACT count (a union of
+    * complete per-hour sets is itself complete). All deterministic
+    * sorted integers — hash-replayed by the oracle with row_number
+    * windows.
+    */
+  def q98SlidingKmv(spark: SparkSession, d: String): DataFrame = {
+    val k = 64
+    val ev = Tables.events(spark, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), expr("us div 3600000000L").as("hour"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+    val hourly = ev.groupBy("hour")
+      .agg(graft.functions.KMinValues.kmvMinArray(col("h"), k).as("arr"))
+    val merged = hourly
+      .select(explode(sequence(col("hour"), col("hour") + 2)).as("win"),
+        col("arr"))
+      .groupBy("win")
+      .agg(flatten(collect_list(col("arr"))).as("all"))
+      .select(col("win"),
+        slice(array_sort(array_distinct(col("all"))), 1, k).as("m"))
+      .select(col("win"), size(col("m")).cast("long").as("n_min"),
+        when(size(col("m")) === k, element_at(col("m"), k)).as("kth"))
+    val exact = ev
+      .select(explode(sequence(col("hour"), col("hour") + 2)).as("win"),
+        col("user_id"))
+      .groupBy("win").agg(countDistinct("user_id").as("n_exact"))
+    merged.join(exact, "win")
+      .select(col("win"), col("n_exact"), col("n_min"),
+        coalesce(col("kth"), lit(-1L)).as("kth"),
+        when(col("kth").isNull, col("n_min"))
+          .otherwise(floor(lit(63.0) * lit(281474976710656.0) / col("kth")))
+          .cast("long").as("est_distinct"))
+      .orderBy("win")
+  }
+
+  val q98Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+      |         AS BIGINT) AS h
+      |  FROM events),
+      |ht AS (SELECT hour, h, row_number() OVER (PARTITION BY hour ORDER BY h)
+      |         AS rn
+      |       FROM (SELECT DISTINCT hour, h FROM e)),
+      |topk AS (SELECT hour, h FROM ht WHERE rn <= 64),
+      |wm AS (SELECT DISTINCT hour + o.o AS win, h
+      |       FROM topk, (VALUES (0), (1), (2)) o(o)),
+      |r AS (SELECT win, h, row_number() OVER (PARTITION BY win ORDER BY h)
+      |        AS rn FROM wm),
+      |m AS (SELECT win, CAST(count(*) AS BIGINT) AS n_min,
+      |        max(CASE WHEN rn = 64 THEN h END) AS kth
+      |      FROM r WHERE rn <= 64 GROUP BY win),
+      |ex AS (SELECT hour + o.o AS win, count(DISTINCT user_id) AS n_exact
+      |       FROM e, (VALUES (0), (1), (2)) o(o) GROUP BY 1)
+      |SELECT m.win, ex.n_exact, m.n_min,
+      |  coalesce(m.kth, -1) AS kth,
+      |  CASE WHEN m.kth IS NULL THEN m.n_min
+      |       ELSE CAST(floor(63.0 * 281474976710656.0 / m.kth) AS BIGINT)
+      |  END AS est_distinct
+      |FROM m JOIN ex USING (win)
+      |ORDER BY win""".stripMargin
 }

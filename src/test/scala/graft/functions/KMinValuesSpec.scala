@@ -64,4 +64,27 @@ class KMinValuesSpec extends AnyFunSuite {
     // stderr ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
     assert(math.abs(est - 10000.0) / 10000.0 < 0.25, est)
   }
+
+  test("kmv_minarray emits the sorted k smallest distinct; merging arrays = sketch of the union") {
+    val a = (1 to 50).map(i => ("a", i * 7L)) // distinct multiples of 7
+    val b = (1 to 50).map(i => ("b", i * 11L))
+    val df = (a ++ b ++ a).toDF("g", "v") // duplicates must not matter
+    val arrs = df.groupBy("g")
+      .agg(KMinValues.kmvMinArray(col("v"), 16).as("arr"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(arrs("a") == (1 to 16).map(_ * 7L))
+    assert(arrs("b") == (1 to 16).map(_ * 11L))
+    // array-algebra merge equals the sketch computed over the union
+    val mergedViaArrays = (arrs("a") ++ arrs("b")).distinct.sorted.take(16)
+    val direct = df.select(lit("u").as("g"), col("v"))
+      .groupBy("g").agg(KMinValues.kmvMinArray(col("v"), 16).as("arr"))
+      .head().getSeq[Long](1)
+    assert(mergedViaArrays == direct,
+      s"merge of k-min lists must be the union's k-min list: $mergedViaArrays vs $direct")
+    // under-k groups carry their complete (exact) distinct set
+    val tiny = Seq(("t", 5L), ("t", 3L), ("t", 5L)).toDF("g", "v")
+      .groupBy("g").agg(KMinValues.kmvMinArray(col("v"), 16).as("arr"))
+      .head().getSeq[Long](1)
+    assert(tiny == Seq(3L, 5L))
+  }
 }
