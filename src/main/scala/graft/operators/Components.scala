@@ -210,4 +210,35 @@ object Components {
       .head()
     (r.getLong(0), r.getLong(1))
   }
+
+  /** SYNCHRONOUS min-label propagation, a FIXED number of rounds:
+    * every node starts labeled with its own id; each round it takes
+    * the min of its label and its neighbors' labels (edges treated
+    * undirected). After k rounds a node's label is the smallest id
+    * within k hops — the bounded-round community/affiliation signal
+    * (and, run to convergence, connected components; use
+    * [[connectedComponents]] for that — its star-contraction needs
+    * O(log n) rounds where this needs the DIAMETER). Each round is
+    * one edge⋈label shuffle join plus one map-side-combined min
+    * aggregation; labels are exact integers, so a SQL oracle replays
+    * the whole trajectory as k chained CTEs.
+    */
+  def minLabelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    var labels = und.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    for (_ <- 1 to rounds) {
+      val fromNbrs = und
+        .join(labels.select(col("v").as("src"), col("lab")), Seq("src"))
+        .groupBy(col("dst").as("v")).agg(min("lab").as("nlab"))
+      labels = labels.join(fromNbrs, Seq("v"), "left")
+        .select(col("v"), least(col("lab"), coalesce(col("nlab"), col("lab")))
+          .as("lab"))
+    }
+    labels
+  }
 }

@@ -1028,4 +1028,90 @@ object Analytics {
       |  CAST(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END
       |       AS BIGINT) AS converted
       |FROM s ORDER BY user_id""".stripMargin
+
+  /** Chi-square independence test of (event_type × user-decile): the
+    * contingency table is ONE map-side-combined groupBy (≤ 50 cells
+    * at any input size), margins and the statistic derive from those
+    * exact integer counts in closed form — per-cell contribution
+    * (o·t − r·c)² / (r·c·t) evaluated with the IDENTICAL operation
+    * order on both engines, e6-scaled. The hypothesis-testing member
+    * of the analytics family; at 100 TB the only data-sized work is
+    * the one cell-count pass.
+    */
+  def q99ChiSquare(spark: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(spark, d)
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(10L)).as("user_mod"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("event_type").agg(sum("o").as("r"))
+    val cols = cells.groupBy("user_mod").agg(sum("o").as("c"))
+    val tot = cells.agg(sum("o").as("t"))
+    val num = col("o") * col("t") - col("r") * col("c")
+    cells.join(broadcast(rows), "event_type")
+      .join(broadcast(cols), "user_mod")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("user_mod"), col("o"),
+        round((num * num).cast("double")
+          / (col("r") * col("c")).cast("double") / col("t").cast("double")
+          * lit(1000000.0) / col("t").cast("double")).cast("long")
+          .as("chi2_term_e6"))
+      .orderBy("event_type", "user_mod")
+  }
+
+  val q99Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type, user_id % 10 AS user_mod, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT user_mod, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells)
+      |SELECT cells.event_type, cells.user_mod, cells.o,
+      |  CAST(round(
+      |    CAST((o * t - r * c) * (o * t - r * c) AS DOUBLE)
+      |    / CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE)
+      |    * 1000000.0 / CAST(t AS DOUBLE)) AS BIGINT) AS chi2_term_e6
+      |FROM cells JOIN r USING (event_type) JOIN c USING (user_mod)
+      |  CROSS JOIN t
+      |ORDER BY event_type, user_mod""".stripMargin
+
+  /** Bounded-round min-label propagation
+    * ([[graft.operators.Components.minLabelPropagation]]) over the
+    * part–supplier bipartite graph: after 3 synchronous rounds each
+    * node is labeled with the smallest id within 3 hops — the
+    * fixed-budget community/affiliation signal next to full
+    * star-contraction components (ComponentsSpec) and PageRank (q76).
+    * Labels are exact integers; the oracle replays all 3 rounds as
+    * chained CTEs and the gate pins the full label-size distribution.
+    */
+  def q100LabelProp(spark: SparkSession, d: String): DataFrame = {
+    // deterministic ~9% edge sample: the full bipartite graph is one
+    // component within 3 hops (every supplier touches many parts) —
+    // the sparse subgraph leaves real multi-label structure for the
+    // bounded rounds to expose
+    val edges = Tables.lineitem(spark, d)
+      .filter(pmod(col("l_partkey") * 31 + col("l_suppkey"), lit(11L)) === 0)
+      .select(col("l_partkey").as("a"),
+        (col("l_suppkey") + 10000000L).as("b"))
+      .distinct()
+    graft.operators.Components.minLabelPropagation(edges, "a", "b", rounds = 3)
+      .groupBy("lab").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("lab")
+  }
+
+  val q100Sql: String = {
+    val iter = (prev: String, cur: String) =>
+      s"""$cur AS (SELECT x.v, least(x.lab, coalesce(m.nlab, x.lab)) AS lab
+         |  FROM $prev x LEFT JOIN (
+         |    SELECT e.dst AS v, min(p.lab) AS nlab
+         |    FROM e JOIN $prev p ON e.src = p.v GROUP BY 1) m USING (v))""".stripMargin
+    val iters = (1 to 3).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT l_partkey AS a, l_suppkey + 10000000 AS b
+       |            FROM lineitem
+       |            WHERE (l_partkey * 31 + l_suppkey) % 11 = 0),
+       |e AS (SELECT a AS src, b AS dst FROM e0
+       |      UNION SELECT b, a FROM e0),
+       |nodes AS (SELECT DISTINCT src AS v FROM e),
+       |r0 AS (SELECT v, v AS lab FROM nodes),
+       |$iters
+       |SELECT lab, count(*) AS n_nodes FROM r3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }
