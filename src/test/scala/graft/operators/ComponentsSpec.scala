@@ -109,4 +109,23 @@ class ComponentsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 50L))
   }
+
+  test("min-label propagation: label after k rounds = min id within k hops") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5-6 plus isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("a", "b")
+    def labels(rounds: Int): Map[Long, Long] =
+      Components.minLabelPropagation(edges, "a", "b", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 0 rounds: everyone keeps their own id
+    assert(labels(0) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 10L -> 10L, 11L -> 11L))
+    // 2 rounds: node v sees min over ids within 2 hops
+    assert(labels(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L,
+      5L -> 3L, 6L -> 4L, 10L -> 10L, 11L -> 10L))
+    // enough rounds for the diameter: chain collapses to 1, pair to 10
+    assert(labels(5).values.toSet == Set(1L, 10L))
+    assert(labels(5).count(_._2 == 1L) == 6)
+  }
 }
