@@ -1186,7 +1186,14 @@ class VintageTable private (
     */
   def compact(numFiles: Int): Unit = {
     val snap = snapshot
-    val adds = writeFiles(spark, layoutRows(snap, None).repartition(numFiles),
+    // bucketed tables: writeFiles re-buckets unconditionally (the
+    // bucket count IS the file count), so the caller's repartition
+    // would only add a dead shuffle
+    val rows = layoutRows(snap, None)
+    val arranged =
+      if (Bucketing.spec(snap.properties).isDefined) rows
+      else rows.repartition(numFiles)
+    val adds = writeFiles(spark, arranged,
       path, dataChange = false, snap.partitionColumns)
     commitOp(snap, "WRITE",
       Map("mode" -> "Overwrite", "dataChange" -> "false"),
@@ -1218,8 +1225,10 @@ class VintageTable private (
     val numFiles = math.max(1,
       math.ceil(selected.map(_.size).sum.toDouble / targetFileBytes).toInt)
     val rows = layoutRows(snap, Some(sel))
+    // bucketed: skip the pre-shuffle, writeFiles re-buckets anyway
     val arranged =
-      if (snap.partitionColumns.isEmpty) rows.repartition(numFiles)
+      if (Bucketing.spec(snap.properties).isDefined) rows
+      else if (snap.partitionColumns.isEmpty) rows.repartition(numFiles)
       else rows.repartition(numFiles, snap.partitionColumns.map(col): _*)
     val adds = writeFiles(spark, arranged, path,
       dataChange = false, snap.partitionColumns)
@@ -1257,8 +1266,10 @@ class VintageTable private (
     // would spread every partition over every task and emit up to
     // numFiles × partitions files, fragmenting what it set out to fix
     val rows = layoutRows(snap, Some(sel))
+    // bucketed: skip the pre-shuffle, writeFiles re-buckets anyway
     val arranged =
-      if (snap.partitionColumns.isEmpty) rows.repartition(numFiles)
+      if (Bucketing.spec(snap.properties).isDefined) rows
+      else if (snap.partitionColumns.isEmpty) rows.repartition(numFiles)
       else rows.repartition(numFiles, snap.partitionColumns.map(col): _*)
     val adds = writeFiles(spark, arranged, path,
       dataChange = false, snap.partitionColumns)

@@ -254,6 +254,27 @@ class BucketedVintageSpec extends AnyFunSuite {
     }
   }
 
+  test("OPTIMIZE purges DVs and restores the shuffle-free bucketed plan") {
+    val p = tmp()
+    val t = VintageTable.create(spark, p, fact(800),
+      bucketProps + ("vintage.deletionVectors.enabled" -> "true"))
+    t.delete("id % 3 = 0") // DV delete → merge-on-read read path
+    assert(t.optimize() > 0, "optimize must rewrite the DV-carrying files")
+    val snap = VintageLog.replay(p)
+    assert(snap.files.forall(f => Bucketing.bucketId(
+      new org.apache.hadoop.fs.Path(f.path).getName).isDefined),
+      s"post-OPTIMIZE files must stay bucketed: ${snap.files.map(_.path)}")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val agg = readV(p).groupBy("key").agg(sum("v"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"after DV purge the bucketed agg must not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(readV(p).count() == fact(800).filter(col("id") % 3 =!= 0).count())
+  }
+
   test("point lookup on the bucket key prunes to a single bucket") {
     val p = tmp()
     VintageTable.create(spark, p, fact(2000), bucketProps)
