@@ -66,17 +66,39 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
           .split("\n", -1).toSeq
       } finally in.close()
     }
-    try readOnce()
-    catch {
-      // ChecksumFileSystem (local FS in tests) races its .crc sidecar
-      // against a concurrent committer's just-published file; the data
-      // file itself is immutable once published, so one short-delay
-      // retry reads the settled pair. Object stores have no sidecar —
-      // this branch never fires there.
-      case _: org.apache.hadoop.fs.ChecksumException =>
-        Thread.sleep(50)
-        readOnce()
+    // ChecksumFileSystem (local FS in tests) races its .crc sidecar
+    // against concurrent committers: the DATA file is published by one
+    // atomic rename, but the sidecar moves separately, and a losing
+    // racer can leave the pair mismatched for good. Retry briefly for
+    // the transient window, then fall back to a checksum-DISABLED read
+    // on a private FS instance (never flip the shared cached one):
+    // the data rename's atomicity is what the log's correctness rests
+    // on; the local-FS sidecar is advisory. Object stores have no
+    // sidecar — none of this fires there.
+    var attempt = 0
+    while (true) {
+      try return readOnce()
+      catch {
+        case _: org.apache.hadoop.fs.ChecksumException if attempt < 3 =>
+          attempt += 1
+          Thread.sleep(50L * attempt)
+        case _: org.apache.hadoop.fs.ChecksumException =>
+          val raw = FileSystem.newInstance(path.toUri, conf)
+          try {
+            raw.setVerifyChecksum(false)
+            val in = raw.open(path)
+            try {
+              val bytes = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](64 * 1024)
+              var n = in.read(buf)
+              while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+              return new String(bytes.toByteArray, StandardCharsets.UTF_8)
+                .split("\n", -1).toSeq
+            } finally in.close()
+          } finally raw.close()
+      }
     }
+    throw new IllegalStateException("unreachable")
   }
 
   private def writeTemp(path: Path, lines: Seq[String]): Path = {
@@ -91,13 +113,33 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
   override def writeExclusive(path: Path, lines: Seq[String]): Unit = {
     val tmp = writeTemp(path, lines)
     try {
-      val fc = FileContext.getFileContext(path.toUri, conf)
-      try fc.rename(tmp, path) // Options.Rename.NONE: fails if path exists
-      catch {
-        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-          throw new ConcurrentModificationException(s"already committed: $path")
-        case e: java.io.IOException if exists(path) =>
-          throw new ConcurrentModificationException(s"already committed: $path ($e)")
+      val scheme = Option(path.toUri.getScheme).getOrElse("file")
+      if (scheme == "file") {
+        // local FS: Hadoop's rename(Rename.NONE) is CHECK-then-rename —
+        // two racers can both pass the exists check and the second
+        // File.renameTo silently REPLACES the first's commit (a lost
+        // write, observed under racing-committer stress). A hard link
+        // is the kernel's atomic create-exclusive: exactly one racer
+        // links the destination name, every other gets
+        // FileAlreadyExistsException. The destination carries no .crc
+        // sidecar, which also removes the checksum-pair race entirely.
+        try java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(path.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new ConcurrentModificationException(s"already committed: $path")
+        }
+      } else {
+        // HDFS & friends: rename NONE is atomic server-side
+        val fc = FileContext.getFileContext(path.toUri, conf)
+        try fc.rename(tmp, path) // Options.Rename.NONE: fails if path exists
+        catch {
+          case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+            throw new ConcurrentModificationException(s"already committed: $path")
+          case e: java.io.IOException if exists(path) =>
+            throw new ConcurrentModificationException(s"already committed: $path ($e)")
+        }
       }
     } finally if (exists(tmp)) delete(tmp)
   }
