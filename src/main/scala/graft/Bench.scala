@@ -21,6 +21,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
+
+  /** Host-contention evidence: 1/5/15-min loadavg + available memory
+    * (GiB), captured before and after the timed suite. Bench totals on
+    * a shared box vary ±30% run-to-run (BASELINE.md documents 67.6 to
+    * 96.8 s for identical code); a run whose loadavg was already high
+    * BEFORE the first query is adjudicable as contaminated from the
+    * artifact alone, with no re-measure needed.
+    */
+  private def hostEvidence(): String = {
+    def read(p: String): Option[String] =
+      try Some(java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+      catch { case _: java.io.IOException => None }
+    val load = read("/proc/loadavg").map(_.trim.split("\\s+").take(3).toSeq)
+      .getOrElse(Seq("-1", "-1", "-1"))
+    val availKb = read("/proc/meminfo")
+      .flatMap(_.linesIterator.find(_.startsWith("MemAvailable:")))
+      .flatMap(_.split("\\s+").lift(1)).map(_.toLong).getOrElse(-1L)
+    s"""{"loadavg":[${load.mkString(",")}],"mem_avail_gib":${r3(availKb / 1048576.0)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,6 +53,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val envBefore = hostEvidence()
     // JVM/codegen warmup outside the timed region so the first queries
     // don't absorb classloading + codegen compilation costs. Half the
     // suite is regex/array/text-dominated, so the warmup must touch
@@ -68,17 +89,26 @@ object Bench {
     val total = r3(results.collect { case (_, v, _, true) => v }.sum)
     val json = s"""{"metric":"total","value":$total,"unit":"sec","mode":"best_of_2","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
-    // also drop the JSON to a file (with both raw runs per query): the
-    // driver tails stdout through sbt's [info] prefixing, which is
-    // fragile to parse and caps the tail length
+    // The full artifact (both raw runs per query + host evidence) goes
+    // to files: the driver tails stdout through sbt's [info] prefixing,
+    // which caps the tail at ~2000 chars and silently dropped the first
+    // ~25 per-query times from the round-9 record. bench/last_run.json
+    // lives IN THE REPO so every round's full numbers are committed and
+    // adjudicable without re-running anything.
+    val envAfter = hostEvidence()
     val runs = results.map { case (k, _, rs, _) =>
       s"\"" + k + "\":" + rs.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val fileJson = json.dropRight(1) + s""","runs":$runs}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        "/tmp/graft_bench.json")), fileJson + "\n")
-    catch { case _: java.io.IOException => () }
+    val fileJson = json.dropRight(1) +
+      s""","runs":$runs,"env_before":$envBefore,"env_after":$envAfter}"""
+    Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
+        "bench/last_run.json").foreach { out =>
+      try {
+        val p = java.nio.file.Paths.get(out)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, fileJson + "\n")
+      } catch { case _: java.io.IOException => () }
+    }
     if (results.exists(!_._4)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

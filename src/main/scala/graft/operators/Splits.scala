@@ -29,17 +29,25 @@ object Splits {
     * splits in the given order over the row's hash bucket in [0,100) —
     * e.g. Seq(("train",80),("val",10),("test",10)) sends buckets 0-79
     * to train, 80-89 to val, 90-99 to test.
+    *
+    * Output column names are parameters (default "bucket"/"split");
+    * pre-existing columns of those names are rejected rather than
+    * silently replaced.
     */
   def assign(df: DataFrame, idCol: String,
-      splits: Seq[(String, Int)]): DataFrame = {
+      splits: Seq[(String, Int)],
+      bucketCol: String = "bucket", splitCol: String = "split"): DataFrame = {
     require(splits.map(_._2).sum == 100,
       s"split percentages must sum to 100, got ${splits.map(_._2).sum}")
+    Seq(bucketCol, splitCol).foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"input already has a '$c' column; pass a different output name"))
     val bucket = hashBucket(col(idCol), 100)
     val cums = splits.scanLeft(0)(_ + _._2).tail
-    val splitCol = splits.zip(cums).foldRight(lit(splits.last._1): Column) {
+    val assigned = splits.zip(cums).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cum), rest) => when(bucket < cum, name).otherwise(rest)
     }
-    df.withColumn("bucket", bucket).withColumn("split", splitCol)
+    df.withColumn(bucketCol, bucket).withColumn(splitCol, assigned)
   }
 
   /** Weighted corpus mixing with deterministic oversampling: each
@@ -58,6 +66,9 @@ object Splits {
   def mix(df: DataFrame, idCol: String, sourceCol: String,
       ratesE6: Map[String, Long]): DataFrame = {
     require(ratesE6.values.forall(_ >= 0), "rates must be non-negative")
+    Seq("epoch", "rate_e6").foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"input already has a '$c' column, which mix would overwrite"))
     val rate = ratesE6.foldLeft(lit(0L): Column) {
       case (rest, (src, r)) => when(col(sourceCol) === src, r).otherwise(rest)
     }

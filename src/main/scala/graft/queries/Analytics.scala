@@ -1045,13 +1045,20 @@ object Analytics {
     val rows = cells.groupBy("event_type").agg(sum("o").as("r"))
     val cols = cells.groupBy("user_mod").agg(sum("o").as("c"))
     val tot = cells.agg(sum("o").as("t"))
-    val num = col("o") * col("t") - col("r") * col("c")
+    // o·t and r·c reach ~1e24 at 100 TB — exact only in decimal(38,0)
+    // (HUGEINT on the oracle side; 64-bit longs would wrap silently).
+    // num² would reach ~1e48 and overflow even those, so num and r·c
+    // are cast to double FIRST and the square/divides run in identical
+    // IEEE order on both engines.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val num = (dec(col("o")) * dec(col("t")) - dec(col("r")) * dec(col("c")))
+      .cast("double")
     cells.join(broadcast(rows), "event_type")
       .join(broadcast(cols), "user_mod")
       .crossJoin(broadcast(tot))
       .select(col("event_type"), col("user_mod"), col("o"),
-        round((num * num).cast("double")
-          / (col("r") * col("c")).cast("double") / col("t").cast("double")
+        round(num * num
+          / (dec(col("r")) * dec(col("c"))).cast("double") / col("t").cast("double")
           * lit(1000000.0) / col("t").cast("double")).cast("long")
           .as("chi2_term_e6"))
       .orderBy("event_type", "user_mod")
@@ -1066,8 +1073,12 @@ object Analytics {
       |t AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells)
       |SELECT cells.event_type, cells.user_mod, cells.o,
       |  CAST(round(
-      |    CAST((o * t - r * c) * (o * t - r * c) AS DOUBLE)
-      |    / CAST(r * c AS DOUBLE) / CAST(t AS DOUBLE)
+      |    CAST(CAST(o AS HUGEINT) * CAST(t AS HUGEINT)
+      |         - CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
+      |    * CAST(CAST(o AS HUGEINT) * CAST(t AS HUGEINT)
+      |         - CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
+      |    / CAST(CAST(r AS HUGEINT) * CAST(c AS HUGEINT) AS DOUBLE)
+      |    / CAST(t AS DOUBLE)
       |    * 1000000.0 / CAST(t AS DOUBLE)) AS BIGINT) AS chi2_term_e6
       |FROM cells JOIN r USING (event_type) JOIN c USING (user_mod)
       |  CROSS JOIN t

@@ -56,6 +56,75 @@ class InMemoryCommitCoordinator extends CommitCoordinator {
   override def markComplete(key: String): Unit = entries.put(key, "")
 }
 
+/** CROSS-PROCESS coordinator backed by a shared directory — the local
+  * stand-in for the DynamoDB-style service, used to stress the
+  * conditional-put protocol across real JVM boundaries (the in-memory
+  * coordinator can only arbitrate threads).
+  *
+  * One entry file per key (md5 of the key): line 1 = key, line 2 =
+  * staged path while pending, absent once complete. `putIfAbsent`'s
+  * atomicity is the kernel's create-exclusive hard link of a fully
+  * written temp file — two processes racing the same key see exactly
+  * one winner, and a reader never observes a half-written entry.
+  * `markComplete` replaces the entry via ATOMIC_MOVE.
+  */
+class FileCommitCoordinator(dirStr: String) extends CommitCoordinator {
+  private val dir = java.nio.file.Paths.get(dirStr)
+  java.nio.file.Files.createDirectories(dir)
+
+  private def entry(key: String): java.nio.file.Path = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    dir.resolve(h + ".res")
+  }
+
+  private def readEntry(p: java.nio.file.Path): Option[(String, String)] =
+    try {
+      val ls = java.nio.file.Files.readAllLines(p)
+      if (ls.isEmpty) None
+      else Some((ls.get(0), if (ls.size() >= 2) ls.get(1) else ""))
+    } catch { case _: java.io.IOException => None }
+
+  private def writeEntry(target: java.nio.file.Path, lines: String,
+      exclusive: Boolean): Boolean = {
+    val tmp = java.nio.file.Files.createTempFile(dir, ".coord", ".tmp")
+    try {
+      java.nio.file.Files.writeString(tmp, lines)
+      if (exclusive) {
+        try { java.nio.file.Files.createLink(target, tmp); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        true
+      }
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  override def putIfAbsent(key: String, stagedPath: String): Boolean =
+    writeEntry(entry(key), s"$key\n$stagedPath\n", exclusive = true)
+
+  override def pending(key: String): Option[String] =
+    readEntry(entry(key)).map(_._2).filter(_.nonEmpty)
+
+  override def pendingUnder(prefix: String): Seq[String] = {
+    val s = java.nio.file.Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".res"))
+        .flatMap(readEntry)
+        .collect { case (k, staged) if k.startsWith(prefix) && staged.nonEmpty => k }
+        .toSeq
+    } finally s.close()
+  }
+
+  override def markComplete(key: String): Unit =
+    writeEntry(entry(key), s"$key\n", exclusive = false)
+}
+
 /** Log store for object stores WITHOUT atomic no-overwrite rename
   * (raw S3 before conditional PUT): the put-if-absent the commit
   * protocol needs comes from an external [[CommitCoordinator]], not

@@ -129,19 +129,27 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
         catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             throw new ConcurrentModificationException(s"already committed: $path")
+          // file:// mounts without hard-link support (NFS/FUSE/exFAT):
+          // fall back to the atomic-on-real-filesystems rename path
+          // rather than failing every commit. FileAlreadyExistsException
+          // extends FileSystemException, so it must be caught above.
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            renameExclusive(tmp, path)
         }
-      } else {
-        // HDFS & friends: rename NONE is atomic server-side
-        val fc = FileContext.getFileContext(path.toUri, conf)
-        try fc.rename(tmp, path) // Options.Rename.NONE: fails if path exists
-        catch {
-          case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-            throw new ConcurrentModificationException(s"already committed: $path")
-          case e: java.io.IOException if exists(path) =>
-            throw new ConcurrentModificationException(s"already committed: $path ($e)")
-        }
-      }
+      } else renameExclusive(tmp, path)
     } finally if (exists(tmp)) delete(tmp)
+  }
+
+  private def renameExclusive(tmp: Path, path: Path): Unit = {
+    // HDFS & friends: rename NONE is atomic server-side
+    val fc = FileContext.getFileContext(path.toUri, conf)
+    try fc.rename(tmp, path) // Options.Rename.NONE: fails if path exists
+    catch {
+      case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+        throw new ConcurrentModificationException(s"already committed: $path")
+      case e: java.io.IOException if exists(path) =>
+        throw new ConcurrentModificationException(s"already committed: $path ($e)")
+    }
   }
 
   override def writeReplace(path: Path, lines: Seq[String]): Unit = {
