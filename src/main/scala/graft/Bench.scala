@@ -66,7 +66,15 @@ object Bench {
         "sum(size(regexp_extract_all(text, '[A-Za-z]+', 0)))",
         "count(distinct md5(text))")
       .collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Targeted re-measure: SPARK_GRAFT_BENCH_ONLY=q68,q82 times just the
+    // queries whose name starts with a listed prefix — the adjudication
+    // loop for a single out-of-band number shouldn't pay the full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
@@ -101,8 +109,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val fileJson = json.dropRight(1) +
       s""","runs":$runs,"env_before":$envBefore,"env_after":$envAfter}"""
-    Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json"),
-        "bench/last_run.json").foreach { out =>
+    // a filtered (ONLY) run is a scratch measurement — never let it
+    // clobber the committed full-suite record
+    (Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")) ++
+        (if (only.isEmpty) Seq("bench/last_run.json") else Nil)).foreach { out =>
       try {
         val p = java.nio.file.Paths.get(out)
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

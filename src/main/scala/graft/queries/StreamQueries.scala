@@ -41,12 +41,34 @@ object StreamQueries {
     * the returned (lazy) result frame executes — only the streaming
     * epochs run narrow. At 100 TB the same dial turns the other way:
     * size `spark.sql.shuffle.partitions` to state volume per query.
+    *
+    * The state store is RocksDB (Spark 4 ships rocksdbjni) with
+    * changelog checkpointing: at scale it keeps state off-heap and
+    * uploads per-commit DELTAS instead of rewriting HDFS-backed
+    * snapshot files — O(changed) not O(state) per micro-batch. On
+    * these fixture-sized gates the provider choice is measured noise
+    * (best-of-2 tier sums on one box: HDFS 22.9 s, RocksDB 23.1 s,
+    * RocksDB+changelog 24.2 s — the fixed cost is micro-batch/commit
+    * machinery, not state IO; full A/B in BASELINE.md), so the
+    * scale-correct provider costs nothing here. State CONTENT is
+    * provider-independent — the gate hashes are unchanged.
     */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, prev)
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // changelog checkpointing: each commit uploads the delta, not a
+      // full snapshot — the difference between O(state) and O(changed)
+      // per micro-batch once state is GBs per partition
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.minBatchesToRetain" -> "2")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   def q48StreamExactlyOnce(spark: SparkSession, d: String): DataFrame =
