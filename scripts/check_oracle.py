@@ -2,10 +2,22 @@
 """Local replica of the driver's t2 gate: run graft.Verify first, then
 compare each dumped parquet against its DuckDB oracle SQL.
 
+Since round 11 this prints the driver's three booleans per query
+(rows_match / schema_match / hash_match) with an explicit canonical
+hash, instead of only an exact value-compare. The hash is computed
+over canonically rendered, fully sorted rows with NO tolerance
+anywhere, so it is at least as strict as any row-hash the driver can
+compute: local hash-green + identical corpus => driver hash-green.
+(The r10 divergence was the driver running a REGENERATED corpus — a
+value-compare can never catch that, which is why the gate queries must
+be corpus-robust; see PipelineQueries q28/q29/q40 scaladoc. To make
+that class visible, any float/double column in a gate output is
+flagged HASH-FRAGILE: engine-computed floats may differ by 1 ulp on
+another corpus even when they compare equal on this one.)
+
 Usage: python3 scripts/check_oracle.py [verify_out_dir] [sf_dir]
 """
-import duckdb, json, os, sys
-import numpy as np
+import datetime, duckdb, decimal, hashlib, json, math, os, sys
 
 out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -17,37 +29,101 @@ con = duckdb.connect()
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+
+def render(v):
+    """Canonical, engine-neutral rendering of one cell."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # shortest round-trip repr of the exact double — identical for
+        # bit-identical values, different for ANY 1-ulp divergence
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        # normalize DATE up to midnight TIMESTAMP: Spark gate outputs
+        # write timestamp where DuckDB yields date (e.g. date_trunc) —
+        # the driver's gate treats these as equal (q7 green since r1)
+        return v.isoformat() + " 00:00:00"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(render(x) for x in v) + "]"
+    return str(v)
+
+
+def canon(rel):
+    """(colnames_sorted, dtypes, sorted rendered rows, md5) of a duckdb
+    relation, columns sorted by name, rows sorted by rendered values."""
+    cols = rel.columns
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    names = [cols[i] for i in order]
+    types = [str(rel.types[i]) for i in order]
+    rows = sorted(tuple(render(r[i]) for i in order) for r in rel.fetchall())
+    h = hashlib.md5()
+    h.update(("|".join(names) + "\n").encode())
+    h.update((str(len(rows)) + "\n").encode())
+    for r in rows:
+        h.update(("\x1f".join(r) + "\n").encode())
+    return names, types, rows, h.hexdigest()
+
+
 fails = 0
+fragile_all = {}
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 for name, sql in sorted(oracle.items()):
     pdir = f"{out}/{name}"
     if not os.path.isdir(pdir):
         print(f"{name}: MISSING spark output"); fails += 1; continue
-    mine = duckdb.sql(f"SELECT * FROM '{pdir}/*.parquet'").df()
     try:
-        ref = con.execute(sql).df()
+        mnames, mtypes, mrows, mhash = canon(
+            duckdb.sql(f"SELECT * FROM '{pdir}/*.parquet'"))
+        onames, otypes, orows, ohash = canon(con.sql(sql))
     except Exception as e:
         print(f"{name}: ORACLE SQL ERROR {e}"); fails += 1; continue
-    mine, ref = mine[sorted(mine.columns)], ref[sorted(ref.columns)]
-    if list(mine.columns) != list(ref.columns):
-        print(f"{name}: COLUMN MISMATCH {list(mine.columns)} vs {list(ref.columns)}")
-        fails += 1; continue
-    if len(mine) != len(ref):
-        print(f"{name}: ROWCOUNT {len(mine)} vs {len(ref)}"); fails += 1; continue
-    bad = []
-    for c in mine.columns:
-        a, b = mine[c], ref[c]
-        if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-            if not np.allclose(a.astype(float).fillna(-1e300),
-                               b.astype(float).fillna(-1e300), rtol=0, atol=0):
-                bad.append((c, float(np.abs(a.astype(float).fillna(0)
-                                            - b.astype(float).fillna(0)).max())))
-        elif not a.astype(str).equals(b.astype(str)):
-            bad.append((c, "values"))
-    if bad:
-        print(f"{name}: MISMATCH {bad}"); fails += 1
+    rows_match = len(mrows) == len(orows)
+    schema_match = mnames == onames
+    hash_match = mhash == ohash
+    fragile = [c for c, t in zip(mnames, mtypes)
+               if t in ("FLOAT", "DOUBLE") or "FLOAT[" in t or "DOUBLE[" in t]
+    ok = rows_match and schema_match and hash_match
+    if not ok:
+        fails += 1
+        print(f"{name}: FAIL rows_match={rows_match} ({len(mrows)} vs "
+              f"{len(orows)}) schema_match={schema_match} "
+              f"hash_match={hash_match} ({mhash[:12]} vs {ohash[:12]})")
+        if not schema_match:
+            print(f"  columns: {mnames} vs {onames}")
+        if rows_match and schema_match and not hash_match:
+            # first differing sorted row, for diagnosis
+            for a, b in zip(mrows, orows):
+                if a != b:
+                    print(f"  first diff:\n    spark  {a}\n    oracle {b}")
+                    break
     else:
-        print(f"{name}: OK ({len(mine)} rows)")
+        print(f"{name}: OK rows={len(mrows)} hash={mhash[:12]}")
+    if fragile:
+        fragile_all[name] = fragile
+    if mtypes != otypes and ok:
+        # the driver's r10 gate had schema_match green everywhere, so a
+        # duckdb-level type difference on a value-identical result is
+        # informational, not a failure
+        diff = [(n, a, b) for n, a, b in zip(mnames, mtypes, otypes) if a != b]
+        print(f"  [type note: {diff}]")
 
-# queries with no oracle get a rows-only note
+if fragile_all:
+    print(f"\nHASH-FRAGILE note: {len(fragile_all)} queries hash "
+          "engine-computed float columns. They match bit-exactly on this "
+          "corpus (both engines produce the identical IEEE double for "
+          "these operations), but a 1-ulp cross-engine divergence on a "
+          "REGENERATED corpus would only surface at the driver:")
+    for n, cols in sorted(fragile_all.items()):
+        print(f"  {n}: {cols}")
+
 sys.exit(1 if fails else 0)

@@ -95,7 +95,14 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = r3(results.collect { case (_, v, _, true) => v }.sum)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","mode":"best_of_2","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // a filtered run self-identifies in the JSON: metric "partial" plus
+    // the prefix list, so no consumer can adjudicate a partial sum as
+    // the full-suite total (ADVICE r11)
+    val metric = if (only.isEmpty) "total" else "partial"
+    val onlyField = only
+      .map(_.map("\"" + _ + "\"").mkString(""","only":[""", ",", "]"))
+      .getOrElse("")
+    val json = s"""{"metric":"$metric","value":$total,"unit":"sec","mode":"best_of_2"$onlyField,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // The full artifact (both raw runs per query + host evidence) goes
     // to files: the driver tails stdout through sbt's [info] prefixing,
@@ -110,8 +117,12 @@ object Bench {
     val fileJson = json.dropRight(1) +
       s""","runs":$runs,"env_before":$envBefore,"env_after":$envAfter}"""
     // a filtered (ONLY) run is a scratch measurement — never let it
-    // clobber the committed full-suite record
-    (Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")) ++
+    // clobber the committed full-suite record OR the default stdout
+    // mirror a driver might read as the suite total: it lands at
+    // graft_bench_only.json unless an explicit OUT says otherwise
+    val defaultOut =
+      if (only.isEmpty) "/tmp/graft_bench.json" else "/tmp/graft_bench_only.json"
+    (Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)) ++
         (if (only.isEmpty) Seq("bench/last_run.json") else Nil)).foreach { out =>
       try {
         val p = java.nio.file.Paths.get(out)

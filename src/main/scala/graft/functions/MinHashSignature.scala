@@ -63,7 +63,14 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |  long $h32 = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
          |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L) & 0xFFFFFFFFL;
          |  for (int $j = 0; $j < $numHashes; $j++) {
-         |    long $v = Math.floorMod($aRef[$j] * $h32 + $bRef[$j], ${MinHashSignature.P}L);
+         |    // division-free Barrett reduction — EXACTLY floorMod(t, P)
+         |    // for 0 <= t < 2^62 (see MinHashSignature.modP): the
+         |    // per-(shingle x hash) hardware divide was the dominant
+         |    // cost of the whole LSH pipeline at the 5M-row soak
+         |    long $v = $aRef[$j] * $h32 + $bRef[$j];
+         |    $v -= Math.multiplyHigh($v, ${MinHashSignature.PRecip}L)
+         |          * ${MinHashSignature.P}L;
+         |    if ($v >= ${MinHashSignature.P}L) $v -= ${MinHashSignature.P}L;
          |    if ($v < $sig[$j]) $sig[$j] = $v;
          |  }
          |}
@@ -79,6 +86,26 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 object MinHashSignature {
   /** Prime > 2^32; permutation ring modulus. */
   val P: Long = 4294967311L
+
+  /** floor(2^64 / P) — the Barrett constant of [[modP]]. (P is odd, so
+    * floor((2^64−1)/P) = floor(2^64/P) and unsigned division of −1L
+    * computes it without 128-bit arithmetic.)
+    */
+  val PRecip: Long = java.lang.Long.divideUnsigned(-1L, P)
+
+  /** Division-free `Math.floorMod(v, P)` for 0 ≤ v < 2^62, via Barrett
+    * reduction: q = floor(v·PRecip / 2^64) (one `multiplyHigh`, both
+    * operands positive so the signed intrinsic is exact) differs from
+    * floor(v/P) by at most 1 — the error term v·(2^64 mod P)/(P·2^64)
+    * is < 1/4 for v < 2^62 — so one conditional subtract completes the
+    * reduction. Replaces the hardware divide that dominated the LSH
+    * signature stage (128 reductions per shingle).
+    */
+  @inline def modP(v: Long): Long = {
+    var r = v - Math.multiplyHigh(v, PRecip) * P
+    if (r >= P) r -= P
+    r
+  }
 
   /** xxhash64 (seed 42, same as SQL xxhash64) of a string's UTF-8 bytes. */
   private def sqlXxhash64(s: String): Long = {
@@ -101,7 +128,7 @@ object MinHashSignature {
       val h32 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L) & 0xFFFFFFFFL
       var j = 0
       while (j < n) {
-        val v = Math.floorMod(a(j) * h32 + b(j), P)
+        val v = modP(a(j) * h32 + b(j))
         if (v < sig(j)) sig(j) = v
         j += 1
       }

@@ -369,129 +369,209 @@ object PipelineQueries {
       |  END AS dup_trigram_ratio
       |FROM g ORDER BY doc_id""".stripMargin
 
-  /** IVF nearest neighbors, on the FULL DuckDB hash gate. Two tiers,
-    * two checks:
+  /** IVF nearest neighbors, on the FULL DuckDB hash gate. The r10
+    * version ranked by a CROSS-ENGINE float cosine (Spark codegen vs
+    * DuckDB `list_cosine_similarity`, measured rank-boundary gaps down
+    * to 1.9e-5) — corpus-fragile: a regenerated fixture flips a
+    * near-tie and the hash with it (hash-RED at the r10 driver gate
+    * while the same-corpus local replica was green). Rebuilt on the
+    * repo's portability rule ("no engine-defined float ever crosses
+    * the gate"), three tiers:
     *
-    *  - GATED OUTPUT: IVF at FULL probe (nprobe = numCells = 16) —
-    *    partitioned exact search through the complete IVF machinery
-    *    (quantizer fit, cell assignment, probe routing, cell-local
-    *    scoring, global rank). Its contract is equality with
-    *    brute-force top-5, so the oracle replays the exact cosine
-    *    top-5 (q14's replay, hash-exact cross-engine) plus the quality
-    *    literals that exactness implies; a lost cell, duplicated
-    *    candidate, or rank regression breaks rows or hash.
-    *  - EMBEDDED FLOOR: the APPROXIMATE tier (nprobe = 6) must keep
-    *    recall@5 ≥ 0.70 against the same exact reference (measured
-    *    0.76-0.80 across SFs) — enforced by a require that fails the
-    *    whole gate row. Approximate recall on near-uniform embeddings
-    *    is quantizer-internal and not ANSI-replayable; the IVF
-    *    pipeline itself stays hash-pinned portably by q63.
+    *  - GATED RANK: exact top-5 per query by an INTEGER similarity
+    *    key over `floor(v·256)` quantized vectors (the q62/q63
+    *    pattern): key = sign(num) · (num²·10¹² div nb) with num the
+    *    quantized dot product and nb the neighbor's quantized squared
+    *    norm — monotone in cosine (na is constant per query), exact
+    *    integer arithmetic on both engines, ties broken by
+    *    neighbor_id. DECIMAL(38,0)/HUGEINT intermediates (num²·10¹²
+    *    ≤ ~10²⁵); the divided key ≤ na·10¹² ≤ ~10¹⁹·0.2 fits BIGINT.
+    *  - FULL-PROBE CONTRACT, self-certified lazily: float IVF at full
+    *    probe (nprobe = numCells = 16) must equal float brute-force
+    *    top-5 — BOTH sides Spark-internal (deterministic same-engine
+    *    floats, never cross-engine), folded into the output as
+    *    `full_probe_exact` (oracle pins 1; any divergence hashes red).
+    *  - RECALL FLOOR, self-certified lazily: the approximate tier
+    *    (nprobe = 6) must keep recall@5 ≥ 0.70 vs the same float
+    *    reference (measured 0.76-0.80 across SFs) — `recall_floor_ok`
+    *    (oracle pins 1). Both flags are computed INSIDE the plan (a
+    *    1-row aggregate cross join), so constructing the DataFrame
+    *    runs no Spark jobs (the r10 `require` ran two eager jobs per
+    *    plan construction — ADVICE r10).
     */
   def q28AnnIvf(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val queries = emb.filter(col("vec_id") < 10)
-    val exactRef = Similarity.bruteForceTopK(queries, emb, "vec_id",
+    val floatExact = Similarity.bruteForceTopK(queries, emb, "vec_id",
         "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"))
-    val approxHits = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
+    val fullProbeFlag = Similarity.ivfTopK(queries, emb, "vec_id",
+        "embedding", k = 5, nprobe = 16)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(floatExact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("__n"))
+      .select((col("__n") === 50L).cast("long").as("full_probe_exact"))
+    val recallFlag = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
         k = 5, nprobe = 6)
       .select(col("query_id"), col("neighbor_id"))
-      .join(exactRef, Seq("query_id", "neighbor_id")).count()
-    require(approxHits >= 35,
-      s"IVF nprobe=6 recall regression: $approxHits/50 exact hits (floor 35)")
-    val ivf = Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 5,
-        nprobe = 16)
-      .select(col("query_id"), col("neighbor_id"), col("rk"))
-    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
-      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
-    val perQuery = Window.partitionBy("query_id")
-    ivf.join(exact, Seq("query_id", "neighbor_id"), "left")
-      .withColumn("in_exact", coalesce(col("__hit"), lit(0L)))
-      .withColumn("recall_k",
-        (sum(col("in_exact")).over(perQuery) / 5.0).cast("decimal(10,4)"))
-      .select(col("query_id"), col("neighbor_id"), col("rk"),
-        col("in_exact"), col("recall_k"))
+      .join(floatExact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("__m"))
+      .select((col("__m") >= 35L).cast("long").as("recall_floor_ok"))
+    def dot(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.LongDotProduct(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(a),
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(b)))
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * 256).cast("long"))
+    val q = queries.select(col("vec_id").as("query_id"), qv.as("__qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), qv.as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("__qv"), col("__cv")).as("__num"),
+        dot(col("__cv"), col("__cv")).as("__nb"))
+      .withColumn("__abs",
+        expr("CAST(__num * __num AS DECIMAL(38,0)) * 1000000000000 div __nb"))
+      .withColumn("qcos_key",
+        when(col("__num") < 0, -col("__abs")).otherwise(col("__abs")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos_key").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .crossJoin(broadcast(fullProbeFlag))
+      .crossJoin(broadcast(recallFlag))
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("qcos_key"),
+        col("full_probe_exact"), col("recall_floor_ok"))
       .orderBy("query_id", "rk")
   }
 
   val q28Sql: String =
-    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      |           FROM embeddings WHERE vec_id < 10),
-      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-      |      FROM embeddings),
-      |s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
-      |      FROM q, c WHERE query_id <> neighbor_id),
-      |r AS (SELECT query_id, neighbor_id,
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> CAST(floor(x*256) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 10),
+      |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+      |        CAST(list_dot_product(qqv, c.qv) AS BIGINT) AS num,
+      |        CAST(list_dot_product(c.qv, c.qv) AS BIGINT) AS nb
+      |      FROM qs, q c WHERE c.vec_id <> query_id),
+      |k AS (SELECT query_id, neighbor_id,
+      |        CASE WHEN num < 0
+      |             THEN -(CAST(num AS HUGEINT) * num * 1000000000000 // nb)
+      |             ELSE  (CAST(num AS HUGEINT) * num * 1000000000000 // nb)
+      |        END AS key FROM s),
+      |r AS (SELECT query_id, neighbor_id, key,
       |        row_number() OVER (PARTITION BY query_id
-      |                           ORDER BY sim DESC, neighbor_id ASC) AS rk
-      |      FROM s)
-      |SELECT query_id, neighbor_id, rk,
-      |  CAST(1 AS BIGINT) AS in_exact,
-      |  CAST(1.0 AS DECIMAL(10,4)) AS recall_k
+      |                           ORDER BY key DESC, neighbor_id ASC) AS rk
+      |      FROM k)
+      |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+      |  CAST(key AS BIGINT) AS qcos_key,
+      |  CAST(1 AS BIGINT) AS full_probe_exact,
+      |  CAST(1 AS BIGINT) AS recall_floor_ok
       |FROM r WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
 
   /** SemDeDup-style semantic dedup pairs on planted duplicate vectors,
-    * on the FULL DuckDB hash gate: identical vectors always quantize
-    * to the same KMeans cell and have cosine exactly 1, so the healthy
-    * output is pure ground truth — the 20 planted pairs
-    * (vec_id+1000000 copies) with cosine_sim 1.000000 and nothing else
-    * at threshold 0.999 on this corpus — and the oracle replays it
-    * from the embeddings table alone. A missed pair, a spurious pair,
-    * or a cosine regression all break rowcount or hash. The KMeans
-    * internals stay un-replayed; the gate pins the dedup CONTRACT.
+    * on the FULL DuckDB hash gate. The r10 oracle ASSERTED the output
+    * was exactly the 20 planted pairs with an engine-computed float
+    * cosine cast to DECIMAL — both corpus-fragile (a regenerated
+    * corpus can hold a natural ≥0.999 pair, and the float-sqrt cosine
+    * of identical vectors can land a hair under 1 and round to
+    * 0.999999; hash-RED at the r10 driver gate while the same-corpus
+    * local replica was green). Rebuilt DATA-DERIVED:
+    *
+    *  - the gate output is the pipeline's pairs restricted to
+    *    BIT-IDENTICAL embedding pairs — provable ground truth at any
+    *    corpus: identical vectors deterministically land in the same
+    *    KMeans cell (same input → same assignment) with cosine ≥
+    *    0.999, so the full SemDeDup machinery (quantizer fit, cell
+    *    assignment, cell-local pairing, threshold) must surface every
+    *    one of them — the 20 planted copies (vec_id+1000000) PLUS any
+    *    natural exact duplicates, which the oracle finds from the data
+    *    by the same embedding-equality self-join (no "nothing else on
+    *    this corpus" assumption anywhere);
+    *  - `cosine_sim` is the literal 1.000000 exactness implies — no
+    *    engine float crosses the gate (a cosine regression below the
+    *    0.999 threshold drops rows instead);
+    *  - `planted_found` (count of planted pairs recovered, normally
+    *    20) replaces the r10 float ratio.
+    * Near-dup (non-identical) threshold behavior is hash-pinned
+    * portably by q62 and spec-pinned by SimilaritySpec.
     */
   def q40SemanticDedup(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d).select("vec_id", "embedding")
     val planted = emb.filter(col("vec_id") < 20)
       .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(planted)
+    val pairs = Similarity.semanticDedupPairs(corpus,
+      "vec_id", "embedding", threshold = 0.999, numClusters = 16)
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("__ea"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("__eb"))
     val all = Window.partitionBy() // output is tiny (≈20 pairs), global window is fine
-    Similarity.semanticDedupPairs(emb.unionByName(planted),
-        "vec_id", "embedding", threshold = 0.999, numClusters = 16)
+    pairs.join(ea, "id_a").join(eb, "id_b")
+      .filter(col("__ea") === col("__eb"))
       .withColumn("is_planted",
         (col("id_b") - col("id_a") === 1000000L).cast("long"))
-      .withColumn("planted_recall",
-        (sum(col("is_planted")).over(all) / 20.0).cast("decimal(10,4)"))
       .select(col("id_a"), col("id_b"),
-        col("cosine_sim").cast("decimal(10,6)").as("cosine_sim"),
-        col("is_planted"), col("planted_recall"))
+        lit(BigDecimal("1.000000")).cast("decimal(10,6)").as("cosine_sim"),
+        col("is_planted"),
+        sum(col("is_planted")).over(all).as("planted_found"))
       .orderBy("id_a", "id_b")
   }
 
   val q40Sql: String =
-    """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b,
+    """WITH c AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding
+      |  FROM embeddings WHERE vec_id < 20),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |        CASE WHEN b.vec_id - a.vec_id = 1000000 THEN 1 ELSE 0 END AS ip
+      |      FROM c a JOIN c b
+      |        ON a.embedding = b.embedding AND a.vec_id < b.vec_id)
+      |SELECT id_a, id_b,
       |  CAST(1.0 AS DECIMAL(10,6)) AS cosine_sim,
-      |  CAST(1 AS BIGINT) AS is_planted,
-      |  CAST(1.0 AS DECIMAL(10,4)) AS planted_recall
-      |FROM embeddings WHERE vec_id < 20
-      |ORDER BY id_a""".stripMargin
+      |  CAST(ip AS BIGINT) AS is_planted,
+      |  CAST(sum(ip) OVER () AS BIGINT) AS planted_found
+      |FROM p ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash near-dup pairs on planted near-duplicates, now on the
-    * FULL DuckDB hash gate: the planted perturbation swaps the first
-    * two tokens — a bag-of-words-invariant change, so the SimHash
-    * signature is bit-identical (the detection is deterministic, not
-    * at the mercy of majority-vote margins) while the TEXT and its
-    * word-trigram set genuinely differ. The expected output is
-    * therefore pure ground truth — exactly the 30 planted pairs and
-    * nothing else on this corpus — and the oracle replays it,
-    * including the exact trigram Jaccard of each pair, from the
-    * documents table alone. A banding/bucketing/join regression drops
-    * or adds rows; a tokenizer/jaccard regression shifts `jaccard3_e6`.
-    * Hamming-TOLERANCE (1..3-bit) detection is pinned by DedupSpec and
-    * the portable twin q60, both of which perturb the token bag.
+  /** SimHash near-dup pairs on planted near-duplicates, on the FULL
+    * DuckDB hash gate: the planted perturbation swaps the first two
+    * tokens — a bag-of-words-invariant change, so the SimHash
+    * signature is bit-identical (detection is deterministic, not at
+    * the mercy of majority-vote margins) while the TEXT and its
+    * word-trigram set genuinely differ. The r10 oracle asserted the
+    * pipeline reports the 30 planted pairs and NOTHING ELSE — an
+    * assumption valid only at the SF it was verified on (natural
+    * near-dups legitimately exist, e.g. docs 8/12 at sf0.001 —
+    * ADVICE r10). The gate output is now RESTRICTED to the provable
+    * planted relationship (id_b − id_a = 100000, which no base-base
+    * ≤59 or perturbed-perturbed ≤29 id distance and no base-perturbed
+    * cross pair i≠j can produce): all 30 pairs must surface with
+    * hamming 0 (signature invariance makes that corpus-independent
+    * ground truth) and the exact trigram Jaccard of each, replayed by
+    * the oracle as pure text math at ANY corpus. A
+    * banding/bucketing/join regression drops rows; a
+    * tokenizer/jaccard regression shifts `jaccard3_e6`; natural-pair
+    * (1..3-bit hamming) detection is pinned by DedupSpec and the
+    * portable twin q60. Docs with <2 tokens keep their original text
+    * (nothing to swap); empty gram unions guard the 0/0 → NaN /
+    * DuckDB-CAST-error divergence (ADVICE r10).
     */
   def q29SimhashPairs(spark: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(spark, d)
       .filter(col("doc_id") < 60).select(col("doc_id"), col("text"))
     val toks = TextAnalysis.tokens(col("text"))
-    val swappedText = array_join(
+    val swappedText = when(size(toks) >= 2, array_join(
       concat(array(element_at(toks, 2), element_at(toks, 1)),
-        slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))), " ")
+        slice(toks, lit(3), greatest(size(toks) - 2, lit(0)))), " "))
+      .otherwise(col("text"))
     val perturbed = docs.filter(col("doc_id") < 30)
       .select((col("doc_id") + 100000).as("doc_id"), swappedText.as("text"))
     val corpus = docs.unionByName(perturbed)
     val pairs = Dedup.simHashPairs(corpus, "doc_id", "text")
-      .select(col("id_a"), col("id_b"))
+      .filter(col("id_b") - col("id_a") === 100000L)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     def grams3(t: Column): Column = {
       val tk = TextAnalysis.tokens(t)
       array_distinct(when(size(tk) < 3, array().cast("array<string>"))
@@ -502,11 +582,12 @@ object PipelineQueries {
     val tb = corpus.select(col("doc_id").as("id_b"), col("text").as("__tb"))
     val ga = grams3(col("__ta")); val gb = grams3(col("__tb"))
     val inter = size(array_intersect(ga, gb))
+    val union = size(ga) + size(gb) - inter
     pairs.join(ta, "id_a").join(tb, "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(inter / (size(ga) + size(gb) - inter).cast("double") * 1e6)
-          .cast("long").as("jaccard3_e6"),
-        (col("id_b") - col("id_a") === 100000L).cast("long").as("planted_hit"))
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        when(union === 0, lit(0L)).otherwise(
+          round(inter / union.cast("double") * 1e6).cast("long"))
+          .as("jaccard3_e6"))
       .orderBy("id_a", "id_b")
   }
 
@@ -518,7 +599,10 @@ object PipelineQueries {
       |  FROM documents WHERE doc_id < 30
       |),
       |pairtoks AS (
-      |  SELECT doc_id, o, list_concat([o[2], o[1]], o[3:]) AS s FROM toks
+      |  SELECT doc_id, o,
+      |    CASE WHEN len(o) >= 2 THEN list_concat([o[2], o[1]], o[3:])
+      |         ELSE o END AS s
+      |  FROM toks
       |),
       |grams AS (
       |  SELECT doc_id,
@@ -529,15 +613,20 @@ object PipelineQueries {
       |      ELSE list_transform(range(1, len(s) - 1),
       |             i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]) END) AS gs
       |  FROM pairtoks
+      |),
+      |j AS (
+      |  SELECT doc_id,
+      |    len(list_filter(go, g -> list_contains(gs, g))) AS inter,
+      |    len(go) + len(gs) AS tot
+      |  FROM grams
       |)
       |SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
-      |  CAST(round(
-      |    len(list_filter(go, g -> list_contains(gs, g)))
-      |    / CAST(len(go) + len(gs)
-      |           - len(list_filter(go, g -> list_contains(gs, g))) AS DOUBLE)
-      |    * 1000000.0) AS BIGINT) AS jaccard3_e6,
-      |  CAST(1 AS BIGINT) AS planted_hit
-      |FROM grams ORDER BY id_a""".stripMargin
+      |  CAST(0 AS BIGINT) AS hamming,
+      |  CASE WHEN tot - inter = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(round(inter / CAST(tot - inter AS DOUBLE)
+      |                       * 1000000.0) AS BIGINT)
+      |  END AS jaccard3_e6
+      |FROM j ORDER BY id_a""".stripMargin
 
   /** Benchmark contamination: train docs (doc_id < 450) sharing any
     * word 8-gram with the "benchmark" tail (doc_id >= 450).
@@ -2045,7 +2134,13 @@ object PipelineQueries {
       |SELECT m.win, ex.n_exact, m.n_min,
       |  coalesce(m.kth, -1) AS kth,
       |  CASE WHEN m.kth IS NULL THEN m.n_min
-      |       ELSE CAST(floor(63.0 * 281474976710656.0 / m.kth) AS BIGINT)
+      |       -- DOUBLE constants, not DECIMAL: DuckDB's decimal product
+      |       -- of the unscaled 630 * 2814749767106560 overflows
+      |       -- DECIMAL(18) the first time a window actually reaches
+      |       -- k=64 (sf0.1); Spark computes 63·2^48 as an exact double
+      |       -- (6 significant bits), so the oracle must too
+      |       ELSE CAST(floor(CAST(63 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+      |                       / m.kth) AS BIGINT)
       |  END AS est_distinct
       |FROM m JOIN ex USING (win)
       |ORDER BY win""".stripMargin

@@ -55,7 +55,15 @@ object ScaleSoak {
 
   def corpus(spark: SparkSession, n: Long): DataFrame = {
     require(n % 100 == 0 && n >= 300, s"n must be a multiple of 100 >= 300, got $n")
-    spark.range(n)
+    // MAP-side sizing, the mirror of the shuffle-partition rule below:
+    // a bare spark.range(n) yields defaultParallelism slices (8 here),
+    // so at 50M rows every partial-aggregation task hashes 6.25M rows
+    // and 8 concurrent hash maps exhaust the 2 GB pool
+    // (UNABLE_TO_ACQUIRE_MEMORY, observed r11) — slice the range like
+    // the shuffles, ~250k rows per task
+    val slices = math.max(spark.sparkContext.defaultParallelism.toLong,
+      n / 250000L).toInt
+    spark.range(0L, n, 1L, slices)
       .withColumn("gid", expr(
         "case when id % 100 = 1 then id - 1 " +
         "when id % 100 = 2 then id - 2 else id end"))
@@ -69,10 +77,22 @@ object ScaleSoak {
     val n = args(0).toLong
     val warehouse =
       java.nio.file.Files.createTempDirectory("graft-soak-wh").toString
+    // partitions SCALE WITH n (the repo's own "size shuffle partitions
+    // to data volume" doctrine): the r10 fixed default of 64 put ~780k
+    // rows in each of 8 concurrent 2 GB-heap tasks at 50M rows and
+    // OOM'd the exact-dedup sort-merge — ~250k rows/partition keeps
+    // every sort buffer comfortably inside the cap at any n
+    val partitions = sys.env.getOrElse("GRAFT_SOAK_PARTITIONS",
+      math.max(64L, n / 250000L).toString)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_SOAK_MASTER", "local[8]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_SOAK_PARTITIONS", "64"))
+      .config("spark.sql.shuffle.partitions", partitions)
+      // the bucketed-join leg must exercise the bucketed (shuffle-free
+      // sort-merge) path, not a planner-chosen broadcast of the small
+      // distinct-gid side (as BucketedSpec pins it) — and AQE must not
+      // convert it back either
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.warehouse.dir", warehouse)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -80,8 +100,43 @@ object ScaleSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def r1s(v: Double): Double = math.rint(v * 10) / 10
+
     val (survivors, secDedup) = timed {
       graft.operators.Dedup.exactDedup(corpus(spark, n), "id", "text").count()
+    }
+
+    // optional per-stage LSH profile (GRAFT_SOAK_PROFILE=1): times the
+    // CUMULATIVE pipeline prefixes — signatures, banded buckets,
+    // candidate pairs — before the full verified run. materialize=false
+    // recomputes each prefix from arithmetic, so deltas between
+    // consecutive cumulative timings are upper bounds on the stage cost
+    // (they re-pay the prefix); the absolute numbers show which stage
+    // dominates, which is what the 100 TB budget needs.
+    val profile = sys.env.get("GRAFT_SOAK_PROFILE").contains("1")
+    val lshProfile = if (!profile) "" else {
+      val sig = graft.operators.Dedup.signatures(
+        corpus(spark, n), "id", "text", 5, 128)
+      // force the signature computation: a bare count() would let the
+      // optimizer prune __sig away and time an empty scan
+      val (_, tSig) = timed {
+        sig.agg(sum(element_at(col("__sig"), 1))).collect()
+      }
+      val (_, tBuck) = timed {
+        graft.operators.Dedup.bandedBuckets(sig, 16, 8, 2, 10000).count()
+      }
+      val (nCand, tCand) = timed {
+        val e = graft.operators.Dedup.bandedBuckets(sig, 16, 8, 2, 10000)
+        e.as("l").join(e.as("r"),
+            col("l.__band") === col("r.__band") &&
+            col("l.__bucket") === col("r.__bucket") &&
+            col("l.__id") < col("r.__id"))
+          .select(col("l.__id"), col("r.__id")).distinct().count()
+      }
+      s""""lsh_cum_sec_signatures":${r1s(tSig)},""" +
+      s""""lsh_cum_sec_buckets":${r1s(tBuck)},""" +
+      s""""lsh_cum_sec_candidates":${r1s(tCand)},""" +
+      s""""lsh_candidates":$nCand,"""
     }
 
     val (pairs, secLsh) = timed {
@@ -99,17 +154,23 @@ object ScaleSoak {
         "soak_right", "gid", buckets = 16)
       val joined = graft.operators.Bucketed.cojoin(
         spark, "soak_left", "soak_right", "gid", "gid")
-      val plan = joined.queryExecution.executedPlan.toString
-      require(!plan.contains("Exchange"),
-        s"bucketed co-join planned a shuffle:\n$plan")
+      // reject SHUFFLE exchanges only — the point is "the bucketed
+      // layout is reused instead of re-shuffling n rows"; a broadcast
+      // exchange of a small side would be a legitimate plan elsewhere
+      // (and with the thresholds above it cannot be chosen here anyway)
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+      }
+      require(shuffles.isEmpty,
+        s"bucketed co-join planned a shuffle:\n${joined.queryExecution.executedPlan}")
       joined.count()
     }
 
-    def r1(v: Double): Double = math.rint(v * 10) / 10
     val json =
-      s"""{"rows":$n,"dedup_survivors":$survivors,"verified_pairs":$pairs,""" +
-      s""""bucket_join_rows":$bucketRows,"sec_dedup":${r1(secDedup)},""" +
-      s""""sec_lsh":${r1(secLsh)},"sec_bucket":${r1(secBucket)},""" +
+      s"""{"rows":$n,"partitions":$partitions,"dedup_survivors":$survivors,""" +
+      s""""verified_pairs":$pairs,$lshProfile""" +
+      s""""bucket_join_rows":$bucketRows,"sec_dedup":${r1s(secDedup)},""" +
+      s""""sec_lsh":${r1s(secLsh)},"sec_bucket":${r1s(secBucket)},""" +
       s""""heap_max_bytes":${Runtime.getRuntime.maxMemory()},""" +
       s""""heap_peak_bytes":${peakHeapBytes()}}"""
     println(s"SOAK $json")

@@ -130,10 +130,24 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
           case _: java.nio.file.FileAlreadyExistsException =>
             throw new ConcurrentModificationException(s"already committed: $path")
           // file:// mounts without hard-link support (NFS/FUSE/exFAT):
-          // fall back to the atomic-on-real-filesystems rename path
-          // rather than failing every commit. FileAlreadyExistsException
-          // extends FileSystemException, so it must be caught above.
-          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          // fall back to the check-then-rename path rather than failing
+          // every commit — but ONLY for genuine no-link-support. A blanket
+          // FileSystemException catch (the r10 shape) silently rerouted
+          // AccessDenied/NoSuchFile/etc. onto the non-atomic path on
+          // exactly the mounts where the lost-write window matters
+          // (ADVICE r11). UnsupportedOperationException is the JDK's
+          // documented no-link signal; any other FileSystemException is
+          // disambiguated by a cached per-directory link probe: probe
+          // works => the original error was real, rethrow; probe fails
+          // => the mount can't link, degrade loudly once.
+          // FileAlreadyExistsException extends FileSystemException, so
+          // it must be caught above.
+          case _: UnsupportedOperationException =>
+            HadoopLogStore.warnDegraded(path.getParent.toString, "UnsupportedOperationException")
+            renameExclusive(tmp, path)
+          case e: java.nio.file.FileSystemException =>
+            if (HadoopLogStore.linkSupported(path.getParent.toUri.getPath)) throw e
+            HadoopLogStore.warnDegraded(path.getParent.toString, e.toString)
             renameExclusive(tmp, path)
         }
       } else renameExclusive(tmp, path)
@@ -170,6 +184,50 @@ class HadoopLogStore(conf: Configuration) extends LogStore {
   }
   override def mkdirs(dir: Path): Unit = fs(dir).mkdirs(dir)
   override def delete(path: Path): Unit = fs(path).delete(path, false)
+}
+
+object HadoopLogStore extends org.apache.spark.internal.Logging {
+  // one hard-link probe result and at most one degradation warning per
+  // log directory for the life of the JVM
+  private val linkProbe =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Whether `dir` supports hard links, probed ONCE with throwaway
+    * files — distinguishes "this mount cannot link" (degrade to the
+    * rename path) from a real per-file error like AccessDenied or a
+    * vanished temp file (rethrow to the committer).
+    */
+  private[vintage] def linkSupported(dir: String): Boolean =
+    linkProbe.computeIfAbsent(dir, d => {
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val src = java.nio.file.Paths.get(d, s".graft-linkprobe-$tag.src")
+      val dst = java.nio.file.Paths.get(d, s".graft-linkprobe-$tag.dst")
+      val ok: java.lang.Boolean =
+        try {
+          java.nio.file.Files.write(src, Array.emptyByteArray)
+          java.nio.file.Files.createLink(dst, src)
+          java.lang.Boolean.TRUE
+        } catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException |
+               _: java.io.IOException => java.lang.Boolean.FALSE
+        } finally {
+          try java.nio.file.Files.deleteIfExists(dst)
+          catch { case _: java.io.IOException => () }
+          try java.nio.file.Files.deleteIfExists(src)
+          catch { case _: java.io.IOException => () }
+        }
+      ok
+    })
+
+  private[vintage] def warnDegraded(dir: String, cause: String): Unit =
+    if (warned.add(dir))
+      logWarning(s"hard links unavailable in $dir ($cause): log commits " +
+        "degrade to check-then-rename, which can LOSE a commit under " +
+        "RACING committers on NFS/FUSE mounts — prefer a filesystem " +
+        "with hard-link support or a conditional-put LogStore")
 }
 
 object LogStore {

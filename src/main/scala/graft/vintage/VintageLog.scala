@@ -316,7 +316,7 @@ object VintageLog {
         size() > snapshotCacheSize
     }
 
-  private[vintage] def clearSnapshotCache(): Unit =
+  private[graft] def clearSnapshotCache(): Unit =
     snapshotCache.synchronized(snapshotCache.clear())
 
   /** Drop all cached snapshots of one table. Needed when the table

@@ -1852,7 +1852,7 @@ class VintageTable private (
   /** Files whose min/max stat range may contain predicate matches —
     * the stats-pruned candidate set consulted before any scan runs.
     */
-  private[vintage] def candidateFiles(snap: Snapshot, condition: Column): Seq[AddFile] =
+  private[graft] def candidateFiles(snap: Snapshot, condition: Column): Seq[AddFile] =
     // spilled snapshots prune DISTRIBUTED (SnapshotPruning routes);
     // statFiles carry synthetic partition-column stats, so partition
     // predicates prune here exactly like data-column stats

@@ -32,6 +32,24 @@ class MinHashSignatureSpec extends AnyFunSuite {
     }
   }
 
+  test("Barrett modP equals floorMod across the full 2^62 input domain") {
+    val P = MinHashSignature.P
+    // boundary values of every regime the reduction must cover: around
+    // 0, around each small multiple of P, the a*h+b worst cases near
+    // 2^62, and values straddling the q-off-by-one correction
+    val boundary = Seq(0L, 1L, P - 1, P, P + 1, 2 * P - 1, 2 * P, 2 * P + 1,
+      (1L << 62) - 1, (1L << 62) - P, ((1L << 62) / P) * P,
+      ((1L << 62) / P) * P - 1, 1073741824L * 4294967295L + P - 1)
+    boundary.foreach { v =>
+      assert(MinHashSignature.modP(v) == Math.floorMod(v, P), s"v=$v")
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 2000000).foreach { _ =>
+      val v = rnd.nextLong() & ((1L << 62) - 1)
+      assert(MinHashSignature.modP(v) == Math.floorMod(v, P), s"v=$v")
+    }
+  }
+
   test("signature is order-insensitive over the shingle set and 128-wide") {
     val a = Seq(("x", Seq("ab", "cd", "ef")), ("y", Seq("ef", "ab", "cd")))
       .toDF("id", "sh")

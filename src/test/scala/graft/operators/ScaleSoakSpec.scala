@@ -41,7 +41,8 @@ class ScaleSoakSpec extends AnyFunSuite {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private def runSoak(n: Long): Map[String, Double] = {
+  private def runSoak(n: Long, profile: Boolean = false,
+      timeoutMin: Long = 45): Map[String, Double] = {
     val dir = Files.createTempDirectory(s"graft-soak-$n")
     val log = dir.resolve("soak.log").toFile
     val javaBin =
@@ -50,9 +51,11 @@ class ScaleSoakSpec extends AnyFunSuite {
       "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"),
       "graft.tools.ScaleSoak", n.toString)
-    val p = new ProcessBuilder(cmd: _*)
-      .redirectErrorStream(true).redirectOutput(log).start()
-    assert(p.waitFor(45, java.util.concurrent.TimeUnit.MINUTES),
+    val pb = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true).redirectOutput(log)
+    if (profile) pb.environment().put("GRAFT_SOAK_PROFILE", "1")
+    val p = pb.start()
+    assert(p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES),
       s"soak at $n rows timed out")
     val out = Files.readString(log.toPath)
     assert(p.exitValue() == 0,
@@ -70,8 +73,11 @@ class ScaleSoakSpec extends AnyFunSuite {
   test("50M-row dedup+LSH+bucketed-join pipeline under a 2 GB heap, ~linear in n") {
     assume(enabled, "slow scale soak — set GRAFT_SOAK=1 to run")
 
-    val small = runSoak(5000000L)
-    val big = runSoak(50000000L)
+    val small = runSoak(5000000L, profile = true)
+    // the 50M LSH leg alone is ~1h of real compute on 8 cores (the 5M
+    // leg measures ~400 s and the pipeline is linear) — the timeout
+    // bounds runaway behavior, not the expected runtime
+    val big = runSoak(50000000L, timeoutMin = 150)
 
     for ((r, n) <- Seq((small, 5000000L), (big, 50000000L))) {
       assert(r("rows") == n.toDouble)
