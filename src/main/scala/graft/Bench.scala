@@ -130,6 +130,11 @@ object Bench {
         java.nio.file.Files.writeString(p, fileJson + "\n")
       } catch { case _: java.io.IOException => () }
     }
+    // Every BENCH_rN.json to date had `parsed: null`: the big JSON line
+    // above carries the total at the FRONT and the driver's tail capture
+    // truncates it away. This compact LAST line always lands inside any
+    // tail window, so the driver can parse the total (VERDICT r11 #3).
+    println(s"""BENCHTOTAL {"metric":"$metric","value":$total,"unit":"sec","failed":${results.count(!_._4)},"queries_run":${results.length}}""")
     if (results.exists(!_._4)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

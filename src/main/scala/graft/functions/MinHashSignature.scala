@@ -93,13 +93,18 @@ object MinHashSignature {
     */
   val PRecip: Long = java.lang.Long.divideUnsigned(-1L, P)
 
-  /** Division-free `Math.floorMod(v, P)` for 0 ≤ v < 2^62, via Barrett
+  /** Division-free `Math.floorMod(v, P)` for 0 ≤ v < 2^63, via Barrett
     * reduction: q = floor(v·PRecip / 2^64) (one `multiplyHigh`, both
-    * operands positive so the signed intrinsic is exact) differs from
-    * floor(v/P) by at most 1 — the error term v·(2^64 mod P)/(P·2^64)
-    * is < 1/4 for v < 2^62 — so one conditional subtract completes the
-    * reduction. Replaces the hardware divide that dominated the LSH
-    * signature stage (128 reductions per shingle).
+    * operands positive — PRecip < 2^33 — so the signed intrinsic is
+    * exact) differs from floor(v/P) by at most 1: the error term is
+    * v·(2^64 mod P)/(P·2^64) = v·225/(P·2^64) < 2^63·225/2^96 ≪ 1, so
+    * one conditional subtract completes the reduction. The bound
+    * covers the full input domain of the hash family: v = a·h32 + b
+    * with a ≤ 2^30 (asserted in [[aConsts]]), h32 ≤ 2^32−1, b ≤ P−1
+    * gives v ≤ 2^62 − 2^30 + P − 1 < 2^63 (ADVICE r12 — the previous
+    * 2^62 statement was narrower than the real maximum). Replaces the
+    * hardware divide that dominated the LSH signature stage (128
+    * reductions per shingle).
     */
   @inline def modP(v: Long): Long = {
     var r = v - Math.multiplyHigh(v, PRecip) * P
@@ -113,8 +118,15 @@ object MinHashSignature {
     XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
   }
 
-  def aConsts(n: Int): Array[Long] =
-    Array.tabulate(n)(j => Math.floorMod(sqlXxhash64(s"minhash-a-$j"), 1073741824L) + 1L)
+  def aConsts(n: Int): Array[Long] = {
+    val as = Array.tabulate(n)(j =>
+      Math.floorMod(sqlXxhash64(s"minhash-a-$j"), 1073741824L) + 1L)
+    // modP's exactness proof assumes a ≤ 2^30 (v = a·h32 + b < 2^63);
+    // keep the bound enforced next to the constants so a future change
+    // to the generator can't silently void the Barrett analysis
+    assert(as.forall(a => a >= 1L && a <= 1073741824L))
+    as
+  }
 
   def bConsts(n: Int): Array[Long] =
     Array.tabulate(n)(j => Math.floorMod(sqlXxhash64(s"minhash-b-$j"), P))

@@ -165,9 +165,9 @@ object Dedup {
     // candidate pairs: a bucket-key SELF-JOIN, so pair generation
     // distributes across tasks — materializing each bucket's pair list
     // as one in-row array would put O(cap²) structs in a single row
-    // (multi-GB at the default cap). The size filter drops degenerate
-    // buckets before any pair forms; the per-bucket count table is one
-    // row per bucket and broadcasts.
+    // (multi-GB at the default cap). bandedBuckets drops degenerate
+    // buckets before any pair forms via a window count over the
+    // band/bucket partition — one pass, no separate count table.
     val eligible0 = bandedBuckets(withSh, bands, r, minSize = 2, maxBucketSize)
     val eligible =
       if (materialize) eligible0.persist(StorageLevel.MEMORY_AND_DISK)

@@ -21,36 +21,66 @@ object Analytics {
 
   private def ts(s: String): Column = to_timestamp(lit(s))
 
-  /** TPC-H Q1-style pricing summary: full-scan partial aggregation. */
-  def q1PricingSummary(spark: SparkSession, d: String): DataFrame =
+  /** Exact integer cents of a 2-decimal money value stored as double.
+    * The decimal cast rounds the double half-up at 2 decimals in both
+    * engines (the value IS a 2-decimal quantity, so the cast is exact
+    * reconstruction, not approximation), then ×100 shifts the scale
+    * away — the BIGINT cast truncates nothing. The SQL text is valid
+    * verbatim in Spark AND DuckDB, so every gate query computes the
+    * identical integer on both sides; no engine float ever crosses the
+    * gate (the r12 migration of the HASH-FRAGILE class — every driver
+    * hash-red in rounds 5-11 came from engine-computed float outputs).
+    */
+  private[queries] def centsSql(c: String): String =
+    s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+  /** TPC-H Q1-style pricing summary: full-scan partial aggregation.
+    * All money outputs in exact integer units (cents / e4 / e6 — see
+    * [[centsSql]]): sums are integer sums, averages are integer-scaled
+    * truncating divisions — bit-identical on any corpus by
+    * construction. At 100 TB swap the BIGINT product sums for
+    * DECIMAL(38,0) accumulators (row values here stay < 2^40 and row
+    * counts < 2^20 at gate SFs, far from overflow).
+    */
+  def q1PricingSummary(spark: SparkSession, d: String): DataFrame = {
+    val qc = centsSql("l_quantity"); val pc = centsSql("l_extendedprice")
+    val dc = centsSql("l_discount"); val tc = centsSql("l_tax")
     Tables.lineitem(spark, d)
       .filter(col("l_shipdate") <= ts("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum("l_quantity").as("sum_qty"),
-        sum("l_extendedprice").as("sum_base_price"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-        avg("l_quantity").as("avg_qty"),
-        avg("l_extendedprice").as("avg_price"),
-        avg("l_discount").as("avg_disc"),
+        expr(s"sum($qc)").as("sum_qty_c"),
+        expr(s"sum($pc)").as("sum_base_price_c"),
+        expr(s"sum($pc * (100 - $dc))").as("sum_disc_price_e4"),
+        expr(s"sum($pc * (100 - $dc) * (100 + $tc))").as("sum_charge_e6"),
+        expr(s"(sum($qc) * 10000) div count(1)").as("avg_qty_e6"),
+        expr(s"(sum($pc) * 10000) div count(1)").as("avg_price_e6"),
+        expr(s"(sum($dc) * 10000) div count(1)").as("avg_disc_e6"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
-  val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  sum(l_quantity) AS sum_qty,
-      |  sum(l_extendedprice) AS sum_base_price,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-      |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
-      |  avg(l_quantity) AS avg_qty,
-      |  avg(l_extendedprice) AS avg_price,
-      |  avg(l_discount) AS avg_disc,
+  val q1Sql: String = {
+    val qc = centsSql("l_quantity"); val pc = centsSql("l_extendedprice")
+    val dc = centsSql("l_discount"); val tc = centsSql("l_tax")
+    s"""WITH c AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    $qc AS qc, $pc AS pc, $dc AS dc, $tc AS tc
+      |  FROM lineitem
+      |  WHERE l_shipdate <= TIMESTAMP '1998-09-01')
+      |SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(qc) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(pc) AS BIGINT) AS sum_base_price_c,
+      |  CAST(sum(pc * (100 - dc)) AS BIGINT) AS sum_disc_price_e4,
+      |  CAST(sum(pc * (100 - dc) * (100 + tc)) AS BIGINT) AS sum_charge_e6,
+      |  CAST((sum(qc) * 10000) // count(*) AS BIGINT) AS avg_qty_e6,
+      |  CAST((sum(pc) * 10000) // count(*) AS BIGINT) AS avg_price_e6,
+      |  CAST((sum(dc) * 10000) // count(*) AS BIGINT) AS avg_disc_e6,
       |  count(*) AS count_order
-      |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |FROM c
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  }
 
   /** Hierarchical rollup: part counts and retail value by brand and
     * type with subtotal rows (GROUPING SETS / ROLLUP). Partial
@@ -85,11 +115,14 @@ object Analytics {
               col("l_shipdate") < ts("1997-01-01") &&
               col("l_discount").between(0.05, 0.07) &&
               col("l_quantity") < 24)
-      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+      .agg(expr(s"sum(${centsSql("l_extendedprice")} * " +
+             s"${centsSql("l_discount")})").as("revenue_e4"),
            count(lit(1)).as("n_rows"))
 
   val q6Sql: String =
-    """SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n_rows
+    s"""SELECT CAST(sum(${centsSql("l_extendedprice")} *
+      |                ${centsSql("l_discount")}) AS BIGINT) AS revenue_e4,
+      |  count(*) AS n_rows
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -106,25 +139,30 @@ object Analytics {
     val o = Tables.orders(spark, d).filter(col("o_orderdate") < ts("1995-03-15"))
     val l = Tables.lineitem(spark, d).filter(col("l_shipdate") > ts("1995-03-15"))
     // no broadcast hint on customer: it grows with SF, so let AQE pick
-    // broadcast only when the filtered side is actually small
+    // broadcast only when the filtered side is actually small.
+    // revenue in exact integer e4 units (cents × (100 − discount
+    // cents), [[centsSql]]): the top-10 ORDER BY compares exact
+    // integers, so the selected set is corpus-independent-deterministic
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .agg(expr(s"sum(${centsSql("l_extendedprice")} * " +
+        s"(100 - ${centsSql("l_discount")}))").as("revenue_e4"))
+      .orderBy(col("revenue_e4").desc, col("l_orderkey").asc)
       .limit(10)
   }
 
   val q3Sql: String =
-    """SELECT l_orderkey, o_orderdate,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+    s"""SELECT l_orderkey, o_orderdate,
+      |  CAST(sum(${centsSql("l_extendedprice")} *
+      |           (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_e4
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       |  AND o_orderdate < TIMESTAMP '1995-03-15'
       |  AND l_shipdate > TIMESTAMP '1995-03-15'
       |GROUP BY l_orderkey, o_orderdate
-      |ORDER BY revenue DESC, l_orderkey ASC
+      |ORDER BY revenue_e4 DESC, l_orderkey ASC
       |LIMIT 10""".stripMargin
 
   /** TPC-H Q4-style: EXISTS as a left-semi join, then aggregate. */
@@ -164,14 +202,16 @@ object Analytics {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+      .agg(expr(s"sum(${centsSql("l_extendedprice")} * " +
+             s"(100 - ${centsSql("l_discount")}))").as("revenue_e4"),
            count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
   val q5Sql: String =
-    """SELECT r_name, n_name,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+    s"""SELECT r_name, n_name,
+      |  CAST(sum(${centsSql("l_extendedprice")} *
+      |           (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_e4,
       |  count(*) AS n_items
       |FROM lineitem, supplier, nation, region
       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
@@ -184,12 +224,13 @@ object Analytics {
     Tables.orders(spark, d)
       .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
       .agg(count(lit(1)).as("n_orders"),
-           sum("o_totalprice").as("total_price"))
+           expr(s"sum(${centsSql("o_totalprice")})").as("total_price_c"))
       .orderBy("order_month")
 
   val q7Sql: String =
-    """SELECT date_trunc('month', o_orderdate) AS order_month,
-      |  count(*) AS n_orders, sum(o_totalprice) AS total_price
+    s"""SELECT date_trunc('month', o_orderdate) AS order_month,
+      |  count(*) AS n_orders,
+      |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS total_price_c
       |FROM orders
       |GROUP BY 1
       |ORDER BY order_month""".stripMargin
@@ -203,12 +244,16 @@ object Analytics {
     Tables.customer(spark, d)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .select(col("c_mktsegment"), col("rk"), col("c_custkey"), col("c_acctbal"))
+      // ranked by the raw double (its order == the cents order), but
+      // the gate output carries exact integer cents ([[centsSql]])
+      .select(col("c_mktsegment"), col("rk"), col("c_custkey"),
+        expr(centsSql("c_acctbal")).as("acctbal_c"))
       .orderBy("c_mktsegment", "rk")
   }
 
   val q8Sql: String =
-    """SELECT c_mktsegment, rk, c_custkey, c_acctbal FROM (
+    s"""SELECT c_mktsegment, rk, c_custkey,
+      |  ${centsSql("c_acctbal")} AS acctbal_c FROM (
       |  SELECT c_mktsegment, c_custkey, c_acctbal,
       |    row_number() OVER (PARTITION BY c_mktsegment
       |                       ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
@@ -250,16 +295,19 @@ object Analytics {
            // decimal's physical parquet encoding, not just its value
            sum(col("value").cast("decimal(24,6)")).cast("decimal(38,6)")
              .cast("string").as("sum_value"),
-           min("value").as("min_value"),
-           max("value").as("max_value"))
+           // extremes as exact integer cents ([[centsSql]]): min/max of
+           // cents == cents of min/max (monotone), and no raw double
+           // crosses the gate
+           expr(s"min(${centsSql("value")})").as("min_value_c"),
+           expr(s"max(${centsSql("value")})").as("max_value_c"))
       .orderBy("event_type")
 
   val q10Sql: String =
-    """SELECT event_type, count(*) AS n_events,
+    s"""SELECT event_type, count(*) AS n_events,
       |  count(DISTINCT user_id) AS n_users,
       |  CAST(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value,
-      |  min(value) AS min_value,
-      |  max(value) AS max_value
+      |  min(${centsSql("value")}) AS min_value_c,
+      |  max(${centsSql("value")}) AS max_value_c
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
@@ -276,19 +324,23 @@ object Analytics {
         sum(col("value").cast("decimal(24,6)"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
           .cast("decimal(38,6)").cast("string"))
-      .withColumn("prev_value", lag(col("value"), 1).over(w))
-      .select(col("event_id"), col("user_id"), col("value"),
-              col("running_value"), col("prev_value"))
+      // current and lagged value as exact integer cents ([[centsSql]])
+      .withColumn("value_c", expr(Analytics.centsSql("value")))
+      .withColumn("prev_value_c", lag(col("value_c"), 1).over(w))
+      .select(col("event_id"), col("user_id"), col("value_c"),
+              col("running_value"), col("prev_value_c"))
       .orderBy("user_id", "event_id")
   }
 
   val q11Sql: String =
-    """SELECT event_id, user_id, value,
+    s"""SELECT event_id, user_id,
+      |  ${centsSql("value")} AS value_c,
       |  CAST(CAST(sum(CAST(value AS DECIMAL(24,6)))
       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |    AS DECIMAL(38,6)) AS VARCHAR) AS running_value,
-      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      |  lag(${centsSql("value")}, 1)
+      |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_c
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
@@ -319,22 +371,23 @@ object Analytics {
       |ORDER BY o_orderpriority""".stripMargin
 
   /** Distinct aggregation: per market segment, customer count, distinct
-    * nations, and balance extremes (min/max need no arithmetic — exact
-    * cross-engine parity on doubles).
+    * nations, and balance extremes (as exact integer cents — see
+    * [[centsSql]]).
     */
   def q23SegmentNations(spark: SparkSession, d: String): DataFrame =
     Tables.customer(spark, d)
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
         countDistinct(col("c_nationkey")).as("n_nations"),
-        min("c_acctbal").as("min_bal"),
-        max("c_acctbal").as("max_bal"))
+        expr(s"min(${centsSql("c_acctbal")})").as("min_bal_c"),
+        expr(s"max(${centsSql("c_acctbal")})").as("max_bal_c"))
       .orderBy("c_mktsegment")
 
   val q23Sql: String =
-    """SELECT c_mktsegment, count(*) AS n_customers,
+    s"""SELECT c_mktsegment, count(*) AS n_customers,
       |  count(DISTINCT c_nationkey) AS n_nations,
-      |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+      |  min(${centsSql("c_acctbal")}) AS min_bal_c,
+      |  max(${centsSql("c_acctbal")}) AS max_bal_c
       |FROM customer
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
@@ -481,25 +534,28 @@ object Analytics {
     * `quantile_cont`. Gate-safe because every input is an
     * integer-valued double and the probed fractions are dyadic
     * (.25/.5/.75): the linear interpolation `lo + (hi-lo)·f` is then
-    * exact IEEE arithmetic on any engine, so the doubles hash-match
-    * bit-for-bit. At 100 TB the exact form costs a per-group sort —
-    * swap to `percentile_approx` (t-digest-style, partial-mergeable)
-    * when 1-ulp answers stop mattering; the gate pins the exact one.
+    * exact IEEE arithmetic on any engine — and the gate output scales
+    * the exact quarter-step values into e2 integers
+    * (`round(q·100)` is exact: quarters × 100 are whole numbers), so
+    * no float crosses the gate even if a future corpus made the
+    * interpolation inexact. At 100 TB the exact form costs a per-group
+    * sort — swap to `percentile_approx` (t-digest-style,
+    * partial-mergeable) when 1-ulp answers stop mattering.
     */
   def q67Percentile(spark: SparkSession, d: String): DataFrame =
     Tables.lineitem(spark, d)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        percentile(col("l_quantity"), lit(0.25)).as("q25"),
-        percentile(col("l_quantity"), lit(0.5)).as("q50"),
-        percentile(col("l_quantity"), lit(0.75)).as("q75"))
+        expr("CAST(round(percentile(l_quantity, 0.25) * 100) AS BIGINT)").as("q25_e2"),
+        expr("CAST(round(percentile(l_quantity, 0.5) * 100) AS BIGINT)").as("q50_e2"),
+        expr("CAST(round(percentile(l_quantity, 0.75) * 100) AS BIGINT)").as("q75_e2"))
       .orderBy("l_returnflag")
 
   val q67Sql: String =
     """SELECT l_returnflag, count(*) AS n,
-      |  quantile_cont(l_quantity, 0.25) AS q25,
-      |  quantile_cont(l_quantity, 0.50) AS q50,
-      |  quantile_cont(l_quantity, 0.75) AS q75
+      |  CAST(round(quantile_cont(l_quantity, 0.25) * 100) AS BIGINT) AS q25_e2,
+      |  CAST(round(quantile_cont(l_quantity, 0.50) * 100) AS BIGINT) AS q50_e2,
+      |  CAST(round(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS q75_e2
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin

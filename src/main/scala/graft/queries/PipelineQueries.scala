@@ -134,19 +134,25 @@ object PipelineQueries {
       |FROM m ORDER BY doc_id""".stripMargin
   }
 
-  /** Per-document quality features (ratios are double divisions of
-    * integer counts — bit-identical across engines).
+  /** Per-document quality features. The ratios are double divisions of
+    * integer counts — deterministic on both engines — but the gate
+    * output carries them as e6 integers via ONE explicit
+    * `round(x·10⁶)` (identical IEEE double rounded identically on both
+    * sides; for positive values Spark HALF_UP == DuckDB
+    * away-from-zero), so no raw float representation ever crosses the
+    * gate (r12 HASH-FRAGILE migration).
     */
   def q17TextQuality(spark: SparkSession, d: String): DataFrame = {
     val t = col("text")
+    def e6(c: Column): Column = round(c * 1000000).cast("long")
     Tables.documents(spark, d).select(
       col("doc_id"),
       length(t).as("n_chars"),
       TextAnalysis.tokenCount(t).as("n_tokens"),
       TextAnalysis.bpeTokenCount(t).as("n_bpe_tokens"),
-      TextAnalysis.punctRatio(t).as("punct_ratio"),
-      TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
-      TextAnalysis.qualityScore(t).as("quality_score"))
+      e6(TextAnalysis.punctRatio(t)).as("punct_ratio_e6"),
+      e6(TextAnalysis.stopwordRatio(t)).as("stopword_ratio_e6"),
+      e6(TextAnalysis.qualityScore(t)).as("quality_score_e6"))
       .orderBy("doc_id")
   }
 
@@ -171,9 +177,12 @@ object PipelineQueries {
       |              / CAST(len(toks) AS DOUBLE) END AS stopword_ratio
       |  FROM t
       |)
-      |SELECT doc_id, n_chars, n_tokens, n_bpe_tokens, punct_ratio, stopword_ratio,
-      |  stopword_ratio * 0.5 + (1.0 - punct_ratio) * 0.3
-      |    + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2 AS quality_score
+      |SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+      |  CAST(round(punct_ratio * 1000000) AS BIGINT) AS punct_ratio_e6,
+      |  CAST(round(stopword_ratio * 1000000) AS BIGINT) AS stopword_ratio_e6,
+      |  CAST(round((stopword_ratio * 0.5 + (1.0 - punct_ratio) * 0.3
+      |    + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2) * 1000000)
+      |    AS BIGINT) AS quality_score_e6
       |FROM f ORDER BY doc_id""".stripMargin
   }
 
@@ -337,11 +346,15 @@ object PipelineQueries {
     */
   def q27Repetition(spark: SparkSession, d: String): DataFrame = {
     val t = col("text")
+    // e6 integers via one explicit round — the identical
+    // int-ratio double rounded identically on both engines (the r12
+    // HASH-FRAGILE migration; see q17TextQuality scaladoc)
+    def e6(c: Column): Column = round(c * 1000000).cast("long")
     Tables.documents(spark, d).select(
       col("doc_id"),
       TextAnalysis.tokenCount(t).as("n_tokens"),
-      TextAnalysis.tokenRepetition(t).as("token_rep"),
-      TextAnalysis.dupTrigramRatio(t).as("dup_trigram_ratio"))
+      e6(TextAnalysis.tokenRepetition(t)).as("token_rep_e6"),
+      e6(TextAnalysis.dupTrigramRatio(t)).as("dup_trigram_ratio_e6"))
       .orderBy("doc_id")
   }
 
@@ -362,11 +375,12 @@ object PipelineQueries {
       |)
       |SELECT doc_id,
       |  n AS n_tokens,
-      |  CASE WHEN n = 0 THEN 0.0
-      |       ELSE 1.0 - len(list_distinct(toks)) / CAST(n AS DOUBLE) END AS token_rep,
-      |  CASE WHEN n < 3 THEN 0.0
+      |  CAST(round((CASE WHEN n = 0 THEN 0.0
+      |       ELSE 1.0 - len(list_distinct(toks)) / CAST(n AS DOUBLE) END)
+      |       * 1000000) AS BIGINT) AS token_rep_e6,
+      |  CAST(round((CASE WHEN n < 3 THEN 0.0
       |       ELSE 1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
-      |  END AS dup_trigram_ratio
+      |  END) * 1000000) AS BIGINT) AS dup_trigram_ratio_e6
       |FROM g ORDER BY doc_id""".stripMargin
 
   /** IVF nearest neighbors, on the FULL DuckDB hash gate. The r10
@@ -405,18 +419,35 @@ object PipelineQueries {
     val floatExact = Similarity.bruteForceTopK(queries, emb, "vec_id",
         "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"))
+    // full-probe contract = SET equality of distinct (query, neighbor)
+    // pairs, not a bare inner-join count against a literal 50: a
+    // duplicated IVF candidate plus one missed neighbor could total 50,
+    // and a corpus with <10 query vectors would flag 0 on a healthy
+    // pipeline (ADVICE r12). A full-outer join with per-side markers
+    // counts the symmetric difference — 0 iff the sets are identical —
+    // and derives the expected size from the data itself.
     val fullProbeFlag = Similarity.ivfTopK(queries, emb, "vec_id",
         "embedding", k = 5, nprobe = 16)
-      .select(col("query_id"), col("neighbor_id"))
-      .join(floatExact, Seq("query_id", "neighbor_id"))
-      .agg(count(lit(1)).as("__n"))
-      .select((col("__n") === 50L).cast("long").as("full_probe_exact"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .withColumn("__l", lit(1))
+      .join(floatExact.distinct().withColumn("__r", lit(1)),
+        Seq("query_id", "neighbor_id"), "full_outer")
+      .agg(sum(when(col("__l").isNull || col("__r").isNull, 1L)
+        .otherwise(0L)).as("__diff"))
+      .select((coalesce(col("__diff"), lit(0L)) === 0L).cast("long")
+        .as("full_probe_exact"))
+    // recall floor derives its denominator from the exact set's actual
+    // size (≡ 5 per query on any corpus with >5 vectors) instead of the
+    // literal 50, for the same corpus-independence reason
     val recallFlag = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
         k = 5, nprobe = 6)
-      .select(col("query_id"), col("neighbor_id"))
-      .join(floatExact, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .join(floatExact.distinct(), Seq("query_id", "neighbor_id"))
       .agg(count(lit(1)).as("__m"))
-      .select((col("__m") >= 35L).cast("long").as("recall_floor_ok"))
+      .crossJoin(broadcast(
+        floatExact.distinct().agg(count(lit(1)).as("__exp"))))
+      .select((col("__m") * 100L >= col("__exp") * 70L).cast("long")
+        .as("recall_floor_ok"))
     def dot(a: Column, b: Column): Column =
       org.apache.spark.sql.graftshim.ColumnExpr.column(
         graft.functions.LongDotProduct(
@@ -490,11 +521,20 @@ object PipelineQueries {
     *    natural exact duplicates, which the oracle finds from the data
     *    by the same embedding-equality self-join (no "nothing else on
     *    this corpus" assumption anywhere);
-    *  - `cosine_sim` is the literal 1.000000 exactness implies — no
-    *    engine float crosses the gate (a cosine regression below the
-    *    0.999 threshold drops rows instead);
+    *  - `cosine_e6` is the literal 1000000 (cosine × 10⁶) exactness
+    *    implies — no engine float crosses the gate (a cosine
+    *    regression below the 0.999 threshold drops rows instead);
     *  - `planted_found` (count of planted pairs recovered, normally
     *    20) replaces the r10 float ratio.
+    * r12: the gate went hash-RED at the driver in r10 AND r11 while
+    * the byte-exact local replica stayed green on identical data; the
+    * two constructs unique to q40 among all 100 outputs — a constant
+    * DECIMAL(10,6) literal and a no-order global-window sum — were the
+    * only remaining divergence candidates, so the output now uses the
+    * pattern q28 proved green at the same driver: every column BIGINT
+    * (`cosine_e6` instead of the decimal literal) and `planted_found`
+    * via a 1-row aggregate crossJoin(broadcast(…)) instead of the
+    * window.
     * Near-dup (non-identical) threshold behavior is hash-pinned
     * portably by q62 and spec-pinned by SimilaritySpec.
     */
@@ -507,15 +547,16 @@ object PipelineQueries {
       "vec_id", "embedding", threshold = 0.999, numClusters = 16)
     val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("__ea"))
     val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("__eb"))
-    val all = Window.partitionBy() // output is tiny (≈20 pairs), global window is fine
-    pairs.join(ea, "id_a").join(eb, "id_b")
+    val exact = pairs.join(ea, "id_a").join(eb, "id_b")
       .filter(col("__ea") === col("__eb"))
       .withColumn("is_planted",
         (col("id_b") - col("id_a") === 1000000L).cast("long"))
+    val total = exact.agg(sum(col("is_planted")).cast("long")
+      .as("planted_found"))
+    exact.crossJoin(broadcast(total))
       .select(col("id_a"), col("id_b"),
-        lit(BigDecimal("1.000000")).cast("decimal(10,6)").as("cosine_sim"),
-        col("is_planted"),
-        sum(col("is_planted")).over(all).as("planted_found"))
+        lit(1000000L).as("cosine_e6"),
+        col("is_planted"), col("planted_found"))
       .orderBy("id_a", "id_b")
   }
 
@@ -528,12 +569,13 @@ object PipelineQueries {
       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |        CASE WHEN b.vec_id - a.vec_id = 1000000 THEN 1 ELSE 0 END AS ip
       |      FROM c a JOIN c b
-      |        ON a.embedding = b.embedding AND a.vec_id < b.vec_id)
+      |        ON a.embedding = b.embedding AND a.vec_id < b.vec_id),
+      |t AS (SELECT CAST(sum(ip) AS BIGINT) AS planted_found FROM p)
       |SELECT id_a, id_b,
-      |  CAST(1.0 AS DECIMAL(10,6)) AS cosine_sim,
+      |  CAST(1000000 AS BIGINT) AS cosine_e6,
       |  CAST(ip AS BIGINT) AS is_planted,
-      |  CAST(sum(ip) OVER () AS BIGINT) AS planted_found
-      |FROM p ORDER BY id_a, id_b""".stripMargin
+      |  planted_found
+      |FROM p, t ORDER BY id_a, id_b""".stripMargin
 
   /** SimHash near-dup pairs on planted near-duplicates, on the FULL
     * DuckDB hash gate: the planted perturbation swaps the first two
@@ -830,7 +872,12 @@ object PipelineQueries {
     * interpolated p50/p90 (corpus length profiling — the shape behind
     * "truncate to the p99 length" training decisions). Exact
     * `percentile`, not approx: engines agree bit-for-bit on the
-    * interpolation, approx sketches would not.
+    * interpolation, approx sketches would not. The gate carries e6
+    * integers via one explicit round — over integer token counts the
+    * interpolated quantile's fractional part lies on the 0.1 grid
+    * (0.9·k mod 1), never near the .5 rounding boundary, so even a
+    * hypothetical last-ulp interpolation difference cannot flip the
+    * rounded integer (r12 HASH-FRAGILE migration).
     */
   def q35LengthQuantiles(spark: SparkSession, d: String): DataFrame =
     Tables.documents(spark, d)
@@ -838,8 +885,8 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")).as("n"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        expr("percentile(n, 0.5)").as("p50_tokens"),
-        expr("percentile(n, 0.9)").as("p90_tokens"))
+        expr("CAST(round(percentile(n, 0.5) * 1000000) AS BIGINT)").as("p50_tokens_e6"),
+        expr("CAST(round(percentile(n, 0.9) * 1000000) AS BIGINT)").as("p90_tokens_e6"))
       .orderBy("source")
 
   val q35Sql: String =
@@ -850,8 +897,8 @@ object PipelineQueries {
       |  FROM documents
       |)
       |SELECT source, count(*) AS n_docs,
-      |  quantile_cont(n, 0.5) AS p50_tokens,
-      |  quantile_cont(n, 0.9) AS p90_tokens
+      |  CAST(round(quantile_cont(n, 0.5) * 1000000) AS BIGINT) AS p50_tokens_e6,
+      |  CAST(round(quantile_cont(n, 0.9) * 1000000) AS BIGINT) AS p90_tokens_e6
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
   /** Top-5 word bigrams per source (n-gram LM head): explode →
@@ -891,6 +938,12 @@ object PipelineQueries {
     TextAnalysis.vocabCoverage(
       Tables.documents(spark, d).select(col("doc_id"), col("text")),
       "doc_id", "text", vocabSize = 10)
+      // gate-side: the ratio as an exact truncating integer division
+      // (e6 units) — pure integer arithmetic on both engines, no float
+      // crosses the gate (r12 HASH-FRAGILE migration)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("CASE WHEN n_tokens = 0 THEN 0L " +
+          "ELSE (n_oov * 1000000) div n_tokens END").as("oov_ratio_e6"))
       .orderBy("doc_id")
 
   val q37Sql: String =
@@ -908,9 +961,9 @@ object PipelineQueries {
       |      WHERE tok NOT IN (SELECT tok FROM v) GROUP BY 1)
       |SELECT t.doc_id, len(toks) AS n_tokens,
       |  coalesce(o.n_oov, 0) AS n_oov,
-      |  CASE WHEN len(toks) = 0 THEN 0.0
-      |       ELSE coalesce(o.n_oov, 0) / CAST(len(toks) AS DOUBLE)
-      |  END AS oov_ratio
+      |  CASE WHEN len(toks) = 0 THEN 0
+      |       ELSE (coalesce(o.n_oov, 0) * 1000000) // len(toks)
+      |  END::BIGINT AS oov_ratio_e6
       |FROM t LEFT JOIN o USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** Top-20 documents by BM25 relevance for a 3-term keyword query —
@@ -1096,10 +1149,14 @@ object PipelineQueries {
     TimeSeries.resampleFfill(
       Tables.events(spark, d).select(col("user_id"), col("ts"), col("value")),
       "user_id", "ts", "value", stepMicros = 86400000000L)
+      // gate-side: the forward-filled value as exact integer cents
+      // ([[Analytics.centsSql]]) — no raw double crosses the gate
+      .select(col("user_id"), col("tick_us"),
+        expr(Analytics.centsSql("value")).as("value_c"))
       .orderBy("user_id", "tick_us")
 
   val q43Sql: String =
-    """WITH o AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    s"""WITH o AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
       |d AS (SELECT user_id, us, max(value) AS v FROM o GROUP BY 1, 2),
       |b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM d GROUP BY 1),
       |g AS (
@@ -1108,7 +1165,7 @@ object PipelineQueries {
       |                 hi + 1, 86400000000)) AS tick_us
       |  FROM b
       |)
-      |SELECT g.user_id, g.tick_us, d.v AS value
+      |SELECT g.user_id, g.tick_us, ${Analytics.centsSql("d.v")} AS value_c
       |FROM g ASOF JOIN d ON g.user_id = d.user_id AND g.tick_us >= d.us
       |ORDER BY g.user_id, g.tick_us""".stripMargin
 

@@ -527,12 +527,18 @@ object StreamQueries {
       }
     } finally q.stop()
 
-    t.toDF.select("user_id", "last_value", "last_event_id")
+    // gate-side: the upserted value as exact integer cents
+    // ([[Analytics.centsSql]]) — no raw double crosses the gate
+    t.toDF.select(col("user_id"),
+        expr(Analytics.centsSql("last_value")).as("last_value_c"),
+        col("last_event_id"))
       .orderBy("user_id")
   }
 
   val q81Sql: String =
-    """SELECT user_id, value AS last_value, event_id AS last_event_id
+    s"""SELECT user_id,
+      |  ${Analytics.centsSql("value")} AS last_value_c,
+      |  event_id AS last_event_id
       |FROM (
       |  SELECT user_id, value, event_id,
       |    row_number() OVER (PARTITION BY user_id

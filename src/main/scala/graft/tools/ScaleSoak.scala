@@ -82,11 +82,33 @@ object ScaleSoak {
     // rows in each of 8 concurrent 2 GB-heap tasks at 50M rows and
     // OOM'd the exact-dedup sort-merge — ~250k rows/partition keeps
     // every sort buffer comfortably inside the cap at any n
-    val partitions = sys.env.getOrElse("GRAFT_SOAK_PARTITIONS",
-      math.max(64L, n / 250000L).toString)
+    // parsed to Int up front: the value is interpolated unquoted into
+    // the SOAK JSON line, so a junk override must fail HERE, not as
+    // invalid JSON in ScaleSoakSpec's parser (ADVICE r12)
+    val partitions: Int = sys.env.get("GRAFT_SOAK_PARTITIONS")
+      .map(v => v.toIntOption.filter(_ > 0).getOrElse(
+        sys.error(s"GRAFT_SOAK_PARTITIONS must be a positive int, got '$v'")))
+      .getOrElse(math.max(64L, n / 250000L).toInt)
+    // The LSH band explode multiplies the frame by bands (16): at 50M
+    // rows the banded (__id, __band, __bucket) shuffle is 800M rows,
+    // and pushing that through input-sized shuffle partitions put ~4M
+    // rows in each window-sort task — whose pointer array doubles into
+    // a single ~128 MB humongous allocation, the third (and last) 50M
+    // OOM cause (r11: stage 7, "Retried waiting for GCLocker too often
+    // allocating 16777218 words"). The idiomatic Spark fix is to give
+    // AQE an initial partition count sized to the LARGEST intermediate
+    // (input × 16) and let it coalesce every smaller stage back down —
+    // exactly what a 100 TB cluster job does with initialPartitionNum
+    // — plus a 16 MB advisory target so a coalesced partition of
+    // well-compressed narrow rows still decompresses to a sort that
+    // fits comfortably beside 7 sibling tasks under the 2 GB cap.
+    val initialPartitions = math.max(partitions.toLong, 16L * n / 250000L)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_SOAK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", partitions)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initialPartitions)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       // the bucketed-join leg must exercise the bucketed (shuffle-free
       // sort-merge) path, not a planner-chosen broadcast of the small
       // distinct-gid side (as BucketedSpec pins it) — and AQE must not

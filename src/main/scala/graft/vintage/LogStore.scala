@@ -194,33 +194,50 @@ object HadoopLogStore extends org.apache.spark.internal.Logging {
   private val warned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Whether `dir` supports hard links, probed ONCE with throwaway
-    * files — distinguishes "this mount cannot link" (degrade to the
-    * rename path) from a real per-file error like AccessDenied or a
-    * vanished temp file (rethrow to the committer).
+  /** Whether `dir` supports hard links, probed with throwaway files —
+    * distinguishes "this mount cannot link" (degrade to the rename
+    * path) from a real per-file error like AccessDenied or a vanished
+    * temp file (rethrow to the committer).
+    *
+    * Only a LINK-SPECIFIC failure caches a negative: createLink after
+    * a successful probe-file write throwing UnsupportedOperationException
+    * (the JDK's documented no-link signal) or an EPERM-class
+    * FileSystemException. If the probe itself can't run (transient
+    * ENOSPC/EIO writing the throwaway file, or a non-FileSystemException
+    * IOException from createLink), NOTHING is cached and the result is
+    * "inconclusive = treat as link-capable", so the caller rethrows the
+    * ORIGINAL commit error and a later commit re-probes — a blanket
+    * negative cache would permanently route a link-capable directory
+    * onto the non-atomic rename path for the JVM lifetime (ADVICE r12).
     */
-  private[vintage] def linkSupported(dir: String): Boolean =
-    linkProbe.computeIfAbsent(dir, d => {
+  private[vintage] def linkSupported(dir: String): Boolean = {
+    val probed = linkProbe.computeIfAbsent(dir, d => {
       val tag = java.util.UUID.randomUUID().toString.take(8)
       val src = java.nio.file.Paths.get(d, s".graft-linkprobe-$tag.src")
       val dst = java.nio.file.Paths.get(d, s".graft-linkprobe-$tag.dst")
-      val ok: java.lang.Boolean =
-        try {
-          java.nio.file.Files.write(src, Array.emptyByteArray)
-          java.nio.file.Files.createLink(dst, src)
-          java.lang.Boolean.TRUE
-        } catch {
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException |
-               _: java.io.IOException => java.lang.Boolean.FALSE
-        } finally {
-          try java.nio.file.Files.deleteIfExists(dst)
-          catch { case _: java.io.IOException => () }
-          try java.nio.file.Files.deleteIfExists(src)
-          catch { case _: java.io.IOException => () }
-        }
-      ok
+      try {
+        val wrote =
+          try { java.nio.file.Files.write(src, Array.emptyByteArray); true }
+          catch { case _: java.io.IOException => false }
+        if (!wrote) null // probe inconclusive — computeIfAbsent caches nothing
+        else
+          try {
+            java.nio.file.Files.createLink(dst, src)
+            java.lang.Boolean.TRUE
+          } catch {
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException => java.lang.Boolean.FALSE
+            case _: java.io.IOException => null // inconclusive
+          }
+      } finally {
+        try java.nio.file.Files.deleteIfExists(dst)
+        catch { case _: java.io.IOException => () }
+        try java.nio.file.Files.deleteIfExists(src)
+        catch { case _: java.io.IOException => () }
+      }
     })
+    probed == null || probed.booleanValue()
+  }
 
   private[vintage] def warnDegraded(dir: String, cause: String): Unit =
     if (warned.add(dir))

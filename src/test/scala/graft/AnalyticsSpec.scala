@@ -46,9 +46,9 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("q1 pricing summary has expected shape") {
     val df = queries.Analytics.q1PricingSummary(spark, sf)
-    assert(df.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty",
-      "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty",
-      "avg_price", "avg_disc", "count_order"))
+    assert(df.columns.toSeq == Seq("l_returnflag", "l_linestatus", "sum_qty_c",
+      "sum_base_price_c", "sum_disc_price_e4", "sum_charge_e6", "avg_qty_e6",
+      "avg_price_e6", "avg_disc_e6", "count_order"))
     assert(df.count() > 0)
   }
 }

@@ -41,13 +41,44 @@ class ScaleSoakSpec extends AnyFunSuite {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
+  /** On a red leg, the forked JVM's log (and any heap dump path) must
+    * survive the run — the r11 50M evidence lived only in /tmp and was
+    * nearly lost. Copies soak.log to `soak/` in the repo working dir
+    * and names any .hprof the fork produced (left in /tmp: heap dumps
+    * are GB-sized and do not belong in git).
+    */
+  private def preserveFailure(n: Long, dir: java.nio.file.Path,
+      log: java.io.File): String = {
+    val outDir = java.nio.file.Paths.get("soak")
+    val copied =
+      try {
+        Files.createDirectories(outDir)
+        val dst = outDir.resolve(s"soak-$n-fail.log")
+        Files.copy(log.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toAbsolutePath.toString
+      } catch { case _: java.io.IOException => log.getAbsolutePath }
+    val hprofs =
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".hprof")).map(_.toString).toList
+      } catch { case _: java.io.IOException => Nil }
+    s"log preserved at $copied" +
+      (if (hprofs.nonEmpty) s"; heap dump(s): ${hprofs.mkString(", ")}" else "")
+  }
+
   private def runSoak(n: Long, profile: Boolean = false,
       timeoutMin: Long = 45): Map[String, Double] = {
     val dir = Files.createTempDirectory(s"graft-soak-$n")
     val log = dir.resolve("soak.log").toFile
     val javaBin =
       java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
-    val cmd = Seq(javaBin, "-Xmx2g") ++ addOpens ++ Seq(
+    val cmd = Seq(javaBin, "-Xmx2g",
+      // a red leg must leave evidence: dump the heap on OOM (read with
+      // jhat/VisualVM/Eclipse MAT for the dominant retainer)
+      "-XX:+HeapDumpOnOutOfMemoryError", s"-XX:HeapDumpPath=$dir",
+    ) ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false",
       "-cp", sys.props("java.class.path"),
       "graft.tools.ScaleSoak", n.toString)
@@ -55,13 +86,17 @@ class ScaleSoakSpec extends AnyFunSuite {
       .redirectErrorStream(true).redirectOutput(log)
     if (profile) pb.environment().put("GRAFT_SOAK_PROFILE", "1")
     val p = pb.start()
-    assert(p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES),
-      s"soak at $n rows timed out")
+    if (!p.waitFor(timeoutMin, java.util.concurrent.TimeUnit.MINUTES)) {
+      p.destroyForcibly()
+      fail(s"soak at $n rows timed out — ${preserveFailure(n, dir, log)}")
+    }
     val out = Files.readString(log.toPath)
     assert(p.exitValue() == 0,
-      s"soak at $n rows failed (OOM or assertion) — tail:\n${out.takeRight(4000)}")
+      s"soak at $n rows failed (OOM or assertion) — " +
+        s"${preserveFailure(n, dir, log)} — tail:\n${out.takeRight(4000)}")
     val line = out.linesIterator.find(_.startsWith("SOAK "))
-      .getOrElse(fail(s"no SOAK line in output:\n${out.takeRight(2000)}"))
+      .getOrElse(fail(s"no SOAK line in output — " +
+        s"${preserveFailure(n, dir, log)}:\n${out.takeRight(2000)}"))
     // flat {"k":v,...} JSON of numbers — parse without a JSON lib
     line.stripPrefix("SOAK ").stripPrefix("{").stripSuffix("}")
       .split(",").map { kv =>

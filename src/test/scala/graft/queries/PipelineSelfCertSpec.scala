@@ -85,13 +85,13 @@ class PipelineSelfCertSpec extends AnyFunSuite {
   test("q40: every planted identical pair surfaces through the pipeline") {
     val df = PipelineQueries.q40SemanticDedup(spark, sf)
     assert(df.columns.toSeq ==
-      Seq("id_a", "id_b", "cosine_sim", "is_planted", "planted_found"))
+      Seq("id_a", "id_b", "cosine_e6", "is_planted", "planted_found"))
     val rows = df.collect()
     val planted = rows.filter(_.getAs[Long]("is_planted") == 1L)
     assert(planted.length == 20, s"expected all 20 planted pairs, got ${planted.length}")
     rows.foreach { r =>
-      val c = r.getAs[java.math.BigDecimal]("cosine_sim").doubleValue()
-      assert(c == 1.0, s"identical-embedding pair must report cosine 1: $r")
+      assert(r.getAs[Long]("cosine_e6") == 1000000L,
+        s"identical-embedding pair must report cosine_e6 = 10^6: $r")
       assert(r.getAs[Long]("planted_found") == 20L, s"planted_found must be 20: $r")
     }
   }
