@@ -104,6 +104,22 @@ object Dedup {
     * returning. At 100 TB you would persist the signature table anyway;
     * recomputing it 5× is strictly worse. Pass `materialize = false` to
     * get the pure lazy plan (used by plan-shape tests).
+    *
+    * SIZING AT SCALE (both rules measured at the 50M soak under a
+    * 2 GB heap — see ScaleSoak's partition comment):
+    *  - the band explode makes the banded frame `bands`× the input
+    *    rows, so shuffle partitions must be sized to the EXPLODED
+    *    volume, not the input — otherwise each window-sort task
+    *    buffers bands× its intended share and its sort pointer array
+    *    alone reaches O(100 MB);
+    *  - the candidate-pair frames are ultra-narrow (two longs), and
+    *    AQE partition COALESCING targets compressed BYTES — a "16 MB"
+    *    coalesced partition of delta-compressed sorted ids holds
+    *    millions of rows, re-creating the same giant-sort failure.
+    *    Under tightly-capped executors either disable
+    *    `spark.sql.adaptive.coalescePartitions.enabled` for this
+    *    pipeline or budget ~16 B of sort memory per ROW, not per
+    *    shuffle byte, when choosing the advisory partition size.
     */
   /** (`__id`, `__sh`, `__sig`) projection — the shared expensive stage
     * of every MinHash pipeline (shingling + signature); callers persist

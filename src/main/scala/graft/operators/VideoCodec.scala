@@ -23,8 +23,9 @@ import org.apache.spark.sql.Dataset
   * strf}} → LIST(movi){00db/00dc…}; the demuxer walks the chunk tree
   * (header-only probe never touches frame bytes). This replaces the
   * former header stub ([[Multimodal]]) with a real container + real
-  * codecs; H.264/VP9 remain out of scope (no JDK implementation
-  * exists).
+  * codecs; H.264/VP9 have no JDK implementation — [[FfmpegVideo]]
+  * decodes them through a runtime-probed `ffmpeg` binary where one
+  * exists and skips cleanly where none does.
   *
   * 100 TB notes: same batch discipline as [[MediaCodec]] — every
   * stage is `mapPartitions` iterator-in/iterator-out, zero shuffle,

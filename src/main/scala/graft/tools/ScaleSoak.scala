@@ -77,38 +77,51 @@ object ScaleSoak {
     val n = args(0).toLong
     val warehouse =
       java.nio.file.Files.createTempDirectory("graft-soak-wh").toString
-    // partitions SCALE WITH n (the repo's own "size shuffle partitions
-    // to data volume" doctrine): the r10 fixed default of 64 put ~780k
-    // rows in each of 8 concurrent 2 GB-heap tasks at 50M rows and
-    // OOM'd the exact-dedup sort-merge — ~250k rows/partition keeps
-    // every sort buffer comfortably inside the cap at any n
-    // parsed to Int up front: the value is interpolated unquoted into
+    // Partitions SCALE WITH THE LARGEST INTERMEDIATE, not the input —
+    // the refinement of the r10 "size shuffle partitions to data
+    // volume" rule that closed the LAST 50M OOM cause. Two layers,
+    // both found by measurement (r12 heap dump + event log):
+    //  1. the LSH band explode multiplies the frame by bands (16), so
+    //     at 50M rows the banded (__id, __band, __bucket) shuffle is
+    //     800M rows — pushed through input-sized partitions (n/250k),
+    //     each window-sort task buffered ~4M rows and its pointer
+    //     array doubled into a ~128 MB humongous allocation (r11:
+    //     "GCLocker … allocating 16777218 words"). Hence ×16:
+    //     ~250k rows/task in the widest frame at any n.
+    //  2. with enough partitions configured, AQE's partition
+    //     COALESCING re-created the same failure on the NARROW frames
+    //     (id-only and id-pair rows): coalescing targets compressed
+    //     BYTES, and delta-compressed sorted longs pack ~3M rows into
+    //     a "16 MB" partition, each of which then costs ~16 B of sort
+    //     pointer array — the 5M event log shows such stages coalesced
+    //     to 8 tasks × 1.3M rows (→ ×10 at 50M: exactly the two
+    //     long[16M] pointer arrays in the OOM heap dump). Bytes-based
+    //     coalescing cannot see row counts, so under a hard 2 GB cap
+    //     it is disabled outright and every stage runs at the full
+    //     count (tiny-task scheduling overhead is minutes at 50M; an
+    //     executor-sized cluster would keep coalescing and raise the
+    //     per-task memory share instead).
+    // Parsed to Int up front: the value is interpolated unquoted into
     // the SOAK JSON line, so a junk override must fail HERE, not as
-    // invalid JSON in ScaleSoakSpec's parser (ADVICE r12)
+    // invalid JSON in ScaleSoakSpec's parser (ADVICE r12).
     val partitions: Int = sys.env.get("GRAFT_SOAK_PARTITIONS")
       .map(v => v.toIntOption.filter(_ > 0).getOrElse(
         sys.error(s"GRAFT_SOAK_PARTITIONS must be a positive int, got '$v'")))
-      .getOrElse(math.max(64L, n / 250000L).toInt)
-    // The LSH band explode multiplies the frame by bands (16): at 50M
-    // rows the banded (__id, __band, __bucket) shuffle is 800M rows,
-    // and pushing that through input-sized shuffle partitions put ~4M
-    // rows in each window-sort task — whose pointer array doubles into
-    // a single ~128 MB humongous allocation, the third (and last) 50M
-    // OOM cause (r11: stage 7, "Retried waiting for GCLocker too often
-    // allocating 16777218 words"). The idiomatic Spark fix is to give
-    // AQE an initial partition count sized to the LARGEST intermediate
-    // (input × 16) and let it coalesce every smaller stage back down —
-    // exactly what a 100 TB cluster job does with initialPartitionNum
-    // — plus a 16 MB advisory target so a coalesced partition of
-    // well-compressed narrow rows still decompresses to a sort that
-    // fits comfortably beside 7 sibling tasks under the 2 GB cap.
-    val initialPartitions = math.max(partitions.toLong, 16L * n / 250000L)
+      .getOrElse(math.max(64L, 16L * n / 250000L).toInt)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_SOAK_MASTER", "local[8]"))
       .config("spark.sql.shuffle.partitions", partitions)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initialPartitions)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // With the heap fixed, the NEXT 50M bottleneck was shuffle DISK
+      // (measured: the first full-depth run ENOSPC'd ~70 GB in on this
+      // host — the LSH leg shuffles the 800M-row banded frame plus the
+      // shingle-carrying verify frames). zstd ~halves shuffle bytes vs
+      // the lz4 default at a few % CPU — the standard codec choice for
+      // shuffle-heavy jobs at cluster scale — and a short periodic-GC
+      // interval lets ContextCleaner drop the previous legs' shuffle
+      // files while a later leg is still writing.
+      .config("spark.io.compression.codec", "zstd")
+      .config("spark.cleaner.periodicGC.interval", "3min")
       // the bucketed-join leg must exercise the bucketed (shuffle-free
       // sort-merge) path, not a planner-chosen broadcast of the small
       // distinct-gid side (as BucketedSpec pins it) — and AQE must not

@@ -91,8 +91,11 @@ class ScaleSoakSpec extends AnyFunSuite {
       fail(s"soak at $n rows timed out — ${preserveFailure(n, dir, log)}")
     }
     val out = Files.readString(log.toPath)
-    assert(p.exitValue() == 0,
-      s"soak at $n rows failed (OOM or assertion) — " +
+    // an explicit if, NOT assert(cond, clue): scalatest evaluates the
+    // clue EAGERLY, which would run the side-effecting preserveFailure
+    // (and copy a "fail" log) on every green leg too
+    if (p.exitValue() != 0)
+      fail(s"soak at $n rows failed (OOM or assertion) — " +
         s"${preserveFailure(n, dir, log)} — tail:\n${out.takeRight(4000)}")
     val line = out.linesIterator.find(_.startsWith("SOAK "))
       .getOrElse(fail(s"no SOAK line in output — " +
