@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed multinomial Naive Bayes text classifier over hashed
+  * token features — the TRAINED tier of corpus quality/domain
+  * filtering (the CCNet/fastText pattern: classify each document
+  * against reference domains, keep/weight by predicted class), next
+  * to the heuristic tier ([[TextAnalysis.qualityScore]]) and the
+  * LM-perplexity tier ([[TextAnalysis.unigramLogprob]], [[NgramLm]]).
+  *
+  * Scale shape — the whole point of NB here is that it trains in ONE
+  * pass at any corpus size:
+  *  - training is a single map-side-combinable `groupBy(label,
+  *    feature).count()` shuffle whose state is bounded by
+  *    `classes × numBuckets` rows (the token hash-bucketing caps the
+  *    feature space, fastText-style), NOT by the corpus;
+  *  - the model (weights + per-class priors/defaults) is a
+  *    classes × buckets table — kilobytes — broadcast for scoring;
+  *  - scoring is map-side only: per-doc bucket counts joined against
+  *    the BROADCAST model, one `Window.partitionBy(doc)` over
+  *    `classes` rows per doc for the argmax. No shuffle grows with
+  *    the corpus beyond the per-doc aggregate itself.
+  *
+  * Exact-integer portability (the repo's gate discipline): per-term
+  * log-weights are integer e4 units via ONE explicit
+  * `round(ln(·)·10⁴)` — both engines round the identical IEEE double
+  * (the proven q45/q74 shape) — and every downstream sum/argmax is
+  * exact integer arithmetic with a deterministic `(score DESC, label
+  * ASC)` tie-break.
+  *
+  * Smoothing is add-one over the bucket space: weight(c, f) =
+  * ln((n_cf + 1) / (N_c + numBuckets)); a bucket unseen in class c
+  * contributes the class default ln(1 / (N_c + numBuckets)).
+  */
+object NaiveBayesText {
+
+  /** Trained model: `weights` = (label, feature, w_e4) for observed
+    * (class, bucket) pairs; `classes` = (label, prior_e4, default_e4)
+    * — one row per class, including classes whose docs had no tokens.
+    * Both are classes×buckets-bounded and broadcastable.
+    */
+  final case class Model(weights: DataFrame, classes: DataFrame)
+
+  /** The portable token feature: house md5 bucket of a whitespace
+    * token (mirrors [[Dsir]]'s hash; DuckDB form
+    * `CAST(('0x'||substr(md5(tok),1,6)) AS BIGINT) % numBuckets`).
+    */
+  private def bucket(tok: Column, numBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % numBuckets
+
+  private def lnE4(c: Column): Column = round(log(c) * 10000).cast("long")
+
+  def train(df: DataFrame, labelCol: String, textCol: String,
+      numBuckets: Int = 1024): Model = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val feat = df
+      .select(col(labelCol).as("__lbl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col("__lbl"), bucket(col("__tok"), numBuckets).as("__f"))
+    val counts = feat.groupBy("__lbl", "__f").agg(count(lit(1)).as("__n"))
+    val totals = counts.groupBy("__lbl").agg(sum("__n").as("__tc"))
+    // class universe from the DOCS (a class whose docs are all empty
+    // still gets a prior and a default weight), token totals joined in
+    val docCounts = df.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("__D"))
+    val totalDocs = df.agg(count(lit(1)).as("__Dt"))
+    val classes = docCounts
+      .join(totals, Seq("__lbl"), "left")
+      .withColumn("__tc", coalesce(col("__tc"), lit(0L)))
+      .crossJoin(broadcast(totalDocs))
+      .select(col("__lbl"),
+        lnE4(col("__D").cast("double") / col("__Dt").cast("double"))
+          .as("prior_e4"),
+        lnE4(lit(1.0) / (col("__tc") + numBuckets).cast("double"))
+          .as("default_e4"))
+    val weights = counts.join(totals, "__lbl")
+      .select(col("__lbl"), col("__f"),
+        lnE4((col("__n") + 1).cast("double") /
+          (col("__tc") + numBuckets).cast("double")).as("w_e4"))
+    Model(weights, classes)
+  }
+
+  /** Per-document argmax classification: (idCol, pred, score_e4) —
+    * `pred` the winning label with `(score DESC, label ASC)`
+    * tie-break, `score_e4` its exact integer score. Documents with no
+    * tokens score on priors alone.
+    */
+  def classify(df: DataFrame, idCol: String, textCol: String,
+      model: Model, numBuckets: Int = 1024): DataFrame = {
+    val db = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), bucket(col("__tok"), numBuckets).as("__f"))
+      .groupBy(col(idCol), col("__f")).agg(count(lit(1)).as("__c"))
+    val partial = db
+      .crossJoin(broadcast(model.classes))
+      .join(broadcast(model.weights), Seq("__lbl", "__f"), "left")
+      .select(col(idCol), col("__lbl"),
+        (col("__c") * coalesce(col("w_e4"), col("default_e4"))).as("__s"))
+      .groupBy(col(idCol), col("__lbl")).agg(sum("__s").as("__sum"))
+    val full = df.select(col(idCol))
+      .crossJoin(broadcast(model.classes.select(col("__lbl"), col("prior_e4"))))
+      .join(partial, Seq(idCol, "__lbl"), "left")
+      .select(col(idCol), col("__lbl"),
+        (coalesce(col("__sum"), lit(0L)) + col("prior_e4")).as("score_e4"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e4").desc, col("__lbl").asc)
+    full.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("__lbl").as("pred"), col("score_e4"))
+  }
+}

@@ -2201,4 +2201,86 @@ object PipelineQueries {
       |  END AS est_distinct
       |FROM m JOIN ex USING (win)
       |ORDER BY win""".stripMargin
+
+  /** Trained domain classifier ([[graft.operators.NaiveBayesText]]):
+    * multinomial Naive Bayes over 1024 hashed token buckets, trained
+    * on the corpus's own `source` labels and classifying every doc —
+    * the CCNet/fastText "classify against reference domains" tier of
+    * quality filtering, next to the heuristic (q17) and LM-perplexity
+    * (q45/q74) tiers. One map-side-combinable count shuffle to train,
+    * a broadcast classes×buckets model to score. Gate-exact: per-term
+    * weights are one explicit `round(ln(·)·10⁴)` each (the proven q45
+    * shape), everything downstream integer sums and an argmax with
+    * the deterministic `(score DESC, label ASC)` tie-break.
+    */
+  def q101NbDomain(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("source"), col("text"))
+    val model = graft.operators.NaiveBayesText.train(
+      docs, "source", "text", numBuckets = 1024)
+    graft.operators.NaiveBayesText.classify(docs, "doc_id", "text", model,
+        numBuckets = 1024)
+      .join(docs.select(col("doc_id"), col("source").as("actual")), "doc_id")
+      .select(col("doc_id"), col("actual"), col("pred"),
+        (col("pred") === col("actual")).cast("long").as("is_correct"),
+        col("score_e4"))
+      .orderBy("doc_id")
+  }
+
+  val q101Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS t
+      |  FROM documents
+      |),
+      |feat AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 1024 AS f
+      |  FROM (SELECT doc_id, source, unnest(t) AS tok FROM toks)
+      |),
+      |counts AS (SELECT source AS lbl, f, count(*)::BIGINT AS n
+      |           FROM feat GROUP BY 1, 2),
+      |totals AS (SELECT lbl, CAST(sum(n) AS BIGINT) AS N
+      |           FROM counts GROUP BY 1),
+      |dc AS (SELECT source AS lbl, count(*)::BIGINT AS D
+      |       FROM documents GROUP BY 1),
+      |dt AS (SELECT count(*)::BIGINT AS Dt FROM documents),
+      |classes AS (
+      |  SELECT dc.lbl, coalesce(totals.N, 0) AS N,
+      |    CAST(round(ln(CAST(dc.D AS DOUBLE) / CAST(dt.Dt AS DOUBLE))
+      |               * 10000) AS BIGINT) AS prior_e4,
+      |    CAST(round(ln(1.0 / CAST(coalesce(totals.N, 0) + 1024 AS DOUBLE))
+      |               * 10000) AS BIGINT) AS default_e4
+      |  FROM dc LEFT JOIN totals ON dc.lbl = totals.lbl CROSS JOIN dt),
+      |weights AS (
+      |  SELECT counts.lbl, counts.f,
+      |    CAST(round(ln(CAST(counts.n + 1 AS DOUBLE)
+      |                  / CAST(totals.N + 1024 AS DOUBLE))
+      |               * 10000) AS BIGINT) AS w_e4
+      |  FROM counts JOIN totals USING (lbl)),
+      |db AS (SELECT doc_id, f, count(*)::BIGINT AS c FROM feat GROUP BY 1, 2),
+      |ps AS (
+      |  SELECT db.doc_id, cl.lbl,
+      |    CAST(sum(db.c * coalesce(w.w_e4, cl.default_e4)) AS BIGINT) AS s
+      |  FROM db CROSS JOIN classes cl
+      |    LEFT JOIN weights w ON w.lbl = cl.lbl AND w.f = db.f
+      |  GROUP BY 1, 2),
+      |fs AS (
+      |  SELECT d.doc_id, cl.lbl,
+      |    coalesce(p.s, 0) + cl.prior_e4 AS score_e4
+      |  FROM documents d CROSS JOIN classes cl
+      |    LEFT JOIN ps p ON p.doc_id = d.doc_id AND p.lbl = cl.lbl),
+      |rk AS (
+      |  SELECT doc_id, lbl, score_e4,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score_e4 DESC, lbl ASC) AS r
+      |  FROM fs)
+      |SELECT rk.doc_id, d.source AS actual, rk.lbl AS pred,
+      |  CAST(CASE WHEN rk.lbl = d.source THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_correct,
+      |  CAST(rk.score_e4 AS BIGINT) AS score_e4
+      |FROM rk JOIN documents d USING (doc_id)
+      |WHERE rk.r = 1
+      |ORDER BY doc_id""".stripMargin
 }
