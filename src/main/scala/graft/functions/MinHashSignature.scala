@@ -64,9 +64,11 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |    $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L) & 0xFFFFFFFFL;
          |  for (int $j = 0; $j < $numHashes; $j++) {
          |    // division-free Barrett reduction — EXACTLY floorMod(t, P)
-         |    // for 0 <= t < 2^62 (see MinHashSignature.modP): the
-         |    // per-(shingle x hash) hardware divide was the dominant
-         |    // cost of the whole LSH pipeline at the 5M-row soak
+         |    // for 0 <= t < 2^63, which covers t = a*h32 + b <=
+         |    // 2^62 - 2^30 + P - 1 (see MinHashSignature.modP for the
+         |    // proof): the per-(shingle x hash) hardware divide was
+         |    // the dominant cost of the whole LSH pipeline at the
+         |    // 5M-row soak
          |    long $v = $aRef[$j] * $h32 + $bRef[$j];
          |    $v -= Math.multiplyHigh($v, ${MinHashSignature.PRecip}L)
          |          * ${MinHashSignature.P}L;

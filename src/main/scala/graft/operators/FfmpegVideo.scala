@@ -32,22 +32,35 @@ import org.apache.spark.sql.Dataset
   */
 object FfmpegVideo extends org.apache.spark.internal.Logging {
 
-  /** Resolved ffmpeg binary, probed once per JVM: `GRAFT_FFMPEG` if
-    * set, else a `ffmpeg` on PATH; `None` unless `<binary> -version`
-    * actually runs and exits 0.
+  /** Resolved ffmpeg binary, probed once per JVM. `GRAFT_FFMPEG` is
+    * an exclusive override: when set, ONLY that binary is probed (a
+    * user pinning a specific build must not silently get a PATH
+    * fallback); otherwise the first working `ffmpeg` on PATH wins.
+    * `None` unless `<binary> -version` runs and exits 0 within 10 s —
+    * the probe output is drained on a daemon thread and the process
+    * force-killed on timeout, so a wedged candidate can neither hang
+    * the (lazy, once-per-JVM) probe nor leak.
     */
   lazy val binary: Option[String] = {
-    val candidates = sys.env.get("GRAFT_FFMPEG").toSeq ++
-      sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
-        .filter(_.nonEmpty)
+    val candidates = sys.env.get("GRAFT_FFMPEG") match {
+      case Some(pinned) => Seq(pinned)
+      case None => sys.env.getOrElse("PATH", "")
+        .split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty)
         .map(d => java.nio.file.Paths.get(d, "ffmpeg").toString)
+    }
     candidates.find { bin =>
       try {
         val p = new ProcessBuilder(bin, "-version")
           .redirectErrorStream(true).start()
-        p.getInputStream.readAllBytes()
-        p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS) &&
-          p.exitValue() == 0
+        val drain = new Thread(() => {
+          try p.getInputStream.readAllBytes()
+          catch { case _: java.io.IOException => () }
+        }, "ffmpeg-probe-drain")
+        drain.setDaemon(true)
+        drain.start()
+        val done = p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) p.destroyForcibly()
+        done && p.exitValue() == 0
       } catch { case _: java.io.IOException => false }
     }
   }
@@ -94,6 +107,15 @@ object FfmpegVideo extends org.apache.spark.internal.Logging {
     try {
       val p = new ProcessBuilder(cmd: _*)
         .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+      // hard deadline enforced OUT-OF-BAND: the stdout drain below
+      // blocks in readNBytes with no timeout of its own, so a wedged
+      // ffmpeg (demuxer loop, no output, no exit) would otherwise hang
+      // the Spark task forever — destroyForcibly() EOFs the pipe and
+      // unblocks the read, turning a stall into a skipped record
+      val watchdog = new java.util.Timer(s"ffmpeg-watchdog-${m.media_id}", true)
+      watchdog.schedule(new java.util.TimerTask {
+        def run(): Unit = p.destroyForcibly()
+      }, 60000L)
       val feeder = new Thread(() => {
         val in = new BufferedOutputStream(p.getOutputStream)
         try { in.write(m.bytes); in.close() }
@@ -116,6 +138,7 @@ object FfmpegVideo extends org.apache.spark.internal.Logging {
         }.toVector // drain fully before waitFor
       feeder.join(10000)
       val done = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      watchdog.cancel()
       if (!done) p.destroyForcibly()
       if (!done || p.exitValue() != 0) {
         logWarning(s"ffmpeg failed on media_id=${m.media_id} " +

@@ -40,16 +40,19 @@ object NaiveBayesText {
   /** Trained model: `weights` = (label, feature, w_e4) for observed
     * (class, bucket) pairs; `classes` = (label, prior_e4, default_e4)
     * — one row per class, including classes whose docs had no tokens.
-    * Both are classes×buckets-bounded and broadcastable.
+    * Both are classes×buckets-bounded and broadcastable. The model
+    * CARRIES its bucket count so scoring cannot hash features into a
+    * different space than the one the weights were trained in.
     */
-  final case class Model(weights: DataFrame, classes: DataFrame)
+  final case class Model(weights: DataFrame, classes: DataFrame,
+      numBuckets: Int)
 
-  /** The portable token feature: house md5 bucket of a whitespace
-    * token (mirrors [[Dsir]]'s hash; DuckDB form
+  /** The portable token feature: the house md5 bucket
+    * ([[Dsir.bucketOf]]; DuckDB form
     * `CAST(('0x'||substr(md5(tok),1,6)) AS BIGINT) % numBuckets`).
     */
   private def bucket(tok: Column, numBuckets: Int): Column =
-    conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % numBuckets
+    Dsir.bucketOf(tok, numBuckets)
 
   private def lnE4(c: Column): Column = round(log(c) * 10000).cast("long")
 
@@ -80,7 +83,7 @@ object NaiveBayesText {
       .select(col("__lbl"), col("__f"),
         lnE4((col("__n") + 1).cast("double") /
           (col("__tc") + numBuckets).cast("double")).as("w_e4"))
-    Model(weights, classes)
+    Model(weights, classes, numBuckets)
   }
 
   /** Per-document argmax classification: (idCol, pred, score_e4) —
@@ -89,10 +92,10 @@ object NaiveBayesText {
     * tokens score on priors alone.
     */
   def classify(df: DataFrame, idCol: String, textCol: String,
-      model: Model, numBuckets: Int = 1024): DataFrame = {
+      model: Model): DataFrame = {
     val db = df
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
-      .select(col(idCol), bucket(col("__tok"), numBuckets).as("__f"))
+      .select(col(idCol), bucket(col("__tok"), model.numBuckets).as("__f"))
       .groupBy(col(idCol), col("__f")).agg(count(lit(1)).as("__c"))
     val partial = db
       .crossJoin(broadcast(model.classes))

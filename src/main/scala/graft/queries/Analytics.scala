@@ -21,18 +21,33 @@ object Analytics {
 
   private def ts(s: String): Column = to_timestamp(lit(s))
 
-  /** Exact integer cents of a 2-decimal money value stored as double.
-    * The decimal cast rounds the double half-up at 2 decimals in both
-    * engines (the value IS a 2-decimal quantity, so the cast is exact
-    * reconstruction, not approximation), then ×100 shifts the scale
-    * away — the BIGINT cast truncates nothing. The SQL text is valid
-    * verbatim in Spark AND DuckDB, so every gate query computes the
-    * identical integer on both sides; no engine float ever crosses the
-    * gate (the r12 migration of the HASH-FRAGILE class — every driver
-    * hash-red in rounds 5-11 came from engine-computed float outputs).
+  /** Exact integer cents of a money value stored as double, via ONE
+    * explicit `round(x·100)`: both engines multiply the identical IEEE
+    * double by 100 and round the identical product half-away-from-zero
+    * (the proven q17/q45 shape), then the BIGINT cast of an integral
+    * double is exact on both. The SQL text is valid verbatim in Spark
+    * AND DuckDB, so every gate query computes the identical integer on
+    * both sides; no engine float ever crosses the gate (the r12
+    * migration of the HASH-FRAGILE class — every driver hash-red in
+    * rounds 5-11 came from engine-computed float outputs).
+    *
+    * Deliberately NOT `CAST(x AS DECIMAL(18,2)) * 100`: Spark's
+    * double→decimal cast rounds the SHORTEST DECIMAL STRING of the
+    * double while DuckDB rounds the binary value, so a corpus
+    * regenerated with 3+ decimal digits (e.g. 2.675, binary
+    * 2.67499999…) would diverge by one cent — `round` keeps both
+    * engines on the binary value for ANY input.
     */
   private[queries] def centsSql(c: String): String =
-    s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    s"CAST(round($c * 100) AS BIGINT)"
+
+  /** The e6 sibling of [[centsSql]] as a Column: one explicit
+    * `round(x·10⁶)` into BIGINT — for engine-computed ratios/quantiles
+    * where both engines derived the identical IEEE double (positive
+    * domain: Spark HALF_UP == DuckDB away-from-zero).
+    */
+  private[queries] def e6(c: Column): Column =
+    round(c * 1000000).cast("long")
 
   /** TPC-H Q1-style pricing summary: full-scan partial aggregation.
     * All money outputs in exact integer units (cents / e4 / e6 — see

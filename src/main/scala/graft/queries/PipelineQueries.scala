@@ -144,7 +144,7 @@ object PipelineQueries {
     */
   def q17TextQuality(spark: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    def e6(c: Column): Column = round(c * 1000000).cast("long")
+    import Analytics.e6
     Tables.documents(spark, d).select(
       col("doc_id"),
       length(t).as("n_chars"),
@@ -346,10 +346,10 @@ object PipelineQueries {
     */
   def q27Repetition(spark: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    // e6 integers via one explicit round — the identical
-    // int-ratio double rounded identically on both engines (the r12
-    // HASH-FRAGILE migration; see q17TextQuality scaladoc)
-    def e6(c: Column): Column = round(c * 1000000).cast("long")
+    // e6 integers via one explicit round ([[Analytics.e6]]) — the
+    // identical int-ratio double rounded identically on both engines
+    // (the r12 HASH-FRAGILE migration; see q17TextQuality scaladoc)
+    import Analytics.e6
     Tables.documents(spark, d).select(
       col("doc_id"),
       TextAnalysis.tokenCount(t).as("n_tokens"),
@@ -2218,8 +2218,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("text"))
     val model = graft.operators.NaiveBayesText.train(
       docs, "source", "text", numBuckets = 1024)
-    graft.operators.NaiveBayesText.classify(docs, "doc_id", "text", model,
-        numBuckets = 1024)
+    graft.operators.NaiveBayesText.classify(docs, "doc_id", "text", model)
       .join(docs.select(col("doc_id"), col("source").as("actual")), "doc_id")
       .select(col("doc_id"), col("actual"), col("pred"),
         (col("pred") === col("actual")).cast("long").as("is_correct"),

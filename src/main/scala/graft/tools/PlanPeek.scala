@@ -3,20 +3,22 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Prints the physical plan of the soak's lazy LSH count with the
-  * soak's exact session conf — the "which SMJ sorts what, above which
-  * exchange" diagnostic for the 50M heap forensics. Row count is
-  * irrelevant to plan SHAPE (broadcast thresholds are -1 like the
-  * soak), so this runs in seconds.
+  * soak's session conf (keep in sync with [[ScaleSoak]]'s builder —
+  * currently: exploded-volume-sized shuffle partitions, AQE partition
+  * coalescing DISABLED, broadcast joins off) — the "which SMJ sorts
+  * what, above which exchange" diagnostic behind the 50M heap
+  * forensics. Row count is irrelevant to plan SHAPE, so this runs in
+  * seconds.
   */
 object PlanPeek {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[2]")
-      .config("spark.sql.shuffle.partitions", 200)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", 3200)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config("spark.sql.shuffle.partitions", 3200)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .appName("plan-peek").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

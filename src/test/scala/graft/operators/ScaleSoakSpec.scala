@@ -61,8 +61,10 @@ class ScaleSoakSpec extends AnyFunSuite {
     val hprofs =
       try {
         import scala.jdk.CollectionConverters._
-        Files.list(dir).iterator().asScala
+        val st = Files.list(dir) // must be closed — it holds a dir fd
+        try st.iterator().asScala
           .filter(_.toString.endsWith(".hprof")).map(_.toString).toList
+        finally st.close()
       } catch { case _: java.io.IOException => Nil }
     s"log preserved at $copied" +
       (if (hprofs.nonEmpty) s"; heap dump(s): ${hprofs.mkString(", ")}" else "")
