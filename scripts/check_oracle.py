@@ -76,6 +76,7 @@ def canon(rel):
 
 fails = 0
 fragile_all = {}
+type_census = {}  # spark-output dtype -> set of query names using it
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 for name, sql in sorted(oracle.items()):
     pdir = f"{out}/{name}"
@@ -110,6 +111,8 @@ for name, sql in sorted(oracle.items()):
         print(f"{name}: OK rows={len(mrows)} hash={mhash[:12]}")
     if fragile:
         fragile_all[name] = fragile
+    for t in mtypes:
+        type_census.setdefault(t, set()).add(name)
     if mtypes != otypes and ok:
         # the driver's r10 gate had schema_match green everywhere, so a
         # duckdb-level type difference on a value-identical result is
@@ -125,5 +128,21 @@ if fragile_all:
           "REGENERATED corpus would only surface at the driver:")
     for n, cols in sorted(fragile_all.items()):
         print(f"  {n}: {cols}")
+
+# UNIQUE-CONSTRUCT lint (the r10/r11 q40 lesson): both driver
+# hash-reds that resisted local reproduction involved an output
+# construct NO other green query used (a constant DECIMAL(10,6)
+# literal; earlier a global-window sum). A dtype appearing in exactly
+# one query's output is the cheapest proxy for "this output exercises
+# a driver rendering path nothing else validates" — flag it so the
+# next divergence is pre-diagnosed (or the construct migrated to a
+# widely-proven one before it ever goes red).
+unique = {t: qs for t, qs in type_census.items() if len(qs) == 1}
+if unique:
+    print(f"\nUNIQUE-CONSTRUCT note: {len(unique)} output dtypes appear "
+          "in only ONE query — each is a driver rendering path no other "
+          "query validates:")
+    for t, qs in sorted(unique.items()):
+        print(f"  {next(iter(qs))}: only output with dtype {t}")
 
 sys.exit(1 if fails else 0)

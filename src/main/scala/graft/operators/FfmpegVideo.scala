@@ -86,10 +86,29 @@ object FfmpegVideo extends org.apache.spark.internal.Logging {
           "inter-frame decode stage skipped; JDK-tier codecs (DIB, " +
           "MJPEG) remain available via VideoCodec.decodeFrames")
         ds.sparkSession.emptyDataset[VideoCodec.FrameStats]
-      case Some(bin) =>
-        ds.mapPartitions(_.flatMap(m => decodeOne(bin, m, width, height, stride)))
+      case Some(bin) => decodeFramesWith(bin, ds, width, height, stride)
     }
   }
+
+  /** [[decodeFrames]] with an explicit binary, bypassing the probe —
+    * the spec seam: FfmpegVideoSpec drives the full process plumbing
+    * (feeder thread, watchdog kill, frame slicing, failure skip)
+    * against stub executables in containers that ship no ffmpeg.
+    */
+  private[operators] def decodeFramesWith(bin: String,
+      ds: Dataset[Multimodal.MediaRecord], width: Int, height: Int,
+      stride: Int): Dataset[VideoCodec.FrameStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(m => decodeOne(bin, m, width, height, stride)))
+  }
+
+  /** Per-record decode deadline, ms. Overridable via the
+    * `graft.ffmpeg.timeout.ms` system property (the spec shrinks it to
+    * test the watchdog without a 60 s wait).
+    */
+  private def timeoutMs: Long =
+    sys.props.get("graft.ffmpeg.timeout.ms").flatMap(_.toLongOption)
+      .getOrElse(60000L)
 
   /** One record through one ffmpeg process. stdin is fed from a
     * separate thread (ffmpeg reads input and writes output
@@ -110,12 +129,22 @@ object FfmpegVideo extends org.apache.spark.internal.Logging {
       // hard deadline enforced OUT-OF-BAND: the stdout drain below
       // blocks in readNBytes with no timeout of its own, so a wedged
       // ffmpeg (demuxer loop, no output, no exit) would otherwise hang
-      // the Spark task forever — destroyForcibly() EOFs the pipe and
-      // unblocks the read, turning a stall into a skipped record
+      // the Spark task forever — killing the process TREE EOFs the
+      // pipe and unblocks the read, turning a stall into a skipped
+      // record. Descendants first: a wrapper script's child inherits
+      // the stdout fd and would keep the pipe open past its parent's
+      // death (measured: a stub wrapper's child held the read blocked
+      // for its full sleep).
+      def killTree(): Unit = {
+        p.descendants().forEach(h => { h.destroyForcibly(); () })
+        p.destroyForcibly()
+        ()
+      }
       val watchdog = new java.util.Timer(s"ffmpeg-watchdog-${m.media_id}", true)
+      val deadline = timeoutMs
       watchdog.schedule(new java.util.TimerTask {
-        def run(): Unit = p.destroyForcibly()
-      }, 60000L)
+        def run(): Unit = killTree()
+      }, deadline)
       val feeder = new Thread(() => {
         val in = new BufferedOutputStream(p.getOutputStream)
         try { in.write(m.bytes); in.close() }
@@ -137,9 +166,10 @@ object FfmpegVideo extends org.apache.spark.internal.Logging {
             sr, sg, sb)
         }.toVector // drain fully before waitFor
       feeder.join(10000)
-      val done = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      val done = p.waitFor(deadline + 1000,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
       watchdog.cancel()
-      if (!done) p.destroyForcibly()
+      if (!done) killTree()
       if (!done || p.exitValue() != 0) {
         logWarning(s"ffmpeg failed on media_id=${m.media_id} " +
           s"(exit=${if (done) p.exitValue() else "timeout"}) — record skipped")

@@ -227,11 +227,18 @@ object TextAnalysis {
     val score = idf * ((col("__tf") * (lit(k1) + lit(1))) /
       (col("__tf") + lit(k1) * ((lit(1) - lit(b)) +
         lit(b) * (col("__dl") / (col("__tl").cast("double") / col("__n"))))))
+    // per-term score as integer e6 via ONE explicit round (the q45
+    // shape): both engines round the identical IEEE double, and the
+    // sum/order downstream is exact integer arithmetic. A
+    // double->decimal cast here was the last UNIQUE-CONSTRUCT output
+    // (check_oracle lint): Spark casts via the shortest decimal
+    // string, DuckDB via the binary value, so a score landing near a
+    // 1e-6 rounding boundary could diverge by one unit.
     tf.join(broadcast(dfreq), "__tok")
       .join(lens, idCol)
       .crossJoin(broadcast(stats))
-      .select(col(idCol), score.cast("decimal(20,6)").as("__s"))
-      .groupBy(col(idCol)).agg(sum(col("__s")).as("bm25"))
+      .select(col(idCol), round(score * 1000000).cast("long").as("__s"))
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("bm25_e6"))
   }
 
   /** Gopher/C4-style document quality filter: per-document structural

@@ -975,7 +975,7 @@ object PipelineQueries {
     TextAnalysis.bm25(
       Tables.documents(spark, d).select(col("doc_id"), col("text")),
       "doc_id", "text", terms = Seq("hash", "merge", "vector"))
-      .orderBy(col("bm25").desc, col("doc_id"))
+      .orderBy(col("bm25_e6").desc, col("doc_id"))
       .limit(20)
 
   val q38Sql: String =
@@ -995,16 +995,16 @@ object PipelineQueries {
       |dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1),
       |scored AS (
       |  SELECT tf.doc_id,
-      |    CAST(ln(1.0::DOUBLE +
+      |    CAST(round(ln(1.0::DOUBLE +
       |        (stats.n - dfreq.df + 0.5::DOUBLE) / (dfreq.df + 0.5::DOUBLE)) *
       |      ((tf.tf * (1.2::DOUBLE + 1)) /
       |       (tf.tf + 1.2::DOUBLE * ((1 - 0.75::DOUBLE) +
       |          0.75::DOUBLE * (lens.dl / (stats.tl::DOUBLE / stats.n)))))
-      |      AS DECIMAL(20,6)) AS s
+      |      * 1000000) AS BIGINT) AS s
       |  FROM tf JOIN dfreq USING (tok) JOIN lens USING (doc_id) CROSS JOIN stats
       |)
-      |SELECT doc_id, sum(s) AS bm25 FROM scored GROUP BY 1
-      |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+      |SELECT doc_id, CAST(sum(s) AS BIGINT) AS bm25_e6 FROM scored GROUP BY 1
+      |ORDER BY bm25_e6 DESC, doc_id LIMIT 20""".stripMargin
 
   /** Gopher/C4-style quality gate: structural signals + keep verdict
     * per document (word-count window, mean-word-length window,

@@ -191,22 +191,35 @@ class ConditionalPutLogStore(conf: Configuration,
 
   private def publish(k: String, stagedPath: String, dest: Path): Unit = {
     val staged = new Path(stagedPath)
-    // overwrite-allowed copy: only the reservation winner (or a
-    // recoverer finishing on its behalf) reaches here, and repeating
-    // it is idempotent — same bytes to the same name. A RECOVERER can
-    // race the winner: exists(staged) may pass and the read then miss
-    // the just-deleted object — re-check the destination before
-    // declaring the commit unrecoverable.
+    // CREATE-EXCLUSIVE copy, never overwrite: the coordinator admits
+    // exactly one reservation per key, so every publisher of `k`
+    // carries the SAME bytes and "destination exists" always means
+    // "commit complete". Publishers DO race — the winner's deferred
+    // retry against a reader-side recoverer, or two recoverers under
+    // concurrent list()s (observed: a 3-JVM run where the loser of a
+    // writeReplace rename race crashed its worker) — and the old
+    // overwrite path (exists→delete→rename) additionally opened a
+    // window where the loser DELETED the just-published destination
+    // before re-renaming identical bytes, so an out-of-band reader
+    // listing at that instant would miss the version. The exclusive
+    // write loses at the kernel (hard-link/rename-NONE), keeping the
+    // destination continuously present from first publish on.
     def completed(): Boolean =
       if (!superExists(dest)) false
       else { coordinator.markComplete(k); true }
     if (superExists(staged)) {
       try {
-        writeReplace(dest, readLines(staged).filter(_.nonEmpty))
+        publishCopy(dest, readLines(staged).filter(_.nonEmpty))
         coordinator.markComplete(k)
         delete(staged)
       } catch {
+        case _: ConcurrentModificationException =>
+          // a racing publisher of the same reservation won — same
+          // bytes are at dest; finish the bookkeeping on its behalf
+          coordinator.markComplete(k)
+          delete(staged)
         case e: java.io.FileNotFoundException =>
+          // the racing publisher also deleted `staged` under our read
           if (!completed()) throw e
       }
     } else if (!completed()) {
@@ -215,6 +228,13 @@ class ConditionalPutLogStore(conf: Configuration,
         s"before publish")
     }
   }
+
+  /** The staged→final copy: create-exclusive, never overwriting (see
+    * [[publish]]). A seam for fault-injection tests; throws
+    * [[ConcurrentModificationException]] when the destination exists.
+    */
+  protected def publishCopy(dest: Path, lines: Seq[String]): Unit =
+    super.writeExclusive(dest, lines)
 
   /** Raw existence check (no recovery recursion). */
   private def superExists(p: Path): Boolean = super.exists(p)

@@ -58,6 +58,53 @@ class FfmpegVideoSpec extends AnyFunSuite {
     }
   }
 
+  /** A fake "ffmpeg" executable: answers `-version`, consumes stdin,
+    * then runs `body` (emitting rawvideo bytes or wedging). Lets the
+    * full process plumbing — feeder thread, watchdog kill, frame
+    * slicing, failure skip — run for REAL in containers that ship no
+    * ffmpeg.
+    */
+  private def stubBinary(name: String, body: String): String = {
+    val f = java.nio.file.Files.createTempFile(s"stub-$name", ".sh")
+    java.nio.file.Files.writeString(f,
+      s"""#!/bin/sh
+         |case "$$1" in -version) echo stub; exit 0;; esac
+         |cat > /dev/null
+         |$body
+         |""".stripMargin)
+    f.toFile.setExecutable(true)
+    f.toString
+  }
+
+  test("stub binary: frames slice into exact channel sums through the real process plumbing") {
+    // 3 frames of 32x16 RGB24 where every byte is 0x01 -> each channel
+    // sums to exactly width*height per frame
+    val bin = stubBinary("frames",
+      "head -c 4608 /dev/zero | tr '\\0' '\\001'")
+    val got = FfmpegVideo.decodeFramesWith(bin, mjpgAvis, 32, 16, stride = 1)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    // stub emits 3 frames per record regardless of input; 3 records
+    assert(got.length == 9, s"9 frames expected, got ${got.length}")
+    got.foreach { f =>
+      assert((f.sum_r, f.sum_g, f.sum_b) == (512L, 512L, 512L) &&
+        f.width == 32 && f.height == 16, s"bad stats: $f")
+    }
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 1, 2, 0, 1, 2, 0, 1, 2))
+  }
+
+  test("stub binary: a wedged decoder is killed by the watchdog and the record skipped") {
+    val bin = stubBinary("wedge", "sleep 600")
+    sys.props("graft.ffmpeg.timeout.ms") = "2000"
+    try {
+      val t0 = System.nanoTime()
+      val got = FfmpegVideo.decodeFramesWith(bin, mjpgAvis.limit(1), 32, 16,
+        stride = 1).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(got.isEmpty, "wedged record must be skipped, not fatal")
+      assert(sec < 30, s"watchdog must bound the stall (took $sec s)")
+    } finally sys.props -= "graft.ffmpeg.timeout.ms"
+  }
+
   test("stride sampling emits exactly the selected frame indices (or skips cleanly)") {
     val avis = mjpgAvis
     val decoded = FfmpegVideo.decodeFrames(avis, width = 32, height = 16,

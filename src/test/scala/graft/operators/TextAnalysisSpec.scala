@@ -62,22 +62,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4L, "cat")                            // tf=1, shortest
     ).toDF("doc_id", "text")
     val r = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"))
-      .orderBy(col("bm25").desc, col("doc_id")).collect()
-      .map(r => (r.getLong(0), r.getDecimal(1).doubleValue())).toList
+      .orderBy(col("bm25_e6").desc, col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
     assert(r.map(_._1) == List(1L, 4L, 2L))
     // manual check for doc 4: N=4, df=3, dl=1, avgdl=14/4
     val idf = math.log(1.0 + (4 - 3 + 0.5) / (3 + 0.5))
     val s4 = idf * ((1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * (1 / (14.0 / 4)))))
-    assert(math.abs(r.find(_._1 == 4L).get._2 - s4) < 1e-6)
+    assert(r.find(_._1 == 4L).get._2 == math.rint(s4 * 1e6).toLong)
   }
 
   test("bm25: multi-term scores sum per document") {
     val docs = Seq((1L, "cat dog"), (2L, "cat cat")).toDF("doc_id", "text")
     val one = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat"))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val two = TextAnalysis.bm25(docs, "doc_id", "text", Seq("cat", "dog"))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
-    assert(two(1L).compareTo(one(1L)) > 0, "adding a matched term raises doc 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two(1L) > one(1L), "adding a matched term raises doc 1")
     assert(two(2L) == one(2L), "doc 2 has no 'dog' — score unchanged")
   }
 

@@ -76,12 +76,12 @@ class ConditionalPutLogStoreSpec extends AnyFunSuite {
       // without ever deferring to reader-side recovery
       val flaky = new ConditionalPutLogStore(new Configuration(), coord) {
         @volatile var failuresLeft = 2
-        override def writeReplace(path: Path, lines: Seq[String]): Unit = {
-          if (!path.getName.endsWith(".staged") && failuresLeft > 0) {
+        override protected def publishCopy(path: Path, lines: Seq[String]): Unit = {
+          if (failuresLeft > 0) {
             failuresLeft -= 1
             throw new java.io.IOException(s"injected publish failure: $path")
           }
-          super.writeReplace(path, lines)
+          super.publishCopy(path, lines)
         }
       }
       val dir = newDir()
@@ -100,10 +100,10 @@ class ConditionalPutLogStoreSpec extends AnyFunSuite {
     withStore { (_, coord) =>
       val broken = new ConditionalPutLogStore(new Configuration(), coord) {
         @volatile var broken = true
-        override def writeReplace(path: Path, lines: Seq[String]): Unit = {
-          if (broken && !path.getName.endsWith(".staged"))
+        override protected def publishCopy(path: Path, lines: Seq[String]): Unit = {
+          if (broken)
             throw new java.io.IOException(s"injected publish failure: $path")
-          super.writeReplace(path, lines)
+          super.publishCopy(path, lines)
         }
       }
       val dir = newDir()
@@ -118,6 +118,52 @@ class ConditionalPutLogStoreSpec extends AnyFunSuite {
       broken.broken = false
       assert(broken.readLines(v0).filter(_.nonEmpty) == Seq("""{"x":1}"""))
       assert(raw.exists(v0), "reader-side recovery must have published")
+    }
+  }
+
+  test("concurrent recoverers of one reservation: loser defers, nobody crashes, version never vanishes") {
+    // the r12 3-JVM failure shape, pinned in-process: N deferred
+    // reservations, two threads calling list() concurrently — both
+    // recoverUnder the SAME pending commits and race publish. The old
+    // overwrite publish (exists→delete→rename) crashed the rename
+    // loser and transiently DELETED already-published versions; the
+    // exclusive publish must absorb the race with both destinations
+    // continuously visible.
+    withStore { (store, coord) =>
+      val dir = newDir()
+      VintageTable.create(spark, dir, Seq((1L, "a")).toDF("id", "v"))
+      val logDir = VintageLog.logDir(dir)
+      val raw = new HadoopLogStore(new Configuration())
+      (1 to 20).foreach { v =>
+        val dest = new Path(logDir, f"${v.toLong}%020d.json")
+        val staged = new Path(logDir, s".${dest.getName}.r$v.staged")
+        val actions = Seq(
+          CommitInfo(v.toLong, System.currentTimeMillis(), "WRITE",
+            Map("mode" -> "Append")),
+          AddFile(s"r$v.parquet", 1L, 1L, dataChange = true, Some(0L)))
+        store.writeReplace(staged, actions.map(Action.toJsonLine))
+        assert(coord.putIfAbsent(
+          VintageTable.canonicalKey(dest.toString), staged.toString))
+      }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (1 to 2).map { _ =>
+        new Thread(() => {
+          gate.await()
+          try store.list(logDir)
+          catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(errs.isEmpty, s"recovery race must not throw: ${errs}")
+      (1 to 20).foreach { v =>
+        val dest = new Path(logDir, f"${v.toLong}%020d.json")
+        assert(raw.exists(dest), s"version $v must be published")
+        assert(coord.pending(VintageTable.canonicalKey(dest.toString)).isEmpty,
+          s"version $v must be marked complete")
+      }
+      VintageLog.clearSnapshotCache()
+      assert(VintageLog.latestVersion(dir) == 20L)
     }
   }
 
