@@ -208,6 +208,112 @@ object MediaQueries {
       |  FROM f WHERE i % 3 = 0 GROUP BY k, w, h
       |) ORDER BY stage, n_nationkey""".stripMargin
 
+  /** Gate query for perceptual image dedup ([[graft.operators.
+    * ImageHash]]): renders 25 base images (block-toned by an exact
+    * integer formula over nation keys), plants a hash-invariant NOISY
+    * copy (+1 on one pixel per block — different bytes, provably
+    * identical dHash) and a one-block-FLIPPED copy (a controlled
+    * ≤2-bit hash perturbation) per base, then hash-pins BOTH the
+    * 64-bit dHash of every real rendered→decoded PNG (as two 32-bit
+    * BIGINT halves) and the banded hamming pairs among the planted
+    * trios against a pure-arithmetic DuckDB replay of the tone
+    * formula. A decode bug, a wrong block boundary, a luminance-weight
+    * slip, a banding miss, or a bit_count regression all break the
+    * hash. Pair rows are RESTRICTED to the planted id offsets
+    * (1000/2000/3000 with matching key — provable ground truth at any
+    * corpus, the q29 robustness pattern); natural cross-key pairs are
+    * pinned by ImageHashSpec instead.
+    */
+  def q102ImageDhash(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.ImageHash
+    import graft.operators.ImageHash.BlockImageSpec
+    val nations = Tables.nation(spark, d)
+      .select(col("n_nationkey").cast("long").as("k")).as[Long].collect().sorted
+
+    val specs = nations.flatMap { k =>
+      val sx = 4 + (k % 3).toInt; val sy = 3 + (k % 2).toInt
+      Seq(
+        BlockImageSpec(k, k, sx, sy, -1, -1, noise = false),
+        BlockImageSpec(k + 1000, k, sx, sy, -1, -1, noise = true),
+        BlockImageSpec(k + 3000, k, sx, sy, (k % 8).toInt, 1 + (k % 7).toInt,
+          noise = false))
+    }
+    val hashes = ImageHash.dHash(ImageHash.renderBlockImages(
+      spark.createDataset(specs.toSeq).repartition(4))).cache()
+
+    val hashRows = hashes
+      .select(lit("hash").as("stage"), col("media_id").as("id_a"),
+        lit(-1L).as("id_b"),
+        col("dhash").bitwiseAND(lit(4294967295L)).as("a"),
+        shiftrightunsigned(col("dhash"), 32).as("b"))
+    val pairRows = ImageHash.hammingPairs(hashes.toDF(), "media_id", "dhash",
+        maxHamming = 3)
+      .filter((col("id_b") - col("id_a")).isin(1000L, 2000L, 3000L) &&
+        col("id_a") % 1000 === col("id_b") % 1000)
+      .select(lit("pair").as("stage"), col("id_a"), col("id_b"),
+        col("hamming").as("a"),
+        expr("CAST((id_b - id_a) DIV 1000 AS BIGINT)").as("b"))
+
+    hashRows.unionByName(pairRows).orderBy("stage", "id_a", "id_b")
+  }
+
+  /** The dHash tone formula replayed as pure BIGINT arithmetic: block
+    * tones → neighbor-comparison bits → packed 32-bit halves → planted
+    * pair hammings.
+    */
+  val q102Sql: String =
+    """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |v(variant, voff) AS (VALUES (0, 0), (1, 1000), (3, 3000)),
+      |base AS (
+      |  SELECT k.k, r.range AS r, c.range AS c,
+      |    CASE WHEN CAST(('0x' || substr(md5(
+      |           CAST(k.k AS VARCHAR) || '-' || CAST(r.range AS VARCHAR)
+      |           || '-' || CAST(c.range AS VARCHAR)), 1, 1)) AS INT) >= 8
+      |      THEN 216 ELSE 40 END AS tone
+      |  FROM k, range(8) r, range(9) c
+      |),
+      |cell AS (
+      |  SELECT b.k, v.variant, v.voff, b.r, b.c,
+      |    CASE WHEN v.variant = 3 AND b.r = b.k % 8 AND b.c = 1 + b.k % 7
+      |      THEN 256 - b.tone ELSE b.tone END AS tone
+      |  FROM base b, v
+      |),
+      |bits AS (
+      |  SELECT * FROM (
+      |    SELECT k, variant, voff, r, c,
+      |      CASE WHEN lead(tone) OVER (PARTITION BY k, variant, r ORDER BY c)
+      |                > tone THEN 1 ELSE 0 END AS bit
+      |    FROM cell) WHERE c < 8
+      |),
+      |hashes AS (
+      |  SELECT k, variant, voff,
+      |    CAST(SUM(CASE WHEN r*8+c < 32
+      |             THEN bit * (CAST(1 AS BIGINT) << (r*8+c))
+      |             ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN r*8+c >= 32
+      |             THEN bit * (CAST(1 AS BIGINT) << (r*8+c-32))
+      |             ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY k, variant, voff
+      |),
+      |ham AS (
+      |  SELECT a.k, a.voff AS offa, b.voff AS offb,
+      |    CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM bits a JOIN bits b
+      |    ON a.k = b.k AND a.r = b.r AND a.c = b.c AND a.voff < b.voff
+      |  GROUP BY a.k, a.voff, b.voff
+      |)
+      |SELECT stage, id_a, id_b, a, b FROM (
+      |  SELECT 'hash' AS stage, k + voff AS id_a, CAST(-1 AS BIGINT) AS id_b,
+      |         lo AS a, hi AS b
+      |  FROM hashes
+      |  UNION ALL
+      |  SELECT 'pair', k + offa, k + offb, hamming,
+      |         CAST((offb - offa) // 1000 AS BIGINT)
+      |  FROM ham
+      |) ORDER BY stage, id_a, id_b""".stripMargin
+
   /** Pure arithmetic over nation: what a correct lossless codec
     * roundtrip MUST produce.
     */
