@@ -546,4 +546,200 @@ object Similarity {
       .select(col("__qid").as("query_id"), col("__id").as("neighbor_id"),
         col("rk").cast("long").as("rk"))
   }
+
+  // ── Product quantization (IVF-PQ's compression half) ─────────────
+  //
+  // PQ is the standard memory-scale path for embedding search: split
+  // each d-dim vector into m subvectors, learn `numCodes` centroids
+  // per subspace, store each vector as m small codes (m bytes at
+  // numCodes ≤ 256 — a 32× compression of a 64-dim float vector), and
+  // score queries against codes via an m-lookup ADC (asymmetric
+  // distance computation) table instead of a d-mult dot product. At
+  // 100 TB the win is the scoring pass streaming m-byte codes instead
+  // of 4d-byte floats; the codebook is kilobytes and broadcasts.
+
+  /** Trained PQ codebooks: `codebooks(sub)(code)` is a centroid of
+    * length `dsub = dim / m`. Kilobyte-sized (m·numCodes·dsub doubles)
+    * — embeds in plans as a literal, no join needed.
+    */
+  case class PqModel(m: Int, numCodes: Int, dsub: Int,
+                     codebooks: Array[Array[Array[Double]]])
+
+  /** Train per-subspace KMeans codebooks on a bounded corpus sample
+    * (same fit-sample policy as [[fitQuantizer]]). The sample is
+    * cached once and reused for all m sub-fits; each fit sees only its
+    * dsub-wide slice. Training state is bounded by the sample and the
+    * m·numCodes·dsub model — never the corpus.
+    */
+  def pqTrain(corpus: DataFrame, vecCol: String, m: Int = 8,
+              numCodes: Int = 16, seed: Long = 42L,
+              maxFitRows: Long = 100000L,
+              fitFraction: Double = 0.0): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m > 0 && numCodes > 1)
+    val base = corpus.select(col(vecCol).as("__v"))
+    val dim = base.select(size(col("__v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val fitInput = (if (fitFraction == 0.0) {
+      val n = base.count()
+      if (n <= maxFitRows) base
+      else base.sample(withReplacement = false,
+        math.min(1.0, 2.0 * maxFitRows / n), seed).limit(maxFitRows.toInt)
+    } else if (fitFraction >= 1.0) base.limit(maxFitRows.toInt)
+    else base.sample(withReplacement = false, fitFraction, seed)
+      .limit(maxFitRows.toInt))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val codebooks = Array.tabulate(m) { sub =>
+        val sliced = fitInput.select(array_to_vector(
+          slice(col("__v"), sub * dsub + 1, dsub)).as("__feat"))
+        new KMeans().setK(numCodes).setSeed(seed + sub).setMaxIter(10)
+          .setFeaturesCol("__feat").setPredictionCol("__code")
+          .fit(sliced).clusterCenters.map(_.toArray)
+      }
+      PqModel(m, numCodes, dsub, codebooks)
+    } finally fitInput.unpersist(blocking = false)
+  }
+
+  private def pqCodebookLit(model: PqModel): Column =
+    typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Encode every vector to its m nearest-subcentroid codes (L2 per
+    * subspace, ties to the lowest code). Declarative HOFs over the
+    * literal codebook — no UDF, no join; the output is (idCol,
+    * `codes` array<int> of length m).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val cb = pqCodebookLit(model)
+    val codes = transform(sequence(lit(0), lit(model.m - 1)), sub => {
+      val dists = transform(element_at(cb, sub + 1), cent =>
+        aggregate(sequence(lit(0), lit(model.dsub - 1)), lit(0.0d),
+          (acc, j) => {
+            val d = element_at(col(vecCol),
+              (sub * model.dsub + j + 1).cast("int")).cast("double") -
+              element_at(cent, j + 1)
+            acc + d * d
+          }))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /** ADC top-k: per query build the m×numCodes dot-product lookup
+    * table ONCE (a HOF over the literal codebook on the tiny query
+    * side), broadcast it, and score each corpus row with m array
+    * lookups; the approximate top k·rescoreFactor then re-rank with
+    * full-precision cosine (the [[bruteForceTopKQuantized]] shape).
+    * Output (query_id, neighbor_id, rk, cosine_sim), rk ≤ k.
+    */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, model: PqModel,
+                k: Int, rescoreFactor: Int = 4): DataFrame = {
+    require(k > 0 && rescoreFactor >= 1)
+    val cb = pqCodebookLit(model)
+    val enc = pqEncode(corpus, idCol, vecCol, model)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val lut = flatten(transform(sequence(lit(0), lit(model.m - 1)), sub =>
+      transform(element_at(cb, sub + 1), cent =>
+        aggregate(sequence(lit(0), lit(model.dsub - 1)), lit(0.0d),
+          (acc, j) => acc + element_at(col(vecCol),
+            (sub * model.dsub + j + 1).cast("int")).cast("double") *
+            element_at(cent, j + 1)))))
+    val q = queries.select(col(idCol).as("query_id"), lut.as("__lut"))
+    val adc = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0d),
+      (acc, sub) => acc + element_at(col("__lut"),
+        sub * model.numCodes + element_at(col("codes"), sub + 1) + 1))
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("__adc").desc, col("neighbor_id").asc)
+    val candidates = enc.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= k.toLong * rescoreFactor)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val rescored = cv.join(broadcast(candidates), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    rescored.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine_sim"))
+  }
+
+  /** The md5-derived integer codebook of the PORTABLE PQ twin:
+    * `w(sub, code, j) = md5int("sub-code-j") % 513 − 256` ∈
+    * [−256, 256] — deterministic, content-free, replayable verbatim
+    * by any engine with md5 (the q60/q62/q63 portability idiom).
+    */
+  def pqPortableCodebook(m: Int, numCodes: Int,
+                         dsub: Int): Array[Array[Array[Long]]] =
+    Array.tabulate(m, numCodes, dsub) { (sub, code, j) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$sub-$code-$j".getBytes("UTF-8"))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h % 513L - 256L
+    }
+
+  /** PORTABLE product quantization: the full PQ pipeline — encode
+    * (integer L2 argmin per subspace), ADC lookup table, m-lookup
+    * scoring, top-k ranking — on EXACT INTEGER arithmetic with the
+    * md5 codebook, so every stage sits on the DuckDB hash gate (the
+    * KMeans-trained path self-certifies via recall instead, like
+    * q28's IVF). Vectors quantize as `floor(v·scale)`; all
+    * intermediates fit comfortably in BIGINT (|qv| ≲ scale, |w| ≤
+    * 256 ⇒ |ADC| ≤ m·dsub·scale·256 ≈ 2²⁴ at the defaults). Output
+    * (query_id, neighbor_id, rk, adc_score), rk ≤ topK by descending
+    * ADC dot product, ties to the lower neighbor id.
+    */
+  def pqPortable(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String,
+                 m: Int = 8, numCodes: Int = 16, topK: Int = 5,
+                 scale: Int = 256): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val cbInts = pqPortableCodebook(m, numCodes, dsub)
+    val cb = typedlit(cbInts.map(_.map(_.toSeq).toSeq).toSeq)
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long"))
+    val codes = transform(sequence(lit(0), lit(m - 1)), sub => {
+      val dists = transform(element_at(cb, sub + 1), cent =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
+          (acc, j) => {
+            val d = element_at(col("__qv"), (sub * dsub + j + 1).cast("int")) -
+              element_at(cent, j + 1)
+            acc + d * d
+          }))
+      array_position(dists, array_min(dists)) - 1
+    })
+    val enc = corpus.select(col(idCol).as("neighbor_id"), qv.as("__qv"))
+      .withColumn("__codes", codes)
+      .select("neighbor_id", "__codes")
+    val lut = flatten(transform(sequence(lit(0), lit(m - 1)), sub =>
+      transform(element_at(cb, sub + 1), cent =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
+          (acc, j) => acc + element_at(col("__qv"),
+            (sub * dsub + j + 1).cast("int")) * element_at(cent, j + 1)))))
+    val q = queries.select(col(idCol).as("query_id"), qv.as("__qv"))
+      .withColumn("__lut", lut)
+      .select("query_id", "__lut")
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, sub) => acc + element_at(col("__lut"),
+        (sub * numCodes).cast("int") +
+          element_at(col("__codes"), sub + 1).cast("int") + 1))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_score", adc)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("adc_score"))
+  }
 }

@@ -302,4 +302,75 @@ class SimilaritySpec extends AnyFunSuite {
     // index is better than random probing
     assert(hits >= 16, s"recall@5 not above the coverage line: $hits/50")
   }
+
+  test("pqTrain: model shape, codes in range, encode deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.pqTrain(emb, "embedding", m = 8, numCodes = 16)
+    assert(model.m === 8 && model.numCodes === 16 && model.dsub === 8)
+    assert(model.codebooks.length === 8)
+    assert(model.codebooks.forall(_.length === 16))
+    assert(model.codebooks.forall(_.forall(_.length === 8)))
+    val enc = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    val codes = enc.select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val again = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      .select(col("vec_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes === again, "encoding must be deterministic")
+  }
+
+  test("PQ ADC top-k with rescore reaches recall >= 0.8 vs exact at sf0.01") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // near-random embeddings are PQ's worst case (no subspace
+    // structure to exploit): measured recall@5 at sf0.01 —
+    // m=8/nc=16/rf=8 0.73, m=16/nc=16/rf=8 0.89, m=16/nc=16/rf=16
+    // 0.99 — so the production config is 16 subspaces of 4 dims
+    val model = Similarity.pqTrain(emb, "embedding", m = 16, numCodes = 16)
+    val approx = Similarity.pqAdcTopK(queries, emb, "vec_id", "embedding",
+        model, k, rescoreFactor = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"PQ+rescore recall@$k = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f below 0.8")
+    // raw ADC (no rescore) must itself beat random probing
+    val raw = Similarity.pqAdcTopK(queries, emb, "vec_id", "embedding",
+        model, k, rescoreFactor = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rawRecall = (exact & raw).size.toDouble / exact.size
+    info(f"PQ raw ADC recall@$k = $rawRecall%.3f")
+    assert(rawRecall > 0.1)
+  }
+
+  test("pqPortable: ADC decomposition is exactly the reconstructed dot product") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = Similarity.pqPortable(emb, queries, "vec_id", "embedding",
+      topK = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // independent reference: quantize, encode by integer argmin,
+    // reconstruct, dot — pure Scala, no Spark
+    val cb = Similarity.pqPortableCodebook(8, 16, 8)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 256).toLong).toArray)
+      .toMap
+    def encode(v: Array[Long]): Array[Int] = Array.tabulate(8) { sub =>
+      (0 until 16).minBy { code =>
+        val d = (0 until 8).map(j => v(sub * 8 + j) - cb(sub)(code)(j))
+        (d.map(x => x * x).sum, code)
+      }
+    }
+    for (((q, n), got) <- out) {
+      val qs = vecs(q); val codes = encode(vecs(n))
+      val want = (0 until 8).map(sub =>
+        (0 until 8).map(j => qs(sub * 8 + j) * cb(sub)(codes(sub))(j)).sum).sum
+      assert(got === want, s"query=$q neighbor=$n")
+    }
+    assert(out.nonEmpty)
+  }
 }
