@@ -195,7 +195,13 @@ object ImageHash {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucketSize))
       .select("__chunk", "__ckey")
-    val eligible = chunked.join(sizes, Seq("__chunk", "__ckey"))
+    val eligible0 = chunked.join(sizes, Seq("__chunk", "__ckey"))
+    // persist discipline matches Dedup.simHashPairs: without this the
+    // bucketed self-join recomputes the chunked⋈sizes join on both
+    // sides (ADVICE r12)
+    val eligible =
+      if (materialize) eligible0.persist(StorageLevel.MEMORY_AND_DISK)
+      else eligible0
     val result = eligible.as("l")
       .join(eligible.as("r"),
         col("l.__chunk") === col("r.__chunk") &&
@@ -210,6 +216,7 @@ object ImageHash {
     else {
       val out = Dedup.materializeSmall(result)
       chunked.unpersist(blocking = false)
+      eligible.unpersist(blocking = false)
       out
     }
   }

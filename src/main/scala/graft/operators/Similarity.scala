@@ -578,6 +578,13 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(m > 0 && numCodes > 1)
+    // same fit-sample bounds as fitQuantizer (ADVICE r12): a negative
+    // fitFraction reaches DataFrame.sample with an obscure error, and
+    // maxFitRows > Int.MaxValue overflows .toInt into a negative limit
+    require(maxFitRows > 0 && maxFitRows <= Int.MaxValue,
+      s"maxFitRows must be in (0, ${Int.MaxValue}], got $maxFitRows")
+    require(fitFraction >= 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in [0, 1] (0 = auto), got $fitFraction")
     val base = corpus.select(col(vecCol).as("__v"))
     val dim = base.select(size(col("__v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")

@@ -255,7 +255,13 @@ object MediaQueries {
         col("hamming").as("a"),
         expr("CAST((id_b - id_a) DIV 1000 AS BIGINT)").as("b"))
 
-    hashRows.unionByName(pairRows).orderBy("stage", "id_a", "id_b")
+    // materialize the (tiny) result eagerly so the rendered-image cache
+    // can be dropped now instead of lingering for LRU eviction in a
+    // long-lived session (ADVICE r12)
+    val out = hashRows.unionByName(pairRows)
+      .orderBy("stage", "id_a", "id_b").localCheckpoint()
+    hashes.unpersist(blocking = false)
+    out
   }
 
   /** The dHash tone formula replayed as pure BIGINT arithmetic: block

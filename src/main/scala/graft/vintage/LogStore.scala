@@ -225,8 +225,21 @@ object HadoopLogStore extends org.apache.spark.internal.Logging {
             java.nio.file.Files.createLink(dst, src)
             java.lang.Boolean.TRUE
           } catch {
-            case _: UnsupportedOperationException |
-                 _: java.nio.file.FileSystemException => java.lang.Boolean.FALSE
+            case _: UnsupportedOperationException => java.lang.Boolean.FALSE
+            // only an EPERM-class reason is a MOUNT property worth
+            // caching; NoSuchFile/AlreadyExists/AccessDenied on the
+            // throwaway files are per-file states that must not route
+            // this dir onto the rename path for the JVM lifetime
+            case e: java.nio.file.FileSystemException
+                if !e.isInstanceOf[java.nio.file.NoSuchFileException] &&
+                   !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
+                   !e.isInstanceOf[java.nio.file.AccessDeniedException] &&
+                   Option(e.getReason).exists { r =>
+                     val lr = r.toLowerCase(java.util.Locale.ROOT)
+                     lr.contains("not permitted") ||
+                     lr.contains("not supported") ||
+                     lr.contains("cross-device")
+                   } => java.lang.Boolean.FALSE
             case _: java.io.IOException => null // inconclusive
           }
       } finally {
