@@ -679,6 +679,97 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine_sim"))
   }
 
+  /** IVF×PQ composed index — the standard billion-vector layout both
+    * halves were built for (IVF cells: [[ivfTopK]]; PQ codes:
+    * [[pqTrain]]/[[pqAdcTopK]]): the coarse quantizer routes each query
+    * to its `nprobe` nearest cells, ADC scores ONLY the probed cells'
+    * m-byte codes via the per-query lookup table, and the approximate
+    * top k·rescoreFactor re-rank with full-precision cosine.
+    *
+    * 100 TB shape: the scoring pass streams nprobe/numCells of the
+    * corpus as m-BYTE CODES (≈ 32× smaller than the float vectors at
+    * the defaults, on ≈ nprobe/numCells of the rows — a ~85×
+    * byte-reduction of the dominant pass); the coarse centroids, the
+    * PQ codebook, the probe table and the candidate list are all
+    * kilobytes and broadcast; the rescore touches
+    * |queries|·k·rescoreFactor corpus rows, never the corpus. Training
+    * state is bounded by the fit sample (both fits share the policy of
+    * [[fitQuantizer]]).
+    *
+    * Output (query_id, neighbor_id, rk, cosine_sim), rk ≤ k. Recall is
+    * governed by nprobe (cell misses) × rescoreFactor (ADC ranking
+    * noise); SimilaritySpec pins the floor against exact brute force.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCells: Int = 16, nprobe: Int = 6, m: Int = 8,
+      numCodes: Int = 16, rescoreFactor: Int = 4, seed: Long = 42L,
+      maxFitRows: Long = 100000L, fitFraction: Double = 0.0): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    require(k > 0 && rescoreFactor >= 1,
+      s"need k > 0 and rescoreFactor >= 1, got k=$k rescoreFactor=$rescoreFactor")
+    require(numCells > 0 && nprobe > 0 && nprobe <= numCells,
+      s"need 0 < nprobe <= numCells, got nprobe=$nprobe numCells=$numCells")
+    val spark = corpus.sparkSession
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      array_to_vector(col(vecCol)).as("__feat"))
+    val ivf = fitQuantizer(corpusVec, numCells, seed, maxFitRows,
+      fitFraction, "__cell")
+    val pq = pqTrain(corpus, vecCol, m, numCodes, seed, maxFitRows, fitFraction)
+    val assigned = ivf.transform(corpusVec)
+      .select(col("neighbor_id"), col("__cell"))
+    // the persistent index a real deployment stores: (id, cell, codes)
+    val enc = pqEncode(corpus, idCol, vecCol, pq)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .join(assigned, "neighbor_id")
+    import spark.implicits._
+    val centroids = ivf.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val dist2 = aggregate(
+      zip_with(col("__qv"), col("__centroid"),
+        (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+      lit(0.0), (acc, v) => acc + v)
+    val probes = q0.crossJoin(broadcast(centroids))
+      .withColumn("__d2", dist2)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__d2").asc, col("__cell").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__cell"))
+    val cb = pqCodebookLit(pq)
+    val lut = flatten(transform(sequence(lit(0), lit(pq.m - 1)), sub =>
+      transform(element_at(cb, sub + 1), cent =>
+        aggregate(sequence(lit(0), lit(pq.dsub - 1)), lit(0.0d),
+          (acc, j) => acc + element_at(col(vecCol),
+            (sub * pq.dsub + j + 1).cast("int")).cast("double") *
+            element_at(cent, j + 1)))))
+    val qlut = queries.select(col(idCol).as("query_id"), lut.as("__lut"))
+    val probedQ = probes.join(qlut, "query_id")
+    val adc = aggregate(sequence(lit(0), lit(pq.m - 1)), lit(0.0d),
+      (acc, sub) => acc + element_at(col("__lut"),
+        sub * pq.numCodes + element_at(col("codes"), sub + 1) + 1))
+    val candidates = enc.join(broadcast(probedQ), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__adc", adc)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("__adc").desc, col("neighbor_id").asc)))
+      .filter(col("__rn") <= k.toLong * rescoreFactor)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val rescored = cv.join(broadcast(candidates), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cosine_sim", cosine(col("__qv"), col("__cv")))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+    rescored.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine_sim"))
+  }
+
   /** The md5-derived integer codebook of the PORTABLE PQ twin:
     * `w(sub, code, j) = md5int("sub-code-j") % 513 − 256` ∈
     * [−256, 256] — deterministic, content-free, replayable verbatim
@@ -697,9 +788,10 @@ object Similarity {
   /** PORTABLE product quantization: the full PQ pipeline — encode
     * (integer L2 argmin per subspace), ADC lookup table, m-lookup
     * scoring, top-k ranking — on EXACT INTEGER arithmetic with the
-    * md5 codebook, so every stage sits on the DuckDB hash gate (the
-    * KMeans-trained path self-certifies via recall instead, like
-    * q28's IVF). Vectors quantize as `floor(v·scale)`; all
+    * md5 codebook, so every stage sits on the DuckDB hash gate —
+    * gated as q103 (the KMeans-trained path self-certifies via recall
+    * in the same gate row, like q28's IVF). Vectors quantize as
+    * `floor(v·scale)`; all
     * intermediates fit comfortably in BIGINT (|qv| ≲ scale, |w| ≤
     * 256 ⇒ |ADC| ≤ m·dsub·scale·256 ≈ 2²⁴ at the defaults). Output
     * (query_id, neighbor_id, rk, adc_score), rk ≤ topK by descending
@@ -744,6 +836,92 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("neighbor_id").asc)
     enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_score", adc)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("adc_score"))
+  }
+
+  /** PORTABLE IVF×PQ — the composed index ([[ivfPqTopK]]) with every
+    * trained component replaced by its exact-integer twin, so the FULL
+    * composition sits on the DuckDB hash gate: hash-chosen pivots +
+    * integer-L2 cell routing from [[annIvfPortable]] (q63), md5-derived
+    * codebook + integer argmin encode + integer ADC from [[pqPortable]]
+    * (q103), and the ADC pass restricted to the `nprobe` probed cells —
+    * the defining IVF×PQ property (score codes, and only in probed
+    * cells) replayed verbatim by any engine with md5 and BIGINT math.
+    * Output (query_id, neighbor_id, rk, adc_score), rk ≤ topK by
+    * descending ADC, ties to the lower neighbor id.
+    */
+  def annIvfPqPortable(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      numPivots: Int = 16, nprobe: Int = 4, m: Int = 8, numCodes: Int = 16,
+      topK: Int = 5, scale: Int = 256): DataFrame = {
+    require(numPivots > 0 && nprobe > 0 && nprobe <= numPivots && topK > 0,
+      s"need 0 < nprobe <= numPivots and topK > 0")
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val cbInts = pqPortableCodebook(m, numCodes, dsub)
+    val cb = typedlit(cbInts.map(_.map(_.toSeq).toSeq).toSeq)
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long"))
+    def dot(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.LongDotProduct(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(a),
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(b)))
+    def dist(a: Column, b: Column): Column =
+      dot(a, a) + dot(b, b) - lit(2L) * dot(a, b)
+    val c = corpus.select(col(idCol).as("__id"), qv.as("__qv"))
+    val pivots = c
+      .withColumn("__h", Sampling.unitHash(col("__id")))
+      .orderBy(col("__h"), col("__id"))
+      .limit(numPivots)
+      .select(col("__id").as("__pid"), col("__qv").as("__pv"))
+    val cellOf = c.crossJoin(broadcast(pivots))
+      .select(col("__id"), col("__pid"),
+        dist(col("__qv"), col("__pv")).as("__dist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__dist"), col("__pid"))))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as("neighbor_id"), col("__pid").as("__cell"))
+    val codes = transform(sequence(lit(0), lit(m - 1)), sub => {
+      val dists = transform(element_at(cb, sub + 1), cent =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
+          (acc, j) => {
+            val d = element_at(col("__qv"), (sub * dsub + j + 1).cast("int")) -
+              element_at(cent, j + 1)
+            acc + d * d
+          }))
+      array_position(dists, array_min(dists)) - 1
+    })
+    val enc = c.withColumn("__codes", codes)
+      .select(col("__id").as("neighbor_id"), col("__codes"))
+      .join(cellOf, "neighbor_id")
+    val probes = queries.select(col(idCol).as("__qid"), qv.as("__qqv"))
+      .crossJoin(broadcast(pivots))
+      .select(col("__qid"), col("__qqv"), col("__pid"),
+        dist(col("__qqv"), col("__pv")).as("__dist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__qid").orderBy(col("__dist"), col("__pid"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__qid"), col("__qqv"), col("__pid").as("__cell"))
+    val lut = flatten(transform(sequence(lit(0), lit(m - 1)), sub =>
+      transform(element_at(cb, sub + 1), cent =>
+        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
+          (acc, j) => acc + element_at(col("__qqv"),
+            (sub * dsub + j + 1).cast("int")) * element_at(cent, j + 1)))))
+    val probedQ = probes.withColumn("__lut", lut)
+      .select(col("__qid").as("query_id"), col("__cell"), col("__lut"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, sub) => acc + element_at(col("__lut"),
+        (sub * numCodes).cast("int") +
+          element_at(col("__codes"), sub + 1).cast("int") + 1))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    enc.join(broadcast(probedQ), Seq("__cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_score", adc)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
