@@ -320,6 +320,204 @@ object MediaQueries {
       |  FROM ham
       |) ORDER BY stage, id_a, id_b""".stripMargin
 
+  /** VIDEO perceptual dedup on the full hash gate
+    * ([[graft.operators.MediaHash.videoTemporalHash]] over
+    * [[graft.operators.VideoCodec.decodeFrames]] at stride 2): renders
+    * REAL 130-frame DIB AVIs (solid frames, the q53 formula colors) in
+    * planted trios per nation — base, an fps-retimed container twin
+    * (+1000), and a 2×-upscaled resolution twin (+2000) — then
+    * hash-pins every video's 64-bit temporal dHash (as two 32-bit
+    * halves) against a pure-arithmetic DuckDB replay of the frame-color
+    * formula, plus the banded hamming pairs among the trios (all
+    * hamming 0: the hash is provably invariant to fps and resolution,
+    * the two classic re-encode perturbations — while the bytes differ
+    * wildly). A frame-sampling bug, a luminance slip, a bucket-boundary
+    * error, or a lost banding pair all break the hash. Pair rows are
+    * restricted to the planted offsets (the q102 robustness pattern).
+    */
+  def q105VideoVhash(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{MediaHash, VideoCodec}
+    import graft.operators.VideoCodec.VideoSpec
+    val nations = Tables.nation(spark, d)
+      .select(col("n_nationkey").cast("long").as("k")).as[Long].collect().sorted
+
+    val specs = nations.flatMap { k =>
+      val w = 6 + (k % 3).toInt; val h = 5 + (k % 2).toInt
+      val (r0, g0, b0) =
+        (((k * 37) % 256).toInt, ((k * 59) % 256).toInt, ((k * 83) % 256).toInt)
+      Seq(
+        VideoSpec(k, w, h, 130, r0, g0, b0, 10, "DIB "),
+        VideoSpec(k + 1000, w, h, 130, r0, g0, b0, 25, "DIB "),
+        VideoSpec(k + 2000, 2 * w, 2 * h, 130, r0, g0, b0, 10, "DIB "))
+    }
+    val frames = VideoCodec.decodeFrames(VideoCodec.renderAvis(
+      spark.createDataset(specs.toSeq).repartition(4)), stride = 2)
+    val hashes = MediaHash.videoTemporalHash(frames.toDF(), timeBuckets = 65)
+      .cache()
+
+    val hashRows = hashes
+      .select(lit("hash").as("stage"), col("media_id").as("id_a"),
+        lit(-1L).as("id_b"),
+        col("vhash").bitwiseAND(lit(4294967295L)).as("a"),
+        shiftrightunsigned(col("vhash"), 32).as("b"))
+    val pairRows = graft.operators.ImageHash.hammingPairs(
+        hashes, "media_id", "vhash", maxHamming = 3)
+      .filter((col("id_b") - col("id_a")).isin(1000L, 2000L) &&
+        col("id_a") % 1000 === col("id_b") % 1000)
+      .select(lit("pair").as("stage"), col("id_a"), col("id_b"),
+        col("hamming").as("a"),
+        expr("CAST((id_b - id_a) DIV 1000 AS BIGINT)").as("b"))
+
+    val out = hashRows.unionByName(pairRows)
+      .orderBy("stage", "id_a", "id_b").localCheckpoint()
+    hashes.unpersist(blocking = false)
+    out
+  }
+
+  /** The temporal dHash replayed from the frame-color formula: sampled
+    * frame p (stride 2 ⇒ frame 2p) has solid color
+    * ((r0+14p)%256, (g0+22p)%256, (b0+26p)%256); with 65 sampled
+    * frames in 65 buckets, bit p = lum(p+1) > lum(p) (the w·h pixel
+    * factor cancels in every comparison — the resolution invariance
+    * the +2000 twin exercises for real).
+    */
+  val q105Sql: String =
+    """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |v(voff) AS (VALUES (CAST(0 AS BIGINT)), (CAST(1000 AS BIGINT)),
+      |                   (CAST(2000 AS BIGINT))),
+      |lum AS (
+      |  SELECT k.k, p.range AS p,
+      |    299*((k.k*37 + 14*p.range) % 256)
+      |      + 587*((k.k*59 + 22*p.range) % 256)
+      |      + 114*((k.k*83 + 26*p.range) % 256) AS lum
+      |  FROM k, range(65) p),
+      |bits AS (
+      |  SELECT * FROM (
+      |    SELECT k, p,
+      |      CASE WHEN lead(lum) OVER (PARTITION BY k ORDER BY p) > lum
+      |           THEN 1 ELSE 0 END AS bit
+      |    FROM lum) WHERE p < 64),
+      |hashes AS (
+      |  SELECT k,
+      |    CAST(SUM(CASE WHEN p < 32 THEN bit * (CAST(1 AS BIGINT) << p)
+      |             ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN p >= 32 THEN bit * (CAST(1 AS BIGINT) << (p-32))
+      |             ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY k)
+      |SELECT stage, id_a, id_b, a, b FROM (
+      |  SELECT 'hash' AS stage, h.k + v.voff AS id_a,
+      |         CAST(-1 AS BIGINT) AS id_b, h.lo AS a, h.hi AS b
+      |  FROM hashes h, v
+      |  UNION ALL
+      |  SELECT 'pair', h.k + a.voff, h.k + b.voff, CAST(0 AS BIGINT),
+      |         CAST((b.voff - a.voff) // 1000 AS BIGINT)
+      |  FROM hashes h, v a, v b WHERE a.voff < b.voff
+      |) ORDER BY stage, id_a, id_b""".stripMargin
+
+  /** AUDIO perceptual dedup on the full hash gate
+    * ([[graft.operators.MediaHash.audioEnergyHash]] over REAL rendered
+    * WAVE bytes): 65-segment amplitude-modulated square waves
+    * ([[graft.operators.MediaHash.SegAudioSpec]], md5-derived tones) in
+    * planted trios per nation — base, a +1-per-segment noise twin
+    * (+1000, provably hash-invariant with different bytes), and a
+    * one-segment re-levelled twin (+3000, a controlled ≤2-bit
+    * perturbation) — hash-pinning every 64-bit energy dHash and the
+    * banded hamming pairs among the trios against the pure-arithmetic
+    * tone replay. A PCM decode slip, an energy-bucket boundary error,
+    * a wrong rectification, or a banding miss all break the hash.
+    */
+  def q106AudioAhash(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.MediaHash
+    import graft.operators.MediaHash.SegAudioSpec
+    val nations = Tables.nation(spark, d)
+      .select(col("n_nationkey").cast("long").as("k")).as[Long].collect().sorted
+
+    val specs = nations.flatMap { k =>
+      Seq(
+        SegAudioSpec(k, k, 65, 32, -1, noise = false),
+        SegAudioSpec(k + 1000, k, 65, 32, -1, noise = true),
+        SegAudioSpec(k + 3000, k, 65, 32, (k % 65).toInt, noise = false))
+    }
+    val hashes = MediaHash.audioEnergyHash(MediaHash.renderSegWavs(
+      spark.createDataset(specs.toSeq).repartition(4)), timeBuckets = 65)
+      .toDF().cache()
+
+    val hashRows = hashes
+      .select(lit("hash").as("stage"), col("media_id").as("id_a"),
+        lit(-1L).as("id_b"),
+        col("ahash").bitwiseAND(lit(4294967295L)).as("a"),
+        shiftrightunsigned(col("ahash"), 32).as("b"))
+    val pairRows = graft.operators.ImageHash.hammingPairs(
+        hashes, "media_id", "ahash", maxHamming = 3)
+      .filter((col("id_b") - col("id_a")).isin(1000L, 2000L, 3000L) &&
+        col("id_a") % 1000 === col("id_b") % 1000)
+      .select(lit("pair").as("stage"), col("id_a"), col("id_b"),
+        col("hamming").as("a"),
+        expr("CAST((id_b - id_a) DIV 1000 AS BIGINT)").as("b"))
+
+    val out = hashRows.unionByName(pairRows)
+      .orderBy("stage", "id_a", "id_b").localCheckpoint()
+    hashes.unpersist(blocking = false)
+    out
+  }
+
+  /** The energy dHash replayed from the segment-tone formula: segment
+    * s's rectified energy sum is 32·amp (+1 on the noise twin — equal
+    * counts, so every comparison is unchanged); the flip twin maps one
+    * segment's tone through 14000−amp, touching only its two adjacent
+    * comparisons.
+    */
+  val q106Sql: String =
+    """WITH k AS (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation),
+      |v(variant, voff) AS (VALUES (0, CAST(0 AS BIGINT)),
+      |                            (1, CAST(1000 AS BIGINT)),
+      |                            (3, CAST(3000 AS BIGINT))),
+      |seg AS (
+      |  SELECT k.k, s.range AS s,
+      |    CASE WHEN CAST(('0x' || substr(md5(
+      |           CAST(k.k AS VARCHAR) || '-' || CAST(s.range AS VARCHAR)
+      |           ), 1, 1)) AS INT) >= 8
+      |      THEN 12000 ELSE 2000 END AS amp
+      |  FROM k, range(65) s),
+      |cell AS (
+      |  SELECT g.k, v.variant, v.voff, g.s,
+      |    CAST(32 AS BIGINT) * (CASE WHEN v.variant = 3 AND g.s = g.k % 65
+      |      THEN 14000 - g.amp ELSE g.amp END)
+      |      + (CASE WHEN v.variant = 1 THEN 1 ELSE 0 END) AS esum
+      |  FROM seg g, v),
+      |bits AS (
+      |  SELECT * FROM (
+      |    SELECT k, variant, voff, s,
+      |      CASE WHEN lead(esum) OVER (PARTITION BY k, variant ORDER BY s)
+      |                > esum THEN 1 ELSE 0 END AS bit
+      |    FROM cell) WHERE s < 64),
+      |hashes AS (
+      |  SELECT k, variant, voff,
+      |    CAST(SUM(CASE WHEN s < 32 THEN bit * (CAST(1 AS BIGINT) << s)
+      |             ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN s >= 32 THEN bit * (CAST(1 AS BIGINT) << (s-32))
+      |             ELSE 0 END) AS BIGINT) AS hi
+      |  FROM bits GROUP BY k, variant, voff),
+      |ham AS (
+      |  SELECT a.k, a.voff AS offa, b.voff AS offb,
+      |    CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS hamming
+      |  FROM bits a JOIN bits b
+      |    ON a.k = b.k AND a.s = b.s AND a.voff < b.voff
+      |  GROUP BY a.k, a.voff, b.voff
+      |)
+      |SELECT stage, id_a, id_b, a, b FROM (
+      |  SELECT 'hash' AS stage, k + voff AS id_a, CAST(-1 AS BIGINT) AS id_b,
+      |         lo AS a, hi AS b
+      |  FROM hashes
+      |  UNION ALL
+      |  SELECT 'pair', k + offa, k + offb, hamming,
+      |         CAST((offb - offa) // 1000 AS BIGINT)
+      |  FROM ham
+      |) ORDER BY stage, id_a, id_b""".stripMargin
+
   /** Pure arithmetic over nation: what a correct lossless codec
     * roundtrip MUST produce.
     */
