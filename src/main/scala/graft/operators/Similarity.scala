@@ -694,27 +694,32 @@ object Similarity {
   private def pqCodebookLit(model: PqModel): Column =
     typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
 
-  /** Encode every vector to its m nearest-subcentroid codes (L2 per
-    * subspace, ties to the lowest code). Declarative HOFs over the
-    * literal codebook — no UDF, no join; the output is (idCol,
-    * `codes` array<int> of length m).
+  /** The m nearest-subcentroid codes of `vecCol` (L2 per subspace,
+    * ties to the lowest code) as a column expression — declarative
+    * HOFs over the literal codebook, composable into any projection
+    * (no UDF, no join).
     */
-  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               model: PqModel): DataFrame = {
+  def pqCodes(vecCol: Column, model: PqModel): Column = {
     val cb = pqCodebookLit(model)
-    val codes = transform(sequence(lit(0), lit(model.m - 1)), sub => {
+    transform(sequence(lit(0), lit(model.m - 1)), sub => {
       val dists = transform(element_at(cb, sub + 1), cent =>
         aggregate(sequence(lit(0), lit(model.dsub - 1)), lit(0.0d),
           (acc, j) => {
-            val d = element_at(col(vecCol),
+            val d = element_at(vecCol,
               (sub * model.dsub + j + 1).cast("int")).cast("double") -
               element_at(cent, j + 1)
             acc + d * d
           }))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     })
-    df.select(col(idCol), codes.as("codes"))
   }
+
+  /** Encode every vector to its PQ codes: (idCol, `codes` array<int>
+    * of length m) via [[pqCodes]].
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame =
+    df.select(col(idCol), pqCodes(col(vecCol), model).as("codes"))
 
   /** ADC top-k: per query build the m×numCodes dot-product lookup
     * table ONCE (a HOF over the literal codebook on the tiny query
@@ -809,13 +814,13 @@ object Similarity {
           val dd = element_at(vec, j + 1).cast("double") - element_at(cent, j + 1)
           acc + dd * dd
         }))
-    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+    // the persistent index a real deployment stores: (id, cell, codes)
+    // — ONE projection of the corpus scan; cells and codes must never
+    // meet through a corpus-sized self-join
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      pqCodes(col(vecCol), pq).as("codes"),
       (array_position(nearestDists(col(vecCol)),
         array_min(nearestDists(col(vecCol)))) - 1).cast("int").as("__cell"))
-    // the persistent index a real deployment stores: (id, cell, codes)
-    val enc = pqEncode(corpus, idCol, vecCol, pq)
-      .withColumnRenamed(idCol, "neighbor_id")
-      .join(assigned, "neighbor_id")
     val probes = queries
       .select(col(idCol).as("query_id"),
         posexplode(nearestDists(col(vecCol))).as(Seq("__cell0", "__d2")))
