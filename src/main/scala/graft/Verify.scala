@@ -23,6 +23,12 @@ object Verify {
     // SPARK_GRAFT_BENCH_ONLY). Unset = the full driver contract.
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail LOUDLY, not "verify" zero queries green
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"GRAFT_VERIFY_ONLY names no registered query: ${unknown.mkString(", ")}")
+    }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>

@@ -37,10 +37,10 @@ import org.apache.spark.sql.functions._
   * nothing (mapPartitions at the codec boundary — executors scale it);
   * the video hash is one small groupBy over per-FRAME stat rows
   * (16 B/frame), and everything downstream of either hash is the
-  * 16 B/row hamming join. Bucket sums × counts stay in Long for any
-  * realistic video (lum_sum ≤ 255000·w·h·frames_per_bucket); the audio
-  * side cross-multiplies in BigInt because hour-long PCM × bucket
-  * counts can genuinely exceed 2⁶³.
+  * 16 B/row hamming join. Both comparisons cross-multiply in
+  * overflow-proof arithmetic (DECIMAL(38,0) in the SQL video path,
+  * BigInt in the JVM audio path) — hour-long PCM or dense 8K frame
+  * sums × bucket counts genuinely exceed 2⁶³.
   *
   * Reference scope: the reference engine (sosna/sdlt) has no media
   * surface; this is the training-data-pipeline mandate (multimodal
@@ -80,8 +80,13 @@ object MediaHash {
         s"aggregate(sequence(0, __ns - 1), CAST(0 AS BIGINT), " +
         s"(acc, i) -> acc + IF((i * $b) DIV __ns = bk, CAST(1 AS BIGINT), CAST(0 AS BIGINT))))"))
       .select(col("media_id"),
+        // DECIMAL(38,0) cross-multiply: an 8K video's bucket sums ×
+        // counts genuinely exceed 2⁶³ (the same reason the audio twin
+        // compares in BigInt) — a raw BIGINT multiply would wrap and
+        // silently flip bits
         expr(s"aggregate(sequence(0, $b - 2), CAST(0 AS BIGINT), (acc, j) -> " +
-          "acc + IF(__sums[j + 1] * __cnts[j] > __sums[j] * __cnts[j + 1], " +
+          "acc + IF(CAST(__sums[j + 1] AS DECIMAL(38,0)) * __cnts[j] > " +
+          "CAST(__sums[j] AS DECIMAL(38,0)) * __cnts[j + 1], " +
           "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))").as("vhash"),
         col("__ns").as("n_frames_sampled"))
   }

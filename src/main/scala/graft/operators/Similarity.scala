@@ -587,13 +587,6 @@ object Similarity {
               maxFitRows: Long = 100000L,
               fitFraction: Double = 0.0): PqModel = {
     require(m > 0 && numCodes > 1)
-    // same fit-sample bounds as fitQuantizer (ADVICE r12): a negative
-    // fitFraction reaches DataFrame.sample with an obscure error, and
-    // maxFitRows > Int.MaxValue overflows .toInt into a negative limit
-    require(maxFitRows > 0 && maxFitRows <= Int.MaxValue,
-      s"maxFitRows must be in (0, ${Int.MaxValue}], got $maxFitRows")
-    require(fitFraction >= 0.0 && fitFraction <= 1.0,
-      s"fitFraction must be in [0, 1] (0 = auto), got $fitFraction")
     val base = corpus.select(col(vecCol).as("__v"))
     val dim = base.select(size(col("__v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -607,6 +600,14 @@ object Similarity {
     */
   private def collectFitSample(base: DataFrame, maxFitRows: Long,
       fitFraction: Double, seed: Long): Array[Array[Double]] = {
+    // bounds guard EVERY caller (ADVICE r12, generalized here): a
+    // negative fitFraction reaches DataFrame.sample with an obscure
+    // error, and maxFitRows > Int.MaxValue overflows .toInt into a
+    // negative limit
+    require(maxFitRows > 0 && maxFitRows <= Int.MaxValue,
+      s"maxFitRows must be in (0, ${Int.MaxValue}], got $maxFitRows")
+    require(fitFraction >= 0.0 && fitFraction <= 1.0,
+      s"fitFraction must be in [0, 1] (0 = auto), got $fitFraction")
     val fitInput = (if (fitFraction == 0.0) {
       val n = base.count()
       if (n <= maxFitRows) base
@@ -899,39 +900,60 @@ object Similarity {
     val cb = typedlit(cbInts.map(_.map(_.toSeq).toSeq).toSeq)
     val qv = transform(col(vecCol),
       x => floor(x.cast("double") * scale).cast("long"))
-    val codes = transform(sequence(lit(0), lit(m - 1)), sub => {
+    val enc = corpus.select(col(idCol).as("neighbor_id"), qv.as("__qv"))
+      .withColumn("__codes", portableCodes(cb, m, dsub, col("__qv")))
+      .select("neighbor_id", "__codes")
+    val q = queries.select(col(idCol).as("query_id"), qv.as("__qv"))
+      .withColumn("__lut", portableLut(cb, m, dsub, col("__qv")))
+      .select("query_id", "__lut")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
+    enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_score",
+        portableAdc(m, numCodes, col("__lut"), col("__codes")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("neighbor_id"), col("rk"), col("adc_score"))
+  }
+
+  // the three exact-integer expression builders shared by pqPortable
+  // (q103) and annIvfPqPortable (q104) — ONE definition, so a fix to
+  // tie-breaking or index arithmetic cannot drift between the two gates
+
+  /** Integer argmin PQ codes of a quantized vector against the literal
+    * codebook (ties to the lowest code).
+    */
+  private def portableCodes(cb: Column, m: Int, dsub: Int,
+      vec: Column): Column =
+    transform(sequence(lit(0), lit(m - 1)), sub => {
       val dists = transform(element_at(cb, sub + 1), cent =>
         aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
           (acc, j) => {
-            val d = element_at(col("__qv"), (sub * dsub + j + 1).cast("int")) -
+            val d = element_at(vec, (sub * dsub + j + 1).cast("int")) -
               element_at(cent, j + 1)
             acc + d * d
           }))
       array_position(dists, array_min(dists)) - 1
     })
-    val enc = corpus.select(col(idCol).as("neighbor_id"), qv.as("__qv"))
-      .withColumn("__codes", codes)
-      .select("neighbor_id", "__codes")
-    val lut = flatten(transform(sequence(lit(0), lit(m - 1)), sub =>
+
+  /** Flattened m×numCodes integer ADC lookup table of a quantized
+    * query vector (entry sub·numCodes+code = subvector · centroid).
+    */
+  private def portableLut(cb: Column, m: Int, dsub: Int,
+      vec: Column): Column =
+    flatten(transform(sequence(lit(0), lit(m - 1)), sub =>
       transform(element_at(cb, sub + 1), cent =>
         aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
-          (acc, j) => acc + element_at(col("__qv"),
+          (acc, j) => acc + element_at(vec,
             (sub * dsub + j + 1).cast("int")) * element_at(cent, j + 1)))))
-    val q = queries.select(col(idCol).as("query_id"), qv.as("__qv"))
-      .withColumn("__lut", lut)
-      .select("query_id", "__lut")
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
-      (acc, sub) => acc + element_at(col("__lut"),
+
+  /** m-lookup ADC score: Σ_sub lut[sub·numCodes + codes[sub]]. */
+  private def portableAdc(m: Int, numCodes: Int, lut: Column,
+      codes: Column): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, sub) => acc + element_at(lut,
         (sub * numCodes).cast("int") +
-          element_at(col("__codes"), sub + 1).cast("int") + 1))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_score").desc, col("neighbor_id").asc)
-    enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_score", adc)
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= topK)
-      .select(col("query_id"), col("neighbor_id"), col("rk"), col("adc_score"))
-  }
+          element_at(codes, sub + 1).cast("int") + 1))
 
   /** PORTABLE IVF×PQ — the composed index ([[ivfPqTopK]]) with every
     * trained component replaced by its exact-integer twin, so the FULL
@@ -977,17 +999,8 @@ object Similarity {
         Window.partitionBy("__id").orderBy(col("__dist"), col("__pid"))))
       .filter(col("__rn") === 1)
       .select(col("__id").as("neighbor_id"), col("__pid").as("__cell"))
-    val codes = transform(sequence(lit(0), lit(m - 1)), sub => {
-      val dists = transform(element_at(cb, sub + 1), cent =>
-        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
-          (acc, j) => {
-            val d = element_at(col("__qv"), (sub * dsub + j + 1).cast("int")) -
-              element_at(cent, j + 1)
-            acc + d * d
-          }))
-      array_position(dists, array_min(dists)) - 1
-    })
-    val enc = c.withColumn("__codes", codes)
+    val enc = c
+      .withColumn("__codes", portableCodes(cb, m, dsub, col("__qv")))
       .select(col("__id").as("neighbor_id"), col("__codes"))
       .join(cellOf, "neighbor_id")
     val probes = queries.select(col(idCol).as("__qid"), qv.as("__qqv"))
@@ -998,22 +1011,15 @@ object Similarity {
         Window.partitionBy("__qid").orderBy(col("__dist"), col("__pid"))))
       .filter(col("__rn") <= nprobe)
       .select(col("__qid"), col("__qqv"), col("__pid").as("__cell"))
-    val lut = flatten(transform(sequence(lit(0), lit(m - 1)), sub =>
-      transform(element_at(cb, sub + 1), cent =>
-        aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L),
-          (acc, j) => acc + element_at(col("__qqv"),
-            (sub * dsub + j + 1).cast("int")) * element_at(cent, j + 1)))))
-    val probedQ = probes.withColumn("__lut", lut)
+    val probedQ = probes
+      .withColumn("__lut", portableLut(cb, m, dsub, col("__qqv")))
       .select(col("__qid").as("query_id"), col("__cell"), col("__lut"))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
-      (acc, sub) => acc + element_at(col("__lut"),
-        (sub * numCodes).cast("int") +
-          element_at(col("__codes"), sub + 1).cast("int") + 1))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_score").desc, col("neighbor_id").asc)
     enc.join(broadcast(probedQ), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_score", adc)
+      .withColumn("adc_score",
+        portableAdc(m, numCodes, col("__lut"), col("__codes")))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("adc_score"))

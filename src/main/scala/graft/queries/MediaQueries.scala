@@ -240,24 +240,34 @@ object MediaQueries {
           noise = false))
     }
     val hashes = ImageHash.dHash(ImageHash.renderBlockImages(
-      spark.createDataset(specs.toSeq).repartition(4))).cache()
+      spark.createDataset(specs.toSeq).repartition(4))).toDF().cache()
+    hashPairGate(hashes, "dhash", Seq(1000L, 2000L, 3000L))
+  }
 
+  /** The shared gate tail of the perceptual-dedup queries
+    * (q102/q105/q106): pin every 64-bit fingerprint as two 32-bit
+    * BIGINT halves, pair via the banded hamming join RESTRICTED to the
+    * planted id offsets (provable ground truth at any corpus — the q29
+    * robustness pattern), union, materialize eagerly, and drop the
+    * upstream cache (ADVICE r12: a long-lived session must not rely on
+    * LRU eviction). One definition so a fix to the hash packing, the
+    * offset filter, or the persist discipline cannot drift between the
+    * three modality gates.
+    */
+  private def hashPairGate(hashes: DataFrame, hashCol: String,
+      offsets: Seq[Long]): DataFrame = {
     val hashRows = hashes
       .select(lit("hash").as("stage"), col("media_id").as("id_a"),
         lit(-1L).as("id_b"),
-        col("dhash").bitwiseAND(lit(4294967295L)).as("a"),
-        shiftrightunsigned(col("dhash"), 32).as("b"))
-    val pairRows = ImageHash.hammingPairs(hashes.toDF(), "media_id", "dhash",
-        maxHamming = 3)
-      .filter((col("id_b") - col("id_a")).isin(1000L, 2000L, 3000L) &&
+        col(hashCol).bitwiseAND(lit(4294967295L)).as("a"),
+        shiftrightunsigned(col(hashCol), 32).as("b"))
+    val pairRows = graft.operators.ImageHash.hammingPairs(
+        hashes, "media_id", hashCol, maxHamming = 3)
+      .filter((col("id_b") - col("id_a")).isin(offsets: _*) &&
         col("id_a") % 1000 === col("id_b") % 1000)
       .select(lit("pair").as("stage"), col("id_a"), col("id_b"),
         col("hamming").as("a"),
         expr("CAST((id_b - id_a) DIV 1000 AS BIGINT)").as("b"))
-
-    // materialize the (tiny) result eagerly so the rendered-image cache
-    // can be dropped now instead of lingering for LRU eviction in a
-    // long-lived session (ADVICE r12)
     val out = hashRows.unionByName(pairRows)
       .orderBy("stage", "id_a", "id_b").localCheckpoint()
     hashes.unpersist(blocking = false)
@@ -355,24 +365,7 @@ object MediaQueries {
       spark.createDataset(specs.toSeq).repartition(4)), stride = 2)
     val hashes = MediaHash.videoTemporalHash(frames.toDF(), timeBuckets = 65)
       .cache()
-
-    val hashRows = hashes
-      .select(lit("hash").as("stage"), col("media_id").as("id_a"),
-        lit(-1L).as("id_b"),
-        col("vhash").bitwiseAND(lit(4294967295L)).as("a"),
-        shiftrightunsigned(col("vhash"), 32).as("b"))
-    val pairRows = graft.operators.ImageHash.hammingPairs(
-        hashes, "media_id", "vhash", maxHamming = 3)
-      .filter((col("id_b") - col("id_a")).isin(1000L, 2000L) &&
-        col("id_a") % 1000 === col("id_b") % 1000)
-      .select(lit("pair").as("stage"), col("id_a"), col("id_b"),
-        col("hamming").as("a"),
-        expr("CAST((id_b - id_a) DIV 1000 AS BIGINT)").as("b"))
-
-    val out = hashRows.unionByName(pairRows)
-      .orderBy("stage", "id_a", "id_b").localCheckpoint()
-    hashes.unpersist(blocking = false)
-    out
+    hashPairGate(hashes, "vhash", Seq(1000L, 2000L))
   }
 
   /** The temporal dHash replayed from the frame-color formula: sampled
@@ -443,24 +436,7 @@ object MediaQueries {
     val hashes = MediaHash.audioEnergyHash(MediaHash.renderSegWavs(
       spark.createDataset(specs.toSeq).repartition(4)), timeBuckets = 65)
       .toDF().cache()
-
-    val hashRows = hashes
-      .select(lit("hash").as("stage"), col("media_id").as("id_a"),
-        lit(-1L).as("id_b"),
-        col("ahash").bitwiseAND(lit(4294967295L)).as("a"),
-        shiftrightunsigned(col("ahash"), 32).as("b"))
-    val pairRows = graft.operators.ImageHash.hammingPairs(
-        hashes, "media_id", "ahash", maxHamming = 3)
-      .filter((col("id_b") - col("id_a")).isin(1000L, 2000L, 3000L) &&
-        col("id_a") % 1000 === col("id_b") % 1000)
-      .select(lit("pair").as("stage"), col("id_a"), col("id_b"),
-        col("hamming").as("a"),
-        expr("CAST((id_b - id_a) DIV 1000 AS BIGINT)").as("b"))
-
-    val out = hashRows.unionByName(pairRows)
-      .orderBy("stage", "id_a", "id_b").localCheckpoint()
-    hashes.unpersist(blocking = false)
-    out
+    hashPairGate(hashes, "ahash", Seq(1000L, 2000L, 3000L))
   }
 
   /** The energy dHash replayed from the segment-tone formula: segment

@@ -2310,9 +2310,13 @@ object PipelineQueries {
   def q103PqPortable(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val queries = emb.filter(col("vec_id") < 10)
+    // localCheckpoint: the flag's plan references this twice (recall
+    // join + __exp count) — without materialization the corpus-wide
+    // brute-force scoring would execute twice
     val floatExact = Similarity.bruteForceTopK(queries, emb, "vec_id",
         "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id")).distinct()
+      .localCheckpoint()
     val model = Similarity.pqTrain(emb, "embedding", m = 8, numCodes = 16)
     val recallFlag = Similarity.pqAdcTopK(queries, emb, "vec_id",
         "embedding", model, k = 5, rescoreFactor = 32)
@@ -2390,9 +2394,11 @@ object PipelineQueries {
   def q104IvfPqPortable(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val queries = emb.filter(col("vec_id") < 10)
+    // localCheckpoint: referenced twice by the flag plan (see q103)
     val floatExact = Similarity.bruteForceTopK(queries, emb, "vec_id",
         "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id")).distinct()
+      .localCheckpoint()
     val recallFlag = Similarity.ivfPqTopK(queries, emb, "vec_id",
         "embedding", k = 5, numCells = 16, nprobe = 10, m = 8,
         numCodes = 16, rescoreFactor = 16)

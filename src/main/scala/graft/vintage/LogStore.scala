@@ -226,20 +226,20 @@ object HadoopLogStore extends org.apache.spark.internal.Logging {
             java.lang.Boolean.TRUE
           } catch {
             case _: UnsupportedOperationException => java.lang.Boolean.FALSE
-            // only an EPERM-class reason is a MOUNT property worth
-            // caching; NoSuchFile/AlreadyExists/AccessDenied on the
-            // throwaway files are per-file states that must not route
-            // this dir onto the rename path for the JVM lifetime
+            // EPERM-class = a FileSystemException that is NOT one of
+            // the per-file-state subclasses (NoSuchFile/AlreadyExists/
+            // AccessDenied on the throwaway files — those must not
+            // route the dir onto the rename path for the JVM
+            // lifetime). Classification is by SUBCLASS, deliberately
+            // not by getReason text: the reason is a localized
+            // strerror ("Opération non permise"), so a string match
+            // would leave non-English hosts permanently inconclusive —
+            // rethrowing every commit error instead of degrading.
             case e: java.nio.file.FileSystemException
                 if !e.isInstanceOf[java.nio.file.NoSuchFileException] &&
                    !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] &&
-                   !e.isInstanceOf[java.nio.file.AccessDeniedException] &&
-                   Option(e.getReason).exists { r =>
-                     val lr = r.toLowerCase(java.util.Locale.ROOT)
-                     lr.contains("not permitted") ||
-                     lr.contains("not supported") ||
-                     lr.contains("cross-device")
-                   } => java.lang.Boolean.FALSE
+                   !e.isInstanceOf[java.nio.file.AccessDeniedException] =>
+              java.lang.Boolean.FALSE
             case _: java.io.IOException => null // inconclusive
           }
       } finally {
