@@ -696,11 +696,23 @@ object Similarity {
     typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** The m nearest-subcentroid codes of `vecCol` (L2 per subspace,
-    * ties to the lowest code) as a column expression — declarative
-    * HOFs over the literal codebook, composable into any projection
-    * (no UDF, no join).
+    * ties to the lowest code) as a column expression — the codegen'd
+    * [[graft.functions.PqEncodeCodes]] kernel (the index-BUILD hot
+    * loop: m·numCodes·dsub multiply-adds per corpus row stays inside
+    * whole-stage codegen; the interpreted HOF reference form
+    * [[pqCodesHof]] is bit-equality-pinned in PqOpsSpec).
     */
-  def pqCodes(vecCol: Column, model: PqModel): Column = {
+  def pqCodes(vecCol: Column, model: PqModel): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(vecCol),
+        model.codebooks))
+
+  /** The declarative HOF formulation of [[pqCodes]] — kept as the
+    * reference semantics (PqOpsSpec pins bit-equality to the codegen'd
+    * kernel on real embeddings).
+    */
+  def pqCodesHof(vecCol: Column, model: PqModel): Column = {
     val cb = pqCodebookLit(model)
     transform(sequence(lit(0), lit(model.m - 1)), sub => {
       val dists = transform(element_at(cb, sub + 1), cent =>
@@ -743,9 +755,12 @@ object Similarity {
             (sub * model.dsub + j + 1).cast("int")).cast("double") *
             element_at(cent, j + 1)))))
     val q = queries.select(col(idCol).as("query_id"), lut.as("__lut"))
-    val adc = aggregate(sequence(lit(0), lit(model.m - 1)), lit(0.0d),
-      (acc, sub) => acc + element_at(col("__lut"),
-        sub * model.numCodes + element_at(col("codes"), sub + 1) + 1))
+    // codegen'd m-lookup scoring — the index-QUERY hot loop
+    val adc = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.PqAdcScore(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__lut")),
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col("codes")),
+        model.numCodes))
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("__adc").desc, col("neighbor_id").asc)
     val candidates = enc.join(broadcast(q),
@@ -839,9 +854,12 @@ object Similarity {
             element_at(cent, j + 1)))))
     val qlut = queries.select(col(idCol).as("query_id"), lut.as("__lut"))
     val probedQ = probes.join(qlut, "query_id")
-    val adc = aggregate(sequence(lit(0), lit(pq.m - 1)), lit(0.0d),
-      (acc, sub) => acc + element_at(col("__lut"),
-        sub * pq.numCodes + element_at(col("codes"), sub + 1) + 1))
+    // codegen'd m-lookup scoring (see pqAdcTopK)
+    val adc = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.PqAdcScore(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__lut")),
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col("codes")),
+        pq.numCodes))
     val candidates = enc.join(broadcast(probedQ), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__adc", adc)
