@@ -832,11 +832,16 @@ object Similarity {
         }))
     // the persistent index a real deployment stores: (id, cell, codes)
     // — ONE projection of the corpus scan; cells and codes must never
-    // meet through a corpus-sized self-join
+    // meet through a corpus-sized self-join. The cell is an argmin over
+    // numCells full-dim centroids = PqEncodeCodes with a single
+    // subspace — the same codegen'd kernel, so the whole index build
+    // (codes + cell) is one compiled pass per row
     val enc = corpus.select(col(idCol).as("neighbor_id"),
       pqCodes(col(vecCol), pq).as("codes"),
-      (array_position(nearestDists(col(vecCol)),
-        array_min(nearestDists(col(vecCol)))) - 1).cast("int").as("__cell"))
+      element_at(org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.PqEncodeCodes(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(col(vecCol)),
+          Array(ivfCenters))), 1).as("__cell"))
     val probes = queries
       .select(col(idCol).as("query_id"),
         posexplode(nearestDists(col(vecCol))).as(Seq("__cell0", "__d2")))
