@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale validation for the ANN/PQ tier (AnnSoakSpec forks
+  * this under a 2 GB heap, the ScaleSoak discipline): synthesizes an
+  * n-vector 64-dim corpus from pure codegen arithmetic with PLANTED
+  * nearest neighbors — query ids 0..99 are duplicated at id + n/2 with
+  * a one-dimension ε-perturbation (cosine ≈ 0.9999), so ground truth
+  * exists at ANY n with O(1) verification and no brute-force pass —
+  * then times the three index stages a real deployment runs:
+  *
+  *   1. TRAIN: codebook + coarse-cell fit from the bounded collected
+  *      sample (driver-local Lloyd's — cost independent of n);
+  *   2. BUILD: the (id, cell, codes) index — ONE compiled pass over
+  *      the corpus (PqEncodeCodes for codes + single-subspace reuse
+  *      for the cell), no shuffle, no join;
+  *   3. QUERY: ivfPqTopK end-to-end for the 100 planted queries
+  *      (probe → ADC over probed cells → cosine rescore), reporting
+  *      recall@1 of the planted neighbor.
+  *
+  * The planted pairs sit ~touching in space, so the only recall-loss
+  * modes are a Voronoi boundary straddle (rare) or a broken
+  * encode/probe/score stage (recall collapses toward 0) — the spec's
+  * floor is 0.9. A hidden corpus-sized collect, a persist sized to
+  * the corpus, or an accidental cartesian all fail loudly at 20M
+  * rows under the 2 GB cap.
+  *
+  * Prints one `ANNSOAK {json}` line. Args: nRows.
+  */
+object AnnSoak {
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def corpus(spark: SparkSession, n: Long): DataFrame = {
+    require(n % 2 == 0 && n >= 1000, s"n must be even and >= 1000, got $n")
+    val half = n / 2
+    // gid folds the 100 planted twins onto their base vector; the twin
+    // branch perturbs dimension 0 by +0.001 (cosine ~ 0.9999)
+    spark.range(0L, n, 1L,
+        math.max(spark.sparkContext.defaultParallelism.toLong, n / 250000L).toInt)
+      .withColumn("gid", expr(
+        s"case when id >= $half and id - $half < 100 then id - $half else id end"))
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 63), j -> " +
+        "cast(pmod(xxhash64(gid, j), 1000) as float) / 500.0f - 1.0f + " +
+        s"(case when j = 0 and id >= $half and id - $half < 100 " +
+        "then 0.001f else 0.0f end))"))
+      .select(col("id"), col("embedding"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toLong
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_SOAK_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions", 64)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName(s"graft-ann-soak-$n")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def r1s(v: Double): Double = math.rint(v * 10) / 10
+
+    val emb = corpus(spark, n)
+    val queries = emb.filter(col("id") < 100)
+
+    val (model, secTrain) = timed {
+      graft.operators.Similarity.pqTrain(emb, "embedding", m = 8,
+        numCodes = 16)
+    }
+    // the index-build pass in isolation: codes are forced via an
+    // aggregate so the optimizer cannot prune the encode away
+    val (_, secBuild) = timed {
+      emb.select(graft.operators.Similarity.pqCodes(col("embedding"), model)
+          .as("codes"))
+        .agg(sum(element_at(col("codes"), 1))).collect()
+    }
+    val (hits, secQuery) = timed {
+      graft.operators.Similarity.ivfPqTopK(queries, emb, "id", "embedding",
+          k = 1, numCells = 16, nprobe = 4, m = 8, numCodes = 16,
+          rescoreFactor = 8)
+        .filter(col("neighbor_id") === col("query_id") + lit(n / 2))
+        .count()
+    }
+    val json =
+      s"""{"rows":$n,"planted":100,"planted_hits":$hits,""" +
+      s""""sec_train":${r1s(secTrain)},"sec_build":${r1s(secBuild)},""" +
+      s""""sec_query":${r1s(secQuery)},""" +
+      s""""heap_max_bytes":${Runtime.getRuntime.maxMemory()}}"""
+    println(s"ANNSOAK $json")
+    spark.stop()
+  }
+}
