@@ -801,47 +801,74 @@ object Similarity {
     * Output (query_id, neighbor_id, rk, cosine_sim), rk ≤ k. Recall is
     * governed by nprobe (cell misses) × rescoreFactor (ADC ranking
     * noise); SimilaritySpec pins the floor against exact brute force.
+    *
+    * Split as BUILD ([[ivfPqBuild]] — run once, persist the index) and
+    * QUERY ([[ivfPqQuery]] — run per batch against the stored index);
+    * [[ivfPqTopK]] composes the two for one-shot use.
     */
-  def ivfPqTopK(
-      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, numCells: Int = 16, nprobe: Int = 6, m: Int = 8,
-      numCodes: Int = 16, rescoreFactor: Int = 4, seed: Long = 42L,
-      maxFitRows: Long = 100000L, fitFraction: Double = 0.0): DataFrame = {
-    require(k > 0 && rescoreFactor >= 1,
-      s"need k > 0 and rescoreFactor >= 1, got k=$k rescoreFactor=$rescoreFactor")
-    require(numCells > 0 && nprobe > 0 && nprobe <= numCells,
-      s"need 0 < nprobe <= numCells, got nprobe=$nprobe numCells=$numCells")
-    // BOTH fits (coarse cells + PQ codebooks) come from ONE collected
-    // bounded sample, trained driver-locally (see pqTrain's rationale —
-    // the FAISS layout; the only corpus-sized passes below are the
-    // distributed assignment/encode/scoring ones)
+  /** The persistent half of an IVF×PQ deployment: the trained models
+    * (kilobytes — embed in plans as literals) plus the corpus index
+    * frame `(id, cell, codes)` (m+~8 bytes per vector — THE thing a
+    * billion-vector deployment writes to a table and reuses across
+    * every query batch).
+    */
+  case class IvfPqIndex(model: PqModel, centers: Array[Array[Double]],
+                        index: DataFrame)
+
+  /** Build the IVF×PQ index: both fits (coarse cells + PQ codebooks)
+    * from ONE collected bounded sample, trained driver-locally (see
+    * pqTrain's rationale — the FAISS layout), then the corpus index as
+    * ONE compiled projection pass (codes via [[pqCodes]]; the cell is
+    * an argmin over numCells full-dim centroids = the same
+    * [[graft.functions.PqEncodeCodes]] kernel with a single subspace).
+    * Cells and codes must never meet through a corpus-sized self-join.
+    * Persist (or write) `index` once and run [[ivfPqQuery]] per batch.
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int = 16, m: Int = 8, numCodes: Int = 16,
+      seed: Long = 42L, maxFitRows: Long = 100000L,
+      fitFraction: Double = 0.0): IvfPqIndex = {
+    require(numCells > 0, s"numCells must be positive, got $numCells")
     val base = corpus.select(col(vecCol).as("__v"))
     val dim = base.select(size(col("__v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sample = collectFitSample(base, maxFitRows, fitFraction, seed)
     val pq = pqTrainFromSample(sample, m, numCodes, dim / m, seed)
     val ivfCenters = localLloyd(sample, numCells, seed - 1, iters = 10)
-    val cLit = typedlit(ivfCenters.map(_.toSeq).toSeq)
-    // nearest-centroid assignment against the broadcast literal (ties
-    // to the lower cell — the annIvfPortable convention)
+    val index = corpus.select(col(idCol).as("neighbor_id"),
+      pqCodes(col(vecCol), pq).as("codes"),
+      element_at(org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.PqEncodeCodes(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(col(vecCol)),
+          Array(ivfCenters))), 1).as("__cell"))
+    IvfPqIndex(pq, ivfCenters, index)
+  }
+
+  /** Query a built [[IvfPqIndex]]: route each query to its `nprobe`
+    * nearest cells, ADC-score ONLY the probed cells' codes via the
+    * broadcast per-query lookup table, cosine-rescore the approximate
+    * top k·rescoreFactor against the full vectors in `corpus`. Output
+    * (query_id, neighbor_id, rk, cosine_sim), rk ≤ k.
+    */
+  def ivfPqQuery(idx: IvfPqIndex, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 6,
+      rescoreFactor: Int = 4): DataFrame = {
+    require(k > 0 && rescoreFactor >= 1,
+      s"need k > 0 and rescoreFactor >= 1, got k=$k rescoreFactor=$rescoreFactor")
+    val numCells = idx.centers.length
+    require(nprobe > 0 && nprobe <= numCells,
+      s"need 0 < nprobe <= numCells, got nprobe=$nprobe numCells=$numCells")
+    val pq = idx.model
+    val dim = pq.m * pq.dsub
+    val enc = idx.index
+    val cLit = typedlit(idx.centers.map(_.toSeq).toSeq)
+    // query-to-centroid distances (tiny side — interpreted HOF is fine)
     def nearestDists(vec: Column): Column = transform(cLit, cent =>
       aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d),
         (acc, j) => {
           val dd = element_at(vec, j + 1).cast("double") - element_at(cent, j + 1)
           acc + dd * dd
         }))
-    // the persistent index a real deployment stores: (id, cell, codes)
-    // — ONE projection of the corpus scan; cells and codes must never
-    // meet through a corpus-sized self-join. The cell is an argmin over
-    // numCells full-dim centroids = PqEncodeCodes with a single
-    // subspace — the same codegen'd kernel, so the whole index build
-    // (codes + cell) is one compiled pass per row
-    val enc = corpus.select(col(idCol).as("neighbor_id"),
-      pqCodes(col(vecCol), pq).as("codes"),
-      element_at(org.apache.spark.sql.graftshim.ColumnExpr.column(
-        graft.functions.PqEncodeCodes(
-          org.apache.spark.sql.graftshim.ColumnExpr.expr(col(vecCol)),
-          Array(ivfCenters))), 1).as("__cell"))
     val probes = queries
       .select(col(idCol).as("query_id"),
         posexplode(nearestDists(col(vecCol))).as(Seq("__cell0", "__d2")))
@@ -884,6 +911,19 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rk"), col("cosine_sim"))
   }
+
+  /** One-shot compose of [[ivfPqBuild]] + [[ivfPqQuery]] (see the
+    * composed-index doc above).
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, numCells: Int = 16, nprobe: Int = 6, m: Int = 8,
+      numCodes: Int = 16, rescoreFactor: Int = 4, seed: Long = 42L,
+      maxFitRows: Long = 100000L, fitFraction: Double = 0.0): DataFrame =
+    ivfPqQuery(
+      ivfPqBuild(corpus, idCol, vecCol, numCells, m, numCodes, seed,
+        maxFitRows, fitFraction),
+      queries, corpus, idCol, vecCol, k, nprobe, rescoreFactor)
 
   /** The md5-derived integer codebook of the PORTABLE PQ twin:
     * `w(sub, code, j) = md5int("sub-code-j") % 513 − 256` ∈

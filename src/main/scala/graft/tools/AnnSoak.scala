@@ -68,21 +68,21 @@ object AnnSoak {
     val emb = corpus(spark, n)
     val queries = emb.filter(col("id") < 100)
 
-    val (model, secTrain) = timed {
-      graft.operators.Similarity.pqTrain(emb, "embedding", m = 8,
-        numCodes = 16)
+    // deployment shape: BUILD once (fits + one compiled index pass,
+    // persisted exactly as a real deployment stores (id, cell, codes)
+    // in a table), then QUERY the hot index — so sec_query prices the
+    // probe→ADC→rescore path, not a rebuild
+    val (idx0, secTrain) = timed {
+      graft.operators.Similarity.ivfPqBuild(emb, "id", "embedding",
+        numCells = 16, m = 8, numCodes = 16)
     }
-    // the index-build pass in isolation: codes are forced via an
-    // aggregate so the optimizer cannot prune the encode away
-    val (_, secBuild) = timed {
-      emb.select(graft.operators.Similarity.pqCodes(col("embedding"), model)
-          .as("codes"))
-        .agg(sum(element_at(col("codes"), 1))).collect()
-    }
+    val persisted = idx0.index
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (_, secBuild) = timed { persisted.count() }
+    val idx = idx0.copy(index = persisted)
     val (hits, secQuery) = timed {
-      graft.operators.Similarity.ivfPqTopK(queries, emb, "id", "embedding",
-          k = 1, numCells = 16, nprobe = 4, m = 8, numCodes = 16,
-          rescoreFactor = 8)
+      graft.operators.Similarity.ivfPqQuery(idx, queries, emb, "id",
+          "embedding", k = 1, nprobe = 4, rescoreFactor = 8)
         .filter(col("neighbor_id") === col("query_id") + lit(n / 2))
         .count()
     }

@@ -379,6 +379,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("IVF×PQ build/query split: one persisted index serves many batches") {
+    val emb = Tables.embeddings(spark, sf)
+    val idx0 = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      numCells = 16, m = 16, numCodes = 16)
+    val idx = idx0.copy(index = idx0.index.persist())
+    try {
+      def run(qs: org.apache.spark.sql.DataFrame) =
+        Similarity.ivfPqQuery(idx, qs, emb, "vec_id", "embedding",
+            k = 3, nprobe = 8, rescoreFactor = 8)
+          .select("query_id", "neighbor_id", "rk")
+          .as[(Long, Long, Int)].collect().toSet
+      val batch1 = run(emb.filter(col("vec_id") < 10))
+      val batch2 = run(emb.filter(col("vec_id") >= 10 && col("vec_id") < 20))
+      assert(batch1.map(_._1) == (0L until 10L).toSet)
+      assert(batch2.map(_._1) == (10L until 20L).toSet)
+      // the one-shot compose must equal build+query for the same batch
+      val oneShot = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10),
+          emb, "vec_id", "embedding", k = 3, numCells = 16, nprobe = 8,
+          m = 16, numCodes = 16, rescoreFactor = 8)
+        .select("query_id", "neighbor_id", "rk")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(batch1 == oneShot,
+        "ivfPqTopK must be exactly ivfPqQuery(ivfPqBuild(...))")
+    } finally idx.index.unpersist(blocking = false)
+  }
+
   test("pqPortable: ADC decomposition is exactly the reconstructed dot product") {
     val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 200)
     val queries = emb.filter(col("vec_id") < 5)
