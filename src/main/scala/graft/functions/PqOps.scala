@@ -115,15 +115,16 @@ case class PqEncodeCodes(child: Expression,
       val d = ctx.freshName("d")
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
+      val hasNull = ctx.freshName("hasNull")
       val et = child.dataType.asInstanceOf[ArrayType].elementType
       val get = VectorOps.elementGetter(et, vec, s"$sub * $dsub + $j")
       s"""
          |if ($vec.numElements() != ${m * dsub}) { ${ev.isNull} = true; } else {
-         |  boolean hasNull = false;
+         |  boolean $hasNull = false;
          |  for (int $i = 0; $i < ${m * dsub}; $i++) {
-         |    if ($vec.isNullAt($i)) { hasNull = true; break; }
+         |    if ($vec.isNullAt($i)) { $hasNull = true; break; }
          |  }
-         |  if (hasNull) { ${ev.isNull} = true; } else {
+         |  if ($hasNull) { ${ev.isNull} = true; } else {
          |    int[] $codes = new int[$m];
          |    for (int $sub = 0; $sub < $m; $sub++) {
          |      int $best = 0;

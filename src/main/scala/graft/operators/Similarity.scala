@@ -620,6 +620,24 @@ object Similarity {
       .select(expr("transform(__v, x -> CAST(x AS DOUBLE))").as("__v"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "empty fit sample")
+    // a ragged or non-finite sample would otherwise surface as an
+    // ArrayIndexOutOfBounds inside stableSort (ragged) or silently
+    // violate the comparator's ordering contract (NaN) — fail with the
+    // offending vector named instead (ADVICE r13)
+    val d0 = sample(0).length
+    var vi = 0
+    while (vi < sample.length) {
+      val v = sample(vi)
+      require(v.length == d0,
+        s"ragged fit sample: vector $vi has dim ${v.length}, expected $d0")
+      var j = 0
+      while (j < v.length) {
+        require(!java.lang.Double.isNaN(v(j)) && !java.lang.Double.isInfinite(v(j)),
+          s"non-finite fit-sample element: vector $vi dim $j = ${v(j)}")
+        j += 1
+      }
+      vi += 1
+    }
     scala.util.Sorting.stableSort(sample,
       (a: Array[Double], b: Array[Double]) => {
         var i = 0
@@ -740,6 +758,13 @@ object Similarity {
     * lookups; the approximate top k·rescoreFactor then re-rank with
     * full-precision cosine (the [[bruteForceTopKQuantized]] shape).
     * Output (query_id, neighbor_id, rk, cosine_sim), rk ≤ k.
+    *
+    * BOUNDED-QUERIES CONTRACT (the [[bruteForceTopK]] rule): this is
+    * FLAT ADC — every query scores EVERY corpus code, so the
+    * broadcast-nested-loop candidate stage is |queries|×|corpus| BY
+    * DESIGN. `queries` must be a bounded batch (it is broadcast);
+    * unbounded or corpus-sized query sets belong on [[ivfPqQuery]],
+    * which prunes the scored set to nprobe cells.
     */
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
                 idCol: String, vecCol: String, model: PqModel,

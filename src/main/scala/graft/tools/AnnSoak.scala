@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * then times the three index stages a real deployment runs:
   *
   *   1. TRAIN: codebook + coarse-cell fit from the bounded collected
-  *      sample (driver-local Lloyd's — cost independent of n);
+  *      sample (driver-local Lloyd's — fit COMPUTE is bounded by the
+  *      sample, but the default fitFraction=0 auto mode first runs a
+  *      count() and a corpus-wide sample() scan, so TRAIN retains two
+  *      cheap O(n) scan passes; ADVICE r13);
   *   2. BUILD: the (id, cell, codes) index — ONE compiled pass over
   *      the corpus (PqEncodeCodes for codes + single-subspace reuse
   *      for the cell), no shuffle, no join;

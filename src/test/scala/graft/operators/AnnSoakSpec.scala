@@ -14,8 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *      scales (exact ground truth at any n — a broken encode, probe,
   *      or scoring stage collapses this toward 0),
   *  (c) the BUILD pass (the corpus-sized stage) grows ≤ 30× for 10×
-  *      the rows (the ScaleSoak linearity bound), and TRAIN — bounded
-  *      by the fit sample — grows ≤ 5×.
+  *      the rows (the ScaleSoak linearity bound), and TRAIN grows
+  *      ≤ 10× — its fit COMPUTE is sample-bounded, but the
+  *      fitFraction=0 auto mode runs a count() plus a corpus-wide
+  *      sample() scan first, so the honest bound is "at worst linear
+  *      in the scan", not O(1) (ADVICE r13).
   *
   * Runs under the same GRAFT_SOAK=1 switch as ScaleSoakSpec (minutes,
   * not hours: the 20M build is one compiled pass).
@@ -81,7 +84,10 @@ class AnnSoakSpec extends AnyFunSuite {
     }
     assert(big("sec_build") / math.max(small("sec_build"), 0.1) <= 30.0,
       "index build grew super-linearly")
-    assert(big("sec_train") / math.max(small("sec_train"), 0.1) <= 5.0,
-      "train must be bounded by the fit sample, not the corpus")
+    // fit compute is sample-bounded but the auto-mode count()/sample()
+    // scans are O(n), so the bound is the scan-linearity one (<= 10x
+    // for 10x rows), not a constant (ADVICE r13)
+    assert(big("sec_train") / math.max(small("sec_train"), 0.1) <= 10.0,
+      "train fit must be sample-bounded (only its O(n) scans may scale)")
   }
 }
