@@ -66,24 +66,49 @@ object MediaHash {
                         timeBuckets: Int = 65): DataFrame = {
     val b = timeBuckets
     require(b >= 2 && b <= 65, s"timeBuckets must be in [2, 65], got $b")
+    // ONE compiled pass per video over the sorted frame list (the
+    // codegen'd TemporalDHash kernel — sums, counts and the B−1
+    // BigInteger-exact comparisons in a single walk); the interpreted
+    // 2×O(B·ns) HOF reference lives on as videoTemporalHashHof,
+    // bit-equality-pinned in MediaHashSpec (the PqOpsSpec idiom)
+    framesToLums(frames)
+      .select(col("media_id"),
+        org.apache.spark.sql.graftshim.ColumnExpr.column(
+          graft.functions.TemporalDHash(
+            org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__fs")),
+            b)).as("vhash"),
+        size(col("__fs")).as("n_frames_sampled"))
+  }
+
+  private def framesToLums(frames: DataFrame): DataFrame =
     frames
       .groupBy(col("media_id"))
       .agg(sort_array(collect_list(struct(col("frame_idx"),
         expr("sum_r * 299 + sum_g * 587 + sum_b * 114").as("lum")))).as("__fs"))
+
+  /** The declarative HOF formulation of [[videoTemporalHash]] — kept as
+    * the reference semantics (MediaHashSpec pins bit-equality to the
+    * one-pass codegen'd kernel on real rendered videos). 64-bit bucket
+    * index arithmetic (`CAST(i AS BIGINT) * B`, ADVICE r13) and a
+    * DECIMAL(38,0) cross-multiply: an 8K video's bucket sums × counts
+    * genuinely exceed 2⁶³ (the same reason the audio twin compares in
+    * BigInt) — a raw BIGINT multiply would wrap and silently flip bits.
+    */
+  private[operators] def videoTemporalHashHof(frames: DataFrame,
+                        timeBuckets: Int = 65): DataFrame = {
+    val b = timeBuckets
+    require(b >= 2 && b <= 65, s"timeBuckets must be in [2, 65], got $b")
+    framesToLums(frames)
       .withColumn("__ns", size(col("__fs")))
       .withColumn("__sums", expr(
         s"transform(sequence(0, $b - 1), bk -> " +
         s"aggregate(sequence(0, __ns - 1), CAST(0 AS BIGINT), " +
-        s"(acc, i) -> acc + IF((i * $b) DIV __ns = bk, __fs[i].lum, CAST(0 AS BIGINT))))"))
+        s"(acc, i) -> acc + IF((CAST(i AS BIGINT) * $b) DIV __ns = bk, __fs[i].lum, CAST(0 AS BIGINT))))"))
       .withColumn("__cnts", expr(
         s"transform(sequence(0, $b - 1), bk -> " +
         s"aggregate(sequence(0, __ns - 1), CAST(0 AS BIGINT), " +
-        s"(acc, i) -> acc + IF((i * $b) DIV __ns = bk, CAST(1 AS BIGINT), CAST(0 AS BIGINT))))"))
+        s"(acc, i) -> acc + IF((CAST(i AS BIGINT) * $b) DIV __ns = bk, CAST(1 AS BIGINT), CAST(0 AS BIGINT))))"))
       .select(col("media_id"),
-        // DECIMAL(38,0) cross-multiply: an 8K video's bucket sums ×
-        // counts genuinely exceed 2⁶³ (the same reason the audio twin
-        // compares in BigInt) — a raw BIGINT multiply would wrap and
-        // silently flip bits
         expr(s"aggregate(sequence(0, $b - 2), CAST(0 AS BIGINT), (acc, j) -> " +
           "acc + IF(CAST(__sums[j + 1] AS DECIMAL(38,0)) * __cnts[j] > " +
           "CAST(__sums[j] AS DECIMAL(38,0)) * __cnts[j + 1], " +

@@ -56,6 +56,28 @@ class MediaHashSpec extends AnyFunSuite {
       "stride-1 hashing must discriminate the same profile change")
   }
 
+  test("one-pass TemporalDHash kernel bit-equals the HOF reference") {
+    import spark.implicits._
+    // real rendered videos across bucket-boundary shapes: 130 frames /
+    // stride 2 (ns = buckets), stride 1 (ns = 2×buckets, uneven
+    // block-sums), and a 10-frame degenerate (ns < buckets)
+    val specs = Seq(
+      VideoSpec(1L, 6, 5, 130, 33, 77, 190, 10, "DIB "),
+      VideoSpec(2L, 12, 10, 130, 200, 10, 5, 25, "DIB "),
+      VideoSpec(3L, 6, 5, 10, 33, 77, 190, 10, "DIB "))
+    for (stride <- Seq(1, 2); b <- Seq(7, 65)) {
+      val frames = VideoCodec.decodeFrames(VideoCodec.renderAvis(
+        spark.createDataset(specs)), stride = stride).toDF()
+      val fast = MediaHash.videoTemporalHash(frames, timeBuckets = b)
+        .as[(Long, Long, Int)].collect().sorted
+      val ref = MediaHash.videoTemporalHashHof(frames, timeBuckets = b)
+        .as[(Long, Long, Int)].collect().sorted
+      assert(fast.sameElements(ref),
+        s"kernel/HOF divergence at stride=$stride buckets=$b:\n" +
+          s"  kernel ${fast.mkString(", ")}\n  hof    ${ref.mkString(", ")}")
+    }
+  }
+
   test("video hash: fewer sampled frames than buckets degrades, not throws") {
     val tiny = VideoSpec(9L, 6, 5, 10, 33, 77, 190, 10, "DIB ")
     val h = vhashOf(Seq(tiny), stride = 1)
