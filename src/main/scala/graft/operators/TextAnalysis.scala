@@ -504,17 +504,7 @@ object TextAnalysis {
       n: Int = 4, minCount: Int = 3): DataFrame = {
     require(n >= 2, s"span gram size must be >= 2, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .withColumn("n_tokens", size(col("__toks")).cast("long"))
-    val grams = toks.filter(col("n_tokens") >= n)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(0, size(__toks) - $n), " +
-        s"i -> struct(CAST(i AS BIGINT) AS pos, " +
-        s"concat_ws(' ', slice(__toks, i + 1, $n)) AS gram))")).as("g"))
-      .select(col(idCol), col("g.pos").as("__pos"), col("g.gram").as("__gram"))
-    val hot = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= minCount).select("__gram")
-    val dup = grams.join(broadcast(hot), Seq("__gram"), "left_semi")
+    val (toks, dup) = dupGramOccurrences(df, idCol, textCol, n, minCount)
     val dupCounts = dup.groupBy(idCol).agg(count(lit(1)).as("n_dup_grams"))
     val masked = dup
       .select(col(idCol),
@@ -525,6 +515,74 @@ object TextAnalysis {
       .join(dupCounts, Seq(idCol), "left")
       .join(masked, Seq(idCol), "left")
       .na.fill(0L, Seq("n_dup_grams", "n_masked"))
+  }
+
+  /** The shared front half of the duplicated-span machinery: per-doc
+    * token arrays plus the occurrences (idCol, __pos, __gram) of every
+    * word n-gram that repeats ≥ minCount times corpus-wide. See
+    * [[dupSpanStats]] for the 100 TB shape (array-side gram build,
+    * one gram shuffle, broadcast hot-set semi-join).
+    */
+  private def dupGramOccurrences(df: DataFrame, idCol: String,
+      textCol: String, n: Int, minCount: Int): (DataFrame, DataFrame) = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("long"))
+    val grams = toks.filter(col("n_tokens") >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__toks) - $n), " +
+        s"i -> struct(CAST(i AS BIGINT) AS pos, " +
+        s"concat_ws(' ', slice(__toks, i + 1, $n)) AS gram))")).as("g"))
+      .select(col(idCol), col("g.pos").as("__pos"), col("g.gram").as("__gram"))
+    val hot = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount).select("__gram")
+    (toks, grams.join(broadcast(hot), Seq("__gram"), "left_semi"))
+  }
+
+  /** Exact substring-level dedup REMOVAL (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * operator [[dupSpanStats]] only MEASURES): re-emit each document
+    * with every token position covered by a corpus-wide-repeated
+    * `n`-gram removed, where "repeated" means the gram occurs ≥
+    * `minCount` times across the WHOLE corpus. Surviving fragments
+    * shorter than `minRun` tokens (boilerplate shrapnel sandwiched
+    * between removed spans) are dropped too. The cleaned text is in
+    * normalized token space (lowercased, single-space joined) — the
+    * representation every downstream text operator here consumes.
+    *
+    * Shape (100 TB): stages 1–3 are [[dupSpanStats]]'s (array-side
+    * gram build → one gram shuffle → broadcast hot-set semi-join);
+    * stage 4 collects each doc's duplicated-span START positions
+    * (bounded by the doc's own token count — strictly smaller state
+    * than the doc text itself) and stage 5 is ONE compiled pass per
+    * document ([[graft.functions.DropDupSpans]]: a two-pointer
+    * span-union walk + min-run guard, O(tokens + spans), inside
+    * whole-stage codegen — no per-position shuffle, no quadratic
+    * membership probe).
+    *
+    * Output: `idCol, n_tokens, n_kept, n_removed, cleaned_text`
+    * (n_removed counts masked positions AND min-run casualties;
+    * a fully-duplicated document survives with cleaned_text = '').
+    */
+  def dropDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, minCount: Int = 3, minRun: Int = 1): DataFrame = {
+    require(n >= 2, s"span gram size must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val (toks, dup) = dupGramOccurrences(df, idCol, textCol, n, minCount)
+    val starts = dup.groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    val cleanedStruct = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.DropDupSpans(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__toks")),
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(
+          coalesce(col("__starts"), typedlit(Array.empty[Long]))),
+        n, minRun))
+    toks.join(starts, Seq(idCol), "left")
+      .withColumn("__r", cleanedStruct)
+      .select(col(idCol), col("n_tokens"),
+        col("__r.n_kept").as("n_kept"),
+        (col("n_tokens") - col("__r.n_kept")).as("n_removed"),
+        col("__r.cleaned").as("cleaned_text"))
   }
 
   /** All per-document features in one projection. */

@@ -2476,4 +2476,71 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS ivfpq_recall_ok
       |FROM r WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
+
+  /** Exact substring-level dedup REMOVAL (Lee et al. 2022 — the
+    * operator q54 only measures): drop every token position covered by
+    * a corpus-wide-repeated 4-gram (≥ 3 occurrences), plus surviving
+    * runs shorter than 3 tokens (the min-run guard), and emit the
+    * CLEANED TEXT — so the gate hash pins the full span-union
+    * complement string per document, not just counts.
+    */
+  def q107DropDupSpans(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.dropDuplicatedSpans(
+      Tables.documents(spark, d).select(col("doc_id"), col("text")),
+      "doc_id", "text", n = 4, minCount = 3, minRun = 3)
+      .orderBy("doc_id")
+
+  /** The span removal replayed relationally: duplicated-gram starts →
+    * covered-position union → complement positions → gap-and-island
+    * runs → min-run filter → space-joined surviving tokens.
+    */
+  val q107Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(toks) - 3)) AS pos,
+      |    unnest(list_transform(range(1, len(toks) - 2),
+      |                          i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |  FROM t WHERE len(toks) >= 4
+      |),
+      |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3),
+      |dup AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN hot USING (gram)),
+      |mp AS (
+      |  SELECT DISTINCT doc_id, pos + j AS mpos
+      |  FROM dup CROSS JOIN unnest(range(0, 4)) AS u(j)
+      |),
+      |tok AS (
+      |  SELECT doc_id, unnest(range(0, len(toks))) AS p, unnest(toks) AS tok
+      |  FROM t
+      |),
+      |kept AS (
+      |  SELECT tok.doc_id, tok.p, tok.tok
+      |  FROM tok LEFT JOIN mp ON tok.doc_id = mp.doc_id AND tok.p = mp.mpos
+      |  WHERE mp.mpos IS NULL
+      |),
+      |runs AS (
+      |  SELECT doc_id, p, tok,
+      |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+      |  FROM kept
+      |),
+      |good AS (
+      |  SELECT doc_id, rid FROM runs GROUP BY doc_id, rid
+      |  HAVING count(*) >= 3
+      |),
+      |agg AS (
+      |  SELECT runs.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(runs.tok, ' ' ORDER BY runs.p) AS cleaned
+      |  FROM runs JOIN good USING (doc_id, rid) GROUP BY runs.doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(agg.cleaned, '') AS cleaned_text
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

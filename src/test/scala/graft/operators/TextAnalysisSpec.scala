@@ -195,4 +195,68 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.map(_._4) == Seq(5L, 5L, 5L),
       s"overlap must union, not double-count: $r")
   }
+
+  private def cleaned(docs: org.apache.spark.sql.DataFrame, minRun: Int) = {
+    import docs.sparkSession.implicits._
+    TextAnalysis.dropDuplicatedSpans(docs, "doc_id", "text",
+        n = 4, minCount = 3, minRun = minRun)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "n_removed", "cleaned_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+  }
+
+  test("dropDuplicatedSpans removes the span-union complement exactly") {
+    import spark.implicits._
+    // "p q r s" planted in docs 1-3; doc 4 clean; doc 5 shorter than n
+    val docs = Seq(
+      (1L, "a b p q r s c d"),
+      (2L, "p q r s e f g h"),
+      (3L, "x y z p q r s"),
+      (4L, "Unique words only here now"),
+      (5L, "p q")).toDF("doc_id", "text")
+    val r = cleaned(docs, minRun = 1)
+    assert(r == Seq(
+      (1L, 8L, 4L, 4L, "a b c d"),      // interior span excised, ends join
+      (2L, 8L, 4L, 4L, "e f g h"),      // leading span
+      (3L, 7L, 3L, 4L, "x y z"),        // trailing span
+      (4L, 5L, 5L, 0L, "unique words only here now"), // clean (normalized)
+      (5L, 2L, 2L, 0L, "p q")),         // shorter than the gram: untouched
+      s"got $r")
+  }
+
+  test("dropDuplicatedSpans: overlapping spans union; full-dup doc empties") {
+    import spark.implicits._
+    // "p q r s t" hot in all docs → overlapping grams @0 and @1 cover
+    // positions 0..4 once; doc 1 is NOTHING BUT the duplicated span
+    val docs = Seq(
+      (1L, "p q r s t"), (2L, "p q r s t a"), (3L, "b p q r s t"))
+      .toDF("doc_id", "text")
+    val r = cleaned(docs, minRun = 1)
+    assert(r == Seq(
+      (1L, 5L, 0L, 5L, ""),            // fully duplicated → empty, present
+      (2L, 6L, 1L, 5L, "a"),
+      (3L, 6L, 1L, 5L, "b")), s"got $r")
+  }
+
+  test("dropDuplicatedSpans min-run guard drops short survivors") {
+    import spark.implicits._
+    // only "p q r s" is corpus-hot (6 occurrences); the 2-token island
+    // and 3-token tail are unique per doc, so each doc keeps a len-2
+    // and a len-3 clean run: minRun=1 keeps both, minRun=3 drops the
+    // island but keeps the tail
+    val docs = Seq(
+      (1L, "p q r s u1 v1 p q r s a1 b1 c1"),
+      (2L, "p q r s u2 v2 p q r s a2 b2 c2"),
+      (3L, "p q r s u3 v3 p q r s a3 b3 c3")).toDF("doc_id", "text")
+    val loose = cleaned(docs, minRun = 1)
+    assert(loose == Seq(
+      (1L, 13L, 5L, 8L, "u1 v1 a1 b1 c1"),
+      (2L, 13L, 5L, 8L, "u2 v2 a2 b2 c2"),
+      (3L, 13L, 5L, 8L, "u3 v3 a3 b3 c3")), s"got $loose")
+    val strict = cleaned(docs, minRun = 3)
+    assert(strict == Seq(
+      (1L, 13L, 3L, 10L, "a1 b1 c1"),
+      (2L, 13L, 3L, 10L, "a2 b2 c2"),
+      (3L, 13L, 3L, 10L, "a3 b3 c3")), s"got $strict")
+  }
 }
