@@ -1,7 +1,8 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -218,4 +219,164 @@ case class PqAdcScore(left: Expression, right: Expression, numCodes: Int)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqAdcScore =
     copy(left = newLeft, right = newRight)
+}
+
+/** `ivfpq_encode(vec)` → struct<cell: int, codes: array<int>> — the
+  * fused IVF×PQ index-BUILD kernel: the coarse cell (exact L2 argmin
+  * over numCells full-dim centroids, ties to the lowest cell) and the
+  * m PQ codes in ONE compiled pass per corpus row. With
+  * `residual = true` the codes quantize v − centers(cell) — the
+  * published IVF-PQ layout (Jégou et al. 2011; FAISS IndexIVFPQ),
+  * where PQ spends its m·log₂(numCodes) bits on the within-cell
+  * offset instead of re-encoding the cell position the index already
+  * knows — the change that keeps recall up at high cell counts.
+  * `residual = false` reproduces the raw-vector encode (the A/B
+  * reference and the portable twin's algebra).
+  *
+  * Both constant tables ride along as flat reference objects —
+  * kilobytes, no join, no broadcast. Null/length contract matches
+  * [[PqEncodeCodes]]: a vector whose length differs from m·dsub (or a
+  * null element) yields NULL rather than a partial encode.
+  */
+case class IvfPqEncode(child: Expression,
+                       centers: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]],
+                       residual: Boolean)
+    extends UnaryExpression {
+
+  private val numCells = centers.length
+  private val m = codebooks.length
+  private val numCodes = codebooks.head.length
+  private val dsub = codebooks.head.head.length
+  private val dim = m * dsub
+  require(m > 0 && numCodes > 0 && dsub > 0 &&
+    codebooks.forall(sub => sub.length == numCodes &&
+      sub.forall(_.length == dsub)),
+    "codebooks must be a dense m x numCodes x dsub array")
+  require(numCells > 0 && centers.forall(_.length == dim),
+    s"centers must be a dense numCells x ${dim} array")
+
+  private lazy val flatCenters: Array[Double] = {
+    val out = new Array[Double](numCells * dim)
+    var c = 0
+    while (c < numCells) {
+      System.arraycopy(centers(c), 0, out, c * dim, dim); c += 1
+    }
+    out
+  }
+  private lazy val flatCb: Array[Double] = {
+    val out = new Array[Double](m * numCodes * dsub)
+    var o = 0
+    var sub = 0
+    while (sub < m) {
+      var c = 0
+      while (c < numCodes) {
+        System.arraycopy(codebooks(sub)(c), 0, out, o, dsub); o += dsub
+        c += 1
+      }
+      sub += 1
+    }
+    out
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorOps.checkVec(prettyName, child.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess
+          if child.dataType.asInstanceOf[ArrayType].elementType == ByteType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float>/array<double>, got tinyint elements")
+      case r => r
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivfpq_encode"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    IvfPqEncode.compute(input.asInstanceOf[ArrayData], isFloat,
+      flatCenters, flatCb, m, numCodes, dsub, residual)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val cRef = ctx.addReferenceObj("ivfFlatCenters", flatCenters, "double[]")
+      val cbRef = ctx.addReferenceObj("pqFlatCb", flatCb, "double[]")
+      val row = ctx.freshName("encRow")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $row =
+         |  graft.functions.IvfPqEncode.compute($vec, $isFloat, $cRef, $cbRef,
+         |    $m, $numCodes, $dsub, $residual);
+         |if ($row == null) { ${ev.isNull} = true; } else { ${ev.value} = $row; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): IvfPqEncode =
+    copy(child = newChild)
+}
+
+object IvfPqEncode {
+  /** Shared by interpreted eval and generated code (static call keeps
+    * the projection inside whole-stage codegen). Returns null on a
+    * wrong-length vector or a null element.
+    */
+  def compute(vec: ArrayData, isFloat: Boolean,
+              centers: Array[Double], cb: Array[Double],
+              m: Int, numCodes: Int, dsub: Int,
+              residual: Boolean): InternalRow = {
+    val dim = m * dsub
+    if (vec.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      v(i) = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      i += 1
+    }
+    val numCells = centers.length / dim
+    var bestCell = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < numCells) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val d = v(j) - centers(c * dim + j)
+        s += d * d
+        j += 1
+      }
+      if (s < bestD) { bestD = s; bestCell = c }
+      c += 1
+    }
+    if (residual) {
+      var j = 0
+      while (j < dim) { v(j) -= centers(bestCell * dim + j); j += 1 }
+    }
+    val codes = new Array[Int](m)
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var cc = 0
+      while (cc < numCodes) {
+        var s = 0.0
+        var j = 0
+        while (j < dsub) {
+          val d = v(sub * dsub + j) - cb((sub * numCodes + cc) * dsub + j)
+          s += d * d
+          j += 1
+        }
+        if (s < bd) { bd = s; best = cc }
+        cc += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new GenericInternalRow(Array[Any](bestCell,
+      UnsafeArrayData.fromPrimitiveArray(codes)))
+  }
 }

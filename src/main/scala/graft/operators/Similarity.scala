@@ -838,35 +838,75 @@ object Similarity {
     * every query batch).
     */
   case class IvfPqIndex(model: PqModel, centers: Array[Array[Double]],
-                        index: DataFrame)
+                        index: DataFrame, residual: Boolean = true)
+
+  /** Index of the L2-nearest center (ties to the lowest index) — the
+    * driver-side twin of the [[graft.functions.IvfPqEncode]] cell
+    * argmin, used to residualize the fit sample.
+    */
+  private def nearestCenterIdx(v: Array[Double],
+      centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < centers.length) {
+      var s = 0.0
+      var j = 0
+      while (j < v.length) {
+        val d = v(j) - centers(c)(j)
+        s += d * d
+        j += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
 
   /** Build the IVF×PQ index: both fits (coarse cells + PQ codebooks)
     * from ONE collected bounded sample, trained driver-locally (see
     * pqTrain's rationale — the FAISS layout), then the corpus index as
-    * ONE compiled projection pass (codes via [[pqCodes]]; the cell is
-    * an argmin over numCells full-dim centroids = the same
-    * [[graft.functions.PqEncodeCodes]] kernel with a single subspace).
-    * Cells and codes must never meet through a corpus-sized self-join.
-    * Persist (or write) `index` once and run [[ivfPqQuery]] per batch.
+    * ONE compiled projection pass — the fused
+    * [[graft.functions.IvfPqEncode]] kernel emits (cell, codes)
+    * together. Cells and codes must never meet through a corpus-sized
+    * self-join. Persist (or write) `index` once and run [[ivfPqQuery]]
+    * per batch.
+    *
+    * `residual = true` (default) is the published IVF-PQ design
+    * (Jégou et al. 2011; FAISS IndexIVFPQ): the codebooks are trained
+    * on and the codes quantize v − centers(cell), so the m·log₂
+    * (numCodes) bits describe the within-cell offset rather than
+    * re-encoding the cell position the index already stores — at real
+    * cell counts this is what keeps ADC recall up (SimilaritySpec A/Bs
+    * residual ≥ raw on clustered data). `residual = false` keeps the
+    * raw-vector encode — the A/B reference, and the algebra the q104
+    * portable twin pins.
     */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
       numCells: Int = 16, m: Int = 8, numCodes: Int = 16,
       seed: Long = 42L, maxFitRows: Long = 100000L,
-      fitFraction: Double = 0.0): IvfPqIndex = {
+      fitFraction: Double = 0.0, residual: Boolean = true): IvfPqIndex = {
     require(numCells > 0, s"numCells must be positive, got $numCells")
     val base = corpus.select(col(vecCol).as("__v"))
     val dim = base.select(size(col("__v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sample = collectFitSample(base, maxFitRows, fitFraction, seed)
-    val pq = pqTrainFromSample(sample, m, numCodes, dim / m, seed)
     val ivfCenters = localLloyd(sample, numCells, seed - 1, iters = 10)
+    val pqSample =
+      if (!residual) sample
+      else sample.map { v =>
+        val c = ivfCenters(nearestCenterIdx(v, ivfCenters))
+        Array.tabulate(v.length)(j => v(j) - c(j))
+      }
+    val pq = pqTrainFromSample(pqSample, m, numCodes, dim / m, seed)
     val index = corpus.select(col(idCol).as("neighbor_id"),
-      pqCodes(col(vecCol), pq).as("codes"),
-      element_at(org.apache.spark.sql.graftshim.ColumnExpr.column(
-        graft.functions.PqEncodeCodes(
-          org.apache.spark.sql.graftshim.ColumnExpr.expr(col(vecCol)),
-          Array(ivfCenters))), 1).as("__cell"))
-    IvfPqIndex(pq, ivfCenters, index)
+        org.apache.spark.sql.graftshim.ColumnExpr.column(
+          graft.functions.IvfPqEncode(
+            org.apache.spark.sql.graftshim.ColumnExpr.expr(col(vecCol)),
+            ivfCenters, pq.codebooks, residual)).as("__e"))
+      .select(col("neighbor_id"), col("__e.codes").as("codes"),
+        col("__e.cell").as("__cell"))
+    IvfPqIndex(pq, ivfCenters, index, residual)
   }
 
   /** Query a built [[IvfPqIndex]]: route each query to its `nprobe`
@@ -874,6 +914,14 @@ object Similarity {
     * broadcast per-query lookup table, cosine-rescore the approximate
     * top k·rescoreFactor against the full vectors in `corpus`. Output
     * (query_id, neighbor_id, rk, cosine_sim), rk ≤ k.
+    *
+    * On a residual index the ADC total for a candidate in cell c is
+    * dot(q, centers(c)) + Σ_sub lut[codes[sub]] — because v ≈
+    * centers(c) + decode(codes), dot(q, v) decomposes into the
+    * per-(query, probed-cell) scalar offset plus the SAME per-query
+    * residual-codebook LUT. The offset rides the probe rows (nprobe
+    * scalars per query — still kilobytes broadcast), so the scoring
+    * pass over the corpus codes is unchanged.
     */
   def ivfPqQuery(idx: IvfPqIndex, queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 6,
@@ -887,21 +935,27 @@ object Similarity {
     val dim = pq.m * pq.dsub
     val enc = idx.index
     val cLit = typedlit(idx.centers.map(_.toSeq).toSeq)
-    // query-to-centroid distances (tiny side — interpreted HOF is fine)
-    def nearestDists(vec: Column): Column = transform(cLit, cent =>
-      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d),
-        (acc, j) => {
-          val dd = element_at(vec, j + 1).cast("double") - element_at(cent, j + 1)
-          acc + dd * dd
-        }))
+    // query-to-centroid distances + dot products (tiny side —
+    // interpreted HOF is fine; the dot is the residual ADC offset)
+    def centerStats(vec: Column): Column = transform(cLit, cent =>
+      struct(
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d),
+          (acc, j) => {
+            val dd = element_at(vec, j + 1).cast("double") - element_at(cent, j + 1)
+            acc + dd * dd
+          }).as("d2"),
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d),
+          (acc, j) => acc + element_at(vec, j + 1).cast("double") *
+            element_at(cent, j + 1)).as("dot")))
     val probes = queries
       .select(col(idCol).as("query_id"),
-        posexplode(nearestDists(col(vecCol))).as(Seq("__cell0", "__d2")))
+        posexplode(centerStats(col(vecCol))).as(Seq("__cell0", "__cs")))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id")
-          .orderBy(col("__d2").asc, col("__cell0").asc)))
+          .orderBy(col("__cs.d2").asc, col("__cell0").asc)))
       .filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("__cell0").as("__cell"))
+      .select(col("query_id"), col("__cell0").as("__cell"),
+        (if (idx.residual) col("__cs.dot") else lit(0.0d)).as("__coff"))
     val cb = pqCodebookLit(pq)
     val lut = flatten(transform(sequence(lit(0), lit(pq.m - 1)), sub =>
       transform(element_at(cb, sub + 1), cent =>
@@ -919,7 +973,7 @@ object Similarity {
         pq.numCodes))
     val candidates = enc.join(broadcast(probedQ), Seq("__cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("__adc", adc)
+      .withColumn("__adc", col("__coff") + adc)
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("__adc").desc, col("neighbor_id").asc)))
@@ -944,10 +998,11 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, numCells: Int = 16, nprobe: Int = 6, m: Int = 8,
       numCodes: Int = 16, rescoreFactor: Int = 4, seed: Long = 42L,
-      maxFitRows: Long = 100000L, fitFraction: Double = 0.0): DataFrame =
+      maxFitRows: Long = 100000L, fitFraction: Double = 0.0,
+      residual: Boolean = true): DataFrame =
     ivfPqQuery(
       ivfPqBuild(corpus, idCol, vecCol, numCells, m, numCodes, seed,
-        maxFitRows, fitFraction),
+        maxFitRows, fitFraction, residual),
       queries, corpus, idCol, vecCol, k, nprobe, rescoreFactor)
 
   /** The md5-derived integer codebook of the PORTABLE PQ twin:

@@ -2380,16 +2380,22 @@ object PipelineQueries {
     * md5 codebook + integer argmin encode + integer ADC, with the ADC
     * pass restricted to each query's 4 probed cells (the property that
     * MAKES it IVF×PQ) — replayed verbatim by the oracle. The TRAINED
-    * composition ([[Similarity.ivfPqTopK]]: KMeans cells × KMeans
-    * codebooks × cosine rescore) self-certifies lazily in the q28/q103
-    * pattern: `ivfpq_recall_ok` pins recall@5 ≥ 0.4 at nprobe 10 of 16
-    * cells with 16× rescore against float brute force — a bug-catching
-    * floor (see q103: a broken probe or encode collapses recall toward
-    * random's ~0.3%), calibrated on the near-uniform NOISE test
-    * embeddings (deterministic, seeded fits): 0.84 / 0.86 / 0.68 at
-    * sf0.001 / 0.01 / 0.1 — cell misses compound with ADC ranking
-    * noise, the honest compounding of the two approximations;
-    * SimilaritySpec pins ≥ 0.8 on clustered data.
+    * composition ([[Similarity.ivfPqTopK]]: KMeans cells × RESIDUAL
+    * KMeans codebooks × cosine rescore — the FAISS IndexIVFPQ layout
+    * since r14) self-certifies lazily in the q28/q103 pattern:
+    * `ivfpq_recall_ok` pins recall@5 ≥ 0.5 at nprobe 10 of 16 cells
+    * with 16× rescore against float brute force — a bug-catching floor
+    * (see q103: a broken probe, encode, or residual ADC offset
+    * collapses recall toward random's ~0.3%), calibrated on the
+    * near-uniform NOISE test embeddings (deterministic, seeded fits):
+    * residual measures 0.86 / 0.84 / 0.68 at sf0.001 / 0.01 / 0.1,
+    * beating raw (0.82 / 0.78 / 0.60) at every SF — though on noise
+    * the gain is modest BY THEORY (with no cluster structure the
+    * coarse centers sit near the data centroid and residuals ≈ raw);
+    * the regime residual encoding exists FOR is clustered data, where
+    * SimilaritySpec's A/B measures 4.4× the raw ADC capture. The
+    * portable twin stays RAW on purpose: it pins the ADC algebra, not
+    * the training choice.
     */
   def q104IvfPqPortable(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
@@ -2406,7 +2412,7 @@ object PipelineQueries {
       .join(floatExact, Seq("query_id", "neighbor_id"))
       .agg(count(lit(1)).as("__m"))
       .crossJoin(broadcast(floatExact.agg(count(lit(1)).as("__exp"))))
-      .select((col("__m") * 100L >= col("__exp") * 40L).cast("long")
+      .select((col("__m") * 100L >= col("__exp") * 50L).cast("long")
         .as("ivfpq_recall_ok"))
     Similarity.annIvfPqPortable(emb, queries, "vec_id", "embedding",
         numPivots = 16, nprobe = 4, m = 8, numCodes = 16, topK = 5)
