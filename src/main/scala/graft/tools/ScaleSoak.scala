@@ -216,8 +216,9 @@ object ScaleSoak {
     // 65536 buckets per band, so candidate volume grows ~4·n²/2¹⁷ —
     // 7.6e8 verify rows at 5M (streamed, never materialized; measured
     // green) but 7.6e10 at 50M. Past ~10M images the DESIGN answer is a
-    // longer fingerprint (128-bit pHash, 8 bands), not a bigger join —
-    // the same density rule that sizes MinHash bands to corpus size.
+    // longer fingerprint, not a bigger join — the same density rule
+    // that sizes MinHash bands to corpus size. That path is
+    // hammingPairs128, soaked as the next leg.
     val imgN = math.min(n, 5000000L)
     val (imgPairs, secImg) = timed {
       val hashes = spark.range(0L, imgN, 1L,
@@ -232,6 +233,36 @@ object ScaleSoak {
           "else cast(0 as bigint) end)"))
       graft.operators.ImageHash.hammingPairs(
         hashes.toDF(), "id", "dhash", maxHamming = 3,
+        materialize = false).count()
+    }
+
+    // 128-BIT IMAGE LEG: hammingPairs128 — the past-10M design answer
+    // (C(8,2) composite 32-bit band keys, exact to hamming ≤ 6, random
+    // candidate volume 28·n²/2³³ ≈ 1.3M at 20M vs the 64-bit path's
+    // 1.2e11). Same group scheme as the 64-bit leg at min(n, 20M)
+    // rows: (hi, lo) = (xxhash64(gid, 1), xxhash64(gid, 2));
+    // id%100==1 flips ONE hash-chosen bit of the 128, id%100==2
+    // repeats verbatim — exactly 3·(n/100) planted pairs within
+    // hamming ≤ 3, all of which composite banding must find, and
+    // natural 128-bit collisions within hamming 3 are ~2⁻¹⁰⁰-scale
+    // (the count is asserted EXACT, no slack).
+    val img128N = math.min(n, 20000000L)
+    val (img128Pairs, secImg128) = timed {
+      val hashes = spark.range(0L, img128N, 1L,
+          math.max(spark.sparkContext.defaultParallelism.toLong,
+            img128N / 250000L).toInt)
+        .withColumn("gid", expr(
+          "case when id % 100 = 1 then id - 1 " +
+          "when id % 100 = 2 then id - 2 else id end"))
+        .withColumn("fb", expr("cast(pmod(xxhash64(gid, 99), 128) as int)"))
+        .withColumn("dhash_hi", expr(
+          "xxhash64(gid, 1) ^ (case when id % 100 = 1 and fb >= 64 then " +
+          "shiftleft(cast(1 as bigint), fb - 64) else cast(0 as bigint) end)"))
+        .withColumn("dhash_lo", expr(
+          "xxhash64(gid, 2) ^ (case when id % 100 = 1 and fb < 64 then " +
+          "shiftleft(cast(1 as bigint), fb) else cast(0 as bigint) end)"))
+      graft.operators.ImageHash.hammingPairs128(
+        hashes.toDF(), "id", "dhash_hi", "dhash_lo", maxHamming = 3,
         materialize = false).count()
     }
 
@@ -261,6 +292,8 @@ object ScaleSoak {
       s""""verified_pairs":$pairs,$lshProfile""" +
       s""""bucket_join_rows":$bucketRows,"img_rows":$imgN,""" +
       s""""img_pairs":$imgPairs,"sec_imghash":${r1s(secImg)},""" +
+      s""""img128_rows":$img128N,"img128_pairs":$img128Pairs,""" +
+      s""""sec_imghash128":${r1s(secImg128)},""" +
       s""""sec_dedup":${r1s(secDedup)},""" +
       s""""sec_lsh":${r1s(secLsh)},"sec_bucket":${r1s(secBucket)},""" +
       s""""heap_max_bytes":${Runtime.getRuntime.maxMemory()},""" +

@@ -120,6 +120,74 @@ class ImageHashSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("dHash128 equals an independent 17x8 grid reference on a gradient") {
+    import spark.implicits._
+    // 23x11 gradient (both dims non-divisible by the 17x8 grid)
+    val img = new java.awt.image.BufferedImage(23, 11,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 11; x <- 0 until 23) {
+      val t = (x * 31 + y * 7) % 251
+      img.setRGB(x, y, (t << 16) | (t << 8) | t)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val got = ImageHash.dHash128(spark.createDataset(
+      Seq(Multimodal.MediaRecord(0L, "image", out.toByteArray))))
+      .collect().head
+    // independent reference: same block definition, BigInt mean compare
+    val sums = Array.ofDim[Long](8, 17); val counts = Array.ofDim[Long](8, 17)
+    for (y <- 0 until 11; x <- 0 until 23) {
+      val (br, bc) = (y * 8 / 11, x * 17 / 23)
+      sums(br)(bc) += 1000L * ((x * 31 + y * 7) % 251); counts(br)(bc) += 1
+    }
+    var wantLo = 0L; var wantHi = 0L
+    for (r <- 0 until 8; c <- 0 until 16)
+      if (BigInt(sums(r)(c + 1)) * counts(r)(c) >
+          BigInt(sums(r)(c)) * counts(r)(c + 1)) {
+        val b = r * 16 + c
+        if (b < 64) wantLo |= 1L << b else wantHi |= 1L << (b - 64)
+      }
+    assert((got.dhash_hi, got.dhash_lo) === ((wantHi, wantLo)))
+    assert(got.dhash_hi != 0L,
+      "the gradient must exercise bits above 64 or the test proves nothing")
+  }
+
+  test("hammingPairs128 equals brute force and is exact to hamming 6") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // 15 random 128-bit bases, each with a twin at hamming j (j = id%8:
+    // 0..7 distinct bit flips — 7 is PAST the exactness bound and must
+    // be excluded by the verify filter, not silently half-found)
+    val rows = (0L until 15L).flatMap { g =>
+      val hi = rnd.nextLong(); val lo = rnd.nextLong()
+      val j = (g % 8).toInt
+      // flip j distinct bit positions derived from g
+      var thi = hi; var tlo = lo
+      (0 until j).foreach { i =>
+        val b = (math.abs(g * 31 + i * 17) % 128).toInt
+        if (b < 64) tlo ^= 1L << b else thi ^= 1L << (b - 64)
+      }
+      Seq((g, hi, lo), (g + 1000L, thi, tlo))
+    }
+    val expected = (for {
+      (a, ahi, alo) <- rows; (b, bhi, blo) <- rows if a < b
+      h = java.lang.Long.bitCount(ahi ^ bhi) + java.lang.Long.bitCount(alo ^ blo)
+      if h <= 6
+    } yield (a, b, h.toLong)).toSet
+    val df = rows.toDF("media_id", "dhash_hi", "dhash_lo")
+    val got = ImageHash.hammingPairs128(df, "media_id", "dhash_hi",
+        "dhash_lo", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(expected.size >= 12, "the planted twins at h <= 6 must be present")
+    assert(!got.exists(_._3 > 6), "nothing past the exactness bound")
+    // the bound is a contract, not a suggestion
+    intercept[IllegalArgumentException] {
+      ImageHash.hammingPairs128(df, "media_id", "dhash_hi", "dhash_lo",
+        maxHamming = 7)
+    }
+  }
+
   test("the q102 gate restriction keeps only planted-offset pairs") {
     val df = graft.queries.MediaQueries.q102ImageDhash(spark,
       "/root/testdata/sf0.001")

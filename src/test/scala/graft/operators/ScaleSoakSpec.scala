@@ -156,12 +156,31 @@ class ScaleSoakSpec extends AnyFunSuite {
       assert(r("img_pairs") <= expectedImg + 5,
         s"image pair count above planted+collision budget at $imgN " +
           s"hashes: ${r("img_pairs")} / $expectedImg")
+      // 128-bit leg: composite C(8,2) banding is exact to hamming ≤ 6
+      // and natural 128-bit collisions within 3 bits are ~2⁻¹⁰⁰-scale,
+      // so the count is EXACT — no slack in either direction
+      val img128N = r("img128_rows")
+      assert(img128N == math.min(n, 20000000L).toDouble)
+      assert(r("img128_pairs") == 3.0 * (img128N / 100),
+        s"128-bit composite banding pair count off at $img128N hashes: " +
+          s"${r("img128_pairs")} / ${3.0 * (img128N / 100)}")
       assert(r("heap_max_bytes") <= 2.3e9,
         s"soak JVM was not actually capped at 2 GB: ${r("heap_max_bytes")}")
       info(s"n=$n dedup=${r("sec_dedup")}s lsh=${r("sec_lsh")}s " +
-        s"imghash=${r("sec_imghash")}s bucket=${r("sec_bucket")}s " +
+        s"imghash=${r("sec_imghash")}s imghash128=${r("sec_imghash128")}s " +
+        s"bucket=${r("sec_bucket")}s " +
         s"peakHeap=${r("heap_peak_bytes") / 1e9}GB")
     }
+
+    // 128-bit leg linearity: 5M → 20M is 4× rows; the scan/shuffle of
+    // the 28 band rows per hash is linear and the random candidate
+    // term (28·n²/2³³) is ~1.3M verify rows at 20M — still noise.
+    // Bound 15× (quadratic behavior would show ~16× from candidates
+    // alone on top of the linear term; a hidden O(n²) materialization
+    // fails the heap cap first anyway)
+    val r128 = big("sec_imghash128") / math.max(small("sec_imghash128"), 0.1)
+    assert(r128 <= 15.0,
+      s"sec_imghash128 grew ${r128}x for 4x rows — super-linear behavior")
 
     // (b) linearity: 10x rows, each stage under 30x time (quadratic
     // would be ~100x; sub-linear fixed overhead makes small-n ratios
