@@ -2549,4 +2549,96 @@ object PipelineQueries {
       |  coalesce(agg.cleaned, '') AS cleaned_text
       |FROM t LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** HTML → text extraction on the full hash gate
+    * ([[graft.operators.Html.extractText]] + [[graft.operators.Html.
+    * dropShortLines]]): each document is wrapped into a deterministic
+    * HTML page — title, style and script blocks, a comment hiding fake
+    * markup, block tags, a `<li>`-ridden list, entities, and the
+    * document text ENTITY-ESCAPED into a `<p>` (so extraction must
+    * round-trip it exactly) — then extracted, and the FULL extracted
+    * string plus the short-line-filtered variant are hash-pinned
+    * against DuckDB replaying the identical construction and regex
+    * pipeline. A tag-strip slip, a wrong block-tag newline, an entity
+    * decode in the wrong order, or a whitespace-normalization drift
+    * all break the hash.
+    */
+  def q108HtmlExtract(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Html
+    val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(col("text")) { case (acc, (k, v)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(k), lit(v)) }
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style type=\"text/css\">p { color: #fff; }</style>"),
+      lit("<script>if (a < b && c > d) { emit(\"&amp;\"); }</script>"),
+      lit("</head><body><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1><div class=\"main\"><p>"), esc,
+      lit("</p></div><ul><li>alpha<li>beta</ul>"),
+      lit("<!-- hidden <p>secret</p> -->"),
+      lit("<br/>&quot;q&quot; &amp;joined&#39;s&nbsp;tail of doc "),
+      col("doc_id").cast("string"), lit("</body></html>"))
+    Tables.documents(spark, d)
+      .select(col("doc_id"), Html.extractText(html).as("text_full"))
+      .select(col("doc_id"),
+        length(col("text_full")).cast("long").as("n_chars"),
+        col("text_full"),
+        Html.dropShortLines(col("text_full"), 6).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** The identical page construction + regex pipeline in DuckDB (the
+    * Java ∩ RE2 dialect intersection — see Html's scaladoc).
+    */
+  val q108Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title><style type="text/css">p { color: #fff; }</style>' ||
+      |    '<script>if (a < b && c > d) { emit("&amp;"); }</script>' ||
+      |    '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</h1><div class="main"><p>' ||
+      |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+      |            '>', '&gt;') ||
+      |    '</p></div><ul><li>alpha<li>beta</ul>' ||
+      |    '<!-- hidden <p>secret</p> -->' ||
+      |    '<br/>&quot;q&quot; &amp;joined&#39;s&nbsp;tail of doc ' ||
+      |    CAST(doc_id AS VARCHAR) || '</body></html>' AS html
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    trim(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          replace(replace(replace(replace(replace(replace(replace(
+      |            replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(
+      |                      regexp_replace(
+      |                        regexp_replace(
+      |                          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+      |                          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |                        '(?is)<script[^>]*>.*', ' ', 'g'),
+      |                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |                    '(?is)<style[^>]*>.*', ' ', 'g'),
+      |                  '[ \t\r\n\f]+', ' ', 'g'),
+      |                '(?i)</?(pre|p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote|section|article|header|footer|nav|form)( [^>]*)?/?>',
+      |                chr(10), 'g'),
+      |              '<[^>]*>', ' ', 'g'),
+      |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |            '&apos;', ''''), '&#39;', ''''), '&#160;', ' '),
+      |            '&nbsp;', ' '), '&amp;', '&'),
+      |          '[ \t\r\f]+', ' ', 'g'),
+      |        ' ?' || chr(10) || '[ ' || chr(10) || ']*', chr(10), 'g'),
+      |      ' ' || chr(10)) AS text_full
+      |  FROM h)
+      |SELECT doc_id, CAST(length(text_full) AS BIGINT) AS n_chars,
+      |  text_full,
+      |  array_to_string(
+      |    list_filter(string_split(text_full, chr(10)),
+      |                l -> length(l) >= 6), chr(10)) AS text_clean
+      |FROM x ORDER BY doc_id""".stripMargin
 }
