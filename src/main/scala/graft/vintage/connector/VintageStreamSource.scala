@@ -1,6 +1,7 @@
 package graft.vintage.connector
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.graftshim.{StreamingOps, VintageRelation}
@@ -49,7 +50,8 @@ import graft.vintage.{AddFile, CommitInfo, Metadata, RemoveFile, Snapshot, Vinta
 class VintageStreamSource(
     spark: SparkSession,
     tablePath: String,
-    options: Map[String, String]) extends Source {
+    options: Map[String, String]) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val ignoreDeletes =
     options.get("ignoreDeletes").exists(_.toBoolean)
@@ -122,8 +124,39 @@ class VintageStreamSource(
   @volatile private var plannedVersion: Long =
     changesFromExclusive.getOrElse(-1L)
 
+  /** Terminal version captured by [[prepareForTriggerAvailableNow]]:
+    * under `Trigger.AvailableNow` batches keep their per-trigger rate
+    * caps but never plan past this point, and once planning reaches it
+    * the offset stops advancing, which is what tells the engine the
+    * backlog is drained and the query may stop. Without the native
+    * admission-control interfaces, Spark's V1 `AvailableNowSourceWrapper`
+    * would capture our CAPPED getOffset as the terminal offset and stop
+    * after the FIRST rate-limited batch — the Delta source implements
+    * exactly this trio (Source + SupportsAdmissionControl +
+    * SupportsTriggerAvailableNow) for the same reason.
+    */
+  @volatile private var availableNowTerminal: Option[Long] = None
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowTerminal = Some(VintageLog.latestVersion(tablePath))
+  }
+
+  /** Admission-controlled planning (the engine calls this instead of
+    * [[getOffset]] once SupportsAdmissionControl is implemented). The
+    * `limit` parameter is unused: our rate caps come from the Delta-
+    * shaped reader options, which this source applies itself.
+    */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 =
+    getOffset.orNull
+
   override def getOffset: Option[Offset] = {
-    val latest = VintageLog.latestVersion(tablePath)
+    val trueLatest = VintageLog.latestVersion(tablePath)
+    val latest = availableNowTerminal match {
+      case Some(t) => math.min(trueLatest, t)
+      case None    => trueLatest
+    }
     if (latest < 0) return None
     // The INITIAL-SNAPSHOT batch (no startingVersion, nothing planned
     // yet) is never capped: it is one snapshot read however it is

@@ -160,6 +160,64 @@ class VintageStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: rate-limited backfill, self-stop, exactly-once resume") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vintage-src").toString + "/anow"
+    val cp = Files.createTempDirectory("vintage-src-cp").toString
+
+    // 3 commits x 2 files = 6 files; maxFilesPerTrigger=2 must split
+    // the backfill into >= 3 non-empty micro-batches before stopping
+    VintageTable.create(spark, dir, Seq(1, 2).toDF("id").repartition(2))
+    val t = VintageTable.forPath(spark, dir)
+    t.append(Seq(3, 4).toDF("id").repartition(2))
+    t.append(Seq(5, 6).toDF("id").repartition(2))
+
+    // foreachBatch, not the memory sink: the memory sink refuses to
+    // recover from an existing checkpoint, and the RESUME half is the
+    // point of this test
+    val delivered = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def drain(): Seq[Long] = {
+      val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = spark.readStream.format("vintage")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "2")
+        .load(dir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("id").collect().map(_.getInt(0))
+          batchSizes.synchronized { batchSizes += rows.length.toLong }
+          rows.foreach(delivered.add)
+          ()
+        }
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000),
+        "AvailableNow must process the backlog and stop on its own")
+      batchSizes.toSeq
+    }
+
+    val p1 = drain()
+    assert(delivered.toArray(Array.empty[Integer]).map(_.toInt).sorted.toSeq
+        == (1 to 6),
+      "the full backlog must arrive, each row exactly once")
+    val nonEmpty = p1.count(_ > 0)
+    assert(nonEmpty >= 3,
+      s"6 files at maxFilesPerTrigger=2 must take >= 3 batches, got " +
+        s"$nonEmpty (${p1.mkString(",")})")
+
+    // resume from the checkpoint: a second AvailableNow run sees ONLY
+    // the post-checkpoint commit (exactly-once across the stop — the
+    // standard backfill-then-stop deployment shape)
+    delivered.clear()
+    t.append(Seq(7, 8).toDF("id").repartition(2))
+    val p2 = drain()
+    assert(delivered.toArray(Array.empty[Integer]).map(_.toInt).sorted.toSeq
+        == Seq(7, 8),
+      "the resumed run must deliver only the new commit, exactly once")
+    assert(p2.sum == 2)
+  }
+
   test("streaming source: maxFilesPerTrigger bounds each micro-batch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("vintage-src").toString + "/rate"
