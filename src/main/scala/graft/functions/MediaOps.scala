@@ -2,8 +2,9 @@ package graft.functions
 
 import java.math.BigInteger
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -64,9 +65,15 @@ object TemporalDHash {
     * interpreted eval and the generated code (a static call keeps the
     * enclosing projection inside whole-stage codegen).
     */
-  def compute(fs: ArrayData, b: Int): Long = {
+  def compute(fs: ArrayData, b: Int): Long = computeWide(fs, b)._2
+
+  /** The width-generic pass: bit j < 64 lands in lo, 64 ≤ j < 128 in
+    * hi — so the 64-bit hash IS the lo word of the wide one (shared
+    * kernel, the dHash/dHash128 rule applied to the temporal tier).
+    */
+  private[graft] def computeWide(fs: ArrayData, b: Int): (Long, Long) = {
     val ns = fs.numElements()
-    if (ns == 0) return 0L
+    if (ns == 0) return (0L, 0L)
     val sums = new Array[Long](b)
     val cnts = new Array[Long](b)
     var i = 0
@@ -76,16 +83,75 @@ object TemporalDHash {
       cnts(bk) += 1L
       i += 1
     }
-    var hash = 0L
+    hashOfBuckets(sums, cnts)
+  }
+
+  /** (hi, lo) of the B−1 cross-multiplied neighbor comparisons over
+    * already-accumulated bucket sums/counts — shared with the JVM-side
+    * audio path so SQL-tier and codec-tier hashes cannot drift.
+    */
+  private[graft] def hashOfBuckets(sums: Array[Long],
+      cnts: Array[Long]): (Long, Long) = {
+    val b = sums.length
+    var lo = 0L
+    var hi = 0L
     var j = 0
     while (j < b - 1) {
       val gt = BigInteger.valueOf(sums(j + 1))
         .multiply(BigInteger.valueOf(cnts(j)))
         .compareTo(BigInteger.valueOf(sums(j))
           .multiply(BigInteger.valueOf(cnts(j + 1)))) > 0
-      if (gt) hash |= 1L << j
+      if (gt) {
+        if (j < 64) lo |= 1L << j else hi |= 1L << (j - 64)
+      }
       j += 1
     }
-    hash
+    (hi, lo)
   }
+
+  /** Struct-returning entry for [[TemporalDHash128]]'s eval/codegen. */
+  def computeStruct(fs: ArrayData, b: Int): InternalRow = {
+    val (hi, lo) = computeWide(fs, b)
+    new GenericInternalRow(Array[Any](hi, lo))
+  }
+}
+
+/** `temporal_dhash128(frames)` → struct<vhash_hi, vhash_lo> — the
+  * 128-bit widening of [[TemporalDHash]] for corpora past the 64-bit
+  * banding geometry (pairs via [[graft.operators.ImageHash.
+  * hammingPairs128]]'s composite 32-bit band keys): up to 129 time
+  * buckets → 128 neighbor comparisons, same exact arithmetic, same
+  * one-pass kernel (bit j < 64 is the lo word, so the 64-bit hash is
+  * literally a prefix of this one).
+  */
+case class TemporalDHash128(child: Expression, timeBuckets: Int)
+    extends UnaryExpression {
+
+  require(timeBuckets >= 66 && timeBuckets <= 129,
+    s"timeBuckets must be in [66, 129] (use TemporalDHash below 66), " +
+      s"got $timeBuckets")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 2 && fields(1).dataType == LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<struct<ord, lum bigint>>, got ${other.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("vhash_hi", LongType, nullable = false),
+    StructField("vhash_lo", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "temporal_dhash128"
+
+  override def nullSafeEval(input: Any): Any =
+    TemporalDHash.computeStruct(input.asInstanceOf[ArrayData], timeBuckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, fs =>
+      s"graft.functions.TemporalDHash.computeStruct($fs, $timeBuckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): TemporalDHash128 =
+    copy(child = newChild)
 }

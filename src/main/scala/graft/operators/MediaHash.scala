@@ -50,6 +50,8 @@ object MediaHash {
 
   case class VideoDHash(media_id: Long, vhash: Long, n_frames_sampled: Int)
   case class AudioDHash(media_id: Long, ahash: Long, n_samples: Long)
+  case class AudioDHash128(media_id: Long, ahash_hi: Long, ahash_lo: Long,
+                           n_samples: Long)
 
   /** 64-bit temporal dHash over a [[VideoCodec.FrameStats]]-shaped
     * frame from [[VideoCodec.decodeFrames]] (any stride): per video,
@@ -78,6 +80,28 @@ object MediaHash {
             org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__fs")),
             b)).as("vhash"),
         size(col("__fs")).as("n_frames_sampled"))
+  }
+
+  /** 128-bit widening of [[videoTemporalHash]] (up to 129 buckets →
+    * 128 comparisons) for video corpora past the 64-bit banding
+    * geometry — pairs via [[ImageHash.hammingPairs128]]. Same kernel:
+    * the 64-bit hash at the same bucket count would be the lo word.
+    * Sample at least `timeBuckets` frames for full discrimination.
+    */
+  def videoTemporalHash128(frames: DataFrame,
+                           timeBuckets: Int = 129): DataFrame = {
+    val b = timeBuckets
+    require(b >= 66 && b <= 129,
+      s"timeBuckets must be in [66, 129] (use videoTemporalHash below 66), got $b")
+    framesToLums(frames)
+      .select(col("media_id"),
+        org.apache.spark.sql.graftshim.ColumnExpr.column(
+          graft.functions.TemporalDHash128(
+            org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__fs")),
+            b)).as("__h"),
+        size(col("__fs")).as("n_frames_sampled"))
+      .select(col("media_id"), col("__h.vhash_hi").as("vhash_hi"),
+        col("__h.vhash_lo").as("vhash_lo"), col("n_frames_sampled"))
   }
 
   private def framesToLums(frames: DataFrame): DataFrame =
@@ -128,35 +152,58 @@ object MediaHash {
     require(b >= 2 && b <= 65, s"timeBuckets must be in [2, 65], got $b")
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { m =>
-      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.bytes))
-      try {
-        val fmt = ais.getFormat
-        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-          s"media_id=${m.media_id}: expected 16-bit mono PCM, got $fmt")
-        val pcm = ais.readAllBytes()
-        val n = pcm.length / 2
-        require(n >= b,
-          s"media_id=${m.media_id}: $n samples < $b time buckets")
-        val sums = new Array[Long](b)
-        val counts = new Array[Long](b)
-        var i = 0
-        while (i < n) {
-          val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
-          val bk = (i.toLong * b / n).toInt
-          sums(bk) += math.abs(v)
-          counts(bk) += 1L
-          i += 1
-        }
-        var hash = 0L
-        var j = 0
-        while (j < b - 1) {
-          if ((BigInt(sums(j + 1)) * counts(j)) > (BigInt(sums(j)) * counts(j + 1)))
-            hash |= 1L << j
-          j += 1
-        }
-        AudioDHash(m.media_id, hash, n.toLong)
-      } finally ais.close()
+      val (hi, lo, n) = pcmEnergyHash(m, b)
+      assert(hi == 0L) // b <= 65 cannot set bits past 63
+      AudioDHash(m.media_id, lo, n)
     })
+  }
+
+  /** 128-bit widening of [[audioEnergyHash]] (up to 129 buckets) —
+    * pairs via [[ImageHash.hammingPairs128]]; the 64-bit hash at the
+    * same bucket count would be the lo word (shared kernel).
+    */
+  def audioEnergyHash128(ds: Dataset[Multimodal.MediaRecord],
+                         timeBuckets: Int = 129): Dataset[AudioDHash128] = {
+    val b = timeBuckets
+    require(b >= 66 && b <= 129,
+      s"timeBuckets must be in [66, 129] (use audioEnergyHash below 66), got $b")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { m =>
+      val (hi, lo, n) = pcmEnergyHash(m, b)
+      AudioDHash128(m.media_id, hi, lo, n)
+    })
+  }
+
+  /** Decode one WAVE record and fold the rectified-PCM bucket energies
+    * into the (hi, lo) comparison hash — the bucket comparisons share
+    * [[graft.functions.TemporalDHash.hashOfBuckets]] with the video
+    * tier, so the two modalities' exact compare arithmetic cannot
+    * drift.
+    */
+  private def pcmEnergyHash(m: Multimodal.MediaRecord,
+      b: Int): (Long, Long, Long) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(m.bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"media_id=${m.media_id}: expected 16-bit mono PCM, got $fmt")
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2
+      require(n >= b,
+        s"media_id=${m.media_id}: $n samples < $b time buckets")
+      val sums = new Array[Long](b)
+      val counts = new Array[Long](b)
+      var i = 0
+      while (i < n) {
+        val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+        val bk = (i.toLong * b / n).toInt
+        sums(bk) += math.abs(v)
+        counts(bk) += 1L
+        i += 1
+      }
+      val (hi, lo) = graft.functions.TemporalDHash.hashOfBuckets(sums, counts)
+      (hi, lo, n.toLong)
+    } finally ais.close()
   }
 
   // ── gate fixture: segment-amplitude-modulated square waves ────────

@@ -78,6 +78,52 @@ class MediaHashSpec extends AnyFunSuite {
     }
   }
 
+  test("128-bit temporal hashes: invariances hold, bits above 64 carry") {
+    import spark.implicits._
+    // video at 129 buckets over 130 stride-1 samples: fps and 2x
+    // upscale twins must stay bit-identical across BOTH words; a
+    // different temporal profile must differ
+    val base = VideoSpec(1L, 6, 5, 130, 33, 77, 190, 10, "DIB ")
+    val specs = Seq(base,
+      base.copy(media_id = 2L, fps = 25),
+      base.copy(media_id = 3L, width = 12, height = 10),
+      base.copy(media_id = 4L, r0 = 200, g0 = 10, b0 = 5))
+    val frames = VideoCodec.decodeFrames(VideoCodec.renderAvis(
+      spark.createDataset(specs)), stride = 1).toDF()
+    val v = MediaHash.videoTemporalHash128(frames, timeBuckets = 129)
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3), r._4)).toMap
+    assert(v(1L)._2 == 130)
+    assert(v(1L)._1 == v(2L)._1, "fps retiming must not change the wide hash")
+    assert(v(1L)._1 == v(3L)._1, "2x upscaling must not change the wide hash")
+    assert(v(1L)._1 != v(4L)._1, "a different temporal profile must differ")
+    assert(specs.map(s => v(s.media_id)._1._1).exists(_ != 0L),
+      "129 buckets must exercise comparison bits above 64")
+
+    // audio at 129 buckets aligned to 129 segments: +1-noise twin
+    // bit-identical, one re-levelled segment flips <= 2 bits
+    val aBase = MediaHash.SegAudioSpec(1L, 7L, 129, 16, -1, noise = false)
+    val wavs = MediaHash.renderSegWavs(spark.createDataset(Seq(
+      aBase,
+      aBase.copy(media_id = 2L, noise = true),
+      aBase.copy(media_id = 3L, flipSeg = 60))))
+    val a = MediaHash.audioEnergyHash128(wavs, timeBuckets = 129)
+      .collect().map(h => h.media_id -> ((h.ahash_hi, h.ahash_lo))).toMap
+    assert(a(1L) == a(2L), "per-segment +1 noise must not change the hash")
+    val d = java.lang.Long.bitCount(a(1L)._1 ^ a(3L)._1) +
+      java.lang.Long.bitCount(a(1L)._2 ^ a(3L)._2)
+    assert(d >= 1 && d <= 2, s"one re-levelled segment must flip 1-2 bits, got $d")
+
+    // both wide hashes feed hammingPairs128: the planted twins pair up
+    val vids = v.toSeq.map { case (id, ((hi, lo), _)) => (id, hi, lo) }
+      .toDF("media_id", "h_hi", "h_lo")
+    val pairs = ImageHash.hammingPairs128(vids, "media_id", "h_hi", "h_lo",
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"the three invariant twins must pair at hamming 0: $pairs")
+  }
+
   test("video hash: fewer sampled frames than buckets degrades, not throws") {
     val tiny = VideoSpec(9L, 6, 5, 10, 33, 77, 190, 10, "DIB ")
     val h = vhashOf(Seq(tiny), stride = 1)
