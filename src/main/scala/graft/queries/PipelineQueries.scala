@@ -2641,4 +2641,101 @@ object PipelineQueries {
       |    list_filter(string_split(text_full, chr(10)),
       |                l -> length(l) >= 6), chr(10)) AS text_clean
       |FROM x ORDER BY doc_id""".stripMargin
+
+  /** URL canonicalization + URL-level dedup on the full hash gate
+    * ([[graft.operators.Url.canonicalize]]): six deterministic URL
+    * shapes per doc_id — authority-case + default-port + fragment +
+    * tracking-param + param-order variants planted so shapes 0/1 and
+    * 2/3 canonicalize IDENTICALLY — then the canonical string, the
+    * canonical-group size, and the min-id survivor flag are hash-pinned
+    * against DuckDB replaying the same construction and the same
+    * canonicalization algebra. A case-folding slip, a port dropped for
+    * the wrong scheme, a fragment kept, a tracking param surviving, or
+    * an unstable param sort all break the hash.
+    */
+  def q109UrlCanonical(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Url
+    val url = expr(
+      """CASE CAST(doc_id % 6 AS INT)
+        |  WHEN 0 THEN concat('HTTP://WWW.Example.COM:80/a/',
+        |    CAST(doc_id DIV 6 AS STRING), '?utm_source=feed&b=2&a=1#frag')
+        |  WHEN 1 THEN concat('http://www.example.com/a/',
+        |    CAST(doc_id DIV 6 AS STRING), '?a=1&b=2')
+        |  WHEN 2 THEN concat('https://Site.ORG:443/P',
+        |    CAST(doc_id DIV 6 AS STRING), '?gclid=123#x')
+        |  WHEN 3 THEN concat('https://site.org/P',
+        |    CAST(doc_id DIV 6 AS STRING))
+        |  WHEN 4 THEN concat('https://unique.net:443/u?x=',
+        |    CAST(doc_id AS STRING), '&utm_campaign=z&ref=aa')
+        |  ELSE concat('ftp://Mixed.Case:80/Path/', CAST(doc_id AS STRING))
+        |END""".stripMargin)
+    val withCanon = Tables.documents(spark, d).select(col("doc_id"))
+      .withColumn("url", url)
+      .withColumn("canonical_url", Url.canonicalize(col("url")))
+    val groups = withCanon.groupBy("canonical_url")
+      .agg(min("doc_id").as("__survivor"),
+        count(lit(1)).cast("long").as("group_size"))
+    withCanon.join(groups, Seq("canonical_url"))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        col("group_size"),
+        (col("doc_id") === col("__survivor")).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
+  /** The same construction + canonicalization algebra in DuckDB
+    * (replacement backrefs are `\1` in RE2 vs `$1` in Java — different
+    * spelling, same semantics).
+    */
+  val q109Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 6 AS INT)
+      |      WHEN 0 THEN 'HTTP://WWW.Example.COM:80/a/' ||
+      |        CAST(doc_id // 6 AS VARCHAR) || '?utm_source=feed&b=2&a=1#frag'
+      |      WHEN 1 THEN 'http://www.example.com/a/' ||
+      |        CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2'
+      |      WHEN 2 THEN 'https://Site.ORG:443/P' ||
+      |        CAST(doc_id // 6 AS VARCHAR) || '?gclid=123#x'
+      |      WHEN 3 THEN 'https://site.org/P' || CAST(doc_id // 6 AS VARCHAR)
+      |      WHEN 4 THEN 'https://unique.net:443/u?x=' ||
+      |        CAST(doc_id AS VARCHAR) || '&utm_campaign=z&ref=aa'
+      |      ELSE 'ftp://Mixed.Case:80/Path/' || CAST(doc_id AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |l1 AS (
+      |  SELECT doc_id, url,
+      |    lower(coalesce(regexp_extract(trim(url),
+      |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1), '')) ||
+      |    regexp_replace(trim(url),
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS lowered
+      |  FROM u),
+      |l2 AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(lowered, '(?s)#.*', ''),
+      |        '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
+      |      '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') AS noport
+      |  FROM l1),
+      |l3 AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(noport, '(?s)\?.*', '') AS base,
+      |    list_sort(list_filter(
+      |      string_split(coalesce(regexp_extract(noport, '(?s)\?(.*)', 1),
+      |                            ''), '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p,
+      |        '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)='))) AS params
+      |  FROM l2),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN len(params) > 0
+      |         THEN base || '?' || array_to_string(params, '&')
+      |         ELSE base END AS canonical_url
+      |  FROM l3)
+      |SELECT doc_id, url, canonical_url,
+      |  CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+      |    AS group_size,
+      |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+      |    AS is_survivor
+      |FROM c ORDER BY doc_id""".stripMargin
 }
