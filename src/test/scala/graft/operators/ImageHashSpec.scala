@@ -186,6 +186,13 @@ class ImageHashSpec extends AnyFunSuite {
       ImageHash.hammingPairs128(df, "media_id", "dhash_hi", "dhash_lo",
         maxHamming = 7)
     }
+    // candidate generation is a hash equi-join on the composite key,
+    // never a cartesian/BNLJ (materialize=false exposes the lazy plan)
+    val plan = ImageHash.hammingPairs128(df, "media_id", "dhash_hi",
+        "dhash_lo", maxHamming = 6, materialize = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
   test("the q102 gate restriction keeps only planted-offset pairs") {
