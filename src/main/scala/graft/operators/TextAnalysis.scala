@@ -585,6 +585,56 @@ object TextAnalysis {
         col("__r.cleaned").as("cleaned_text"))
   }
 
+  /** C4-style LINE-level dedup (Raffel et al. 2020 §2.2 — "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once" has a line-granular sibling every crawl pipeline
+    * runs): a line occurring ≥ `minCount` times corpus-wide survives
+    * ONLY at its globally-first occurrence (lexicographic (id, pos) —
+    * deterministic at any partitioning); every other occurrence is
+    * removed and the document re-emitted with its surviving lines in
+    * order. This is the boilerplate killer ([[Html.extractText]]'s
+    * line-structured output feeds straight in): navigation crumbs,
+    * cookie banners and footers repeat across a site, real prose does
+    * not.
+    *
+    * Shape (100 TB): posexplode lines → ONE map-side-combinable
+    * groupBy(line) computing (count, min(id, pos)) → join back on the
+    * line → per-doc reassembly. Three shuffles of 16-40 B/line rows,
+    * never of documents; no window over the full corpus, no driver
+    * materialization. (A per-LINE window would sort every occurrence
+    * list; the min-struct aggregate is the partial-aggregatable
+    * equivalent.)
+    *
+    * Output: `idCol, n_lines, n_kept, n_removed, cleaned_text` (lines
+    * joined by `\n`; a fully-boilerplate document survives with
+    * cleaned_text = '').
+    */
+  def dropDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 2): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val stats = lines.groupBy("__line").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col(idCol), col("__pos"))).as("__first"))
+    val kept = lines.join(stats, Seq("__line"))
+      .filter(col("__cnt") < minCount ||
+        (col("__first").getField(idCol) === col(idCol) &&
+         col("__first").getField("__pos") === col("__pos")))
+    val cleaned = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      expr("array_join(transform(array_sort(" +
+        "collect_list(struct(__pos, __line))), x -> x.__line), '\\n')")
+        .as("cleaned_text"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(cleaned, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** All per-document features in one projection. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -2738,4 +2738,60 @@ object PipelineQueries {
       |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
       |    AS is_survivor
       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** C4-style line-level dedup on the full hash gate
+    * ([[graft.operators.TextAnalysis.dropDuplicatedLines]]): each
+    * document becomes a 3-4-line page — a newsletter banner on every
+    * third doc, a unique body line, a footer on EVERY doc, and a
+    * mod-7-shared tail line — so the operator must keep each repeated
+    * line ONLY at its globally-first (doc_id, pos) occurrence while
+    * unique body lines all survive. The full cleaned text, line
+    * counts, and removal counts are hash-pinned against DuckDB
+    * replaying the construction with window functions.
+    */
+  def q110LineDedup(spark: SparkSession, d: String): DataFrame = {
+    val txt = expr(
+      """concat(
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN 'subscribe to our newsletter\n' ELSE '' END,
+        |  'body ', CAST(doc_id AS STRING), '\n',
+        |  'copyright 2024 example corp\n',
+        |  'tail ', CAST(doc_id % 7 AS STRING))""".stripMargin)
+    TextAnalysis.dropDuplicatedLines(
+      Tables.documents(spark, d).select(col("doc_id"))
+        .withColumn("text", txt),
+      "doc_id", "text", minCount = 2)
+      .orderBy("doc_id")
+  }
+
+  val q110Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN 'subscribe to our newsletter' || chr(10) ELSE '' END ||
+      |    'body ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+      |    'copyright 2024 example corp' || chr(10) ||
+      |    'tail ' || CAST(doc_id % 7 AS VARCHAR) AS txt
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, unnest(range(0, len(ls))) AS pos, unnest(ls) AS line
+      |  FROM (SELECT doc_id, string_split(txt, chr(10)) AS ls FROM t)),
+      |k AS (
+      |  SELECT doc_id, pos, line,
+      |    count(*) OVER (PARTITION BY line) AS cnt,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      |  FROM l),
+      |kept AS (SELECT doc_id, pos, line FROM k WHERE cnt < 2 OR rn = 1),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(string_split(t.txt, chr(10))) AS BIGINT) AS n_lines,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(string_split(t.txt, chr(10))) - coalesce(agg.n_kept, 0)
+      |       AS BIGINT) AS n_removed,
+      |  coalesce(agg.cleaned, '') AS cleaned_text
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

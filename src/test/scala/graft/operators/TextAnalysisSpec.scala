@@ -259,4 +259,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, 13L, 3L, 10L, "a2 b2 c2"),
       (3L, 13L, 3L, 10L, "a3 b3 c3")), s"got $strict")
   }
+
+  test("dropDuplicatedLines keeps each repeated line only at its first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "footer\nunique one"),
+      (2L, "unique two\nfooter\nbanner"),
+      (3L, "banner\nfooter\nunique three"),
+      (4L, "footer")).toDF("doc_id", "text")
+    val r = TextAnalysis.dropDuplicatedLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      // footer's global first is (1,0): it survives here only
+      (1L, 2L, 2L, 0L, "footer\nunique one"),
+      // banner's global first is (2,2): survives here; footer removed
+      (2L, 3L, 2L, 1L, "unique two\nbanner"),
+      // both repeated lines removed; the unique body survives
+      (3L, 3L, 1L, 2L, "unique three"),
+      // a fully-boilerplate doc empties but stays present
+      (4L, 1L, 0L, 1L, "")), s"got $r")
+  }
 }
