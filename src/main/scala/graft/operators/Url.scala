@@ -32,7 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Url {
 
-  /** Query parameters that never affect content identity. */
+  /** Query parameters that never affect content identity. The match is
+    * CASE-SENSITIVE on purpose: the tracking family is canonically
+    * lowercase on the wire, and query-param names are case-sensitive
+    * in general (step 2 never folds path/query case), so folding here
+    * would conflate `?REF=` — plausibly a content key — with the
+    * tracker.
+    */
   private val trackingRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
 
   def canonicalize(c: Column): Column = {

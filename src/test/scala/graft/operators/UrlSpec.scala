@@ -42,6 +42,10 @@ class UrlSpec extends AnyFunSuite {
     assert(canon("https://a.com/x?b=2&&a=1") == Seq("https://a.com/x?a=1&b=2"))
     // a param NAMED like content (refresh=1) is not the tracking 'ref='
     assert(canon("https://a.com/x?refresh=1") == Seq("https://a.com/x?refresh=1"))
+    // param-name matching is case-sensitive (documented contract):
+    // query case is never folded, so UTM_SOURCE is not the tracker
+    assert(canon("https://a.com/x?UTM_SOURCE=f") ==
+      Seq("https://a.com/x?UTM_SOURCE=f"))
   }
 
   test("planted crawl variants collapse to one canonical form") {
