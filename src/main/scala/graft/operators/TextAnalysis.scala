@@ -487,15 +487,28 @@ object TextAnalysis {
     *
     * Shape (100 TB):
     *   1. grams are built ARRAY-SIDE per document (`transform` +
-    *      `slice` over the token array, codegen'd) and only then
-    *      exploded — no per-token shuffle;
-    *   2. the global gram count shuffles once on the gram;
-    *   3. the hot-gram blacklist (count >= minCount) is BROADCAST into
-    *      a semi-join — by construction it shrinks as minCount grows,
-    *      and the raw gram stream never shuffles a second time;
+    *      `slice` over the token array, codegen'd) and HASHED to
+    *      xxhash64 inside the same projection — the gram STRING never
+    *      leaves the projection, so nothing string-sized ever
+    *      shuffles, at n=4 or n=50 alike;
+    *   2. the global gram count shuffles 8-byte hash keys only
+    *      (map-side combined);
+    *   3. the hot-gram blacklist (count >= minCount) joins back as a
+    *      SHUFFLED left_semi on the 8-byte key — bounded at ANY
+    *      hot-set size (under a Zipf corpus at the 100 TB design
+    *      point the hot set is billions of grams; an unconditional
+    *      broadcast would kill the driver before the first task). AQE
+    *      still converts to a runtime broadcast when the hot set
+    *      measures genuinely small — size-GATED, never assumed;
     *   4. covered positions union per document (distinct over
     *      exploded `[pos, pos+n)` spans, bounded by the duplicated
     *      spans only, not the corpus).
+    *
+    * Collision contract (the q30 xxhash64 precedent): two DISTINCT
+    * grams colliding on the 64-bit hash merge their counts, so a
+    * cold gram can read hot. Expected colliding pairs ≈ D²/2⁶⁵ for D
+    * distinct grams — ~0.03 at D = 10⁹; at gate SFs it is ~10⁻⁸,
+    * which is why the string-keyed DuckDB oracle still hash-matches.
     *
     * Output: `idCol, n_tokens, n_dup_grams, n_masked` (all BIGINT;
     * zero-filled for clean documents).
@@ -518,12 +531,13 @@ object TextAnalysis {
   }
 
   /** The shared front half of the duplicated-span machinery: per-doc
-    * token arrays plus the occurrences (idCol, __pos, __gram) of every
-    * word n-gram that repeats ≥ minCount times corpus-wide. See
-    * [[dupSpanStats]] for the 100 TB shape (array-side gram build,
-    * one gram shuffle, broadcast hot-set semi-join).
+    * token arrays plus the occurrences (idCol, __pos) of every word
+    * n-gram that repeats ≥ minCount times corpus-wide. See
+    * [[dupSpanStats]] for the 100 TB shape (array-side gram build +
+    * hash, 8-byte count shuffle, shuffled hot-set semi-join) and the
+    * xxhash64 collision contract.
     */
-  private def dupGramOccurrences(df: DataFrame, idCol: String,
+  private[graft] def dupGramOccurrences(df: DataFrame, idCol: String,
       textCol: String, n: Int, minCount: Int): (DataFrame, DataFrame) = {
     val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("long"))
@@ -531,11 +545,11 @@ object TextAnalysis {
       .select(col(idCol), explode(expr(
         s"transform(sequence(0, size(__toks) - $n), " +
         s"i -> struct(CAST(i AS BIGINT) AS pos, " +
-        s"concat_ws(' ', slice(__toks, i + 1, $n)) AS gram))")).as("g"))
-      .select(col(idCol), col("g.pos").as("__pos"), col("g.gram").as("__gram"))
-    val hot = grams.groupBy("__gram").agg(count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= minCount).select("__gram")
-    (toks, grams.join(broadcast(hot), Seq("__gram"), "left_semi"))
+        s"xxhash64(concat_ws(' ', slice(__toks, i + 1, $n))) AS gh))")).as("g"))
+      .select(col(idCol), col("g.pos").as("__pos"), col("g.gh").as("__gh"))
+    val hot = grams.groupBy("__gh").agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= minCount).select("__gh")
+    (toks, grams.join(hot, Seq("__gh"), "left_semi"))
   }
 
   /** Exact substring-level dedup REMOVAL (Lee et al. 2022,
@@ -550,7 +564,8 @@ object TextAnalysis {
     * representation every downstream text operator here consumes.
     *
     * Shape (100 TB): stages 1–3 are [[dupSpanStats]]'s (array-side
-    * gram build → one gram shuffle → broadcast hot-set semi-join);
+    * gram build + xxhash64 → 8-byte count shuffle → shuffled hot-set
+    * semi-join, bounded at any hot-set size);
     * stage 4 collects each doc's duplicated-span START positions
     * (bounded by the doc's own token count — strictly smaller state
     * than the doc text itself) and stage 5 is ONE compiled pass per

@@ -266,6 +266,32 @@ object ScaleSoak {
         materialize = false).count()
     }
 
+    // HOT-GRAM REMOVAL LEG (r15): dropDuplicatedSpans — q107, the r14
+    // flagship — on a corpus engineered so the hot-gram set is HUGE:
+    // every doc is one of an identical triplet (gid = id - id % 3), so
+    // every 4-gram repeats exactly 3 times corpus-wide and the hot set
+    // is 27 grams × n/3 groups ≈ 81M DISTINCT grams at 9M docs —
+    // multiple GB as strings, instant driver death under the 2 GB cap
+    // if the hot set were broadcast (the r14 judge finding; the fix
+    // shuffles 8-byte xxhash64 keys instead, bounded at any size).
+    // Ground truth is EXACT: all 30 positions of every doc are masked
+    // (cross-group gram-string or hash collisions can only add counts
+    // to grams that are already hot), so sum(n_kept) = 0 and
+    // sum(n_removed) = 30·gramN — no slack.
+    val gramN = (math.min(n, 9000000L) / 3L) * 3L
+    val (gramSums, secGram) = timed {
+      val gslices = math.max(spark.sparkContext.defaultParallelism.toLong,
+        gramN / 250000L).toInt
+      val docs = spark.range(0L, gramN, 1L, gslices)
+        .withColumn("text", expr(
+          "array_join(transform(sequence(0, 29), j -> " +
+          "concat('w', pmod(xxhash64(id - id % 3, j), 50000))), ' ')"))
+      val r = graft.operators.TextAnalysis.dropDuplicatedSpans(
+          docs.toDF(), "id", "text", n = 4, minCount = 3, minRun = 1)
+        .agg(sum("n_kept"), sum("n_removed")).first()
+      (r.getLong(0), r.getLong(1))
+    }
+
     val (bucketRows, secBucket) = timed {
       val docs = corpus(spark, n).select(col("id"), col("gid"))
       graft.operators.Bucketed.writeBucketed(
@@ -294,6 +320,8 @@ object ScaleSoak {
       s""""img_pairs":$imgPairs,"sec_imghash":${r1s(secImg)},""" +
       s""""img128_rows":$img128N,"img128_pairs":$img128Pairs,""" +
       s""""sec_imghash128":${r1s(secImg128)},""" +
+      s""""gram_docs":$gramN,"gram_kept_sum":${gramSums._1},""" +
+      s""""gram_removed_sum":${gramSums._2},"sec_gramdedup":${r1s(secGram)},""" +
       s""""sec_dedup":${r1s(secDedup)},""" +
       s""""sec_lsh":${r1s(secLsh)},"sec_bucket":${r1s(secBucket)},""" +
       s""""heap_max_bytes":${Runtime.getRuntime.maxMemory()},""" +

