@@ -14,9 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Language Models Better"): given a document's token array and the
   * SORTED start positions of its corpus-wide-duplicated n-grams,
   * emit the text that SURVIVES removing the union of the spans
-  * `[start, start+n)`, with a minimum-surviving-run guard — a clean
-  * fragment shorter than `minRun` tokens sandwiched between removed
-  * spans is dropped too (it is boilerplate shrapnel, not prose).
+  * `[start, start+n)`, with a minimum-surviving-run guard: EVERY
+  * surviving run shorter than `minRun` tokens is dropped — runs
+  * sandwiched between removed spans (boilerplate shrapnel), runs at
+  * document boundaries, and a whole clean document shorter than
+  * `minRun` alike. Callers that want short clean documents untouched
+  * pass `minRun = 1` (the default upstream).
   *
   * ONE pass over the tokens (the PqEncodeCodes/TemporalDHash
   * precedent): a two-pointer walk advances the span cursor and the

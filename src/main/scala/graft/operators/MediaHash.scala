@@ -153,7 +153,10 @@ object MediaHash {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { m =>
       val (hi, lo, n) = pcmEnergyHash(m, b)
-      assert(hi == 0L) // b <= 65 cannot set bits past 63
+      // b <= 65 cannot set bits past 63; require (not assert) so the
+      // check survives -Xdisable-assertions builds like every other
+      // contract in this file
+      require(hi == 0L, s"pcmEnergyHash hi word set at b=$b")
       AudioDHash(m.media_id, lo, n)
     })
   }

@@ -836,9 +836,16 @@ object Similarity {
     * frame `(id, cell, codes)` (m+~8 bytes per vector — THE thing a
     * billion-vector deployment writes to a table and reuses across
     * every query batch).
+    *
+    * `residual` is REQUIRED (no default, ADVICE r14): the stored codes
+    * are meaningless without knowing which encoding produced them, and
+    * a caller rehydrating a pre-residual (raw-encoded) persisted index
+    * must state so explicitly — a silently-defaulted `true` would add
+    * the per-probe dot(q, center) offset to raw-encoded scores and
+    * bias cross-cell candidate selection with no error anywhere.
     */
   case class IvfPqIndex(model: PqModel, centers: Array[Array[Double]],
-                        index: DataFrame, residual: Boolean = true)
+                        index: DataFrame, residual: Boolean)
 
   /** Index of the L2-nearest center (ties to the lowest index) — the
     * driver-side twin of the [[graft.functions.IvfPqEncode]] cell

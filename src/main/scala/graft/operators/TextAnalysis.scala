@@ -557,9 +557,11 @@ object TextAnalysis {
     * operator [[dupSpanStats]] only MEASURES): re-emit each document
     * with every token position covered by a corpus-wide-repeated
     * `n`-gram removed, where "repeated" means the gram occurs ≥
-    * `minCount` times across the WHOLE corpus. Surviving fragments
-    * shorter than `minRun` tokens (boilerplate shrapnel sandwiched
-    * between removed spans) are dropped too. The cleaned text is in
+    * `minCount` times across the WHOLE corpus. EVERY surviving run
+    * shorter than `minRun` tokens is dropped too — shrapnel between
+    * removed spans, boundary fragments, and whole clean documents
+    * alike ([[graft.functions.DropDupSpans]]'s contract; `minRun = 1`,
+    * the default, leaves clean documents untouched). The cleaned text is in
     * normalized token space (lowercased, single-space joined) — the
     * representation every downstream text operator here consumes.
     *
