@@ -2794,4 +2794,88 @@ object PipelineQueries {
       |  coalesce(agg.cleaned, '') AS cleaned_text
       |FROM t LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** Long-span substring dedup at the Lee-et-al. operating point
+    * (n = 20 word-grams ≈ the published ~50-token repeated-substring
+    * rule; q107 gates the n = 4 end): every document gets a shared
+    * 25-token boilerplate PREAMBLE (hot in every doc) and a 25-token
+    * TAIL shared within its doc_id % 5 class (hot at ≥ 3 docs per
+    * class at every SF), so the 20-gram removal must excise exactly
+    * both planted spans — grams bridging into the unique body can't
+    * reach minCount — and minRun = 5 additionally drops any body
+    * shorter than 5 tokens. Since r15 the gram shuffle carries 8-byte
+    * xxhash64 keys whatever n is, so this costs the same shuffle as
+    * q107 despite ~120-byte gram strings; the gate hash-pins the full
+    * cleaned text against DuckDB replaying the construction with
+    * string grams (collision bound in [[graft.operators.TextAnalysis
+    * .dupSpanStats]]'s scaladoc).
+    */
+  def q111LongSpanDedup(spark: SparkSession, d: String): DataFrame = {
+    val pre = (1 to 25).map(i => s"boiler$i").mkString(" ")
+    val txt = concat(
+      lit(pre + " "), col("text"), lit(" "),
+      expr("array_join(transform(sequence(1, 25), j -> " +
+        "concat('tail', CAST(doc_id % 5 AS STRING), 'x', " +
+        "CAST(j AS STRING))), ' ')"))
+    TextAnalysis.dropDuplicatedSpans(
+      Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        .withColumn("text", txt),
+      "doc_id", "text", n = 20, minCount = 3, minRun = 5)
+      .orderBy("doc_id")
+  }
+
+  val q111Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(
+      |      'boiler1 boiler2 boiler3 boiler4 boiler5 boiler6 boiler7 boiler8 boiler9 boiler10 boiler11 boiler12 boiler13 boiler14 boiler15 boiler16 boiler17 boiler18 boiler19 boiler20 boiler21 boiler22 boiler23 boiler24 boiler25 '
+      |      || text || ' ' ||
+      |      array_to_string(list_transform(range(1, 26), j ->
+      |        'tail' || CAST(doc_id % 5 AS VARCHAR) || 'x' ||
+      |        CAST(j AS VARCHAR)), ' ')
+      |    )), '\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(toks) - 19)) AS pos,
+      |    unnest(list_transform(range(1, len(toks) - 18),
+      |                          i -> array_to_string(toks[i:i+19], ' '))) AS gram
+      |  FROM t WHERE len(toks) >= 20
+      |),
+      |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3),
+      |dup AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN hot USING (gram)),
+      |mp AS (
+      |  SELECT DISTINCT doc_id, pos + j AS mpos
+      |  FROM dup CROSS JOIN unnest(range(0, 20)) AS u(j)
+      |),
+      |tok AS (
+      |  SELECT doc_id, unnest(range(0, len(toks))) AS p, unnest(toks) AS tok
+      |  FROM t
+      |),
+      |kept AS (
+      |  SELECT tok.doc_id, tok.p, tok.tok
+      |  FROM tok LEFT JOIN mp ON tok.doc_id = mp.doc_id AND tok.p = mp.mpos
+      |  WHERE mp.mpos IS NULL
+      |),
+      |runs AS (
+      |  SELECT doc_id, p, tok,
+      |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+      |  FROM kept
+      |),
+      |good AS (
+      |  SELECT doc_id, rid FROM runs GROUP BY doc_id, rid
+      |  HAVING count(*) >= 5
+      |),
+      |agg AS (
+      |  SELECT runs.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(runs.tok, ' ' ORDER BY runs.p) AS cleaned
+      |  FROM runs JOIN good USING (doc_id, rid) GROUP BY runs.doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(agg.cleaned, '') AS cleaned_text
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -281,6 +281,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4L, 1L, 0L, 1L, "")), s"got $r")
   }
 
+  test("dropDuplicatedSpans at large n: overlapping long spans union, bridges survive") {
+    import spark.implicits._
+    // an 11-token phrase shared by 3 docs at n=10 → two overlapping hot
+    // 10-grams per doc (starts 0/1 within the phrase) whose union must
+    // cover exactly the 11 phrase positions; grams bridging from the
+    // phrase into the unique suffix can't reach minCount and the
+    // suffixes must survive verbatim
+    val phrase = (1 to 11).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$phrase u1 v1 w1"),
+      (2L, s"$phrase u2 v2 w2"),
+      (3L, s"$phrase u3 v3 w3")).toDF("doc_id", "text")
+    val r = TextAnalysis.dropDuplicatedSpans(docs, "doc_id", "text",
+        n = 10, minCount = 3, minRun = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "n_removed", "cleaned_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 14L, 3L, 11L, "u1 v1 w1"),
+      (2L, 14L, 3L, 11L, "u2 v2 w2"),
+      (3L, 14L, 3L, 11L, "u3 v3 w3")), s"got $r")
+  }
+
   test("dupGramOccurrences: no broadcast hint, and no string crosses any exchange") {
     import spark.implicits._
     // The r14 judge finding: the hot-gram set is unbounded under a Zipf
