@@ -652,6 +652,80 @@ object TextAnalysis {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Deterministic sentence segmentation in the Java ∩ RE2 regex
+    * dialect (the [[Html]] rule, so any engine replays it): lowercase,
+    * collapse whitespace to single spaces, break after any of `.!?`
+    * followed by a space, drop empties. A heuristic by design —
+    * abbreviations ("u.s. grade") over-split — but deterministic,
+    * codegen'd, and shared verbatim by the q112 oracle; the C4 paper's
+    * own segmenter is an unpublished heuristic too.
+    */
+  def sentences(c: Column): Column =
+    filter(split(regexp_replace(
+      regexp_replace(lower(trim(c)), "\\s+", " "),
+      "([.!?]) ", "$1\n"), "\n"), s => s =!= "")
+
+  /** C4 SENTENCE-span dedup — the actual Raffel et al. 2020 §2.2 rule
+    * ("we discarded all but one of any three-sentence span occurring
+    * more than once in the data set"; [[dropDuplicatedLines]] is the
+    * line-granular sibling): every span of `spanLen` consecutive
+    * sentences that occurs ≥ `minCount` times corpus-wide survives
+    * ONLY at its globally-first occurrence (lexicographic (id, pos) —
+    * deterministic at any partitioning); every other occurrence's
+    * sentences are removed (overlapping removed spans union) and the
+    * document re-emitted with its surviving sentences in order,
+    * single-space joined.
+    *
+    * Shape (100 TB): spans are built ARRAY-SIDE over the per-doc
+    * sentence array and hashed to xxhash64 inside the projection
+    * ([[dupSpanStats]]'s r15 rule — span text never shuffles); ONE
+    * map-side-combinable groupBy(span-hash) computes (count,
+    * min(id, pos)) — the partial-aggregatable survivor rule, no
+    * corpus-wide window; removed-span starts collect per doc (bounded
+    * by the doc's own sentence count) and reassembly is the compiled
+    * [[graft.functions.DropDupSpans]] two-pointer pass over the
+    * sentence array. Collision contract as [[dupSpanStats]].
+    *
+    * Output: `idCol, n_sentences, n_kept, n_removed, cleaned_text`
+    * (counts in sentences; a doc that is entirely non-first duplicated
+    * spans survives with cleaned_text = '').
+    */
+  def dropDuplicatedSentenceSpans(df: DataFrame, idCol: String,
+      textCol: String, spanLen: Int = 3, minCount: Int = 2): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val sents = df.select(col(idCol), sentences(col(textCol)).as("__sents"))
+      .withColumn("n_sentences", size(col("__sents")).cast("long"))
+    val spans = sents.filter(col("n_sentences") >= spanLen)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__sents) - $spanLen), " +
+        s"i -> struct(CAST(i AS BIGINT) AS pos, " +
+        s"xxhash64(concat_ws('\\n', slice(__sents, i + 1, $spanLen))) AS sh))"))
+        .as("s"))
+      .select(col(idCol), col("s.pos").as("__pos"), col("s.sh").as("__sh"))
+    val stats = spans.groupBy("__sh").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col(idCol), col("__pos"))).as("__first"))
+    val removed = spans.join(stats, Seq("__sh"))
+      .filter(col("__cnt") >= minCount &&
+        !(col("__first").getField(idCol) === col(idCol) &&
+          col("__first").getField("__pos") === col("__pos")))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    val cleanedStruct = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.DropDupSpans(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__sents")),
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(
+          coalesce(col("__starts"), typedlit(Array.empty[Long]))),
+        spanLen, 1))
+    sents.join(removed, Seq(idCol), "left")
+      .withColumn("__r", cleanedStruct)
+      .select(col(idCol), col("n_sentences"),
+        col("__r.n_kept").as("n_kept"),
+        (col("n_sentences") - col("__r.n_kept")).as("n_removed"),
+        col("__r.cleaned").as("cleaned_text"))
+  }
+
   /** All per-document features in one projection. */
   def documentFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -2878,4 +2878,84 @@ object PipelineQueries {
       |  coalesce(agg.cleaned, '') AS cleaned_text
       |FROM t LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** C4 sentence-span dedup on the full hash gate
+    * ([[graft.operators.TextAnalysis.dropDuplicatedSentenceSpans]],
+    * the actual Raffel §2.2 three-sentence rule): each doc is built
+    * as [banner? 3 sentences on doc_id % 4 = 0] + [3 unique body
+    * sentences] + [3 tail sentences shared by EVERY doc], so the
+    * banner span survives only at doc 0, the tail span survives only
+    * at its globally-first (id, pos) = doc 0 again, spans bridging
+    * into the unique body never reach minCount, and every other doc
+    * keeps exactly its body. The full cleaned text is hash-pinned
+    * against DuckDB replaying the same segmentation regexes and the
+    * survivor rule with window functions.
+    */
+  def q112SentenceDedup(spark: SparkSession, d: String): DataFrame = {
+    val txt = expr(
+      """concat(
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN 'Call now. Limited offer. Do not wait. ' ELSE '' END,
+        |  'Body ', CAST(doc_id AS STRING), ' alpha. ',
+        |  'Body ', CAST(doc_id AS STRING), ' beta. ',
+        |  'Body ', CAST(doc_id AS STRING), ' gamma. ',
+        |  'Visit our store. Thanks for reading. See you soon.')""".stripMargin)
+    TextAnalysis.dropDuplicatedSentenceSpans(
+      Tables.documents(spark, d).select(col("doc_id"))
+        .withColumn("text", txt),
+      "doc_id", "text", spanLen = 3, minCount = 2)
+      .orderBy("doc_id")
+  }
+
+  val q112Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN 'Call now. Limited offer. Do not wait. ' ELSE '' END ||
+      |    'Body ' || CAST(doc_id AS VARCHAR) || ' alpha. ' ||
+      |    'Body ' || CAST(doc_id AS VARCHAR) || ' beta. ' ||
+      |    'Body ' || CAST(doc_id AS VARCHAR) || ' gamma. ' ||
+      |    'Visit our store. Thanks for reading. See you soon.' AS txt
+      |  FROM documents),
+      |sarr AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(
+      |      regexp_replace(
+      |        regexp_replace(lower(trim(txt)), '\s+', ' ', 'g'),
+      |        '([.!?]) ', '\1' || chr(10), 'g'),
+      |      chr(10)), s -> s <> '') AS sents
+      |  FROM t),
+      |sp AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(sents) - 2)) AS pos,
+      |    unnest(list_transform(range(1, len(sents) - 1),
+      |                          i -> array_to_string(sents[i:i+2], chr(10)))) AS span
+      |  FROM sarr WHERE len(sents) >= 3),
+      |k AS (
+      |  SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY span) AS cnt,
+      |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      |  FROM sp),
+      |removed AS (SELECT doc_id, pos FROM k WHERE cnt >= 2 AND rn > 1),
+      |mp AS (
+      |  SELECT DISTINCT doc_id, pos + j AS mpos
+      |  FROM removed CROSS JOIN unnest(range(0, 3)) AS u(j)),
+      |s AS (
+      |  SELECT doc_id, unnest(range(0, len(sents))) AS p, unnest(sents) AS sent
+      |  FROM sarr),
+      |kept AS (
+      |  SELECT s.doc_id, s.p, s.sent
+      |  FROM s LEFT JOIN mp ON s.doc_id = mp.doc_id AND s.p = mp.mpos
+      |  WHERE mp.mpos IS NULL),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(sent, ' ' ORDER BY p) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT sarr.doc_id,
+      |  CAST(len(sarr.sents) AS BIGINT) AS n_sentences,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(sarr.sents) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(agg.cleaned, '') AS cleaned_text
+      |FROM sarr LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

@@ -304,6 +304,46 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 14L, 3L, 11L, "u3 v3 w3")), s"got $r")
   }
 
+  test("sentences: deterministic segmentation, whitespace-robust, empty-free") {
+    import spark.implicits._
+    val df = Seq(
+      "One two. Three four! Five?  Six.",
+      "No terminal punctuation here",
+      "Trailing dot.",
+      "  Spaced.   Out.  ",
+      "").toDF("t")
+      .select(TextAnalysis.sentences(col("t")).as("s"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("one two.", "three four!", "five?", "six."),
+      List("no terminal punctuation here"),
+      List("trailing dot."),
+      List("spaced.", "out."),
+      Nil), s"got $got")
+  }
+
+  test("dropDuplicatedSentenceSpans keeps a repeated span only at its global first") {
+    import spark.implicits._
+    // the 3-sentence span (s1, s2, s3) appears in docs 1 and 2; the
+    // global first is (1, 0) — doc 2 loses those three sentences and
+    // keeps its unique ones; doc 3 (entirely the span) empties; doc 4
+    // has fewer than spanLen sentences and is untouched
+    val docs = Seq(
+      (1L, "Alpha one. Beta two. Gamma three. Unique a. Unique b."),
+      (2L, "Intro x. Alpha one. Beta two. Gamma three. Outro y."),
+      (3L, "Alpha one. Beta two. Gamma three."),
+      (4L, "Short doc. Two sentences.")).toDF("doc_id", "text")
+    val r = TextAnalysis.dropDuplicatedSentenceSpans(
+        docs, "doc_id", "text", spanLen = 3, minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(r == Seq(
+      (1L, 5L, 5L, 0L, "alpha one. beta two. gamma three. unique a. unique b."),
+      (2L, 5L, 2L, 3L, "intro x. outro y."),
+      (3L, 3L, 0L, 3L, ""),
+      (4L, 2L, 2L, 0L, "short doc. two sentences.")), s"got $r")
+  }
+
   test("dupGramOccurrences: no broadcast hint, and no string crosses any exchange") {
     import spark.implicits._
     // The r14 judge finding: the hot-gram set is unbounded under a Zipf
