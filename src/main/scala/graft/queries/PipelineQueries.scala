@@ -3085,4 +3085,106 @@ object PipelineQueries {
       |  doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
       |    AS is_survivor
       |FROM dd ORDER BY doc_id""".stripMargin
+
+  /** WARC container round-trip on the full hash gate
+    * ([[graft.sources.WarcSource]], r15): every document becomes one
+    * WARC response record — a q108-style HTML page as the payload, a
+    * q109-style noisy URL as the target — written DISTRIBUTED as
+    * one-gzip-member-per-record `.warc.gz` part files, read back
+    * through the streaming parser, and driven through the whole crawl
+    * chain: URL canonicalization + registrable domain (q113's rules)
+    * and HTML → text extraction (q108's rules). The oracle replays the
+    * page/URL construction and the extraction algebra RELATIONALLY —
+    * DuckDB never sees a WARC byte — so any container-level mangling
+    * (a header field lost, a payload byte shifted, an entity decoded
+    * at the wrong layer, a member boundary misparsed) breaks the hash.
+    */
+  def q114WarcRoundtrip(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.{Html, Url}
+    import graft.sources.WarcSource
+    import spark.implicits._
+    val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(col("text")) { case (acc, (k, v)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(k), lit(v)) }
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1><div><p>"), esc, lit("</p></div></body></html>"))
+    val url = concat(lit("HTTPS://Crawl.Example.COM:443/doc/"),
+      col("doc_id").cast("string"), lit("?utm_source=w&b=2&a=1#frag"))
+    val recs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .select(url.as("url"), lit("text/html").as("content_type"),
+        encode(page, "UTF-8").as("bytes"))
+      .as[WarcSource.WarcDoc]
+    val dir = java.nio.file.Files.createTempDirectory("graft-q114-warc")
+      .toString
+    WarcSource.writeWarc(recs, dir)
+    WarcSource.readWarc(spark, dir)
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
+          .as("doc_id"),
+        col("warc_type"), col("content_type"),
+        Url.canonicalize(col("url")).as("canonical_url"),
+        Url.registrableDomain(col("url")).as("domain"),
+        Html.extractText(col("bytes").cast("string")).as("text_full"))
+      .select(col("doc_id"), col("warc_type"), col("content_type"),
+        col("canonical_url"), col("domain"),
+        length(col("text_full")).cast("long").as("n_chars"),
+        col("text_full"))
+      .orderBy("doc_id")
+  }
+
+  /** The page/URL construction and extraction algebra replayed
+    * relationally (the q108 chain on the simpler page; the canonical
+    * URL and domain are closed-form from q113's rules on this fixture).
+    */
+  val q114Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</h1><div><p>' ||
+      |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+      |            '>', '&gt;') ||
+      |    '</p></div></body></html>' AS html
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    trim(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          replace(replace(replace(replace(replace(replace(replace(
+      |            replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(
+      |                      regexp_replace(
+      |                        regexp_replace(
+      |                          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+      |                          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |                        '(?is)<script[^>]*>.*', ' ', 'g'),
+      |                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |                    '(?is)<style[^>]*>.*', ' ', 'g'),
+      |                  '[ \t\r\n\f]+', ' ', 'g'),
+      |                '(?i)</?(pre|p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote|section|article|header|footer|nav|form)( [^>]*)?/?>',
+      |                chr(10), 'g'),
+      |              '<[^>]*>', ' ', 'g'),
+      |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |            '&apos;', ''''), '&#39;', ''''), '&#160;', ' '),
+      |            '&nbsp;', ' '), '&amp;', '&'),
+      |          '[ \t\r\f]+', ' ', 'g'),
+      |        ' ?' || chr(10) || '[ ' || chr(10) || ']*', chr(10), 'g'),
+      |      ' ' || chr(10)) AS text_full
+      |  FROM h)
+      |SELECT doc_id,
+      |  'response' AS warc_type,
+      |  'text/html' AS content_type,
+      |  'https://crawl.example.com/doc/' || CAST(doc_id AS VARCHAR) ||
+      |    '?a=1&b=2' AS canonical_url,
+      |  'example.com' AS domain,
+      |  CAST(length(text_full) AS BIGINT) AS n_chars,
+      |  text_full
+      |FROM x ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,208 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, EOFException, InputStream, OutputStream}
+import java.net.URI
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** WARC (ISO 28500 / WARC 1.1) container source — the format every
+  * real web crawl arrives in (Common Crawl, Heritrix, wget --warc):
+  * a WARC file is a sequence of records, each a CRLF-delimited header
+  * block (`WARC/1.0`, `Name: value` fields, blank line), exactly
+  * `Content-Length` payload bytes, and a `\r\n\r\n` trailer; a
+  * `.warc.gz` compresses EACH RECORD AS ITS OWN GZIP MEMBER and
+  * concatenates the members. Everything here is JDK-only:
+  * `java.util.zip.GZIPInputStream` consumes concatenated members
+  * natively, so one streaming decoder reads the whole container.
+  *
+  * This completes the crawl chain: readWarc → [[graft.operators.Url
+  * .canonicalize]] (q109/q113) → [[graft.operators.Html.extractText]]
+  * (q108) → the dedup tier (q107/q110/q111/q112), gated end-to-end as
+  * q114 on a fixture the distributed writer builds.
+  *
+  * 100 TB notes:
+  *   - The scan lists files via `binaryFile` but selects ONLY the
+  *     path — the pruned ReadSchema never loads file contents into
+  *     rows (the MediaSource plan-assert precedent). Each task then
+  *     opens its files through Hadoop `FileSystem` and parses a
+  *     STREAM: memory per task is one record's payload, not the
+  *     file — a 1 GB Common Crawl segment (4-5 GB decompressed)
+  *     parses in constant memory.
+  *   - One file = one task (WARC members don't split mid-file);
+  *     parallelism = file count, which is the native Common Crawl
+  *     layout (segments of ~1 GB). No shuffle anywhere in the read.
+  *   - Malformed containers fail LOUDLY with the path and record
+  *     index (a corrupt member, a truncated payload, a non-WARC
+  *     header) — silently skipping records would under-report a
+  *     corpus with no signal anywhere.
+  *   - Payloads cap at 2 GB per record (an `Array[Byte]`); real
+  *     response records are single pages.
+  */
+object WarcSource {
+
+  /** One record to write: target URI, payload content type, payload. */
+  case class WarcDoc(url: String, content_type: String, bytes: Array[Byte])
+
+  /** One record read back. `record_index` is the record's ordinal
+    * within its file (stable: files are parsed sequentially).
+    */
+  case class WarcRecord(path: String, record_index: Long, warc_type: String,
+                        url: String, content_type: String, bytes: Array[Byte])
+
+  /** A fixed, obviously-synthetic timestamp: gate fixtures must be
+    * byte-deterministic, and WARC-Date is mandatory per the spec.
+    * Real crawlers stamp capture time here.
+    */
+  private val FixtureDate = "2024-01-01T00:00:00Z"
+
+  /** Write records as `.warc.gz` part files, one gzip member per
+    * record (the standard layout — members re-concatenate and tools
+    * can seek to member boundaries). Distributed: each task writes its
+    * partition to `<dir>/part-<pid>.warc.gz` through its own Hadoop
+    * FileSystem; the driver only clears the target directory. Record
+    * IDs are deterministic (md5 of the target URI) so a rewritten
+    * fixture is byte-identical.
+    */
+  def writeWarc(records: Dataset[WarcDoc], dir: String): Unit = {
+    val conf = new Configuration()
+    val fs = FileSystem.get(new URI(dir), conf)
+    fs.delete(new Path(dir), true)
+    fs.mkdirs(new Path(dir))
+    records.foreachPartition { (it: Iterator[WarcDoc]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tfs = FileSystem.get(new URI(dir), new Configuration())
+        val out = tfs.create(new Path(s"$dir/part-$pid.warc.gz"), true)
+        try it.foreach(r => writeMember(out, r)) finally out.close()
+      }
+    }
+  }
+
+  private def writeMember(out: OutputStream, r: WarcDoc): Unit = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(r.url.getBytes(UTF_8)).map("%02x".format(_)).mkString
+    val header =
+      "WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:md5:$md5>\r\n" +
+      s"WARC-Date: $FixtureDate\r\n" +
+      s"WARC-Target-URI: ${r.url}\r\n" +
+      s"Content-Type: ${r.content_type}\r\n" +
+      s"Content-Length: ${r.bytes.length}\r\n\r\n"
+    // finish() flushes this member's gzip trailer WITHOUT closing the
+    // underlying stream, so the next record starts a fresh member
+    val gz = new GZIPOutputStream(new java.io.FilterOutputStream(out) {
+      override def close(): Unit = () // member end must not close the file
+    })
+    gz.write(header.getBytes(UTF_8))
+    gz.write(r.bytes)
+    gz.write("\r\n\r\n".getBytes(UTF_8))
+    gz.finish()
+  }
+
+  /** Read WARC containers under `path` (glob ok): `binaryFile` lists
+    * the files (content column never selected — the scan reads
+    * metadata only), each task streams and parses its files. Output
+    * columns: `path, record_index, warc_type, url, content_type,
+    * bytes`.
+    */
+  def readWarc(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val paths = spark.read.format("binaryFile").load(path)
+      .select("path").as[String]
+    paths.mapPartitions { it =>
+      val conf = new Configuration()
+      it.flatMap { p =>
+        val fs = FileSystem.get(new URI(p), conf)
+        val raw = fs.open(new Path(new URI(p)))
+        val head = new Array[Byte](2)
+        val n = raw.read(head)
+        raw.seek(0)
+        val gzipped = n == 2 &&
+          (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
+        val in = new BufferedInputStream(
+          if (gzipped) new GZIPInputStream(raw) else raw, 1 << 16)
+        parseWarcStream(p, in)
+      }
+    }.toDF()
+  }
+
+  /** Streaming record iterator over one decompressed WARC byte stream.
+    * Closes the stream at EOF; throws (with path + record index) on
+    * any malformed structure.
+    */
+  private[sources] def parseWarcStream(path: String,
+      in: InputStream): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var idx = 0L
+    private var nextRec: WarcRecord = _
+    private var done = false
+
+    /** Bytes until LF (exclusive), trailing CR stripped, decoded as
+      * UTF-8 (header values — target URIs — are UTF-8 on the wire;
+      * per-byte toChar would mojibake multi-byte code points); null at
+      * EOF before any byte.
+      */
+    private def readLine(): String = {
+      val buf = new java.io.ByteArrayOutputStream(128)
+      var b = in.read()
+      if (b < 0) return null
+      while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+      val bytes = buf.toByteArray
+      val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+        bytes.length - 1 else bytes.length
+      new String(bytes, 0, n, UTF_8)
+    }
+
+    private def parseNext(): WarcRecord = {
+      // skip inter-record blank lines (the \r\n\r\n trailers)
+      var line = readLine()
+      while (line != null && line.isEmpty) line = readLine()
+      if (line == null) { in.close(); return null }
+      if (!line.startsWith("WARC/"))
+        throw new java.io.IOException(
+          s"malformed WARC at $path record $idx: expected version line, got '$line'")
+      val fields = scala.collection.mutable.Map.empty[String, String]
+      line = readLine()
+      while (line != null && line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon < 0) throw new java.io.IOException(
+          s"malformed WARC header field at $path record $idx: '$line'")
+        fields(line.substring(0, colon).trim.toLowerCase) =
+          line.substring(colon + 1).trim
+        line = readLine()
+      }
+      if (line == null) throw new EOFException(
+        s"truncated WARC header at $path record $idx")
+      val len = fields.getOrElse("content-length", throw new java.io.IOException(
+        s"WARC record without Content-Length at $path record $idx")).toLong
+      require(len <= Int.MaxValue,
+        s"WARC payload over 2 GB at $path record $idx: $len")
+      val block = in.readNBytes(len.toInt)
+      if (block.length != len) throw new EOFException(
+        s"truncated WARC payload at $path record $idx: " +
+          s"expected $len bytes, got ${block.length}")
+      val r = WarcRecord(path, idx,
+        fields.getOrElse("warc-type", ""),
+        fields.getOrElse("warc-target-uri", ""),
+        fields.getOrElse("content-type", ""), block)
+      idx += 1
+      r
+    }
+
+    override def hasNext: Boolean = {
+      if (!done && nextRec == null) {
+        nextRec = parseNext()
+        if (nextRec == null) done = true
+      }
+      !done
+    }
+    override def next(): WarcRecord = {
+      if (!hasNext) throw new NoSuchElementException("end of WARC stream")
+      val r = nextRec; nextRec = null; r
+    }
+  }
+}

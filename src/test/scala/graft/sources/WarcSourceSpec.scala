@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.sources.WarcSource.WarcDoc
+
+/** The WARC container source ([[WarcSource]]): distributed write of
+  * one-gzip-member-per-record part files, streaming read-back, header
+  * fidelity, binary-payload safety, uncompressed-container support,
+  * and LOUD failure on every malformed-member class.
+  */
+class WarcSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def newDir(): String =
+    Files.createTempDirectory("warc-src").toString
+
+  test("roundtrip: urls, content types, and payload bytes survive exactly") {
+    val dir = newDir()
+    // payloads that would break a non-length-delimited parser: CRLF
+    // pairs, a fake WARC version line, an empty payload, raw bytes
+    val docs = Seq(
+      WarcDoc("https://a.com/1", "text/html",
+        "<html>line1\r\n\r\nline2</html>".getBytes(UTF_8)),
+      WarcDoc("https://a.com/2", "text/plain",
+        "WARC/1.0\r\nContent-Length: 999\r\n\r\nnot a record".getBytes(UTF_8)),
+      WarcDoc("https://a.com/3", "application/octet-stream",
+        Array.tabulate[Byte](257)(i => (i % 256).toByte)),
+      WarcDoc("https://a.com/4", "text/empty", Array.empty[Byte]),
+      WarcDoc("https://ünïcode.example/päth?q=ö", "text/html",
+        "ümläuts".getBytes(UTF_8)))
+    WarcSource.writeWarc(spark.createDataset(docs).repartition(2), dir)
+
+    val back = WarcSource.readWarc(spark, dir)
+      .select("url", "warc_type", "content_type", "bytes")
+      .as[(String, String, String, Array[Byte])].collect()
+      .sortBy(_._1).toSeq
+    assert(back.map(_._1) == docs.map(_.url).sorted)
+    assert(back.forall(_._2 == "response"))
+    val byUrl = docs.map(d => d.url -> d).toMap
+    back.foreach { case (url, _, ct, bytes) =>
+      assert(ct == byUrl(url).content_type, s"content_type of $url")
+      assert(bytes.toSeq == byUrl(url).bytes.toSeq, s"payload of $url")
+    }
+  }
+
+  test("record_index is the per-file ordinal; multiple members per file") {
+    val dir = newDir()
+    val docs = (0 until 7).map(i =>
+      WarcDoc(s"https://b.com/$i", "text/html", s"payload $i".getBytes(UTF_8)))
+    WarcSource.writeWarc(spark.createDataset(docs).coalesce(1), dir)
+    val back = WarcSource.readWarc(spark, dir)
+      .select("record_index", "url").as[(Long, String)].collect().toSeq
+    assert(back.map(_._1).sorted == (0L until 7L))
+    // one part file, members in write order
+    assert(back.sortBy(_._1).map(_._2) == docs.map(_.url))
+  }
+
+  test("uncompressed .warc containers parse too") {
+    val dir = newDir()
+    val payload = "plain container"
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://c.com/x\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+    Files.write(java.nio.file.Paths.get(dir, "one.warc"),
+      (rec + rec).getBytes(UTF_8))
+    val back = WarcSource.readWarc(spark, dir)
+      .select("url", "bytes").as[(String, Array[Byte])].collect().toSeq
+    assert(back.size == 2)
+    assert(back.forall(r => new String(r._2, UTF_8) == payload))
+  }
+
+  test("corrupt gzip member fails loudly, not silently") {
+    val dir = newDir()
+    val junk = Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4, 5, 6, 7, 8)
+    Files.write(java.nio.file.Paths.get(dir, "bad.warc.gz"), junk)
+    val e = intercept[Exception] {
+      WarcSource.readWarc(spark, dir).count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("truncated payload names the path and record index") {
+    val dir = newDir()
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://c.com/t\r\n" +
+      "Content-Length: 100\r\n\r\nonly ten b"
+    Files.write(java.nio.file.Paths.get(dir, "trunc.warc"), rec.getBytes(UTF_8))
+    val e = intercept[Exception] {
+      WarcSource.readWarc(spark, dir).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("truncated WARC payload") || msg.contains("trunc.warc"),
+      s"unhelpful failure: $e")
+  }
+
+  test("non-WARC header line fails loudly with the offending line") {
+    val dir = newDir()
+    Files.write(java.nio.file.Paths.get(dir, "notwarc.warc"),
+      "HTTP/1.1 200 OK\r\n\r\n".getBytes(UTF_8))
+    val e = intercept[Exception] {
+      WarcSource.readWarc(spark, dir).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("expected version line") || msg.contains("notwarc"),
+      s"unhelpful failure: $e")
+  }
+
+  test("the listing scan never selects file contents (metadata-only)") {
+    val dir = newDir()
+    WarcSource.writeWarc(spark.createDataset(Seq(
+      WarcDoc("https://d.com/1", "text/html", "x".getBytes(UTF_8)))), dir)
+    val df = WarcSource.readWarc(spark, dir)
+    // the binaryFile scan's ReadSchema must be pruned to path — the
+    // MediaSourceSpec explain-text assert (AQE wraps the physical tree)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    val scanLines = plan.linesIterator.filter(_.contains("binaryFile")).toSeq
+    assert(scanLines.nonEmpty, s"expected a binaryFile scan in the plan:\n$plan")
+    scanLines.foreach { l =>
+      assert(!l.contains("content"),
+        s"the listing scan must not materialize file contents: $l")
+    }
+    assert(df.count() == 1)
+  }
+}
