@@ -380,3 +380,108 @@ object IvfPqEncode {
       UnsafeArrayData.fromPrimitiveArray(codes)))
   }
 }
+
+/** `rotate_vec(vec)` → array<double>: `out[i] = Σ_j R[i][j]·vec[j]` —
+  * the OPQ pre-transform (Ge et al. 2013, "Optimized Product
+  * Quantization"; FAISS OPQMatrix): an orthonormal rotation learned
+  * driver-side on the bounded fit sample and embedded as a flat
+  * literal (d² doubles — 32 KB at d = 64), applied per corpus/query
+  * row BEFORE IVF cell assignment and PQ encoding. A rotation
+  * preserves dot products and L2 distances, so every downstream
+  * scoring identity (residual decomposition, ADC LUT, center offsets)
+  * holds unchanged in rotated space; only the final cosine rescore
+  * uses the original vectors. d·d multiply-adds per row, inside
+  * whole-stage codegen — the same order as the PQ encode it feeds.
+  *
+  * Contract: vector length must equal d and elements non-null, else
+  * NULL (the PqEncodeCodes rule).
+  */
+case class RotateVec(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+
+  private val d = matrix.length
+  require(d > 0 && matrix.forall(_.length == d),
+    s"rotation must be square, got ${matrix.map(_.length).toSeq} rows of $d")
+
+  /** Row-major flat layout for the codegen reference object. */
+  private lazy val flat: Array[Double] = {
+    val out = new Array[Double](d * d)
+    var i = 0
+    while (i < d) { System.arraycopy(matrix(i), 0, out, i * d, d); i += 1 }
+    out
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorOps.checkVec(prettyName, child.dataType) match {
+      case TypeCheckResult.TypeCheckSuccess
+          if child.dataType.asInstanceOf[ArrayType].elementType == ByteType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs array<float>/array<double>, got tinyint elements")
+      case r => r
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rotate_vec"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() != d) return null
+    var i = 0
+    while (i < d) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val v = new Array[Double](d)
+    i = 0
+    while (i < d) { v(i) = VectorOps.elemAt(et, vec, i); i += 1 }
+    val out = new Array[Double](d)
+    i = 0
+    while (i < d) {
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += flat(i * d + j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, vec => {
+      val r = ctx.addReferenceObj("opqRotation", flat, "double[]")
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val hasNull = ctx.freshName("hasNull")
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val get = VectorOps.elementGetter(et, vec, i)
+      s"""
+         |if ($vec.numElements() != $d) { ${ev.isNull} = true; } else {
+         |  boolean $hasNull = false;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($vec.isNullAt($i)) { $hasNull = true; break; }
+         |  }
+         |  if ($hasNull) { ${ev.isNull} = true; } else {
+         |    double[] $v = new double[$d];
+         |    for (int $i = 0; $i < $d; $i++) { $v[$i] = $get; }
+         |    double[] $out = new double[$d];
+         |    for (int $i = 0; $i < $d; $i++) {
+         |      double $s = 0.0;
+         |      for (int $j = 0; $j < $d; $j++) {
+         |        $s += $r[$i * $d + $j] * $v[$j];
+         |      }
+         |      $out[$i] = $s;
+         |    }
+         |    ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RotateVec =
+    copy(child = newChild)
+}

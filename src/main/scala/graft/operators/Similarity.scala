@@ -657,6 +657,202 @@ object Similarity {
     PqModel(m, numCodes, dsub, codebooks)
   }
 
+  // ── OPQ: learned rotation before PQ (Ge et al. 2013) ─────────────
+
+  private[operators] def matVec(r: Array[Array[Double]],
+      v: Array[Double]): Array[Double] = {
+    val d = r.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += r(i)(j) * v(j); j += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  /** Nearest-codeword reconstruction of one (already-rotated) vector
+    * under `pq` — the driver-side twin of encode→decode, used by the
+    * OPQ alternation and by SimilaritySpec's error A/B.
+    */
+  private[operators] def pqReconstruct(v: Array[Double],
+      pq: PqModel): Array[Double] = {
+    val out = new Array[Double](pq.m * pq.dsub)
+    var sub = 0
+    while (sub < pq.m) {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < pq.numCodes) {
+        var s = 0.0
+        var j = 0
+        while (j < pq.dsub) {
+          val d = v(sub * pq.dsub + j) - pq.codebooks(sub)(c)(j)
+          s += d * d
+          j += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      System.arraycopy(pq.codebooks(sub)(best), 0, out, sub * pq.dsub, pq.dsub)
+      sub += 1
+    }
+    out
+  }
+
+  /** Orthogonal polar factor of a square matrix via Newton–Schulz
+    * iteration on the Frobenius-scaled input (X ← ½·X·(3I − XᵀX)) —
+    * the orthogonal-Procrustes solve `argmin_R ||R·X − Q||` is
+    * `polar(Q·Xᵀ)`, and the polar factor equals the U·Vᵀ an SVD would
+    * give, computed here with plain matrix products (no linalg
+    * dependency; quadratic convergence once σ ∈ (0, √3), which the
+    * Frobenius scaling guarantees for σmax). Returns None when the
+    * iteration has not converged in `maxIters` (a rank-deficient
+    * input — callers keep their previous rotation).
+    */
+  private[operators] def polarFactor(mIn: Array[Array[Double]],
+      maxIters: Int = 100): Option[Array[Array[Double]]] = {
+    val d = mIn.length
+    var fro = 0.0
+    mIn.foreach(_.foreach(x => fro += x * x))
+    if (fro == 0.0) return None
+    val scale = 1.0 / math.sqrt(fro)
+    var x = mIn.map(_.map(_ * scale))
+    def matMul(a: Array[Array[Double]], b: Array[Array[Double]]) =
+      Array.tabulate(d, d) { (i, j) =>
+        var s = 0.0
+        var k = 0
+        while (k < d) { s += a(i)(k) * b(k)(j); k += 1 }
+        s
+      }
+    def orthoDev(a: Array[Array[Double]]): Double = {
+      // max |AᵀA − I|
+      var dev = 0.0
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) {
+          var s = 0.0
+          var k = 0
+          while (k < d) { s += a(k)(i) * a(k)(j); k += 1 }
+          val e = math.abs(s - (if (i == j) 1.0 else 0.0))
+          if (e > dev) dev = e
+          j += 1
+        }
+        i += 1
+      }
+      dev
+    }
+    var it = 0
+    while (it < maxIters) {
+      if (orthoDev(x) < 1e-12) return Some(x)
+      val xtx = matMul(x.transpose, x)
+      val corr = Array.tabulate(d, d) { (i, j) =>
+        (if (i == j) 3.0 else 0.0) - xtx(i)(j)
+      }
+      x = matMul(x, corr).map(_.map(_ * 0.5))
+      it += 1
+    }
+    if (orthoDev(x) < 1e-9) Some(x) else None
+  }
+
+  /** Seeded random orthonormal matrix: modified Gram-Schmidt over a
+    * Gaussian d×d draw (rows independent a.s.) — the OPQ paper's
+    * non-parametric initialization. Identity is a FIXED POINT of the
+    * alternation on axis-aligned data (the Procrustes matrix is then
+    * ≈ the diagonal covariance, whose polar factor is I), so starting
+    * there can never re-balance variance across subspaces; a random
+    * start already mixes every direction into every subspace and the
+    * alternation refines from strictly inside the search space.
+    */
+  private def randomOrthonormal(d: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val a = Array.fill(d, d)(rnd.nextGaussian())
+    var i = 0
+    while (i < d) {
+      var k = 0
+      while (k < i) {
+        var dot = 0.0
+        var j = 0
+        while (j < d) { dot += a(i)(j) * a(k)(j); j += 1 }
+        j = 0
+        while (j < d) { a(i)(j) -= dot * a(k)(j); j += 1 }
+        k += 1
+      }
+      var nrm = 0.0
+      var j = 0
+      while (j < d) { nrm += a(i)(j) * a(i)(j); j += 1 }
+      require(nrm > 1e-24, "degenerate random draw")
+      val inv = 1.0 / math.sqrt(nrm)
+      j = 0
+      while (j < d) { a(i)(j) *= inv; j += 1 }
+      i += 1
+    }
+    a
+  }
+
+  /** OPQ rotation fit (Ge et al. 2013, the non-parametric alternation;
+    * FAISS OPQMatrix): start at a seeded RANDOM rotation (see
+    * [[randomOrthonormal]] — identity is a fixed point and cannot
+    * escape axis-aligned data), alternate (1) PQ codebook fit on the
+    * ROTATED sample with (2) the orthogonal-Procrustes update
+    * R = polar(Σᵢ reconstruct(R·xᵢ)·xᵢᵀ), which re-aims the rotation
+    * at whatever structure the current codebooks capture — balancing
+    * variance across subspaces, the failure mode plain PQ has on
+    * correlated / variance-skewed embeddings. The learned rotation is
+    * kept only if it beats IDENTITY on the fit-sample reconstruction
+    * error — OPQ degrades to plain PQ, never below it, on data that is
+    * already axis-optimal. Deterministic in (sample order, seed); a
+    * non-converged Procrustes step keeps the previous rotation.
+    */
+  private[operators] def opqTrainRotation(sample: Array[Array[Double]],
+      m: Int, numCodes: Int, dsub: Int, seed: Long,
+      iters: Int): Array[Array[Double]] = {
+    require(iters >= 1, s"opq iterations must be >= 1, got $iters")
+    val d = m * dsub
+    def sampleMse(vs: Array[Array[Double]]): Double = {
+      val pq = pqTrainFromSample(vs, m, numCodes, dsub, seed)
+      var s = 0.0
+      var n = 0
+      while (n < vs.length) {
+        val q = pqReconstruct(vs(n), pq)
+        var j = 0
+        while (j < d) { val e = vs(n)(j) - q(j); s += e * e; j += 1 }
+        n += 1
+      }
+      s / vs.length
+    }
+    var r = randomOrthonormal(d, seed ^ 0x9e3779b97f4a7c15L)
+    var it = 0
+    while (it < iters) {
+      val rotated = sample.map(matVec(r, _))
+      val pq = pqTrainFromSample(rotated, m, numCodes, dsub, seed)
+      val mAcc = Array.ofDim[Double](d, d)
+      var n = 0
+      while (n < sample.length) {
+        val q = pqReconstruct(matVec(r, sample(n)), pq)
+        val x = sample(n)
+        var i = 0
+        while (i < d) {
+          val qi = q(i)
+          var j = 0
+          while (j < d) { mAcc(i)(j) += qi * x(j); j += 1 }
+          i += 1
+        }
+        n += 1
+      }
+      polarFactor(mAcc).foreach(r = _)
+      it += 1
+    }
+    val identity: Array[Array[Double]] =
+      Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    if (sampleMse(sample.map(matVec(r, _))) <= sampleMse(sample)) r
+    else identity
+  }
+
   /** Seeded Lloyd's iterations on an in-driver point set: random
     * distinct-index init, nearest-center assignment (ties to the lower
     * center), mean update, empty clusters keep their previous center.
@@ -843,9 +1039,13 @@ object Similarity {
     * must state so explicitly — a silently-defaulted `true` would add
     * the per-probe dot(q, center) offset to raw-encoded scores and
     * bias cross-cell candidate selection with no error anywhere.
+    * `rotation` is required for the same reason (r15): cells and codes
+    * of an OPQ index live in ROTATED space, and querying them with
+    * unrotated vectors silently mis-probes; None = no pre-transform.
     */
   case class IvfPqIndex(model: PqModel, centers: Array[Array[Double]],
-                        index: DataFrame, residual: Boolean)
+                        index: DataFrame, residual: Boolean,
+                        rotation: Option[Array[Array[Double]]])
 
   /** Index of the L2-nearest center (ties to the lowest index) — the
     * driver-side twin of the [[graft.functions.IvfPqEncode]] cell
@@ -892,12 +1092,25 @@ object Similarity {
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
       numCells: Int = 16, m: Int = 8, numCodes: Int = 16,
       seed: Long = 42L, maxFitRows: Long = 100000L,
-      fitFraction: Double = 0.0, residual: Boolean = true): IvfPqIndex = {
+      fitFraction: Double = 0.0, residual: Boolean = true,
+      opqIters: Int = 0): IvfPqIndex = {
     require(numCells > 0, s"numCells must be positive, got $numCells")
+    require(opqIters >= 0, s"opqIters must be >= 0, got $opqIters")
     val base = corpus.select(col(vecCol).as("__v"))
     val dim = base.select(size(col("__v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val sample = collectFitSample(base, maxFitRows, fitFraction, seed)
+    val rawSample = collectFitSample(base, maxFitRows, fitFraction, seed)
+    // opqIters > 0: learn the OPQ rotation on the raw sample FIRST
+    // (the FAISS OPQMatrix-pretransform + IndexIVFPQ chain), then fit
+    // cells and codebooks in rotated space and encode R·v per row
+    val rotation =
+      if (opqIters == 0) None
+      else Some(opqTrainRotation(rawSample, m, numCodes, dim / m, seed,
+        opqIters))
+    val sample = rotation match {
+      case Some(r) => rawSample.map(matVec(r, _))
+      case None => rawSample
+    }
     val ivfCenters = localLloyd(sample, numCells, seed - 1, iters = 10)
     val pqSample =
       if (!residual) sample
@@ -906,14 +1119,20 @@ object Similarity {
         Array.tabulate(v.length)(j => v(j) - c(j))
       }
     val pq = pqTrainFromSample(pqSample, m, numCodes, dim / m, seed)
+    val encInput = rotation match {
+      case Some(r) => org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.RotateVec(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(col(vecCol)), r))
+      case None => col(vecCol)
+    }
     val index = corpus.select(col(idCol).as("neighbor_id"),
         org.apache.spark.sql.graftshim.ColumnExpr.column(
           graft.functions.IvfPqEncode(
-            org.apache.spark.sql.graftshim.ColumnExpr.expr(col(vecCol)),
+            org.apache.spark.sql.graftshim.ColumnExpr.expr(encInput),
             ivfCenters, pq.codebooks, residual)).as("__e"))
       .select(col("neighbor_id"), col("__e.codes").as("codes"),
         col("__e.cell").as("__cell"))
-    IvfPqIndex(pq, ivfCenters, index, residual)
+    IvfPqIndex(pq, ivfCenters, index, residual, rotation)
   }
 
   /** Query a built [[IvfPqIndex]]: route each query to its `nprobe`
@@ -941,6 +1160,16 @@ object Similarity {
     val pq = idx.model
     val dim = pq.m * pq.dsub
     val enc = idx.index
+    // an OPQ index lives in rotated space: probes and the ADC LUT use
+    // R·q; the final cosine rescore below keeps the ORIGINAL vectors
+    // (rotation preserves the scores, the originals skip a transform)
+    val qIdx = idx.rotation match {
+      case Some(r) => queries.withColumn(vecCol,
+        org.apache.spark.sql.graftshim.ColumnExpr.column(
+          graft.functions.RotateVec(
+            org.apache.spark.sql.graftshim.ColumnExpr.expr(col(vecCol)), r)))
+      case None => queries
+    }
     val cLit = typedlit(idx.centers.map(_.toSeq).toSeq)
     // query-to-centroid distances + dot products (tiny side —
     // interpreted HOF is fine; the dot is the residual ADC offset)
@@ -954,7 +1183,7 @@ object Similarity {
         aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0d),
           (acc, j) => acc + element_at(vec, j + 1).cast("double") *
             element_at(cent, j + 1)).as("dot")))
-    val probes = queries
+    val probes = qIdx
       .select(col(idCol).as("query_id"),
         posexplode(centerStats(col(vecCol))).as(Seq("__cell0", "__cs")))
       .withColumn("__rn", row_number().over(
@@ -970,7 +1199,7 @@ object Similarity {
           (acc, j) => acc + element_at(col(vecCol),
             (sub * pq.dsub + j + 1).cast("int")).cast("double") *
             element_at(cent, j + 1)))))
-    val qlut = queries.select(col(idCol).as("query_id"), lut.as("__lut"))
+    val qlut = qIdx.select(col(idCol).as("query_id"), lut.as("__lut"))
     val probedQ = probes.join(qlut, "query_id")
     // codegen'd m-lookup scoring (see pqAdcTopK)
     val adc = org.apache.spark.sql.graftshim.ColumnExpr.column(
@@ -1006,10 +1235,10 @@ object Similarity {
       k: Int, numCells: Int = 16, nprobe: Int = 6, m: Int = 8,
       numCodes: Int = 16, rescoreFactor: Int = 4, seed: Long = 42L,
       maxFitRows: Long = 100000L, fitFraction: Double = 0.0,
-      residual: Boolean = true): DataFrame =
+      residual: Boolean = true, opqIters: Int = 0): DataFrame =
     ivfPqQuery(
       ivfPqBuild(corpus, idCol, vecCol, numCells, m, numCodes, seed,
-        maxFitRows, fitFraction, residual),
+        maxFitRows, fitFraction, residual, opqIters),
       queries, corpus, idCol, vecCol, k, nprobe, rescoreFactor)
 
   /** The md5-derived integer codebook of the PORTABLE PQ twin:

@@ -3187,4 +3187,105 @@ object PipelineQueries {
       |  CAST(length(text_full) AS BIGINT) AS n_chars,
       |  text_full
       |FROM x ORDER BY doc_id""".stripMargin
+
+  /** OPQ-rotated IVF×PQ on the self-certifying gate (round 15, the
+    * FAISS OPQMatrix pre-transform — [[graft.operators.Similarity
+    * .opqTrainRotation]]): the hash-pinned rows are the fully portable
+    * integer-quantized brute-force top-5 (the q28 scorer — ground
+    * truth on ANY corpus), and the OPQ path self-certifies in the same
+    * rows via two flags the oracle pins to 1: `opq_recall_ok` (the
+    * rotated index + rotated queries reach ≥ 50% of float-exact top-5,
+    * q104's floor — an index/query rotation mismatch craters this) and
+    * `opq_rotation_ok` (the learned rotation is orthonormal to 1e-8 —
+    * a warped transform would silently corrupt every distance).
+    */
+  def q115OpqIvfPq(spark: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.filter(col("vec_id") < 10)
+    val floatExact = Similarity.bruteForceTopK(queries, emb, "vec_id",
+        "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .localCheckpoint()
+    val idx = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      numCells = 16, m = 8, numCodes = 16, opqIters = 3)
+    val rotOk = idx.rotation.exists { r =>
+      val dd = r.length
+      var dev = 0.0
+      var i = 0
+      while (i < dd) {
+        var j = 0
+        while (j < dd) {
+          var s = 0.0
+          var k = 0
+          while (k < dd) { s += r(k)(i) * r(k)(j); k += 1 }
+          val e = math.abs(s - (if (i == j) 1.0 else 0.0))
+          if (e > dev) dev = e
+          j += 1
+        }
+        i += 1
+      }
+      dev < 1e-8
+    }
+    val recallFlag = Similarity.ivfPqQuery(idx, queries, emb, "vec_id",
+        "embedding", k = 5, nprobe = 10, rescoreFactor = 16)
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .join(floatExact, Seq("query_id", "neighbor_id"))
+      .agg(count(lit(1)).as("__m"))
+      .crossJoin(broadcast(floatExact.agg(count(lit(1)).as("__exp"))))
+      .select((col("__m") * 100L >= col("__exp") * 50L).cast("long")
+        .as("opq_recall_ok"))
+    // the q28 integer-portable exact scorer: the hash-pinned rows
+    def dot(a: Column, b: Column): Column =
+      org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.LongDotProduct(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(a),
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(b)))
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * 256).cast("long"))
+    val q = queries.select(col("vec_id").as("query_id"), qv.as("__qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), qv.as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot(col("__qv"), col("__cv")).as("__num"),
+        dot(col("__cv"), col("__cv")).as("__nb"))
+      .withColumn("__abs",
+        expr("CAST(__num * __num AS DECIMAL(38,0)) * 1000000000000 div __nb"))
+      .withColumn("qcos_key",
+        when(col("__num") < 0, -col("__abs")).otherwise(col("__abs")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos_key").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .crossJoin(broadcast(recallFlag))
+      .withColumn("opq_rotation_ok", lit(if (rotOk) 1L else 0L))
+      .select(col("query_id"), col("neighbor_id"), col("rk"),
+        col("qcos_key"), col("opq_recall_ok"), col("opq_rotation_ok"))
+      .orderBy("query_id", "rk")
+  }
+
+  val q115Sql: String =
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> CAST(floor(x*256) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 10),
+      |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+      |        CAST(list_dot_product(qqv, c.qv) AS BIGINT) AS num,
+      |        CAST(list_dot_product(c.qv, c.qv) AS BIGINT) AS nb
+      |      FROM qs, q c WHERE c.vec_id <> query_id),
+      |k AS (SELECT query_id, neighbor_id,
+      |        CASE WHEN num < 0
+      |             THEN -(CAST(num AS HUGEINT) * num * 1000000000000 // nb)
+      |             ELSE  (CAST(num AS HUGEINT) * num * 1000000000000 // nb)
+      |        END AS key FROM s),
+      |r AS (SELECT query_id, neighbor_id, key,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY key DESC, neighbor_id ASC) AS rk
+      |      FROM k)
+      |SELECT query_id, neighbor_id, CAST(rk AS BIGINT) AS rk,
+      |  CAST(key AS BIGINT) AS qcos_key,
+      |  CAST(1 AS BIGINT) AS opq_recall_ok,
+      |  CAST(1 AS BIGINT) AS opq_rotation_ok
+      |FROM r WHERE rk <= 5
+      |ORDER BY query_id, rk""".stripMargin
 }

@@ -504,4 +504,75 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(out.nonEmpty)
   }
+
+  test("OPQ rotation: orthonormal, and cuts PQ error on variance-skewed data") {
+    // The OPQ paper's motivating regime: ALL the variance lives in one
+    // subspace (dims 0-3 of d=16 at m=4), so plain PQ burns three
+    // subspaces' codebooks on noise while subspace 0's 8 codes must
+    // cover a 4-dof Gaussian. The learned rotation spreads the
+    // informative directions across subspaces — each codebook then
+    // quantizes ~1 dof — and reconstruction error collapses.
+    val rnd = new scala.util.Random(7)
+    val d = 16; val m = 4; val dsub = 4
+    val sample = Array.fill(400) {
+      Array.tabulate(d)(j =>
+        if (j < 4) rnd.nextGaussian() * 4.0 else rnd.nextGaussian() * 0.05)
+    }
+    val r = Similarity.opqTrainRotation(sample, m, numCodes = 8,
+      dsub = dsub, seed = 42L, iters = 8)
+    // orthonormality: max |RᵀR − I| (a non-rotation would warp space)
+    var dev = 0.0
+    for (i <- 0 until d; j <- 0 until d) {
+      val s = (0 until d).map(k => r(k)(i) * r(k)(j)).sum
+      dev = math.max(dev, math.abs(s - (if (i == j) 1.0 else 0.0)))
+    }
+    assert(dev < 1e-8, s"rotation not orthonormal: max dev $dev")
+    def mse(vs: Array[Array[Double]], pq: Similarity.PqModel): Double =
+      vs.map { v =>
+        val q = Similarity.pqReconstruct(v, pq)
+        v.indices.map(j => (v(j) - q(j)) * (v(j) - q(j))).sum
+      }.sum / vs.length
+    val plainPq = Similarity.pqTrain(
+      spark.createDataset(sample.map(_.toSeq)).toDF("__v")
+        .select(col("__v").cast("array<double>").as("v")),
+      "v", m = m, numCodes = 8, seed = 42L)
+    val errPlain = mse(sample, plainPq)
+    val rotated = sample.map(Similarity.matVec(r, _))
+    val opqPq = Similarity.pqTrain(
+      spark.createDataset(rotated.map(_.toSeq)).toDF("__v")
+        .select(col("__v").cast("array<double>").as("v")),
+      "v", m = m, numCodes = 8, seed = 42L)
+    val errOpq = mse(rotated, opqPq)
+    // rotation preserves norms, so the two MSEs share units; demand a
+    // real win, not noise
+    assert(errOpq < errPlain * 0.8,
+      s"OPQ did not improve: plain $errPlain vs opq $errOpq")
+  }
+
+  test("OPQ IVF×PQ end-to-end: rotated index + rotated queries, recall vs exact") {
+    // clustered 64-dim corpus (the residual-A/B fixture shape); the
+    // check is PLUMBING consistency: an index in rotated space probed
+    // with unrotated queries (or vice versa) craters recall, so a
+    // healthy floor pins that build and query rotate consistently
+    val embDf = spark.range(0L, 500L, 1L, 4)
+      .withColumn("__c", expr("CAST(id % 8 AS BIGINT)"))
+      .withColumn("embedding", expr(
+        "transform(sequence(0, 63), j -> " +
+        "CAST(pmod(xxhash64(__c, j), 1000) AS FLOAT) / 125.0f - 4.0f + " +
+        "CAST(pmod(xxhash64(id, j), 1000) AS FLOAT) / 4000.0f)"))
+      .select(col("id").as("vec_id"), col("embedding"))
+      .cache()
+    val queries = embDf.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(queries, embDf, "vec_id",
+        "embedding", k = 5)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(queries, embDf, "vec_id", "embedding",
+        k = 5, numCells = 8, nprobe = 8, m = 8, numCodes = 16,
+        rescoreFactor = 16, opqIters = 2)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"OPQ IVF×PQ recall $recall vs exact")
+  }
 }
