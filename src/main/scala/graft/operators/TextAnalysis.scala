@@ -103,13 +103,18 @@ object TextAnalysis {
   /** Duplicate word-trigram fraction (0 when fewer than 3 tokens) —
     * the Gopher-style "repetition at the n-gram level" quality signal;
     * catches looped generations that token-level repetition misses.
+    *
+    * Grams come from the codegen'd [[ngramsOfTokens]] kernel, which
+    * evaluates the tokenizer ONCE per row — the earlier
+    * `transform(sequence, i -> element_at(tokens(c), …))` form
+    * re-evaluated the tokenizer per gram ELEMENT inside the
+    * interpreted lambda (the exact O(tokens²) trap ngramsOfTokens'
+    * scaladoc warns about). `size(grams) === 0 ⇔ n < 3`, so the
+    * short-text guard is unchanged.
     */
   def dupTrigramRatio(c: Column): Column = {
-    val t = tokens(c)
-    val n = size(t)
-    val grams = transform(sequence(lit(1), n - 2), i =>
-      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
-    when(n < 3, lit(0.0)).otherwise(
+    val grams = ngramsOfTokens(tokens(c), 3)
+    when(size(grams) === 0, lit(0.0)).otherwise(
       lit(1.0) - size(array_distinct(grams)) / size(grams).cast("double"))
   }
 
