@@ -3116,8 +3116,11 @@ object PipelineQueries {
       .select(url.as("url"), lit("text/html").as("content_type"),
         encode(page, "UTF-8").as("bytes"))
       .as[WarcSource.WarcDoc]
-    val dir = java.nio.file.Files.createTempDirectory("graft-q114-warc")
-      .toString
+    // a FIXED per-corpus fixture dir (writeWarc clears it first):
+    // fresh temp dirs would accumulate one 500-5000-file tree per
+    // Verify/Bench invocation and never be reclaimed
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q114-warc-${math.abs(d.hashCode)}").toString
     WarcSource.writeWarc(recs, dir)
     WarcSource.readWarc(spark, dir)
       .select(

@@ -116,6 +116,16 @@ object WarcSource {
       .select("path").as[String]
     paths.mapPartitions { it =>
       val conf = new Configuration()
+      // the parser closes its stream at EOF, but a downstream operator
+      // that short-circuits (limit, take) abandons the iterator mid-
+      // file — the task-completion hook closes whatever is still open
+      val open = new java.util.ArrayList[InputStream]()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          open.forEach { s =>
+            try s.close() catch { case _: java.io.IOException => () }
+          }
+        })
       it.flatMap { p =>
         val fs = FileSystem.get(new URI(p), conf)
         val raw = fs.open(new Path(new URI(p)))
@@ -126,6 +136,7 @@ object WarcSource {
           (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
         val in = new BufferedInputStream(
           if (gzipped) new GZIPInputStream(raw) else raw, 1 << 16)
+        open.add(in)
         parseWarcStream(p, in)
       }
     }.toDF()
