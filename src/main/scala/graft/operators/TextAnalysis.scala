@@ -639,15 +639,40 @@ object TextAnalysis {
     * cleaned_text = '').
     */
   def dropDuplicatedLines(df: DataFrame, idCol: String, textCol: String,
-      minCount: Int = 2): DataFrame = {
+      minCount: Int = 2): DataFrame =
+    dropDuplicatedSegments(df, idCol, textCol, "\n", "\n", "lines",
+      minCount)
+
+  /** PARAGRAPH-granularity sibling of [[dropDuplicatedLines]] (the
+    * Dolma-pipeline operating point — Soldaini et al. 2024 dedup
+    * crawl text at the paragraph level): a paragraph (a `\n{2,}`-
+    * separated block) occurring ≥ `minCount` times corpus-wide
+    * survives only at its globally-first (id, pos) occurrence; the
+    * document re-emits with surviving paragraphs in order, joined by
+    * a canonical blank line (so `\n\n\n` separators collapse —
+    * documented normalization, same class as [[sentences]]'
+    * whitespace collapse). Same 100 TB shape and collision contract
+    * as [[dropDuplicatedLines]]: paragraph text never shuffles.
+    *
+    * Output: `idCol, n_paras, n_kept, n_removed, cleaned_text`.
+    */
+  def dropDuplicatedParagraphs(df: DataFrame, idCol: String,
+      textCol: String, minCount: Int = 2): DataFrame =
+    dropDuplicatedSegments(df, idCol, textCol, "\n{2,}", "\n\n", "paras",
+      minCount)
+
+  private def dropDuplicatedSegments(df: DataFrame, idCol: String,
+      textCol: String, splitPattern: String, joinSep: String,
+      segName: String, minCount: Int): DataFrame = {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val lines = df.select(col(idCol),
-        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-      .select(col(idCol), col("__pos"), xxhash64(col("__line")).as("__lh"))
-    val stats = lines.groupBy("__lh").agg(
+    val segs = df.select(col(idCol),
+        posexplode(split(col(textCol), splitPattern))
+          .as(Seq("__pos", "__seg")))
+      .select(col(idCol), col("__pos"), xxhash64(col("__seg")).as("__lh"))
+    val stats = segs.groupBy("__lh").agg(
       count(lit(1)).as("__cnt"),
       min(struct(col(idCol), col("__pos"))).as("__first"))
-    val removed = lines.join(stats, Seq("__lh"))
+    val removed = segs.join(stats, Seq("__lh"))
       .filter(col("__cnt") >= minCount &&
         !(col("__first").getField(idCol) === col(idCol) &&
           col("__first").getField("__pos") === col("__pos")))
@@ -655,19 +680,20 @@ object TextAnalysis {
       .agg(sort_array(collect_list(col("__pos"))).as("__removed"))
     // array_except preserves left order and positions are unique, so
     // the kept positions stay ascending; element_at reassembles the
-    // ORIGINAL line text without it ever having left the document row
-    df.select(col(idCol), split(col(textCol), "\n").as("__lines"))
+    // ORIGINAL segment text without it ever having left the doc row
+    df.select(col(idCol), split(col(textCol), splitPattern).as("__segs"))
       .join(removed, Seq(idCol), "left")
       .withColumn("__keptpos", array_except(
-        sequence(lit(0), size(col("__lines")) - 1),
+        sequence(lit(0), size(col("__segs")) - 1),
         coalesce(col("__removed"), typedlit(Array.empty[Int]))))
       .select(col(idCol),
-        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__segs")).cast("long").as(s"n_$segName"),
         size(col("__keptpos")).cast("long").as("n_kept"),
-        (size(col("__lines")) - size(col("__keptpos"))).cast("long")
+        (size(col("__segs")) - size(col("__keptpos"))).cast("long")
           .as("n_removed"),
         array_join(transform(col("__keptpos"),
-          p => element_at(col("__lines"), p + 1)), "\n").as("cleaned_text"))
+          p => element_at(col("__segs"), p + 1)), joinSep)
+          .as("cleaned_text"))
   }
 
   /** Deterministic sentence segmentation in the Java ∩ RE2 regex
@@ -742,6 +768,214 @@ object TextAnalysis {
         col("__r.n_kept").as("n_kept"),
         (col("n_sentences") - col("__r.n_kept")).as("n_removed"),
         col("__r.cleaned").as("cleaned_text"))
+  }
+
+  /** The Gopher line/word-shape quality rules (Rae et al. 2021,
+    * Table A1) that [[qualityFilter]]'s word-count/word-length/symbol
+    * set does not cover: fraction of lines starting with a bullet
+    * (drop when > `maxBulletFrac`), fraction of lines ending with an
+    * ellipsis (> `maxEllipsisFrac`), fraction of words containing at
+    * least one alphabetic character (< `minAlphaFrac`), and the
+    * `#`-or-ellipsis symbol-to-word ratio (> `maxSymbolRatio`).
+    *
+    * One per-row projection, zero shuffle — at 100 TB this runs at
+    * parquet-scan speed like every signal here. Counts are exact
+    * integers and the keep decision is integer cross-multiplication
+    * against e6-scaled thresholds, so the output hash-matches any
+    * engine replaying the same counting rules (no double arithmetic
+    * anywhere). Conventions, shared verbatim by the q116 oracle:
+    * lines = `split(text, '\n')` (so even an empty text has one
+    * line); bullet/ellipsis tests run on the trimmed line against the
+    * literal sets `-` `*` `•` and `...` `…`; words = the lowercased
+    * whitespace tokens of [[tokens]]; a 0-word document passes the
+    * word-denominated rules trivially (pair with [[qualityFilter]]'s
+    * `minWords` to drop empties).
+    *
+    * Output: `idCol, n_lines, n_bullet_lines, n_ellipsis_lines,
+    * n_words, n_alpha_words, n_symbols, keep` — all counts BIGINT.
+    */
+  def gopherTextRules(df: DataFrame, idCol: String, textCol: String,
+      maxBulletFrac: Double = 0.90, maxEllipsisFrac: Double = 0.30,
+      minAlphaFrac: Double = 0.80, maxSymbolRatio: Double = 0.10): DataFrame = {
+    val bulletE6 = math.round(maxBulletFrac * 1e6)
+    val ellipsisE6 = math.round(maxEllipsisFrac * 1e6)
+    val alphaE6 = math.round(minAlphaFrac * 1e6)
+    val symbolE6 = math.round(maxSymbolRatio * 1e6)
+    val lines = col("__lines")
+    val toks = col("__toks")
+    df.select(col(idCol), split(col(textCol), "\n").as("__lines"),
+        tokens(col(textCol)).as("__toks"),
+        size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\.|…"), lit(0)))
+          .cast("long").as("n_symbols"))
+      .select(col(idCol),
+        size(lines).cast("long").as("n_lines"),
+        size(filter(lines, l => trim(l).rlike("^[-*•]")))
+          .cast("long").as("n_bullet_lines"),
+        size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+          .cast("long").as("n_ellipsis_lines"),
+        size(toks).cast("long").as("n_words"),
+        size(filter(toks, w => w.rlike("[a-z]")))
+          .cast("long").as("n_alpha_words"),
+        col("n_symbols"))
+      .withColumn("keep",
+        col("n_bullet_lines") * 1000000L <= col("n_lines") * bulletE6 &&
+        col("n_ellipsis_lines") * 1000000L <= col("n_lines") * ellipsisE6 &&
+        col("n_alpha_words") * 1000000L >= col("n_words") * alphaE6 &&
+        col("n_symbols") * 1000000L <= col("n_words") * symbolE6)
+  }
+
+  /** The Gopher repetitious-text rules (Rae et al. 2021, Table A1):
+    * within-document duplicate lines and paragraphs (count and
+    * character mass of every occurrence beyond the first), the
+    * character mass of the single most frequent word n-gram for each
+    * `n` in `topNs`, and the character mass covered by word n-grams
+    * repeating within the document for each `n` in `dupNs` —
+    * overlap-EXACT span-union coverage (two overlapping occurrences
+    * of a duplicated 5-gram cover 6 tokens, not 10), computed by the
+    * same compiled [[graft.functions.DropDupSpans]] two-pointer
+    * kernel the corpus-level dedup tier uses, as
+    * `token_chars − chars(kept complement)`.
+    *
+    * Scale shape (100 TB): every grouping is keyed (id, xxhash64) —
+    * 24-40-byte rows, line/paragraph/gram TEXT never crosses an
+    * exchange (the [[dropDuplicatedLines]] r15 rule); all stats are
+    * partial-aggregatable (map-side combined); per-doc duplicated
+    * span starts collect bounded by the doc's own token count; the
+    * only corpus-text-sized shuffles are the doc-keyed joins back
+    * (one per `dupNs` entry — size `dupNs` to the published 5..10 or
+    * trim it, each entry costs one gram explode + two 24-byte-row
+    * shuffles + one doc-keyed join). Collision contract as
+    * [[dupSpanStats]] (64-bit; expected false pairs ≈ D²/2⁶⁵, and
+    * here D is bounded by the largest single document).
+    *
+    * Conventions (shared verbatim by the q117 oracle): lines =
+    * `split(text, '\n')`, paragraphs = `split(text, '\n{2,}')`,
+    * words/grams = the lowercased whitespace tokens of [[tokens]]
+    * joined by single spaces; character denominators are `n_chars` =
+    * `length(text)` for line/paragraph/top-gram mass and
+    * `token_chars` = total token characters for dup-gram coverage
+    * (token coverage cannot be mapped back to raw-text offsets after
+    * lowercasing/whitespace collapse — documented divergence from the
+    * paper's untokenized character spans). The top-gram mass
+    * `count × length(gram)` includes count = 1 grams (their mass is
+    * negligible by construction) and needs no tie-break: the output
+    * is the max of the products, whatever gram attains it.
+    *
+    * `keep` applies the published thresholds (dup-line 0.30,
+    * dup-paragraph 0.30, their char fractions 0.20, top-n-gram 0.20 /
+    * 0.18 / 0.16 for n = 2, 3, 4, dup-n-gram 0.15 down to 0.10 for
+    * n = 5..10) by integer cross-multiplication — thresholds for the
+    * exact `topNs`/`dupNs` supplied, missing entries default to the
+    * published value of the nearest published n (clamped).
+    *
+    * Output: `idCol, n_chars, n_tokens, token_chars, n_lines,
+    * dup_lines, dup_line_chars, n_paras, dup_paras, dup_para_chars,
+    * top{n}_gram_chars…, dup{n}_gram_chars…, keep` — all BIGINT.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    require(topNs.forall(_ >= 2), s"topNs must all be >= 2, got $topNs")
+    require(dupNs.forall(_ >= 2), s"dupNs must all be >= 2, got $dupNs")
+    require(topNs.distinct == topNs && dupNs.distinct == dupNs,
+      "topNs/dupNs must not repeat")
+    val base = df.select(col(idCol), col(textCol).as("__text"),
+      tokens(col(textCol)).as("__toks"))
+    // within-doc duplicate stats for one segmentation: occurrences
+    // beyond the first, counted and char-weighted; 24-byte keyed rows
+    def segDup(segs: Column, plural: String, singular: String): DataFrame = {
+      val seg = base.select(col(idCol), explode(segs).as("__seg"))
+        .select(col(idCol), xxhash64(col("__seg")).as("__h"),
+          length(col("__seg")).cast("long").as("__len"))
+      seg.groupBy(col(idCol), col("__h"))
+        .agg(count(lit(1)).as("__cnt"), min(col("__len")).as("__len"))
+        .groupBy(idCol)
+        .agg(sum("__cnt").as(s"n_$plural"),
+          sum(col("__cnt") - 1).as(s"dup_$plural"),
+          sum((col("__cnt") - 1) * col("__len"))
+            .as(s"dup_${singular}_chars"))
+    }
+    val lineStats = segDup(split(col("__text"), "\n"), "lines", "line")
+    val paraStats = segDup(split(col("__text"), "\n{2,}"), "paras", "para")
+    // per-doc gram occurrence counts keyed (id, gram hash), gram text
+    // confined to the projection
+    def gramCounts(n: Int): DataFrame =
+      base.select(col(idCol),
+          explode(ngramsOfTokens(col("__toks"), n)).as("__g"))
+        .select(col(idCol), xxhash64(col("__g")).as("__h"),
+          length(col("__g")).cast("long").as("__len"))
+        .groupBy(col(idCol), col("__h"))
+        .agg(count(lit(1)).as("__cnt"), min(col("__len")).as("__len"))
+    val topStats = topNs.map { n =>
+      gramCounts(n).groupBy(idCol)
+        .agg(max(col("__cnt") * col("__len")).as(s"top${n}_gram_chars"))
+    }
+    // duplicated-gram coverage: starts of every gram with within-doc
+    // count >= 2, span-unioned by the compiled kernel; covered chars =
+    // token chars minus the kept complement's chars (cleaned joins
+    // kept tokens with single spaces)
+    val dupStats = dupNs.map { n =>
+      val grams = base.select(col(idCol),
+          posexplode(ngramsOfTokens(col("__toks"), n))
+            .as(Seq("__pos", "__g")))
+        .select(col(idCol), col("__pos").cast("long").as("__pos"),
+          xxhash64(col("__g")).as("__h"))
+      val hot = grams.groupBy(col(idCol), col("__h"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") >= 2)
+        .select(col(idCol), col("__h"))
+      val starts = grams.join(hot, Seq(idCol, "__h"))
+        .groupBy(idCol)
+        .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+      val cleanedStruct = org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.DropDupSpans(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__toks")),
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(
+            coalesce(col("__starts"), typedlit(Array.empty[Long]))),
+          n, 1))
+      base.join(starts, Seq(idCol), "left")
+        .withColumn("__r", cleanedStruct)
+        .select(col(idCol),
+          (aggregate(transform(col("__toks"), t => length(t).cast("long")),
+            lit(0L), (a, x) => a + x) -
+            (length(col("__r.cleaned")).cast("long") -
+              greatest(col("__r.n_kept") - 1L, lit(0L))))
+            .as(s"dup${n}_gram_chars"))
+    }
+    val joined = (Seq(lineStats, paraStats) ++ topStats ++ dupStats)
+      .foldLeft(base.select(col(idCol),
+        length(col("__text")).cast("long").as("n_chars"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(transform(col("__toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("token_chars"))) {
+        (acc, s) => acc.join(s, Seq(idCol), "left")
+      }
+    val topThr = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+    def thr(m: Map[Int, Double], n: Int): Long = {
+      val k = m.keys.minBy(p => math.abs(p - n))
+      math.round(m(k) * 1e6)
+    }
+    def z(c: String): Column = coalesce(col(c), lit(0L))
+    val keepCol =
+      (z("dup_lines") * 1000000L <= z("n_lines") * 300000L) &&
+      (z("dup_paras") * 1000000L <= z("n_paras") * 300000L) &&
+      (z("dup_line_chars") * 1000000L <= col("n_chars") * 200000L) &&
+      (z("dup_para_chars") * 1000000L <= col("n_chars") * 200000L) &&
+      topNs.map(n => z(s"top${n}_gram_chars") * 1000000L <=
+        col("n_chars") * thr(topThr, n)).reduceOption(_ && _)
+        .getOrElse(lit(true)) &&
+      dupNs.map(n => z(s"dup${n}_gram_chars") * 1000000L <=
+        col("token_chars") * thr(dupThr, n)).reduceOption(_ && _)
+        .getOrElse(lit(true))
+    val outCols = Seq("n_chars", "n_tokens", "token_chars",
+      "n_lines", "dup_lines", "dup_line_chars",
+      "n_paras", "dup_paras", "dup_para_chars") ++
+      topNs.map(n => s"top${n}_gram_chars") ++
+      dupNs.map(n => s"dup${n}_gram_chars")
+    joined.select(col(idCol) +: outCols.map(c => z(c).as(c)): _*)
+      .withColumn("keep", keepCol)
   }
 
   /** All per-document features in one projection. */

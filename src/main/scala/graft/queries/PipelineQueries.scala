@@ -3291,4 +3291,402 @@ object PipelineQueries {
       |  CAST(1 AS BIGINT) AS opq_rotation_ok
       |FROM r WHERE rk <= 5
       |ORDER BY query_id, rk""".stripMargin
+
+  /** Gopher line/word-shape rules on the full hash gate
+    * ([[graft.operators.TextAnalysis.gopherTextRules]]): docs are
+    * planted by `doc_id % 10` class — a bullet-list page (10 of 11
+    * lines bulleted, past the 0.90 bar), an ellipsis-teaser page (2 of
+    * 4 lines, past 0.30), a `#`-soup page (symbol ratio past 0.10), a
+    * numeric table (alpha-word fraction under 0.80) — and everything
+    * else carries the real document text, so the counting rules and
+    * the integer keep decision are exercised on organic prose too. All
+    * counts and the keep flag are hash-pinned against DuckDB replaying
+    * the same conventions.
+    */
+  def q116GopherRules(spark: SparkSession, d: String): DataFrame = {
+    val txt = expr(
+      """CASE doc_id % 10
+        |  WHEN 0 THEN concat('intro line\n', concat_ws('\n',
+        |    transform(sequence(0, 9),
+        |      i -> concat('- item ', CAST(i AS STRING)))))
+        |  WHEN 1 THEN
+        |    'alpha one two\nwait for it...\nmore soon…\nfinal words here'
+        |  WHEN 2 THEN '# # # # # alpha beta'
+        |  WHEN 3 THEN '111 222 333 444 one'
+        |  ELSE text
+        |END""".stripMargin)
+    TextAnalysis.gopherTextRules(
+      Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        .withColumn("__t", txt),
+      "doc_id", "__t")
+      .orderBy("doc_id")
+  }
+
+  val q116Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 10
+      |      WHEN 0 THEN 'intro line' || chr(10) || array_to_string(
+      |        list_transform(range(0, 10),
+      |          i -> '- item ' || CAST(i AS VARCHAR)), chr(10))
+      |      WHEN 1 THEN 'alpha one two' || chr(10) || 'wait for it...' ||
+      |        chr(10) || 'more soon…' || chr(10) || 'final words here'
+      |      WHEN 2 THEN '# # # # # alpha beta'
+      |      WHEN 3 THEN '111 222 333 444 one'
+      |      ELSE text
+      |    END AS txt
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    string_split(txt, chr(10)) AS lines,
+      |    list_filter(regexp_split_to_array(lower(trim(txt)), '\s+'),
+      |                x -> x <> '') AS toks,
+      |    CAST(len(regexp_extract_all(txt, '#|\.\.\.|…')) AS BIGINT)
+      |      AS n_symbols
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lines,
+      |      l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT)
+      |      AS n_bullet_lines,
+      |    CAST(len(list_filter(lines,
+      |      l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS BIGINT)
+      |      AS n_ellipsis_lines,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(toks,
+      |      w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+      |    n_symbols
+      |  FROM c)
+      |SELECT doc_id, n_lines, n_bullet_lines, n_ellipsis_lines,
+      |  n_words, n_alpha_words, n_symbols,
+      |  (n_bullet_lines * 1000000 <= n_lines * 900000 AND
+      |   n_ellipsis_lines * 1000000 <= n_lines * 300000 AND
+      |   n_alpha_words * 1000000 >= n_words * 800000 AND
+      |   n_symbols * 1000000 <= n_words * 100000) AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Gopher repetitious-text rules on the full hash gate
+    * ([[graft.operators.TextAnalysis.gopherRepetition]]): every
+    * document carries its real text plus planted repetition — a line
+    * duplicated verbatim, a paragraph duplicated verbatim, and a
+    * 15-token tail of one 5-gram repeated three times (which also
+    * makes the tail's 10-gram repeat, so both dup legs and the
+    * overlap-union rule fire: coverage is 15 tokens, not 3 × 5 + 2 ×
+    * 10). Line/paragraph duplicate counts and char mass, top-2/3/4
+    * gram char mass, overlap-exact dup-5/dup-10 gram coverage, and
+    * the integer keep decision at the published thresholds are all
+    * hash-pinned against DuckDB replaying the same conventions
+    * relationally.
+    */
+  def q117GopherRepetition(spark: SparkSession, d: String): DataFrame = {
+    val g5 = "gopha gophb gophc gophd gophe"
+    val txt = expr(
+      s"""concat(text,
+         |  '\\nrepeat line ', CAST(doc_id % 5 AS STRING),
+         |  '\\nrepeat line ', CAST(doc_id % 5 AS STRING),
+         |  '\\n\\npara block ', CAST(doc_id % 3 AS STRING),
+         |  '\\n\\npara block ', CAST(doc_id % 3 AS STRING),
+         |  '\\n\\n$g5 $g5 $g5')""".stripMargin)
+    TextAnalysis.gopherRepetition(
+      Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        .withColumn("__t", txt),
+      "doc_id", "__t", topNs = Seq(2, 3, 4), dupNs = Seq(5, 10))
+      .orderBy("doc_id")
+  }
+
+  val q117Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text || chr(10) ||
+      |    'repeat line ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+      |    'repeat line ' || CAST(doc_id % 5 AS VARCHAR) ||
+      |    chr(10) || chr(10) ||
+      |    'para block ' || CAST(doc_id % 3 AS VARCHAR) ||
+      |    chr(10) || chr(10) ||
+      |    'para block ' || CAST(doc_id % 3 AS VARCHAR) ||
+      |    chr(10) || chr(10) ||
+      |    'gopha gophb gophc gophd gophe gopha gophb gophc gophd gophe' ||
+      |    ' gopha gophb gophc gophd gophe' AS txt
+      |  FROM documents),
+      |tk AS (
+      |  SELECT doc_id, txt,
+      |    list_filter(regexp_split_to_array(lower(trim(txt)), '\s+'),
+      |                x -> x <> '') AS toks
+      |  FROM t),
+      |base AS (
+      |  SELECT doc_id, CAST(len(txt) AS BIGINT) AS n_chars,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT)
+      |      AS token_chars
+      |  FROM tk),
+      |lseg AS (
+      |  SELECT doc_id, unnest(string_split(txt, chr(10))) AS seg FROM t),
+      |lgrp AS (
+      |  SELECT doc_id, seg, count(*) AS cnt FROM lseg
+      |  GROUP BY doc_id, seg),
+      |lstat AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+      |    CAST(sum(cnt - 1) AS BIGINT) AS dup_lines,
+      |    CAST(sum((cnt - 1) * len(seg)) AS BIGINT) AS dup_line_chars
+      |  FROM lgrp GROUP BY doc_id),
+      |pseg AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(txt, '\n{2,}')) AS seg
+      |  FROM t),
+      |pgrp AS (
+      |  SELECT doc_id, seg, count(*) AS cnt FROM pseg
+      |  GROUP BY doc_id, seg),
+      |pstat AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_paras,
+      |    CAST(sum(cnt - 1) AS BIGINT) AS dup_paras,
+      |    CAST(sum((cnt - 1) * len(seg)) AS BIGINT) AS dup_para_chars
+      |  FROM pgrp GROUP BY doc_id),
+      |g2 AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> array_to_string(toks[i:i+1], ' '))) AS gram
+      |  FROM tk WHERE len(toks) >= 2),
+      |t2 AS (
+      |  SELECT doc_id, CAST(max(cnt * len(gram)) AS BIGINT)
+      |      AS top2_gram_chars
+      |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2
+      |        GROUP BY doc_id, gram) GROUP BY doc_id),
+      |g3 AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks) - 1),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      |  FROM tk WHERE len(toks) >= 3),
+      |t3 AS (
+      |  SELECT doc_id, CAST(max(cnt * len(gram)) AS BIGINT)
+      |      AS top3_gram_chars
+      |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3
+      |        GROUP BY doc_id, gram) GROUP BY doc_id),
+      |g4 AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks) - 2),
+      |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |  FROM tk WHERE len(toks) >= 4),
+      |t4 AS (
+      |  SELECT doc_id, CAST(max(cnt * len(gram)) AS BIGINT)
+      |      AS top4_gram_chars
+      |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g4
+      |        GROUP BY doc_id, gram) GROUP BY doc_id),
+      |tokp AS (
+      |  SELECT doc_id, unnest(range(0, len(toks))) AS p,
+      |    unnest(toks) AS tok
+      |  FROM tk),
+      |g5p AS (
+      |  SELECT doc_id, unnest(range(0, len(toks) - 4)) AS pos,
+      |    unnest(list_transform(range(1, len(toks) - 3),
+      |      i -> array_to_string(toks[i:i+4], ' '))) AS gram
+      |  FROM tk WHERE len(toks) >= 5),
+      |d5 AS (
+      |  SELECT doc_id, pos FROM g5p
+      |  JOIN (SELECT doc_id, gram FROM g5p GROUP BY doc_id, gram
+      |        HAVING count(*) >= 2) USING (doc_id, gram)),
+      |m5 AS (
+      |  SELECT DISTINCT doc_id, pos + j AS mpos
+      |  FROM d5 CROSS JOIN unnest(range(0, 5)) AS u(j)),
+      |c5 AS (
+      |  SELECT tokp.doc_id, CAST(sum(len(tokp.tok)) AS BIGINT)
+      |      AS dup5_gram_chars
+      |  FROM tokp JOIN m5
+      |    ON tokp.doc_id = m5.doc_id AND tokp.p = m5.mpos
+      |  GROUP BY tokp.doc_id),
+      |g10p AS (
+      |  SELECT doc_id, unnest(range(0, len(toks) - 9)) AS pos,
+      |    unnest(list_transform(range(1, len(toks) - 8),
+      |      i -> array_to_string(toks[i:i+9], ' '))) AS gram
+      |  FROM tk WHERE len(toks) >= 10),
+      |d10 AS (
+      |  SELECT doc_id, pos FROM g10p
+      |  JOIN (SELECT doc_id, gram FROM g10p GROUP BY doc_id, gram
+      |        HAVING count(*) >= 2) USING (doc_id, gram)),
+      |m10 AS (
+      |  SELECT DISTINCT doc_id, pos + j AS mpos
+      |  FROM d10 CROSS JOIN unnest(range(0, 10)) AS u(j)),
+      |c10 AS (
+      |  SELECT tokp.doc_id, CAST(sum(len(tokp.tok)) AS BIGINT)
+      |      AS dup10_gram_chars
+      |  FROM tokp JOIN m10
+      |    ON tokp.doc_id = m10.doc_id AND tokp.p = m10.mpos
+      |  GROUP BY tokp.doc_id),
+      |j AS (
+      |  SELECT base.doc_id, base.n_chars, base.n_tokens, base.token_chars,
+      |    coalesce(lstat.n_lines, 0) AS n_lines,
+      |    coalesce(lstat.dup_lines, 0) AS dup_lines,
+      |    coalesce(lstat.dup_line_chars, 0) AS dup_line_chars,
+      |    coalesce(pstat.n_paras, 0) AS n_paras,
+      |    coalesce(pstat.dup_paras, 0) AS dup_paras,
+      |    coalesce(pstat.dup_para_chars, 0) AS dup_para_chars,
+      |    coalesce(t2.top2_gram_chars, 0) AS top2_gram_chars,
+      |    coalesce(t3.top3_gram_chars, 0) AS top3_gram_chars,
+      |    coalesce(t4.top4_gram_chars, 0) AS top4_gram_chars,
+      |    coalesce(c5.dup5_gram_chars, 0) AS dup5_gram_chars,
+      |    coalesce(c10.dup10_gram_chars, 0) AS dup10_gram_chars
+      |  FROM base
+      |  LEFT JOIN lstat USING (doc_id) LEFT JOIN pstat USING (doc_id)
+      |  LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+      |  LEFT JOIN t4 USING (doc_id) LEFT JOIN c5 USING (doc_id)
+      |  LEFT JOIN c10 USING (doc_id))
+      |SELECT doc_id, n_chars, n_tokens, token_chars,
+      |  n_lines, dup_lines, dup_line_chars,
+      |  n_paras, dup_paras, dup_para_chars,
+      |  top2_gram_chars, top3_gram_chars, top4_gram_chars,
+      |  dup5_gram_chars, dup10_gram_chars,
+      |  (dup_lines * 1000000 <= n_lines * 300000 AND
+      |   dup_paras * 1000000 <= n_paras * 300000 AND
+      |   dup_line_chars * 1000000 <= n_chars * 200000 AND
+      |   dup_para_chars * 1000000 <= n_chars * 200000 AND
+      |   top2_gram_chars * 1000000 <= n_chars * 200000 AND
+      |   top3_gram_chars * 1000000 <= n_chars * 180000 AND
+      |   top4_gram_chars * 1000000 <= n_chars * 160000 AND
+      |   dup5_gram_chars * 1000000 <= token_chars * 150000 AND
+      |   dup10_gram_chars * 1000000 <= token_chars * 100000) AS keep
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  /** Per-registrable-domain corpus statistics on the full hash gate
+    * ([[graft.operators.Url.registrableDomain]] as the groupBy key —
+    * the per-site roll-up every crawl pipeline runs for quality
+    * priors and crawl budgets): URLs are planted across six authority
+    * shapes (a `bbc.co.uk`-family multi-part suffix, one host in two
+    * case/port spellings, a sibling subdomain that must fold into the
+    * SAME domain, a `co.jp` family, a dotless host that lands in the
+    * '' unattributable bucket, and a userinfo+port authority), then
+    * one projection + one partial-aggregatable groupBy emits per-
+    * domain doc counts, distinct-URL counts, and token/char mass.
+    * At 100 TB this is a single 2-phase shuffle on the domain key.
+    */
+  def q118DomainStats(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.Url
+    val url = expr(
+      """CASE doc_id % 6
+        |  WHEN 0 THEN concat('https://news.bbc.co.uk/story/',
+        |    CAST(doc_id AS STRING))
+        |  WHEN 1 THEN concat('http://WWW.Example.COM:80/a?id=',
+        |    CAST(doc_id % 10 AS STRING))
+        |  WHEN 2 THEN concat('https://blog.example.com/post/',
+        |    CAST(doc_id % 20 AS STRING))
+        |  WHEN 3 THEN concat('http://sub.shop.co.jp/item/',
+        |    CAST(doc_id % 7 AS STRING))
+        |  WHEN 4 THEN 'https://localhost/'
+        |  ELSE concat('http://user:PW@cache.archive.org:8080/x/',
+        |    CAST(doc_id % 3 AS STRING))
+        |END""".stripMargin)
+    Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .withColumn("url", url)
+      .select(Url.registrableDomain(col("url")).as("domain"), col("url"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__tok"),
+        length(col("text")).cast("long").as("__chars"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_urls"),
+        sum("__tok").as("total_tokens"),
+        sum("__chars").as("total_chars"))
+      .orderBy("domain")
+  }
+
+  val q118Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'https://news.bbc.co.uk/story/' ||
+      |        CAST(doc_id AS VARCHAR)
+      |      WHEN 1 THEN 'http://WWW.Example.COM:80/a?id=' ||
+      |        CAST(doc_id % 10 AS VARCHAR)
+      |      WHEN 2 THEN 'https://blog.example.com/post/' ||
+      |        CAST(doc_id % 20 AS VARCHAR)
+      |      WHEN 3 THEN 'http://sub.shop.co.jp/item/' ||
+      |        CAST(doc_id % 7 AS VARCHAR)
+      |      WHEN 4 THEN 'https://localhost/'
+      |      ELSE 'http://user:PW@cache.archive.org:8080/x/' ||
+      |        CAST(doc_id % 3 AS VARCHAR)
+      |    END AS url
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id, text, url,
+      |    lower(coalesce(regexp_extract(trim(url),
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:]*)', 1), ''))
+      |      AS host
+      |  FROM u),
+      |r AS (
+      |  SELECT doc_id, url,
+      |    CASE WHEN regexp_matches(host,
+      |        '(^|\.)(?:co|com|net|org|gov|ac|edu)\.(?:uk|au|jp|nz|in|za|br)$')
+      |      THEN coalesce(regexp_extract(host,
+      |        '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.(?:uk|au|jp|nz|in|za|br))$',
+      |        1), '')
+      |      ELSE coalesce(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '')
+      |    END AS domain,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
+      |      '\s+'), x -> x <> '')) AS BIGINT) AS tok,
+      |    CAST(len(text) AS BIGINT) AS chars
+      |  FROM h)
+      |SELECT domain,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+      |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(chars) AS BIGINT) AS total_chars
+      |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** Paragraph-level corpus dedup on the full hash gate
+    * ([[graft.operators.TextAnalysis.dropDuplicatedParagraphs]], the
+    * Dolma operating point; q110 is the line-granular sibling): each
+    * document is a 3-4-paragraph page — a promo banner on every third
+    * doc, a unique body paragraph (which itself contains a line
+    * break, so paragraph splitting must not confuse single newlines
+    * with blank-line separators), a footer on EVERY doc, and a
+    * mod-7-shared tail — and each repeated paragraph must survive
+    * only at its globally-first (doc_id, pos) occurrence. Cleaned
+    * text, paragraph counts, and removal counts are hash-pinned
+    * against DuckDB replaying the construction with window functions.
+    */
+  def q119ParagraphDedup(spark: SparkSession, d: String): DataFrame = {
+    val txt = expr(
+      """concat(
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN 'subscribe to our newsletter\n\n' ELSE '' END,
+        |  'body ', CAST(doc_id AS STRING), '\nsecond line\n\n',
+        |  'copyright 2024 example corp\n\n',
+        |  'tail ', CAST(doc_id % 7 AS STRING))""".stripMargin)
+    TextAnalysis.dropDuplicatedParagraphs(
+      Tables.documents(spark, d).select(col("doc_id"))
+        .withColumn("text", txt),
+      "doc_id", "text", minCount = 2)
+      .orderBy("doc_id")
+  }
+
+  val q119Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN 'subscribe to our newsletter' || chr(10) || chr(10)
+      |         ELSE '' END ||
+      |    'body ' || CAST(doc_id AS VARCHAR) || chr(10) || 'second line' ||
+      |    chr(10) || chr(10) ||
+      |    'copyright 2024 example corp' || chr(10) || chr(10) ||
+      |    'tail ' || CAST(doc_id % 7 AS VARCHAR) AS txt
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, unnest(range(0, len(ps))) AS pos, unnest(ps) AS seg
+      |  FROM (SELECT doc_id, regexp_split_to_array(txt, '\n{2,}') AS ps
+      |        FROM t)),
+      |k AS (
+      |  SELECT doc_id, pos, seg,
+      |    count(*) OVER (PARTITION BY seg) AS cnt,
+      |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      |  FROM l),
+      |kept AS (SELECT doc_id, pos, seg FROM k WHERE cnt < 2 OR rn = 1),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(seg, chr(10) || chr(10) ORDER BY pos) AS cleaned
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(regexp_split_to_array(t.txt, '\n{2,}')) AS BIGINT)
+      |    AS n_paras,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(regexp_split_to_array(t.txt, '\n{2,}'))
+      |       - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(agg.cleaned, '') AS cleaned_text
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 }

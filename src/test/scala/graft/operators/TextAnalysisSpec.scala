@@ -372,4 +372,74 @@ class TextAnalysisSpec extends AnyFunSuite {
     // semantics unchanged by the hash keying: 2 grams/doc, hot in all 3
     assert(dup.count() == 6L)
   }
+
+  test("dropDuplicatedParagraphs: global-first survivor at paragraph granularity") {
+    val docs = Seq(
+      (1L, "banner\n\nbody one\nwith a line break\n\nfooter"),
+      (2L, "banner\n\n\nbody two\n\nfooter"), // \n{3} is ONE separator
+      (3L, "banner\n\nfooter"))               // fully boilerplate → ''
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dropDuplicatedParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toList
+    assert(got == List(
+      (1L, 3L, 3L, 0L, "banner\n\nbody one\nwith a line break\n\nfooter"),
+      (2L, 3L, 1L, 2L, "body two"),
+      (3L, 2L, 0L, 2L, "")))
+  }
+
+  test("gopherTextRules: bullet/ellipsis/alpha/symbol rules count and gate exactly") {
+    val docs = Seq(
+      (1L, "- a\n• b"),                  // 2/2 bullet lines > 0.90
+      (2L, "hi there...\nok friend"),    // 1/2 ellipsis lines > 0.30
+      (3L, "# one two"),                 // 1 symbol / 3 words > 0.10
+      (4L, "111 222 333 444 one"),       // 1/5 alpha words < 0.80
+      (5L, "the quick brown fox jumps")) // clean
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherTextRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))).toList
+    assert(got == List(
+      (1L, 2L, 2L, 0L, 4L, 2L, 0L, false),
+      (2L, 2L, 0L, 1L, 4L, 4L, 1L, false),
+      (3L, 1L, 0L, 0L, 3L, 2L, 1L, false),
+      (4L, 1L, 0L, 0L, 5L, 1L, 0L, false),
+      (5L, 1L, 0L, 0L, 5L, 5L, 0L, true)))
+  }
+
+  test("gopherRepetition: within-doc dup counts, top-gram mass, overlap-union coverage") {
+    // tokens: aa bb aa bb aa bb aa bb cc dd — dup 5-grams start at
+    // {0,1,2,3}, so union coverage is [0,8) = 8 tokens / 16 chars,
+    // NOT 4 × 5; line 'aa bb aa bb' duplicates once (11 chars);
+    // paragraphs are distinct; top bigram is 'aa bb' × 4 × 5 chars.
+    val docs = Seq(
+      (1L, "aa bb aa bb\naa bb aa bb\n\ncc dd"),
+      (2L, "unique one two three"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(docs, "doc_id", "text",
+      topNs = Seq(2), dupNs = Seq(5))
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getLong(r1.fieldIndex("n_chars")) == 30L)
+    assert(r1.getLong(r1.fieldIndex("n_tokens")) == 10L)
+    assert(r1.getLong(r1.fieldIndex("token_chars")) == 20L)
+    assert(r1.getLong(r1.fieldIndex("n_lines")) == 4L)
+    assert(r1.getLong(r1.fieldIndex("dup_lines")) == 1L)
+    assert(r1.getLong(r1.fieldIndex("dup_line_chars")) == 11L)
+    assert(r1.getLong(r1.fieldIndex("n_paras")) == 2L)
+    assert(r1.getLong(r1.fieldIndex("dup_paras")) == 0L)
+    assert(r1.getLong(r1.fieldIndex("top2_gram_chars")) == 20L)
+    assert(r1.getLong(r1.fieldIndex("dup5_gram_chars")) == 16L)
+    assert(!r1.getBoolean(r1.fieldIndex("keep"))) // dup-line chars 11/30 > 0.2
+    val r2 = got(1)
+    assert(r2.getLong(r2.fieldIndex("dup_lines")) == 0L)
+    assert(r2.getLong(r2.fieldIndex("dup5_gram_chars")) == 0L)
+    // 'unique one' × 1 = 10 chars of a 20-char doc: the top-2-gram rule
+    // fails on ultra-short docs by construction (pair with a min-words
+    // pre-filter, as Gopher itself does)
+    assert(r2.getLong(r2.fieldIndex("top2_gram_chars")) == 10L)
+    assert(!r2.getBoolean(r2.fieldIndex("keep")))
+  }
 }
