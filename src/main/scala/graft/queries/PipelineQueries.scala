@@ -3689,4 +3689,98 @@ object PipelineQueries {
       |  coalesce(agg.cleaned, '') AS cleaned_text
       |FROM t LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  /** WARC → WET conversion on the full hash gate
+    * ([[graft.sources.WarcSource.warcToWet]] — the extracted-text
+    * container Common Crawl publishes next to every WARC): the q114
+    * page fixture is written as a response WARC, converted to WET
+    * (conversion records, text/plain, the q108 extraction tier run
+    * payload-side), read back through the same streaming reader, and
+    * the full extracted text hash-pinned against DuckDB replaying the
+    * page construction + extraction algebra. With q114 this closes
+    * the container story in BOTH directions: crawl in, cleaned text
+    * out.
+    */
+  def q120WetExtract(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.WarcSource
+    import spark.implicits._
+    val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(col("text")) { case (acc, (k, v)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(k), lit(v)) }
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title></head><body><h1>Doc "), col("doc_id").cast("string"),
+      lit("</h1><div><p>"), esc, lit("</p></div></body></html>"))
+    val url = concat(lit("https://crawl.example.com/doc/"),
+      col("doc_id").cast("string"))
+    val recs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .select(url.as("url"), lit("text/html").as("content_type"),
+        encode(page, "UTF-8").as("bytes"))
+      .as[WarcSource.WarcDoc]
+    // fixed per-corpus fixture dirs, same rationale as q114
+    val warcDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q120-warc-${math.abs(d.hashCode)}").toString
+    val wetDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q120-wet-${math.abs(d.hashCode)}").toString
+    WarcSource.writeWarc(recs, warcDir)
+    WarcSource.warcToWet(spark, warcDir, wetDir)
+    WarcSource.readWarc(spark, wetDir)
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
+          .as("doc_id"),
+        col("warc_type"), col("content_type"),
+        col("bytes").cast("string").as("text_wet"))
+      .select(col("doc_id"), col("warc_type"), col("content_type"),
+        length(col("text_wet")).cast("long").as("n_chars"),
+        col("text_wet"))
+      .orderBy("doc_id")
+  }
+
+  /** q114's extraction replay with the WET framing pinned. */
+  val q120Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</h1><div><p>' ||
+      |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+      |            '>', '&gt;') ||
+      |    '</p></div></body></html>' AS html
+      |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    trim(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          replace(replace(replace(replace(replace(replace(replace(
+      |            replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(
+      |                      regexp_replace(
+      |                        regexp_replace(
+      |                          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+      |                          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |                        '(?is)<script[^>]*>.*', ' ', 'g'),
+      |                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |                    '(?is)<style[^>]*>.*', ' ', 'g'),
+      |                  '[ \t\r\n\f]+', ' ', 'g'),
+      |                '(?i)</?(pre|p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote|section|article|header|footer|nav|form)( [^>]*)?/?>',
+      |                chr(10), 'g'),
+      |              '<[^>]*>', ' ', 'g'),
+      |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |            '&apos;', ''''), '&#39;', ''''), '&#160;', ' '),
+      |            '&nbsp;', ' '), '&amp;', '&'),
+      |          '[ \t\r\f]+', ' ', 'g'),
+      |        ' ?' || chr(10) || '[ ' || chr(10) || ']*', chr(10), 'g'),
+      |      ' ' || chr(10)) AS text_wet
+      |  FROM h)
+      |SELECT doc_id,
+      |  'conversion' AS warc_type,
+      |  'text/plain' AS content_type,
+      |  CAST(length(text_wet) AS BIGINT) AS n_chars,
+      |  text_wet
+      |FROM x ORDER BY doc_id""".stripMargin
 }

@@ -8,6 +8,7 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, encode, lit}
 
 /** WARC (ISO 28500 / WARC 1.1) container source — the format every
   * real web crawl arrives in (Common Crawl, Heritrix, wget --warc):
@@ -67,7 +68,8 @@ object WarcSource {
     * IDs are deterministic (md5 of the target URI) so a rewritten
     * fixture is byte-identical.
     */
-  def writeWarc(records: Dataset[WarcDoc], dir: String): Unit = {
+  def writeWarc(records: Dataset[WarcDoc], dir: String,
+      warcType: String = "response"): Unit = {
     val conf = new Configuration()
     val fs = FileSystem.get(new URI(dir), conf)
     fs.delete(new Path(dir), true)
@@ -77,18 +79,57 @@ object WarcSource {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val tfs = FileSystem.get(new URI(dir), new Configuration())
         val out = tfs.create(new Path(s"$dir/part-$pid.warc.gz"), true)
-        try it.foreach(r => writeMember(out, r)) finally out.close()
+        try it.foreach(r => writeMember(out, r, warcType))
+        finally out.close()
       }
     }
   }
 
-  private def writeMember(out: OutputStream, r: WarcDoc): Unit = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(r.url.getBytes(UTF_8)).map("%02x".format(_)).mkString
+  /** WARC → WET: read the response records under `warcDir`, extract
+    * text from the `text/html` payloads through the q108 tier
+    * ([[graft.operators.Html.extractText]] — payloads decode as
+    * UTF-8, the q114 convention), and write the standard WET layout
+    * to `wetDir`: `conversion` records, `text/plain`, UTF-8 bytes of
+    * the extracted text, each carrying a `WARC-Refers-To` that equals
+    * the deterministic record ID [[writeMember]] stamps on the
+    * response for the same target URI. Distributed end to end — the
+    * read streams containers per task, the extraction is one codegen
+    * projection, the write streams members per partition; nothing
+    * corpus-sized touches the driver.
+    */
+  def warcToWet(spark: SparkSession, warcDir: String,
+      wetDir: String): Unit = {
+    import spark.implicits._
+    val recs = readWarc(spark, warcDir)
+      .filter(col("warc_type") === "response" &&
+        col("content_type").startsWith("text/html"))
+      .select(col("url"), lit("text/plain").as("content_type"),
+        encode(graft.operators.Html.extractText(col("bytes").cast("string")),
+          "UTF-8").as("bytes"))
+      .as[WarcDoc]
+    writeWarc(recs, wetDir, warcType = "conversion")
+  }
+
+  private def writeMember(out: OutputStream, r: WarcDoc,
+      warcType: String): Unit = {
+    def md5Of(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes(UTF_8))
+      .map("%02x".format(_)).mkString
+    // record IDs are deterministic md5s: the response's is md5(target
+    // URI); a conversion record gets its own distinct ID and a
+    // WARC-Refers-To that reconstructs the response's — closed-form,
+    // no cross-record state
+    val ownId = md5Of(if (warcType == "response") r.url
+      else s"$warcType:${r.url}")
+    val refersTo =
+      if (warcType == "conversion")
+        s"WARC-Refers-To: <urn:md5:${md5Of(r.url)}>\r\n"
+      else ""
     val header =
       "WARC/1.0\r\n" +
-      "WARC-Type: response\r\n" +
-      s"WARC-Record-ID: <urn:md5:$md5>\r\n" +
+      s"WARC-Type: $warcType\r\n" +
+      s"WARC-Record-ID: <urn:md5:$ownId>\r\n" +
+      refersTo +
       s"WARC-Date: $FixtureDate\r\n" +
       s"WARC-Target-URI: ${r.url}\r\n" +
       s"Content-Type: ${r.content_type}\r\n" +

@@ -75,9 +75,14 @@ object AnnSoak {
     // persisted exactly as a real deployment stores (id, cell, codes)
     // in a table), then QUERY the hot index — so sec_query prices the
     // probe→ADC→rescore path, not a rebuild
+    // GRAFT_SOAK_OPQ=<iters> additionally trains the OPQ pre-rotation
+    // (q115 path): every index row then pays the RotateVec d² madds at
+    // encode, and every probe/LUT pays them at query — the knob prices
+    // the rotation at soak scale instead of gate scale
+    val opqIters = sys.env.get("GRAFT_SOAK_OPQ").map(_.toInt).getOrElse(0)
     val (idx0, secTrain) = timed {
       graft.operators.Similarity.ivfPqBuild(emb, "id", "embedding",
-        numCells = 16, m = 8, numCodes = 16)
+        numCells = 16, m = 8, numCodes = 16, opqIters = opqIters)
     }
     val persisted = idx0.index
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -92,7 +97,8 @@ object AnnSoak {
     val json =
       s"""{"rows":$n,"planted":100,"planted_hits":$hits,""" +
       s""""sec_train":${r1s(secTrain)},"sec_build":${r1s(secBuild)},""" +
-      s""""sec_query":${r1s(secQuery)},""" +
+      s""""sec_query":${r1s(secQuery)},"opq_iters":$opqIters,""" +
+      s""""rotated":${if (idx.rotation.nonEmpty) 1 else 0},""" +
       s""""heap_max_bytes":${Runtime.getRuntime.maxMemory()}}"""
     println(s"ANNSOAK $json")
     spark.stop()

@@ -131,4 +131,36 @@ class WarcSourceSpec extends AnyFunSuite {
     }
     assert(df.count() == 1)
   }
+
+  test("warcToWet: conversion records carry the extracted text, non-HTML skipped") {
+    val warcDir = newDir(); val wetDir = newDir()
+    WarcSource.writeWarc(spark.createDataset(Seq(
+      WarcDoc("https://w.com/1", "text/html",
+        "<html><body><p>hello &amp; goodbye</p></body></html>"
+          .getBytes(UTF_8)),
+      WarcDoc("https://w.com/2", "text/html; charset=utf-8",
+        "<html><script>x<y</script><b>kept</b></html>".getBytes(UTF_8)),
+      WarcDoc("https://w.com/3", "image/png",
+        Array[Byte](1, 2, 3)))), warcDir)
+    WarcSource.warcToWet(spark, warcDir, wetDir)
+    val back = WarcSource.readWarc(spark, wetDir)
+      .select("url", "warc_type", "content_type", "bytes")
+      .as[(String, String, String, Array[Byte])].collect()
+      .sortBy(_._1).toSeq
+    // the png response has no text tier — WET carries only conversions
+    assert(back.map(_._1) == Seq("https://w.com/1", "https://w.com/2"))
+    assert(back.forall(_._2 == "conversion"))
+    assert(back.forall(_._3 == "text/plain"))
+    assert(new String(back(0)._4, UTF_8) == "hello & goodbye")
+    assert(new String(back(1)._4, UTF_8) == "kept")
+    // the conversion member points back at its response record
+    val raw = {
+      val f = new java.io.File(wetDir).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).head
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(f))
+      try new String(in.readAllBytes(), UTF_8) finally in.close()
+    }
+    assert(raw.contains("WARC-Refers-To: <urn:md5:"))
+  }
 }
