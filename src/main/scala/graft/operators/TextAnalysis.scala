@@ -840,11 +840,14 @@ object TextAnalysis {
     * 24-40-byte rows, line/paragraph/gram TEXT never crosses an
     * exchange (the [[dropDuplicatedLines]] r15 rule); all stats are
     * partial-aggregatable (map-side combined); per-doc duplicated
-    * span starts collect bounded by the doc's own token count; the
-    * only corpus-text-sized shuffles are the doc-keyed joins back
-    * (one per `dupNs` entry — size `dupNs` to the published 5..10 or
-    * trim it, each entry costs one gram explode + two 24-byte-row
-    * shuffles + one doc-keyed join). Collision contract as
+    * span starts collect bounded by the doc's own token count; and
+    * corpus text crosses exactly ONE exchange total — the per-n
+    * starts frames are id-keyed skinny aggregates that all fold into
+    * a single doc-keyed join (the corpus side hash-partitions on id
+    * once; the follow-on joins reuse that partitioning). Each `dupNs`
+    * entry still prices one gram explode + two 24-byte-row shuffles —
+    * size `dupNs` to the published 5..10 or trim it. Collision
+    * contract as
     * [[dupSpanStats]] (64-bit; expected false pairs ≈ D²/2⁶⁵, and
     * here D is bounded by the largest single document).
     *
@@ -913,8 +916,12 @@ object TextAnalysis {
     // duplicated-gram coverage: starts of every gram with within-doc
     // count >= 2, span-unioned by the compiled kernel; covered chars =
     // token chars minus the kept complement's chars (cleaned joins
-    // kept tokens with single spaces)
-    val dupStats = dupNs.map { n =>
+    // kept tokens with single spaces). The per-n starts frames are
+    // id-keyed 24-byte-row aggregates; they ALL fold into ONE
+    // doc-keyed join against the corpus (hash-partitioned once on id,
+    // the later joins reuse the partitioning) — corpus text crosses
+    // exactly one exchange however many dupNs entries there are
+    val startFrames = dupNs.map { n =>
       val grams = base.select(col(idCol),
           posexplode(ngramsOfTokens(col("__toks"), n))
             .as(Seq("__pos", "__g")))
@@ -924,32 +931,34 @@ object TextAnalysis {
         .agg(count(lit(1)).as("__cnt"))
         .filter(col("__cnt") >= 2)
         .select(col(idCol), col("__h"))
-      val starts = grams.join(hot, Seq(idCol, "__h"))
+      grams.join(hot, Seq(idCol, "__h"))
         .groupBy(idCol)
-        .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
-      val cleanedStruct = org.apache.spark.sql.graftshim.ColumnExpr.column(
+        .agg(sort_array(collect_list(col("__pos"))).as(s"__starts_$n"))
+    }
+    val withStarts = startFrames.foldLeft(
+      base.withColumn("__tc",
+        aggregate(transform(col("__toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x))) {
+      (acc, s) => acc.join(s, Seq(idCol), "left")
+    }
+    val dupCols = dupNs.map { n =>
+      val r = org.apache.spark.sql.graftshim.ColumnExpr.column(
         graft.functions.DropDupSpans(
           org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__toks")),
           org.apache.spark.sql.graftshim.ColumnExpr.expr(
-            coalesce(col("__starts"), typedlit(Array.empty[Long]))),
+            coalesce(col(s"__starts_$n"), typedlit(Array.empty[Long]))),
           n, 1))
-      base.join(starts, Seq(idCol), "left")
-        .withColumn("__r", cleanedStruct)
-        .select(col(idCol),
-          (aggregate(transform(col("__toks"), t => length(t).cast("long")),
-            lit(0L), (a, x) => a + x) -
-            (length(col("__r.cleaned")).cast("long") -
-              greatest(col("__r.n_kept") - 1L, lit(0L))))
-            .as(s"dup${n}_gram_chars"))
+      (col("__tc") - (length(r.getField("cleaned")).cast("long") -
+        greatest(r.getField("n_kept") - 1L, lit(0L))))
+        .as(s"dup${n}_gram_chars")
     }
-    val joined = (Seq(lineStats, paraStats) ++ topStats ++ dupStats)
-      .foldLeft(base.select(col(idCol),
+    val dupStats = withStarts.select(
+      Seq(col(idCol),
         length(col("__text")).cast("long").as("n_chars"),
         size(col("__toks")).cast("long").as("n_tokens"),
-        aggregate(transform(col("__toks"), t => length(t).cast("long")),
-          lit(0L), (a, x) => a + x).as("token_chars"))) {
-        (acc, s) => acc.join(s, Seq(idCol), "left")
-      }
+        col("__tc").as("token_chars")) ++ dupCols: _*)
+    val joined = (Seq(lineStats, paraStats) ++ topStats)
+      .foldLeft(dupStats) { (acc, s) => acc.join(s, Seq(idCol), "left") }
     val topThr = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
     val dupThr = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
       9 -> 0.11, 10 -> 0.10)

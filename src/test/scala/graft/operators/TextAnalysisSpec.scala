@@ -442,4 +442,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r2.getLong(r2.fieldIndex("top2_gram_chars")) == 10L)
     assert(!r2.getBoolean(r2.fieldIndex("keep")))
   }
+
+  test("gopherRepetition: corpus text crosses at most one exchange") {
+    // the scaladoc's 100 TB claim: line/para/gram legs shuffle only
+    // (id, xxhash64) keyed rows; the per-n starts frames fold into ONE
+    // doc-keyed join, so at most one exchange in the whole plan may
+    // carry a string column (the corpus side of that join)
+    val docs = Seq((1L, "a b c\nd e"), (2L, "a b c\nf g"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs, "doc_id", "text",
+      topNs = Seq(2, 3), dupNs = Seq(2, 3))
+    val stringExchanges = out.queryExecution.sparkPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange
+          if e.output.exists(_.dataType ==
+            org.apache.spark.sql.types.StringType) => e
+    }
+    assert(stringExchanges.size <= 1,
+      s"corpus text crosses ${stringExchanges.size} exchanges:\n" +
+        out.queryExecution.sparkPlan)
+  }
 }
