@@ -607,6 +607,48 @@ object TextAnalysis {
         col("__r.cleaned").as("cleaned_text"))
   }
 
+  /** [[dropDuplicatedSpans]] emitting ORIGINAL-SPACE text — the form
+    * the published operator actually takes (Lee et al. excise from
+    * the raw corpus; an exported cleaned corpus must keep its casing
+    * and layout). Dedup DECISIONS are identical to
+    * [[dropDuplicatedSpans]] (stages 1-3 shared verbatim: normalized
+    * grams, xxhash64, 8-byte count shuffle, shuffled hot-set
+    * semi-join); only the EMISSION differs — the compiled
+    * [[graft.functions.DropDupSpansRaw]] kernel re-walks the raw
+    * bytes (token indexing is identical in both spaces, see its
+    * scaladoc) and emits kept token runs VERBATIM (casing, tabs,
+    * multi-space gaps inside a run survive exactly), runs joined by
+    * one space. Same 100 TB shape and collision contract as the
+    * normalized variant; keep that one when downstream operators
+    * want the normalized token stream.
+    *
+    * Output: `idCol, n_tokens, n_kept, n_removed, cleaned_text`
+    * (cleaned_text in original casing/whitespace).
+    */
+  def dropDuplicatedSpansRaw(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, minCount: Int = 3, minRun: Int = 1): DataFrame = {
+    require(n >= 2, s"span gram size must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    require(minRun >= 1, s"minRun must be >= 1, got $minRun")
+    val (_, dup) = dupGramOccurrences(df, idCol, textCol, n, minCount)
+    val starts = dup.groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    val r = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.DropDupSpansRaw(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col(textCol)),
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(
+          coalesce(col("__starts"), typedlit(Array.empty[Long]))),
+        n, minRun))
+    df.select(col(idCol), col(textCol))
+      .join(starts, Seq(idCol), "left")
+      .withColumn("__r", r)
+      .select(col(idCol),
+        col("__r.n_tokens").as("n_tokens"),
+        col("__r.n_kept").as("n_kept"),
+        (col("__r.n_tokens") - col("__r.n_kept")).as("n_removed"),
+        col("__r.cleaned").as("cleaned_text"))
+  }
+
   /** C4-style LINE-level dedup (Raffel et al. 2020 §2.2 — "we
     * discarded all but one of any three-sentence span occurring more
     * than once" has a line-granular sibling every crawl pipeline
@@ -770,6 +812,57 @@ object TextAnalysis {
         col("__r.cleaned").as("cleaned_text"))
   }
 
+  /** [[dropDuplicatedSentenceSpans]] emitting ORIGINAL-SPACE text —
+    * the actual Raffel et al. form (C4 discards the duplicated
+    * three-sentence spans from the raw corpus). Decision stages
+    * shared verbatim (normalized sentence spans, xxhash64,
+    * partial-aggregatable global-first survivor); emission is the
+    * compiled [[graft.functions.DropDupSentenceSpansRaw]] byte walk —
+    * it re-segments the RAW text (sentence indexing identical in
+    * both spaces, see its scaladoc) and emits kept sentence runs
+    * verbatim, runs joined by one space.
+    *
+    * Output: `idCol, n_sentences, n_kept, n_removed, cleaned_text`
+    * (cleaned_text in original casing/whitespace).
+    */
+  def dropDuplicatedSentenceSpansRaw(df: DataFrame, idCol: String,
+      textCol: String, spanLen: Int = 3, minCount: Int = 2): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val sents = df.select(col(idCol), sentences(col(textCol)).as("__sents"))
+      .withColumn("n_sentences", size(col("__sents")).cast("long"))
+    val spans = sents.filter(col("n_sentences") >= spanLen)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__sents) - $spanLen), " +
+        s"i -> struct(CAST(i AS BIGINT) AS pos, " +
+        s"xxhash64(concat_ws('\\n', slice(__sents, i + 1, $spanLen))) AS sh))"))
+        .as("s"))
+      .select(col(idCol), col("s.pos").as("__pos"), col("s.sh").as("__sh"))
+    val stats = spans.groupBy("__sh").agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col(idCol), col("__pos"))).as("__first"))
+    val removed = spans.join(stats, Seq("__sh"))
+      .filter(col("__cnt") >= minCount &&
+        !(col("__first").getField(idCol) === col(idCol) &&
+          col("__first").getField("__pos") === col("__pos")))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    val r = org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.DropDupSentenceSpansRaw(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(col(textCol)),
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(
+          coalesce(col("__starts"), typedlit(Array.empty[Long]))),
+        spanLen))
+    df.select(col(idCol), col(textCol))
+      .join(removed, Seq(idCol), "left")
+      .withColumn("__r", r)
+      .select(col(idCol),
+        col("__r.n_sentences").as("n_sentences"),
+        col("__r.n_kept").as("n_kept"),
+        (col("__r.n_sentences") - col("__r.n_kept")).as("n_removed"),
+        col("__r.cleaned").as("cleaned_text"))
+  }
+
   /** The Gopher line/word-shape quality rules (Rae et al. 2021,
     * Table A1) that [[qualityFilter]]'s word-count/word-length/symbol
     * set does not cover: fraction of lines starting with a bullet
@@ -787,9 +880,12 @@ object TextAnalysis {
     * lines = `split(text, '\n')` (so even an empty text has one
     * line); bullet/ellipsis tests run on the trimmed line against the
     * literal sets `-` `*` `•` and `...` `…`; words = the lowercased
-    * whitespace tokens of [[tokens]]; a 0-word document passes the
-    * word-denominated rules trivially (pair with [[qualityFilter]]'s
-    * `minWords` to drop empties).
+    * whitespace tokens of [[tokens]]; "alphabetic" means any Unicode
+    * letter (`\p{L}` — an accented, CJK, or Cyrillic word counts; the
+    * pre-r16 `[a-z]` test zeroed n_alpha_words for every non-Latin
+    * script and auto-failed minAlphaFrac); a 0-word document passes
+    * the word-denominated rules trivially (pair with
+    * [[qualityFilter]]'s `minWords` to drop empties).
     *
     * Output: `idCol, n_lines, n_bullet_lines, n_ellipsis_lines,
     * n_words, n_alpha_words, n_symbols, keep` — all counts BIGINT.
@@ -814,7 +910,7 @@ object TextAnalysis {
         size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
           .cast("long").as("n_ellipsis_lines"),
         size(toks).cast("long").as("n_words"),
-        size(filter(toks, w => w.rlike("[a-z]")))
+        size(filter(toks, w => w.rlike("\\p{L}")))
           .cast("long").as("n_alpha_words"),
         col("n_symbols"))
       .withColumn("keep",
@@ -860,9 +956,16 @@ object TextAnalysis {
     * (token coverage cannot be mapped back to raw-text offsets after
     * lowercasing/whitespace collapse — documented divergence from the
     * paper's untokenized character spans). The top-gram mass
-    * `count × length(gram)` includes count = 1 grams (their mass is
-    * negligible by construction) and needs no tie-break: the output
-    * is the max of the products, whatever gram attains it.
+    * `count × length(gram)` counts only grams occurring ≥ 2 times
+    * within the document — a document whose n-grams are all unique
+    * has mass 0, and needs no tie-break: the output is the max of
+    * the products, whatever gram attains it. (Divergence from a
+    * literal "most common n-gram" reading of the paper, where a
+    * count = 1 gram could be the mode: a singleton gram is not
+    * REPETITION, and counting it makes every short clean document
+    * fail the keep gate — `unique one two three`'s top bigram would
+    * cover 63% of its chars. Gopher avoids this only via its 50-word
+    * pre-filter; this operator is safe to run without one.)
     *
     * `keep` applies the published thresholds (dup-line 0.30,
     * dup-paragraph 0.30, their char fractions 0.20, top-n-gram 0.20 /
@@ -909,9 +1012,12 @@ object TextAnalysis {
           length(col("__g")).cast("long").as("__len"))
         .groupBy(col(idCol), col("__h"))
         .agg(count(lit(1)).as("__cnt"), min(col("__len")).as("__len"))
+    // repeated grams only (count >= 2): a singleton "most common" gram
+    // is noise, not repetition — see the scaladoc divergence note
     val topStats = topNs.map { n =>
       gramCounts(n).groupBy(idCol)
-        .agg(max(col("__cnt") * col("__len")).as(s"top${n}_gram_chars"))
+        .agg(max(when(col("__cnt") >= 2, col("__cnt") * col("__len")))
+          .as(s"top${n}_gram_chars"))
     }
     // duplicated-gram coverage: starts of every gram with within-doc
     // count >= 2, span-unioned by the compiled kernel; covered chars =

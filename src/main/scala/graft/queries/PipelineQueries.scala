@@ -16,6 +16,17 @@ import graft.operators.{Bloom, Bpe, Contamination, Dedup, Packing, Sampling, Sim
   */
 object PipelineQueries {
 
+  /** Collision-resistant fixture-dir key for a corpus path:
+    * `String.hashCode` can collide across paths (and
+    * `math.abs(Int.MinValue)` is negative), which would let two
+    * concurrent Verify/Bench runs against different corpora clobber
+    * each other's container fixtures mid-run (the writers clear the
+    * dir first). md5 hex, like every other content key in the repo.
+    */
+  private def corpusKey(d: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(d.getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString
+
   /** documents ∪ planted exact copies (doc_id+100000 for doc_id<25) —
     * gives the exact-dedup query something to collapse.
     */
@@ -2550,6 +2561,186 @@ object PipelineQueries {
       |FROM t LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** ORIGINAL-SPACE substring dedup removal
+    * ([[graft.operators.TextAnalysis.dropDuplicatedSpansRaw]], r16 —
+    * the form Lee et al. publish: excision from the RAW text, casing
+    * and layout preserved): each document gets a deterministic
+    * "original" dressing — every 3rd token's first letter upper-cased,
+    * every 5th token followed by a DOUBLE space — then q107's exact
+    * dedup decisions (n=4, minCount=3, minRun=3, computed on the
+    * normalized tokens) excise spans from that raw string. The oracle
+    * rebuilds the cleaned text token-by-token: within a kept run the
+    * KNOWN separator (the double space survives verbatim), across an
+    * excision exactly one space, original casing throughout — so a
+    * kernel that lowercases, collapses a gap, mis-joins runs, or
+    * shifts a token boundary breaks the hash.
+    */
+  def q122RawSpanDedup(spark: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val orig = rtrim(array_join(transform(toks, (t, i) =>
+      concat(
+        when(i % 3 === 0,
+          concat(upper(t.substr(lit(1), lit(1))),
+            t.substr(lit(2), length(t)))).otherwise(t),
+        when(i % 5 === 4, lit("  ")).otherwise(lit(" ")))), ""))
+    TextAnalysis.dropDuplicatedSpansRaw(
+      Tables.documents(spark, d).select(col("doc_id"), col("text"))
+        .select(col("doc_id"), orig.as("text")),
+      "doc_id", "text", n = 4, minCount = 3, minRun = 3)
+      .orderBy("doc_id")
+  }
+
+  /** q107's decision replay + an original-space reconstruction: kept
+    * tokens re-dressed (case + known separators), runs rejoined.
+    */
+  val q122Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS toks
+      |  FROM documents
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(toks) - 3)) AS pos,
+      |    unnest(list_transform(range(1, len(toks) - 2),
+      |                          i -> array_to_string(toks[i:i+3], ' '))) AS gram
+      |  FROM t WHERE len(toks) >= 4
+      |),
+      |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 3),
+      |dup AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN hot USING (gram)),
+      |mp AS (
+      |  SELECT DISTINCT doc_id, pos + j AS mpos
+      |  FROM dup CROSS JOIN unnest(range(0, 4)) AS u(j)
+      |),
+      |tok AS (
+      |  SELECT doc_id, unnest(range(0, len(toks))) AS p, unnest(toks) AS tok
+      |  FROM t
+      |),
+      |otok AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN p % 3 = 0
+      |         THEN upper(tok[1:1]) || tok[2:] ELSE tok END AS ot,
+      |    CASE WHEN p % 5 = 4 THEN '  ' ELSE ' ' END AS sep
+      |  FROM tok
+      |),
+      |kept AS (
+      |  SELECT otok.doc_id, otok.p, otok.ot, otok.sep
+      |  FROM otok LEFT JOIN mp
+      |    ON otok.doc_id = mp.doc_id AND otok.p = mp.mpos
+      |  WHERE mp.mpos IS NULL
+      |),
+      |runs AS (
+      |  SELECT doc_id, p, ot, sep,
+      |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+      |  FROM kept
+      |),
+      |good AS (
+      |  SELECT doc_id, rid FROM runs GROUP BY doc_id, rid
+      |  HAVING count(*) >= 3
+      |),
+      |surv AS (
+      |  SELECT runs.doc_id, runs.p, runs.ot, runs.sep,
+      |    lead(runs.p) OVER (PARTITION BY runs.doc_id ORDER BY runs.p) AS np
+      |  FROM runs JOIN good USING (doc_id, rid)
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(ot || CASE WHEN np IS NULL THEN ''
+      |      WHEN np = p + 1 THEN sep ELSE ' ' END, '' ORDER BY p) AS cleaned
+      |  FROM surv GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(agg.cleaned, '') AS cleaned_text
+      |FROM t LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** ORIGINAL-SPACE C4 sentence-span dedup
+    * ([[graft.operators.TextAnalysis.dropDuplicatedSentenceSpansRaw]],
+    * r16): the q112 fixture in its original casing, with a DOUBLE
+    * space after each doc's `beta.` sentence — the shared
+    * three-sentence tail and the shared spam prefix are excised at
+    * every non-first occurrence, and the surviving sentences re-emit
+    * VERBATIM (case kept, the double space kept when its neighbors
+    * survive together, excisions collapsing to one space). The oracle
+    * rebuilds the kept sentence runs with the known separators.
+    */
+  def q123RawSentenceDedup(spark: SparkSession, d: String): DataFrame = {
+    val txt = expr(
+      """concat(
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN 'Call Now. Limited Offer. Do Not Wait. ' ELSE '' END,
+        |  'Body ', CAST(doc_id AS STRING), ' Alpha. ',
+        |  'Body ', CAST(doc_id AS STRING), ' beta.  ',
+        |  'Body ', CAST(doc_id AS STRING), ' gamma. ',
+        |  'Visit Our Store. Thanks For Reading. See You Soon.')""".stripMargin)
+    TextAnalysis.dropDuplicatedSentenceSpansRaw(
+      Tables.documents(spark, d).select(col("doc_id"))
+        .withColumn("text", txt),
+      "doc_id", "text", spanLen = 3, minCount = 2)
+      .orderBy("doc_id")
+  }
+
+  val q123Sql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 4 = 0
+      |          THEN ['Call Now.', 'Limited Offer.', 'Do Not Wait.']
+      |          ELSE [] END ||
+      |     ['Body ' || CAST(doc_id AS VARCHAR) || ' Alpha.',
+      |      'Body ' || CAST(doc_id AS VARCHAR) || ' beta.',
+      |      'Body ' || CAST(doc_id AS VARCHAR) || ' gamma.',
+      |      'Visit Our Store.', 'Thanks For Reading.',
+      |      'See You Soon.']) AS lst
+      |  FROM documents),
+      |nl AS (
+      |  SELECT doc_id, list_transform(lst, x -> lower(x)) AS sents, lst
+      |  FROM l),
+      |sp AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, len(sents) - 2)) AS pos,
+      |    unnest(list_transform(range(1, len(sents) - 1),
+      |                          i -> array_to_string(sents[i:i+2], chr(10)))) AS span
+      |  FROM nl WHERE len(sents) >= 3),
+      |k AS (
+      |  SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY span) AS cnt,
+      |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+      |  FROM sp),
+      |removed AS (SELECT doc_id, pos FROM k WHERE cnt >= 2 AND rn > 1),
+      |mp AS (
+      |  SELECT DISTINCT doc_id, pos + j AS mpos
+      |  FROM removed CROSS JOIN unnest(range(0, 3)) AS u(j)),
+      |s AS (
+      |  SELECT doc_id, unnest(lst) AS osent,
+      |    unnest(range(0, len(lst))) AS p
+      |  FROM nl),
+      |os AS (
+      |  SELECT doc_id, p, osent,
+      |    CASE WHEN osent LIKE 'Body % beta.' THEN '  ' ELSE ' ' END AS sep
+      |  FROM s),
+      |kept AS (
+      |  SELECT os.doc_id, os.p, os.osent, os.sep
+      |  FROM os LEFT JOIN mp ON os.doc_id = mp.doc_id AND os.p = mp.mpos
+      |  WHERE mp.mpos IS NULL),
+      |surv AS (
+      |  SELECT doc_id, p, osent, sep,
+      |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS np
+      |  FROM kept),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |    string_agg(osent || CASE WHEN np IS NULL THEN ''
+      |      WHEN np = p + 1 THEN sep ELSE ' ' END, '' ORDER BY p) AS cleaned
+      |  FROM surv GROUP BY doc_id)
+      |SELECT nl.doc_id, CAST(len(nl.sents) AS BIGINT) AS n_sentences,
+      |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(nl.sents) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(agg.cleaned, '') AS cleaned_text
+      |FROM nl LEFT JOIN agg USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** HTML → text extraction on the full hash gate
     * ([[graft.operators.Html.extractText]] + [[graft.operators.Html.
     * dropShortLines]]): each document is wrapped into a deterministic
@@ -3120,9 +3311,9 @@ object PipelineQueries {
     // fresh temp dirs would accumulate one 500-5000-file tree per
     // Verify/Bench invocation and never be reclaimed
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q114-warc-${math.abs(d.hashCode)}").toString
+      s"graft-q114-warc-${corpusKey(d)}").toString
     WarcSource.writeWarc(recs, dir)
-    WarcSource.readWarc(spark, dir)
+    WarcSource.readWarc(spark, dir, requireComplete = true)
       .select(
         regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
           .as("doc_id"),
@@ -3355,7 +3546,7 @@ object PipelineQueries {
       |      AS n_ellipsis_lines,
       |    CAST(len(toks) AS BIGINT) AS n_words,
       |    CAST(len(list_filter(toks,
-      |      w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+      |      w -> regexp_matches(w, '\p{L}'))) AS BIGINT) AS n_alpha_words,
       |    n_symbols
       |  FROM c)
       |SELECT doc_id, n_lines, n_bullet_lines, n_ellipsis_lines,
@@ -3446,7 +3637,8 @@ object PipelineQueries {
       |      i -> array_to_string(toks[i:i+1], ' '))) AS gram
       |  FROM tk WHERE len(toks) >= 2),
       |t2 AS (
-      |  SELECT doc_id, CAST(max(cnt * len(gram)) AS BIGINT)
+      |  SELECT doc_id,
+      |    CAST(max(CASE WHEN cnt >= 2 THEN cnt * len(gram) END) AS BIGINT)
       |      AS top2_gram_chars
       |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2
       |        GROUP BY doc_id, gram) GROUP BY doc_id),
@@ -3456,7 +3648,8 @@ object PipelineQueries {
       |      i -> array_to_string(toks[i:i+2], ' '))) AS gram
       |  FROM tk WHERE len(toks) >= 3),
       |t3 AS (
-      |  SELECT doc_id, CAST(max(cnt * len(gram)) AS BIGINT)
+      |  SELECT doc_id,
+      |    CAST(max(CASE WHEN cnt >= 2 THEN cnt * len(gram) END) AS BIGINT)
       |      AS top3_gram_chars
       |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3
       |        GROUP BY doc_id, gram) GROUP BY doc_id),
@@ -3466,7 +3659,8 @@ object PipelineQueries {
       |      i -> array_to_string(toks[i:i+3], ' '))) AS gram
       |  FROM tk WHERE len(toks) >= 4),
       |t4 AS (
-      |  SELECT doc_id, CAST(max(cnt * len(gram)) AS BIGINT)
+      |  SELECT doc_id,
+      |    CAST(max(CASE WHEN cnt >= 2 THEN cnt * len(gram) END) AS BIGINT)
       |      AS top4_gram_chars
       |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g4
       |        GROUP BY doc_id, gram) GROUP BY doc_id),
@@ -3719,12 +3913,12 @@ object PipelineQueries {
       .as[WarcSource.WarcDoc]
     // fixed per-corpus fixture dirs, same rationale as q114
     val warcDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q120-warc-${math.abs(d.hashCode)}").toString
+      s"graft-q120-warc-${corpusKey(d)}").toString
     val wetDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q120-wet-${math.abs(d.hashCode)}").toString
+      s"graft-q120-wet-${corpusKey(d)}").toString
     WarcSource.writeWarc(recs, warcDir)
-    WarcSource.warcToWet(spark, warcDir, wetDir)
-    WarcSource.readWarc(spark, wetDir)
+    WarcSource.warcToWet(spark, warcDir, wetDir, requireComplete = true)
+    WarcSource.readWarc(spark, wetDir, requireComplete = true)
       .select(
         regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
           .as("doc_id"),
@@ -3747,6 +3941,135 @@ object PipelineQueries {
       |            '>', '&gt;') ||
       |    '</p></div></body></html>' AS html
       |  FROM documents),
+      |x AS (
+      |  SELECT doc_id,
+      |    trim(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          replace(replace(replace(replace(replace(replace(replace(
+      |            replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                regexp_replace(
+      |                  regexp_replace(
+      |                    regexp_replace(
+      |                      regexp_replace(
+      |                        regexp_replace(
+      |                          regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+      |                          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |                        '(?is)<script[^>]*>.*', ' ', 'g'),
+      |                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |                    '(?is)<style[^>]*>.*', ' ', 'g'),
+      |                  '[ \t\r\n\f]+', ' ', 'g'),
+      |                '(?i)</?(pre|p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote|section|article|header|footer|nav|form)( [^>]*)?/?>',
+      |                chr(10), 'g'),
+      |              '<[^>]*>', ' ', 'g'),
+      |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |            '&apos;', ''''), '&#39;', ''''), '&#160;', ' '),
+      |            '&nbsp;', ' '), '&amp;', '&'),
+      |          '[ \t\r\f]+', ' ', 'g'),
+      |        ' ?' || chr(10) || '[ ' || chr(10) || ']*', chr(10), 'g'),
+      |      ' ' || chr(10)) AS text_wet
+      |  FROM h)
+      |SELECT doc_id,
+      |  'conversion' AS warc_type,
+      |  'text/plain' AS content_type,
+      |  CAST(length(text_wet) AS BIGINT) AS n_chars,
+      |  text_wet
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** WARC → WET over HTTP-ENVELOPED response records — the actual
+    * Common Crawl shape ([[graft.sources.WarcSource.warcToWet]], r16):
+    * each document becomes a WARC record whose block is a full HTTP
+    * message (`application/http; msgtype=response` — status line,
+    * headers, `\r\n\r\n`, body), cycling through the envelope cases a
+    * real crawl serves: charset-less `text/html` (UTF-8 default), a
+    * declared `iso-8859-1` body carrying a genuine high byte (`café`
+    * as `0xE9`), a case-mangled `Text/HTML; charset=UTF-8`, a
+    * `text/plain` header over an HTML-smelling block (must skip), an
+    * unsupported `shift_jis` charset (must skip, not mojibake), `404`
+    * responses (must skip), and every 11th document in the repo's
+    * bare-HTML convention to prove both conventions convert in ONE
+    * pass. The oracle replays which records survive and their
+    * extracted text relationally — DuckDB never sees an HTTP byte, so
+    * a mis-split envelope, an ignored status, a wrong charset branch,
+    * or a header-case miss each breaks the hash.
+    */
+  def q121HttpWet(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.WarcSource
+    import spark.implicits._
+    val esc = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(col("text")) { case (acc, (k, v)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(k), lit(v)) }
+    val did = col("doc_id")
+    val pageHead = concat(
+      lit("<html><head><title>Doc "), did.cast("string"),
+      lit("</title></head><body><h1>Doc "), did.cast("string"),
+      lit("</h1><div><p>"), esc)
+    val pageTail = lit("</p></div></body></html>")
+    val isBare = did % 11 === 0
+    val isLatin = !isBare && did % 5 === 1
+    // ' café' in latin-1 is 20 63 61 66 E9 — a real high byte the
+    // UTF-8 default would mangle; the declared-charset branch must not
+    val bodyBytes = when(isLatin,
+        concat(encode(pageHead, "UTF-8"), unhex(lit("20636166E9")),
+          encode(pageTail, "UTF-8")))
+      .otherwise(encode(concat(pageHead, pageTail), "UTF-8"))
+    val statusLine = when(did % 7 === 3, lit("HTTP/1.1 404 Not Found"))
+      .otherwise(lit("HTTP/1.1 200 OK"))
+    val ctHeader = when(did % 5 === 0, lit("Content-Type: text/html"))
+      .when(did % 5 === 1, lit("Content-Type: text/html; charset=iso-8859-1"))
+      .when(did % 5 === 2, lit("Content-Type: Text/HTML; charset=UTF-8"))
+      .when(did % 5 === 3, lit("Content-Type: text/plain"))
+      .otherwise(lit("Content-Type: text/html; charset=shift_jis"))
+    val head = concat(statusLine, lit("\r\nServer: graft-fixture\r\n"),
+      ctHeader, lit("\r\n\r\n"))
+    val bytes = when(isBare, bodyBytes)
+      .otherwise(concat(encode(head, "UTF-8"), bodyBytes))
+    val ctype = when(isBare, lit("text/html"))
+      .otherwise(lit("application/http; msgtype=response"))
+    val url = concat(lit("https://crawl.example.com/doc/"), did.cast("string"))
+    val recs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .select(url.as("url"), ctype.as("content_type"), bytes.as("bytes"))
+      .as[WarcSource.WarcDoc]
+    // fixed per-corpus fixture dirs, same rationale as q114
+    val warcDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q121-warc-${corpusKey(d)}").toString
+    val wetDir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q121-wet-${corpusKey(d)}").toString
+    WarcSource.writeWarc(recs, warcDir)
+    WarcSource.warcToWet(spark, warcDir, wetDir, requireComplete = true)
+    WarcSource.readWarc(spark, wetDir, requireComplete = true)
+      .select(
+        regexp_extract(col("url"), "/doc/([0-9]+)", 1).cast("long")
+          .as("doc_id"),
+        col("warc_type"), col("content_type"),
+        col("bytes").cast("string").as("text_wet"))
+      .select(col("doc_id"), col("warc_type"), col("content_type"),
+        length(col("text_wet")).cast("long").as("n_chars"),
+        col("text_wet"))
+      .orderBy("doc_id")
+  }
+
+  /** The survivor set is closed-form (bare, or 200 + an html header
+    * with a supported charset) and the latin-1 `café` suffix appears
+    * exactly on the declared-iso-8859-1 records; the extraction is
+    * q120's replay.
+    */
+  val q121Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</h1><div><p>' ||
+      |    replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),
+      |            '>', '&gt;') ||
+      |    CASE WHEN doc_id % 11 <> 0 AND doc_id % 5 = 1
+      |         THEN ' café' ELSE '' END ||
+      |    '</p></div></body></html>' AS html
+      |  FROM documents
+      |  WHERE doc_id % 11 = 0
+      |     OR (doc_id % 7 <> 3 AND doc_id % 5 IN (0, 1, 2))),
       |x AS (
       |  SELECT doc_id,
       |    trim(

@@ -8,7 +8,7 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions.{col, encode, lit}
+import org.apache.spark.sql.functions._
 
 /** WARC (ISO 28500 / WARC 1.1) container source — the format every
   * real web crawl arrives in (Common Crawl, Heritrix, wget --warc):
@@ -60,13 +60,39 @@ object WarcSource {
     */
   private val FixtureDate = "2024-01-01T00:00:00Z"
 
+  /** Name of the job-level completion marker [[writeWarc]] leaves
+    * after every task has committed — the same contract as Hadoop's
+    * `_SUCCESS`: a directory WITHOUT it is a partial or in-flight
+    * write, and [[readWarc]] with `requireComplete = true` refuses it
+    * loudly instead of silently under-reporting the corpus.
+    */
+  val SuccessMarker = "_SUCCESS"
+
   /** Write records as `.warc.gz` part files, one gzip member per
     * record (the standard layout — members re-concatenate and tools
-    * can seek to member boundaries). Distributed: each task writes its
-    * partition to `<dir>/part-<pid>.warc.gz` through its own Hadoop
-    * FileSystem; the driver only clears the target directory. Record
-    * IDs are deterministic (md5 of the target URI) so a rewritten
-    * fixture is byte-identical.
+    * can seek to member boundaries). Record IDs are deterministic
+    * (md5 of the target URI) so a rewritten fixture is byte-identical.
+    *
+    * Committed-output protocol (the Hadoop v1-committer shape —
+    * before r16 each task streamed straight into its FINAL path,
+    * which under speculative execution let two attempts of one
+    * partition interleave gzip members, and a killed job left a
+    * complete-LOOKING directory):
+    *   - each task writes `<dir>/_temporary/part-<pid>-attempt-<id>
+    *     .warc.gz` — attempt IDs are globally unique, so concurrent
+    *     attempts of the same partition never share a file;
+    *   - on task success the temp file RENAMES to
+    *     `<dir>/part-<pid>.warc.gz` (atomic on HDFS-compatible
+    *     stores; a zombie attempt's earlier commit is replaced whole,
+    *     never appended to — both attempts carry identical rows, so
+    *     whichever rename lands last the file is exactly one
+    *     attempt's complete member set). On a rename-less object
+    *     store front this with the store's committer, same as any
+    *     Hadoop v1-style sink;
+    *   - a failed task deletes its temp file and rethrows;
+    *   - after ALL tasks commit, the driver drops `_temporary` and
+    *     writes the [[SuccessMarker]] — the job-level commit a reader
+    *     can require.
     */
   def writeWarc(records: Dataset[WarcDoc], dir: String,
       warcType: String = "response"): Unit = {
@@ -76,35 +102,126 @@ object WarcSource {
     fs.mkdirs(new Path(dir))
     records.foreachPartition { (it: Iterator[WarcDoc]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val tfs = FileSystem.get(new URI(dir), new Configuration())
-        val out = tfs.create(new Path(s"$dir/part-$pid.warc.gz"), true)
-        try it.foreach(r => writeMember(out, r, warcType))
-        finally out.close()
+        val tc = org.apache.spark.TaskContext.get()
+        writePartition(dir, tc.partitionId(), tc.taskAttemptId(), it, warcType)
       }
     }
+    // job commit: all tasks succeeded — clear attempt debris, then
+    // publish the completion marker LAST (marker present ⇒ every part
+    // file is a committed, complete member set)
+    fs.delete(new Path(dir, "_temporary"), true)
+    fs.create(new Path(dir, SuccessMarker), true).close()
+  }
+
+  /** One task attempt's write-then-commit (see [[writeWarc]]).
+    * Package-private so the spec can replay the speculative-execution
+    * race directly: two attempts of the SAME pid committing in any
+    * order must leave exactly one complete member set at the final
+    * path — never an interleave, never an append.
+    */
+  private[sources] def writePartition(dir: String, pid: Int,
+      attemptId: Long, it: Iterator[WarcDoc], warcType: String): Unit = {
+    val tfs = FileSystem.get(new URI(dir), new Configuration())
+    val tmp = new Path(s"$dir/_temporary/part-$pid-attempt-$attemptId.warc.gz")
+    val fin = new Path(s"$dir/part-$pid.warc.gz")
+    val out = tfs.create(tmp, true)
+    try it.foreach(r => writeMember(out, r, warcType))
+    catch { case e: Throwable =>
+      try { out.close(); tfs.delete(tmp, false) }
+      catch { case _: java.io.IOException => () }
+      throw e
+    }
+    out.close()
+    // task commit: replace-then-rename — the final path only ever
+    // holds ONE attempt's complete member set
+    if (tfs.exists(fin)) tfs.delete(fin, false)
+    if (!tfs.rename(tmp, fin)) throw new java.io.IOException(
+      s"WARC task commit failed: could not rename $tmp to $fin")
   }
 
   /** WARC → WET: read the response records under `warcDir`, extract
-    * text from the `text/html` payloads through the q108 tier
-    * ([[graft.operators.Html.extractText]] — payloads decode as
-    * UTF-8, the q114 convention), and write the standard WET layout
-    * to `wetDir`: `conversion` records, `text/plain`, UTF-8 bytes of
-    * the extracted text, each carrying a `WARC-Refers-To` that equals
-    * the deterministic record ID [[writeMember]] stamps on the
-    * response for the same target URI. Distributed end to end — the
-    * read streams containers per task, the extraction is one codegen
-    * projection, the write streams members per partition; nothing
-    * corpus-sized touches the driver.
+    * text from the HTML payloads through the q108 tier
+    * ([[graft.operators.Html.extractText]]), and write the standard
+    * WET layout to `wetDir`: `conversion` records, `text/plain`,
+    * UTF-8 bytes of the extracted text, each carrying a
+    * `WARC-Refers-To` that equals the deterministic record ID
+    * [[writeMember]] stamps on the response for the same target URI.
+    *
+    * BOTH payload conventions convert (r15 only handled the second —
+    * fed an actual Common Crawl file it converted zero records):
+    *   - `application/http; msgtype=response` (the shape Common Crawl
+    *     and every ISO-28500 crawler writes): the block is a full HTTP
+    *     message. The envelope is split from the body at the first
+    *     `\r\n\r\n`, the status line and the HTTP `Content-Type`
+    *     header (with its charset parameter) are honored, and only
+    *     `200` responses whose header says `text/html` convert;
+    *   - bare `text/html[; charset=…]` blocks (this repo's fixture
+    *     convention): the block IS the HTML; a charset parameter on
+    *     the WARC Content-Type is honored the same way.
+    *
+    * Charset contract: an absent charset defaults to UTF-8;
+    * `utf-8`/`iso-8859-1`(`latin-1`)/`us-ascii` decode natively
+    * (undecodable byte sequences become replacement characters, the
+    * `new String(bytes, charset)` semantics — a crawl is full of
+    * mis-declared pages and a loud failure per bad byte would convert
+    * nothing); any OTHER declared charset (shift_jis, gb2312, …)
+    * marks the record non-convertible and it is SKIPPED, like non-HTML
+    * and non-200 records — the standard WET generator behavior
+    * (conversion is best-effort filtering, not container corruption,
+    * which still fails loudly in the reader).
+    *
+    * Mechanics: the envelope split is one byte-preserving
+    * `ISO-8859-1` decode (1:1 byte↔char, so `substr`/`instr` offsets
+    * ARE byte offsets and the body re-encodes to its exact original
+    * bytes) plus per-row regexes — all codegen projections.
+    * Distributed end to end: the read streams containers per task,
+    * the write streams members per partition; nothing corpus-sized
+    * touches the driver.
     */
-  def warcToWet(spark: SparkSession, warcDir: String,
-      wetDir: String): Unit = {
+  def warcToWet(spark: SparkSession, warcDir: String, wetDir: String,
+      requireComplete: Boolean = false): Unit = {
     import spark.implicits._
-    val recs = readWarc(spark, warcDir)
-      .filter(col("warc_type") === "response" &&
-        col("content_type").startsWith("text/html"))
+    val enveloped = readWarc(spark, warcDir, requireComplete)
+      .filter(col("warc_type") === "response")
+      .withColumn("__is_http",
+        lower(col("content_type")).startsWith("application/http"))
+      // byte-preserving view of the block for envelope surgery
+      .withColumn("__raw", decode(col("bytes"), "ISO-8859-1"))
+      .withColumn("__he",
+        when(col("__is_http"), instr(col("__raw"), "\r\n\r\n"))
+          .otherwise(lit(0)))
+      .withColumn("__head",
+        when(col("__is_http") && col("__he") > 0,
+          col("__raw").substr(lit(1), col("__he") - 1)).otherwise(lit("")))
+      .withColumn("__status",
+        regexp_extract(col("__head"), "^HTTP/[0-9.]+ ([0-9]{3})", 1)
+          .cast("int"))
+      .withColumn("__ctype",
+        when(col("__is_http"),
+          regexp_extract(col("__head"),
+            "(?i)\\r\\ncontent-type:[ \\t]*([^\\r\\n]+)", 1))
+          .otherwise(col("content_type")))
+      .withColumn("__mime", lower(trim(regexp_extract(col("__ctype"),
+        "^([^;]+)", 1))))
+      .withColumn("__charset", lower(regexp_extract(col("__ctype"),
+        "(?i)charset=\"?([a-zA-Z0-9_\\-]+)", 1)))
+      .withColumn("__body",
+        when(col("__is_http"),
+          encode(col("__raw").substr(col("__he") + 4,
+            length(col("__raw")) - col("__he") - 3), "ISO-8859-1"))
+          .otherwise(col("bytes")))
+      .withColumn("__text",
+        when(col("__charset").isin("", "utf-8", "utf8"),
+          decode(col("__body"), "UTF-8"))
+          .when(col("__charset").isin("iso-8859-1", "latin-1", "latin1",
+            "iso8859-1"), decode(col("__body"), "ISO-8859-1"))
+          .when(col("__charset").isin("us-ascii", "ascii"),
+            decode(col("__body"), "US-ASCII")))
+    val recs = enveloped
+      .filter(col("__mime") === "text/html" && col("__text").isNotNull &&
+        (!col("__is_http") || (col("__he") > 0 && col("__status") === 200)))
       .select(col("url"), lit("text/plain").as("content_type"),
-        encode(graft.operators.Html.extractText(col("bytes").cast("string")),
+        encode(graft.operators.Html.extractText(col("__text")),
           "UTF-8").as("bytes"))
       .as[WarcDoc]
     writeWarc(recs, wetDir, warcType = "conversion")
@@ -150,11 +267,40 @@ object WarcSource {
     * metadata only), each task streams and parses its files. Output
     * columns: `path, record_index, warc_type, url, content_type,
     * bytes`.
+    *
+    * Listing hygiene: `_`/`.`-prefixed basenames (committer markers)
+    * and anything under a `_temporary` subtree are never parsed as
+    * containers. With `requireComplete = true` every DISTINCT
+    * directory contributing files must carry [[SuccessMarker]], or
+    * the read fails loudly BEFORE parsing — a killed [[writeWarc]]
+    * job leaves complete-looking part files, and silently reading a
+    * partial corpus is exactly the under-report this source's
+    * loud-failure design exists to prevent. (The directory check is
+    * metadata-bounded: one row per container directory, not per
+    * file.)
     */
-  def readWarc(spark: SparkSession, path: String): DataFrame = {
+  def readWarc(spark: SparkSession, path: String,
+      requireComplete: Boolean = false): DataFrame = {
     import spark.implicits._
     val paths = spark.read.format("binaryFile").load(path)
       .select("path").as[String]
+      .filter(!element_at(split(col("path"), "/"), -1).startsWith("_") &&
+        !element_at(split(col("path"), "/"), -1).startsWith(".") &&
+        !col("path").contains("/_temporary/"))
+    if (requireComplete) {
+      val conf = new Configuration()
+      val dirs = paths
+        .select(regexp_extract(col("path"), "^(.*)/[^/]+$", 1).as("__dir"))
+        .distinct().as[String].collect()
+      dirs.foreach { d =>
+        val fs = FileSystem.get(new URI(d), conf)
+        if (!fs.exists(new Path(d, SuccessMarker)))
+          throw new java.io.IOException(
+            s"incomplete WARC directory (no $SuccessMarker): $d — " +
+              "the write job did not commit; refusing to silently " +
+              "under-read a partial corpus")
+      }
+    }
     paths.mapPartitions { it =>
       val conf = new Configuration()
       // the parser closes its stream at EOF, but a downstream operator

@@ -79,7 +79,10 @@ object AnnSoak {
     // (q115 path): every index row then pays the RotateVec d² madds at
     // encode, and every probe/LUT pays them at query — the knob prices
     // the rotation at soak scale instead of gate scale
-    val opqIters = sys.env.get("GRAFT_SOAK_OPQ").map(_.toInt).getOrElse(0)
+    val opqIters = sys.env.get("GRAFT_SOAK_OPQ").map { v =>
+      v.toIntOption.filter(_ >= 0).getOrElse(sys.error(
+        s"GRAFT_SOAK_OPQ must be a non-negative integer, got '$v'"))
+    }.getOrElse(0)
     val (idx0, secTrain) = timed {
       graft.operators.Similarity.ivfPqBuild(emb, "id", "embedding",
         numCells = 16, m = 8, numCodes = 16, opqIters = opqIters)

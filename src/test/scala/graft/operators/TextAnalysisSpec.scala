@@ -395,8 +395,9 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, "hi there...\nok friend"),    // 1/2 ellipsis lines > 0.30
       (3L, "# one two"),                 // 1 symbol / 3 words > 0.10
       (4L, "111 222 333 444 one"),       // 1/5 alpha words < 0.80
-      (5L, "the quick brown fox jumps")) // clean
-      .toDF("doc_id", "text")
+      (5L, "the quick brown fox jumps"), // clean
+      (6L, "日本語 данные café möglich plain")) // non-Latin scripts are
+      .toDF("doc_id", "text")            // alphabetic too (\p{L})
     val got = TextAnalysis.gopherTextRules(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -406,7 +407,8 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, 2L, 0L, 1L, 4L, 4L, 1L, false),
       (3L, 1L, 0L, 0L, 3L, 2L, 1L, false),
       (4L, 1L, 0L, 0L, 5L, 1L, 0L, false),
-      (5L, 1L, 0L, 0L, 5L, 5L, 0L, true)))
+      (5L, 1L, 0L, 0L, 5L, 5L, 0L, true),
+      (6L, 1L, 0L, 0L, 5L, 5L, 0L, true)))
   }
 
   test("gopherRepetition: within-doc dup counts, top-gram mass, overlap-union coverage") {
@@ -436,11 +438,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     val r2 = got(1)
     assert(r2.getLong(r2.fieldIndex("dup_lines")) == 0L)
     assert(r2.getLong(r2.fieldIndex("dup5_gram_chars")) == 0L)
-    // 'unique one' × 1 = 10 chars of a 20-char doc: the top-2-gram rule
-    // fails on ultra-short docs by construction (pair with a min-words
-    // pre-filter, as Gopher itself does)
-    assert(r2.getLong(r2.fieldIndex("top2_gram_chars")) == 10L)
-    assert(!r2.getBoolean(r2.fieldIndex("keep")))
+    // all bigrams unique → top-gram mass 0 (count >= 2 contract): a
+    // short clean document KEEPS without a min-words pre-filter
+    assert(r2.getLong(r2.fieldIndex("top2_gram_chars")) == 0L)
+    assert(r2.getBoolean(r2.fieldIndex("keep")))
   }
 
   test("gopherRepetition: corpus text crosses at most one exchange") {

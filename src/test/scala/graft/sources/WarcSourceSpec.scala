@@ -163,4 +163,116 @@ class WarcSourceSpec extends AnyFunSuite {
     }
     assert(raw.contains("WARC-Refers-To: <urn:md5:"))
   }
+
+  test("task commit: two attempts of the same pid leave exactly one member set") {
+    val dir = newDir()
+    val docs = (0 until 5).map(i =>
+      WarcDoc(s"https://r.com/$i", "text/html", s"body $i".getBytes(UTF_8)))
+    // the speculative-execution race: attempt 7 and attempt 8 of
+    // partition 0 both run to completion, committing in sequence —
+    // with the pre-r16 direct-to-final-path writer this interleaved
+    // gzip members; with commit-by-rename the final file is exactly
+    // ONE attempt's complete set
+    WarcSource.writePartition(dir, 0, 7L, docs.iterator, "response")
+    WarcSource.writePartition(dir, 0, 8L, docs.iterator, "response")
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).toSeq
+    assert(parts.map(_.getName) == Seq("part-0.warc.gz"))
+    val back = WarcSource.readWarc(spark, dir)
+      .select("url").as[String].collect().toSeq.sorted
+    assert(back == docs.map(_.url).sorted, "exactly one copy of each record")
+  }
+
+  test("writeWarc publishes _SUCCESS, clears _temporary; reader skips markers and debris") {
+    val dir = newDir()
+    WarcSource.writeWarc(spark.createDataset(Seq(
+      WarcDoc("https://m.com/1", "text/html", "x".getBytes(UTF_8)),
+      WarcDoc("https://m.com/2", "text/html", "y".getBytes(UTF_8)))), dir)
+    assert(new java.io.File(dir, "_SUCCESS").exists(), "job-commit marker")
+    assert(!new java.io.File(dir, "_temporary").exists(), "attempt debris cleared")
+    // plant zombie-attempt debris + hidden files: the reader must
+    // never parse them as containers
+    val tmp = new java.io.File(dir, "_temporary")
+    tmp.mkdirs()
+    Files.write(new java.io.File(tmp, "part-0-attempt-99.warc.gz").toPath,
+      Array[Byte](1, 2, 3))
+    Files.write(new java.io.File(dir, ".crc-junk").toPath, Array[Byte](9))
+    val n = WarcSource.readWarc(spark, dir, requireComplete = true).count()
+    assert(n == 2L)
+  }
+
+  test("requireComplete refuses a directory without the completion marker") {
+    val dir = newDir()
+    WarcSource.writeWarc(spark.createDataset(Seq(
+      WarcDoc("https://p.com/1", "text/html", "x".getBytes(UTF_8)))), dir)
+    // a killed job: part files look complete, marker never landed
+    assert(new java.io.File(dir, "_SUCCESS").delete())
+    val e = intercept[Exception] {
+      WarcSource.readWarc(spark, dir, requireComplete = true).count()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("_SUCCESS") || msg.contains("incomplete"),
+      s"unhelpful failure: $e")
+    // without the requirement the partial read still works (explicit
+    // caller opt-in, e.g. inspecting a crashed job's output)
+    assert(WarcSource.readWarc(spark, dir).count() == 1L)
+  }
+
+  test("warcToWet: HTTP-enveloped response records (the Common Crawl shape)") {
+    val warcDir = newDir(); val wetDir = newDir()
+    def http(status: String, headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 $status\r\n$headers\r\n\r\n").getBytes(UTF_8) ++ body
+    val httpCt = "application/http; msgtype=response"
+    val cafeLatin1 = Array[Byte]('c', 'a', 'f', 0xE9.toByte) // café in latin-1
+    WarcSource.writeWarc(spark.createDataset(Seq(
+      // 200 + header text/html, no charset → UTF-8 default, converts
+      WarcDoc("https://h.com/ok", httpCt,
+        http("200 OK", "Server: x\r\nContent-Type: text/html",
+          "<html><p>hello &amp; world</p></html>".getBytes(UTF_8))),
+      // header name/value case-insensitive
+      WarcDoc("https://h.com/case", httpCt,
+        http("200 OK", "content-type: Text/HTML",
+          "<html><b>upper</b></html>".getBytes(UTF_8))),
+      // declared latin-1 body with a high byte decodes correctly
+      WarcDoc("https://h.com/latin", httpCt,
+        http("200 OK", "Content-Type: text/html; charset=iso-8859-1",
+          "<html><p>".getBytes(UTF_8) ++ cafeLatin1 ++
+            "</p></html>".getBytes(UTF_8))),
+      // non-200 skipped
+      WarcDoc("https://h.com/gone", httpCt,
+        http("404 Not Found", "Content-Type: text/html",
+          "<html>missing</html>".getBytes(UTF_8))),
+      // header says plain text: skipped even though block smells like HTML
+      WarcDoc("https://h.com/plain", httpCt,
+        http("200 OK", "Content-Type: text/plain",
+          "<html>not html</html>".getBytes(UTF_8))),
+      // unsupported declared charset: skipped, not mojibaked
+      WarcDoc("https://h.com/sjis", httpCt,
+        http("200 OK", "Content-Type: text/html; charset=shift_jis",
+          "<html>x</html>".getBytes(UTF_8))),
+      // malformed message (no header/body separator): skipped
+      WarcDoc("https://h.com/broken", httpCt,
+        "HTTP/1.1 200 OK no separator here".getBytes(UTF_8)),
+      // the repo's bare convention converts in the same pass
+      WarcDoc("https://h.com/bare", "text/html",
+        "<html><i>bare</i></html>".getBytes(UTF_8)),
+      // bare with a charset parameter honors it too
+      WarcDoc("https://h.com/barelatin", "text/html; charset=latin-1",
+        "<html><p>".getBytes(UTF_8) ++ cafeLatin1 ++
+          "</p></html>".getBytes(UTF_8)))), warcDir)
+    WarcSource.warcToWet(spark, warcDir, wetDir, requireComplete = true)
+    val back = WarcSource.readWarc(spark, wetDir, requireComplete = true)
+      .select("url", "bytes").as[(String, Array[Byte])].collect()
+      .map { case (u, b) => (u, new String(b, UTF_8)) }.sortBy(_._1).toSeq
+    assert(back.map(_._1) == Seq("https://h.com/bare",
+      "https://h.com/barelatin", "https://h.com/case", "https://h.com/latin",
+      "https://h.com/ok"))
+    val byUrl = back.toMap
+    assert(byUrl("https://h.com/ok") == "hello & world")
+    assert(byUrl("https://h.com/case") == "upper")
+    assert(byUrl("https://h.com/latin") == "café")
+    assert(byUrl("https://h.com/bare") == "bare")
+    assert(byUrl("https://h.com/barelatin") == "café")
+  }
 }
