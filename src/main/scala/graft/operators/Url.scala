@@ -92,27 +92,26 @@ object Url {
     lower(regexp_extract(trim(c),
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:]*)", 1))
 
-  /** Multi-part public suffixes recognized by [[registrableDomain]] —
-    * a deliberately SMALL, documented subset of the public-suffix
-    * list (the full PSL is a versioned external artifact; the common
-    * ccTLD second-level families below cover the bulk of crawl
-    * traffic that a naive last-two-labels rule would mis-group).
-    */
-  private val multiPartSuffix =
-    "(?:co|com|net|org|gov|ac|edu)\\.(?:uk|au|jp|nz|in|za|br)"
-
   /** Registrable domain of a URL — the per-site aggregation key of a
     * crawl pipeline (per-domain doc counts, quality priors, crawl
-    * budgets): the last two host labels, or the last THREE when the
-    * suffix is a recognized multi-part family (`news.bbc.co.uk` →
-    * `bbc.co.uk`, not `co.uk`). A host with no dot (or a bare
-    * recognized suffix with no label before it) yields '' — callers
-    * group the empty key as "unattributable".
+    * budgets): the public suffix plus one label, by the Public Suffix
+    * List algorithm over the bundled snapshot
+    * ([[graft.functions.PublicSuffix]] — exact, wildcard, and
+    * exception rules: `news.bbc.co.uk` → `bbc.co.uk`; `www.shopper
+    * .com.sg` → `shopper.com.sg` because `com.sg` is a listed
+    * suffix; `a.b.kawasaki.jp` → `a.b.kawasaki.jp` because the
+    * `*.kawasaki.jp` wildcard makes `b.kawasaki.jp` the suffix,
+    * while `city.kawasaki.jp` is itself registrable via its
+    * exception rule). A host
+    * with no dot, or one that IS a public suffix, yields '' —
+    * callers group the empty key as "unattributable". Before r16
+    * this was a 7×7 ccTLD-family regex subset that mis-grouped
+    * `com.sg`/`co.kr`/`gov.cn`-family hosts under their TLD; that
+    * subset remains only as [[graft.functions.PublicSuffix]]'s
+    * no-resource fallback.
     */
-  def registrableDomain(c: Column): Column = {
-    val h = host(c)
-    when(h.rlike(s"(^|\\.)$multiPartSuffix$$"),
-      regexp_extract(h, s"([^.]+\\.$multiPartSuffix)$$", 1))
-      .otherwise(regexp_extract(h, "([^.]+\\.[^.]+)$", 1))
-  }
+  def registrableDomain(c: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.RegistrableDomain(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(host(c))))
 }

@@ -3753,7 +3753,7 @@ object PipelineQueries {
   def q118DomainStats(spark: SparkSession, d: String): DataFrame = {
     import graft.operators.Url
     val url = expr(
-      """CASE doc_id % 6
+      """CASE doc_id % 12
         |  WHEN 0 THEN concat('https://news.bbc.co.uk/story/',
         |    CAST(doc_id AS STRING))
         |  WHEN 1 THEN concat('http://WWW.Example.COM:80/a?id=',
@@ -3763,8 +3763,20 @@ object PipelineQueries {
         |  WHEN 3 THEN concat('http://sub.shop.co.jp/item/',
         |    CAST(doc_id % 7 AS STRING))
         |  WHEN 4 THEN 'https://localhost/'
-        |  ELSE concat('http://user:PW@cache.archive.org:8080/x/',
+        |  WHEN 5 THEN concat('http://user:PW@cache.archive.org:8080/x/',
         |    CAST(doc_id % 3 AS STRING))
+        |  WHEN 6 THEN concat('https://www.shopper.com.sg/cat/',
+        |    CAST(doc_id % 5 AS STRING))
+        |  WHEN 7 THEN concat('http://portal.gov.cn/p/',
+        |    CAST(doc_id % 4 AS STRING))
+        |  WHEN 8 THEN concat('https://city.kawasaki.jp/ku/',
+        |    CAST(doc_id % 3 AS STRING))
+        |  WHEN 9 THEN concat('https://ward.sub.kawasaki.jp/',
+        |    CAST(doc_id % 3 AS STRING))
+        |  WHEN 10 THEN concat('https://alice.github.io/proj/',
+        |    CAST(doc_id % 6 AS STRING))
+        |  ELSE concat('http://deep.blog.example.co.kr/',
+        |    CAST(doc_id % 5 AS STRING))
         |END""".stripMargin)
     Tables.documents(spark, d).select(col("doc_id"), col("text"))
       .withColumn("url", url)
@@ -3779,10 +3791,18 @@ object PipelineQueries {
       .orderBy("domain")
   }
 
+  /** The registrable domain of each fixture branch is CLOSED-FORM
+    * (fixed host per branch), so the oracle replays the PSL rules by
+    * expectation, not by reimplementation: `com.sg`/`gov.cn`/`co.kr`
+    * exact rules, the `*.kawasaki.jp` wildcard, its
+    * `!city.kawasaki.jp` exception, and a private-section platform
+    * each pin one branch — a lookup regression moves a whole group
+    * row and breaks the hash.
+    */
   val q118Sql: String =
     """WITH u AS (
       |  SELECT doc_id, text,
-      |    CASE doc_id % 6
+      |    CASE doc_id % 12
       |      WHEN 0 THEN 'https://news.bbc.co.uk/story/' ||
       |        CAST(doc_id AS VARCHAR)
       |      WHEN 1 THEN 'http://WWW.Example.COM:80/a?id=' ||
@@ -3792,29 +3812,42 @@ object PipelineQueries {
       |      WHEN 3 THEN 'http://sub.shop.co.jp/item/' ||
       |        CAST(doc_id % 7 AS VARCHAR)
       |      WHEN 4 THEN 'https://localhost/'
-      |      ELSE 'http://user:PW@cache.archive.org:8080/x/' ||
+      |      WHEN 5 THEN 'http://user:PW@cache.archive.org:8080/x/' ||
       |        CAST(doc_id % 3 AS VARCHAR)
+      |      WHEN 6 THEN 'https://www.shopper.com.sg/cat/' ||
+      |        CAST(doc_id % 5 AS VARCHAR)
+      |      WHEN 7 THEN 'http://portal.gov.cn/p/' ||
+      |        CAST(doc_id % 4 AS VARCHAR)
+      |      WHEN 8 THEN 'https://city.kawasaki.jp/ku/' ||
+      |        CAST(doc_id % 3 AS VARCHAR)
+      |      WHEN 9 THEN 'https://ward.sub.kawasaki.jp/' ||
+      |        CAST(doc_id % 3 AS VARCHAR)
+      |      WHEN 10 THEN 'https://alice.github.io/proj/' ||
+      |        CAST(doc_id % 6 AS VARCHAR)
+      |      ELSE 'http://deep.blog.example.co.kr/' ||
+      |        CAST(doc_id % 5 AS VARCHAR)
       |    END AS url
       |  FROM documents),
-      |h AS (
-      |  SELECT doc_id, text, url,
-      |    lower(coalesce(regexp_extract(trim(url),
-      |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#:]*)', 1), ''))
-      |      AS host
-      |  FROM u),
       |r AS (
       |  SELECT doc_id, url,
-      |    CASE WHEN regexp_matches(host,
-      |        '(^|\.)(?:co|com|net|org|gov|ac|edu)\.(?:uk|au|jp|nz|in|za|br)$')
-      |      THEN coalesce(regexp_extract(host,
-      |        '([^.]+\.(?:co|com|net|org|gov|ac|edu)\.(?:uk|au|jp|nz|in|za|br))$',
-      |        1), '')
-      |      ELSE coalesce(regexp_extract(host, '([^.]+\.[^.]+)$', 1), '')
+      |    CASE doc_id % 12
+      |      WHEN 0 THEN 'bbc.co.uk'
+      |      WHEN 1 THEN 'example.com'
+      |      WHEN 2 THEN 'example.com'
+      |      WHEN 3 THEN 'shop.co.jp'
+      |      WHEN 4 THEN ''
+      |      WHEN 5 THEN 'archive.org'
+      |      WHEN 6 THEN 'shopper.com.sg'
+      |      WHEN 7 THEN 'portal.gov.cn'
+      |      WHEN 8 THEN 'city.kawasaki.jp'
+      |      WHEN 9 THEN 'ward.sub.kawasaki.jp'
+      |      WHEN 10 THEN 'alice.github.io'
+      |      ELSE 'example.co.kr'
       |    END AS domain,
       |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)),
       |      '\s+'), x -> x <> '')) AS BIGINT) AS tok,
       |    CAST(len(text) AS BIGINT) AS chars
-      |  FROM h)
+      |  FROM u)
       |SELECT domain,
       |  CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
