@@ -1717,6 +1717,91 @@ object PipelineQueries {
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Frozen unigram-LM vocabulary (the q72 merge-table pattern:
+    * trained ONCE with [[graft.operators.Unigram.train]] on the
+    * sf0.01 corpus at vocabSize=80/maxPieceLen=6/emIters=4, then
+    * embedded so the gate and its oracle share one artifact; UnigramSpec
+    * tests the trainer itself). Scores are e6-scaled integer
+    * log-probs — Viterbi maximizes an exact integer sum.
+    */
+  private[graft] val unigramVocab: Seq[(String, Long)] = Seq(
+    ("join", -3373216L), ("hash", -3391008L), ("row", -3395241L),
+    ("batch", -3401624L), ("scan", -3402692L), ("column", -3404831L),
+    ("custom", -3404831L), ("er", -3404831L), ("filter", -3405902L),
+    ("small", -3411276L), ("merge", -3422110L), ("slow", -3422110L),
+    ("order", -3428667L), ("vector", -3428667L), ("line", -3430863L),
+    ("data", -3433063L), ("table", -3433063L), ("agg", -3440802L),
+    ("value", -3445252L), ("key", -3446367L), ("stream", -3455336L),
+    ("window", -3457591L), ("a", -3464386L), ("spark", -3464386L),
+    ("group", -3466661L), ("part", -3466661L), ("big", -3468941L),
+    ("sort", -3473518L), ("query", -3474665L), ("fast", -3494376L),
+    ("the", -3510906L), ("dup", -6986211L), ("b", -10244307L),
+    ("c", -10244307L), ("d", -10244307L), ("e", -10244307L),
+    ("f", -10244307L), ("g", -10244307L), ("h", -10244307L),
+    ("i", -10244307L), ("j", -10244307L), ("k", -10244307L),
+    ("l", -10244307L), ("m", -10244307L), ("n", -10244307L),
+    ("o", -10244307L), ("p", -10244307L), ("q", -10244307L),
+    ("r", -10244307L), ("s", -10244307L), ("t", -10244307L),
+    ("u", -10244307L), ("v", -10244307L), ("w", -10244307L),
+    ("y", -10244307L))
+
+  /** Unigram-LM (SentencePiece-model) encoding with the frozen vocab
+    * ([[graft.operators.Unigram.encode]], r16): per doc, the piece
+    * count and the full piece stream — every Viterbi split point is
+    * hash-pinned. The oracle replays the segmentation EXHAUSTIVELY: a
+    * recursive CTE enumerates every covering of every distinct word
+    * by vocab pieces and picks the max integer score with the
+    * documented tie-breaks (fewer pieces, then lexicographically
+    * smallest segmentation) — so a DP bug that picks a merely-good
+    * path, a tie broken the other way, or a score off by one unit
+    * breaks the hash.
+    */
+  def q124UnigramEncode(spark: SparkSession, d: String): DataFrame =
+    graft.operators.Unigram.encode(
+        Tables.documents(spark, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", unigramVocab)
+      .select(col("id").as("doc_id"), col("n_pieces"),
+        array_join(col("pieces"), " ").as("piece_text"))
+      .orderBy("doc_id")
+
+  val q124Sql: String = {
+    val vals = unigramVocab
+      .map { case (p, s) => s"('$p', CAST($s AS BIGINT))" }.mkString(", ")
+    s"""WITH RECURSIVE vocab(piece, s) AS (VALUES $vals),
+       |docs AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+       |                x -> x <> '') AS ws FROM documents),
+       |words AS (SELECT docs.doc_id, t.i AS i, docs.ws[t.i] AS w
+       |          FROM docs, LATERAL unnest(range(1, len(ws) + 1)) t(i)),
+       |types AS (SELECT DISTINCT w FROM words),
+       |seg AS (
+       |  SELECT w, 0 AS pos, CAST('' AS VARCHAR) AS sg,
+       |         CAST(0 AS BIGINT) AS sc, 0 AS np
+       |  FROM types
+       |  UNION ALL
+       |  SELECT seg.w, seg.pos + len(v.piece),
+       |    CASE WHEN seg.sg = '' THEN v.piece
+       |         ELSE seg.sg || ' ' || v.piece END,
+       |    seg.sc + v.s, seg.np + 1
+       |  FROM seg JOIN vocab v
+       |    ON substr(seg.w, seg.pos + 1, len(v.piece)) = v.piece
+       |  WHERE seg.pos < len(seg.w)),
+       |best AS (
+       |  SELECT w, sg, np FROM seg WHERE pos = len(w)
+       |  QUALIFY row_number() OVER (PARTITION BY w
+       |    ORDER BY sc DESC, np ASC, sg ASC) = 1),
+       |j AS (SELECT words.doc_id, words.i, best.sg, best.np
+       |      FROM words JOIN best USING (w)),
+       |agg AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
+       |    string_agg(sg, ' ' ORDER BY i) AS piece_text
+       |  FROM j GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(agg.n_pieces, 0) AS n_pieces,
+       |  coalesce(agg.piece_text, '') AS piece_text
+       |FROM docs d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DSIR importance resampling ([[graft.operators.Dsir]]): score the
     * raw corpus (sources src4+) against the target corpus (src0-src3)
     * with +1-smoothed hashed-bigram unigram models; keep the global

@@ -193,10 +193,69 @@ object ScaleSoak {
       s""""lsh_candidates":$nCand,"""
     }
 
-    val (pairs, secLsh) = timed {
-      graft.operators.Dedup.nearDupPairs(corpus(spark, n), "id", "text",
+    // The pair frame is ~3·n/100 rows (tiny next to the corpus) but
+    // costs the full LSH pipeline to produce — persist it so the
+    // GROUPS leg below consumes the SAME pairs instead of re-paying
+    // the pipeline (materialize=false keeps the recompute path purely
+    // arithmetic if a partition is evicted).
+    val pairsDf = graft.operators.Dedup.nearDupPairs(
+        corpus(spark, n), "id", "text",
         shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.8,
-        maxBucketSize = 10000, materialize = false).count()
+        maxBucketSize = 10000, materialize = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (pairs, secLsh) = timed { pairsDf.count() }
+
+    // NEAR-DUP GROUPS LEG (r16): the q33 stage that turns pairs into
+    // transitive dedup decisions — connectedComponents over the real
+    // 50M-corpus pair set, FORCED onto the distributed
+    // large-star/small-star path (localThreshold=0; the adaptive
+    // local path would solve 1.5M edges in one collect and prove
+    // nothing about the rounds). Ground truth: each planted triple
+    // (X, X+1, X+2) is one component labeled X (X ≡ 0 mod 100), so
+    // nodes = 3·(n/100), groups = n/100, non-survivors = 2·(n/100),
+    // and sum(component % 100) = 0 — modulo the ≤100-pair LSH slack
+    // the pair leg itself is allowed (a triple that lost BOTH its
+    // min-id edges drops one node and relabels to X+1).
+    val (groupStats, secGroups) = timed {
+      val comps = graft.operators.Components.connectedComponents(
+        pairsDf, "id_a", "id_b", localThreshold = 0L)
+      val r = comps.agg(
+        count(lit(1)),
+        countDistinct(col("component")),
+        sum(when(col("id") =!= col("component"), 1L).otherwise(0L)),
+        sum(when(expr("component % 100 != 0"), 1L).otherwise(0L))).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    pairsDf.unpersist(blocking = false)
+
+    // COMPONENT-CONVERGENCE LEG (r16): large-star/small-star on a
+    // graph that actually NEEDS its O(log n) rounds — 1024-node
+    // chains (diameter 1023; naive min-propagation would take 1023
+    // shuffles, the SoCC'14 alternation ~10). Edge volume scales with
+    // the corpus (n/10 capped at 5M nodes — each of the ~10 rounds
+    // is two shuffles of the edge set, so the leg prices convergence
+    // behavior, not raw volume; the GROUPS leg above already runs the
+    // mined pair set). Every count asserted EXACT: the edges are
+    // synthesized, not mined, so there is no LSH slack — component of
+    // node i must be i - i % 1024.
+    val chainNodes = {
+      val want = math.min(n / 10L, 5000000L)
+      math.max(1024L * 64L, want - want % 1024L)
+    }
+    val (chainStats, secChain) = timed {
+      val cslices = math.max(spark.sparkContext.defaultParallelism.toLong,
+        chainNodes / 250000L).toInt
+      val edges = spark.range(0L, chainNodes, 1L, cslices)
+        .filter(expr("(id + 1) % 1024 != 0"))
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      val comps = graft.operators.Components.connectedComponents(
+        edges.toDF(), "a", "b", localThreshold = 0L)
+      val r = comps.agg(
+        count(lit(1)),
+        countDistinct(col("component")),
+        sum(when(col("component") =!= (col("id") - (col("id") % 1024L)),
+          1L).otherwise(0L))).first()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
     // IMAGE-DEDUP LEG: the perceptual-hash pairing surface
@@ -322,6 +381,11 @@ object ScaleSoak {
       s""""sec_imghash128":${r1s(secImg128)},""" +
       s""""gram_docs":$gramN,"gram_kept_sum":${gramSums._1},""" +
       s""""gram_removed_sum":${gramSums._2},"sec_gramdedup":${r1s(secGram)},""" +
+      s""""groups_nodes":${groupStats._1},"groups_count":${groupStats._2},""" +
+      s""""groups_losers":${groupStats._3},""" +
+      s""""groups_mislabel":${groupStats._4},"sec_groups":${r1s(secGroups)},""" +
+      s""""chain_nodes":${chainStats._1},"chain_groups":${chainStats._2},""" +
+      s""""chain_mislabel":${chainStats._3},"sec_chain":${r1s(secChain)},""" +
       s""""sec_dedup":${r1s(secDedup)},""" +
       s""""sec_lsh":${r1s(secLsh)},"sec_bucket":${r1s(secBucket)},""" +
       s""""heap_max_bytes":${Runtime.getRuntime.maxMemory()},""" +

@@ -132,7 +132,10 @@ class ScaleSoakSpec extends AnyFunSuite {
     // the 50M LSH leg alone is ~1h of real compute on 8 cores (the 5M
     // leg measures ~400 s and the pipeline is linear) — the timeout
     // bounds runaway behavior, not the expected runtime
-    val big = runSoak(50000000L, timeoutMin = 150)
+    // +60 min over the pre-r16 budget: the groups and chain legs add
+    // a components pass over the mined pairs and ~10 convergence
+    // rounds over a 5M-node chain graph
+    val big = runSoak(50000000L, timeoutMin = 210)
 
     for ((r, n) <- Seq((small, 5000000L), (big, 50000000L))) {
       assert(r("rows") == n.toDouble)
@@ -176,11 +179,40 @@ class ScaleSoakSpec extends AnyFunSuite {
       assert(r("gram_removed_sum") == 30.0 * gramN,
         s"hot-gram removal count off at $gramN docs: " +
           s"${r("gram_removed_sum")} / ${30.0 * gramN}")
+      // near-dup GROUPS leg (q33's transitive stage, forced onto the
+      // distributed large-star/small-star path): each planted triple
+      // is one component labeled by its min id — exact modulo the
+      // ≤100-pair slack the pair leg itself allows (a triple that
+      // lost an edge can drop a node or relabel)
+      val expNodes = 3.0 * (n / 100)
+      assert(r("groups_nodes") <= expNodes &&
+        r("groups_nodes") >= expNodes - 100,
+        s"groups leg node count off at $n rows: ${r("groups_nodes")} / $expNodes")
+      assert(r("groups_count") <= n / 100.0 &&
+        r("groups_count") >= n / 100.0 - 100,
+        s"groups leg group count off: ${r("groups_count")} / ${n / 100}")
+      assert(r("groups_losers") <= 2.0 * (n / 100) &&
+        r("groups_losers") >= 2.0 * (n / 100) - 100,
+        s"groups leg survivor decisions off: ${r("groups_losers")}")
+      assert(r("groups_mislabel") <= 100,
+        s"groups leg mislabeled components: ${r("groups_mislabel")}")
+      // component-convergence leg: synthesized 1024-node chains, no
+      // mining slack — every count EXACT and every label must be the
+      // chain base
+      val chainNodes = r("chain_nodes")
+      assert(chainNodes == math.max(1024L * 64L,
+        math.min(n / 10L, 5000000L) / 1024L * 1024L).toDouble,
+        s"chain leg node count off: $chainNodes")
+      assert(r("chain_groups") == chainNodes / 1024,
+        s"chain leg group count off: ${r("chain_groups")} / ${chainNodes / 1024}")
+      assert(r("chain_mislabel") == 0.0,
+        s"chain leg mislabeled ${r("chain_mislabel")} nodes")
       assert(r("heap_max_bytes") <= 2.3e9,
         s"soak JVM was not actually capped at 2 GB: ${r("heap_max_bytes")}")
       info(s"n=$n dedup=${r("sec_dedup")}s lsh=${r("sec_lsh")}s " +
         s"imghash=${r("sec_imghash")}s imghash128=${r("sec_imghash128")}s " +
         s"gramdedup=${r("sec_gramdedup")}s " +
+        s"groups=${r("sec_groups")}s chain=${r("sec_chain")}s " +
         s"bucket=${r("sec_bucket")}s " +
         s"peakHeap=${r("heap_peak_bytes") / 1e9}GB")
     }
