@@ -2826,6 +2826,151 @@ object PipelineQueries {
       |FROM nl LEFT JOIN agg USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** INCREMENTAL CRAWL REFRESH — the composition gate tying the crawl
+    * tier to the versioned-table tier (r16; every piece existed —
+    * q114's container roundtrip, q109's canonicalization, q13's exact
+    * dedup, q44's MERGE, q79's CDF-driven incremental aggregation —
+    * but composition is where contract mismatches hide):
+    *
+    *   1. crawl snapshot 1 (the even documents) is written as a WARC,
+    *      read back, canonicalized and extracted, and becomes v0 of a
+    *      versioned table keyed by canonical URL;
+    *   2. a per-domain materialized aggregate seeds from v0;
+    *   3. crawl snapshot 2 arrives as a second WARC: the odd
+    *      documents (new pages), every doc_id % 4 == 0 page re-crawled
+    *      BYTE-IDENTICAL (the no-op case cross-snapshot dedup must
+    *      drop), and every doc_id % 4 == 2 page re-crawled with
+    *      changed content (the update case);
+    *   4. snapshot 2 dedups against snapshot 1 on (canonical_url,
+    *      content_hash) — the q13 exact tier across snapshots — and
+    *      the survivors MERGE into the table (matched → update, not
+    *      matched → insert) producing v1 with a change feed;
+    *   5. the CDF (v0, v1] INCREMENTALLY refreshes the aggregate —
+    *      never rescanning v0 — and the gate emits the refreshed
+    *      aggregate plus per-domain insert/update counts from the
+    *      feed.
+    *
+    * The oracle replays the final state closed-form (the snapshot
+    * algebra is doc_id arithmetic; extraction of the single-<p> page
+    * round-trips the text exactly, which q114 pins separately), so a
+    * dedup miss (no-op re-crawls becoming updates), a merge slip, or
+    * a stale/double-counted delta each moves a pinned column.
+    */
+  def q125CrawlRefresh(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.WarcSource
+    import graft.vintage.VintageTable
+    import graft.operators.{Html, Url}
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    def esc(t: Column) = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(t) { case (acc, (k, v)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(k), lit(v)) }
+    def recs(df: DataFrame): org.apache.spark.sql.Dataset[WarcSource.WarcDoc] = {
+      val did = col("doc_id")
+      val host = when(did % 3 === 0, lit("Crawl-A.Example.COM"))
+        .when(did % 3 === 1, lit("Crawl-B.Example.ORG"))
+        .otherwise(lit("News.Site.CO.UK"))
+      val url = concat(lit("HTTPS://"), host, lit(":443/doc/"),
+        did.cast("string"), lit("?utm_source=x&b=2"))
+      val page = concat(lit("<html><body><p>"), esc(col("txt")),
+        lit("</p></body></html>"))
+      df.select(url.as("url"), lit("text/html").as("content_type"),
+        encode(page, "UTF-8").as("bytes")).as[WarcSource.WarcDoc]
+    }
+    def ingest(warcDir: String): DataFrame =
+      WarcSource.readWarc(spark, warcDir, requireComplete = true)
+        .select(col("url"),
+          Html.extractText(col("bytes").cast("string")).as("txt"))
+        .select(Url.canonicalize(col("url")).as("canonical_url"),
+          Url.registrableDomain(col("url")).as("domain"),
+          md5(col("txt")).as("content_hash"),
+          length(col("txt")).cast("long").as("n_chars"))
+    val warc1 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q125-warc1-${corpusKey(d)}").toString
+    val warc2 = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-q125-warc2-${corpusKey(d)}").toString
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft-q125").toString + "/t"
+    // snapshot 1: the even documents, as crawled. Row tracking on:
+    // the change feed classifies a MERGE-rewritten row as
+    // update_pre/postimage only when a stable row id survives the
+    // rewrite — without it the feed's delete+insert multiset tier is
+    // correct but the update/insert split below would read all-insert
+    WarcSource.writeWarc(
+      recs(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text").as("txt"))), warc1)
+    val t = VintageTable.create(spark, tableDir, ingest(warc1),
+      Map(graft.vintage.RowTracking.EnabledProp -> "true"))     // v0
+    val seed = t.toDFAsOf(0).groupBy("domain")
+      .agg(count(lit(1)).as("n0"), sum("n_chars").as("s0"))
+    // snapshot 2: new odd pages + byte-identical re-crawls (%4==0) +
+    // changed re-crawls (%4==2)
+    WarcSource.writeWarc(
+      recs(docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text").as("txt"))
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"), col("text").as("txt")))
+        .unionByName(docs.filter(col("doc_id") % 4 === 2)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" refreshed content")).as("txt")))),
+      warc2)
+    // cross-snapshot exact dedup: a re-crawl with unchanged content is
+    // a no-op, not an update
+    val fresh = ingest(warc2).join(ingest(warc1)
+        .select("canonical_url", "content_hash"),
+      Seq("canonical_url", "content_hash"), "left_anti")
+    t.as("t").merge(fresh.as("s"),
+        "t.canonical_url = s.canonical_url")
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()                                                 // v1
+    // incremental refresh from the change feed — v0 is never rescanned
+    val feed = t.changes(0, 1)
+    val deltas = feed
+      .withColumn("sign",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy("domain")
+      .agg(sum(col("sign")).as("dn"),
+        sum(col("sign") * col("n_chars")).as("ds"),
+        sum(when(col("_change_type") === "insert", 1L).otherwise(0L))
+          .as("n_inserts"),
+        sum(when(col("_change_type") === "update_postimage", 1L)
+          .otherwise(0L)).as("n_updates"))
+    seed.join(deltas, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("s0"), lit(0L)) + coalesce(col("ds"), lit(0L)))
+          .as("sum_chars"),
+        coalesce(col("n_inserts"), lit(0L)).as("n_inserts"),
+        coalesce(col("n_updates"), lit(0L)).as("n_updates"))
+      .orderBy("domain")
+  }
+
+  /** Final-state replay: the table after the refresh is ALL documents
+    * (odd inserted, %4==2 updated with the marker, %4==0 kept at
+    * snapshot-1 content because dedup dropped the no-op re-crawl);
+    * the single-<p> page extraction round-trips text exactly.
+    */
+  val q125Sql: String =
+    """WITH final AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'example.com'
+      |      WHEN 1 THEN 'example.org' ELSE 'site.co.uk' END AS domain,
+      |    CASE WHEN doc_id % 4 = 2
+      |      THEN length(text) + length(' refreshed content')
+      |      ELSE length(text) END AS n_chars,
+      |    CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS ins,
+      |    CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS upd
+      |  FROM documents)
+      |SELECT domain,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(ins) AS BIGINT) AS n_inserts,
+      |  CAST(sum(upd) AS BIGINT) AS n_updates
+      |FROM final GROUP BY domain ORDER BY domain""".stripMargin
+
   /** HTML → text extraction on the full hash gate
     * ([[graft.operators.Html.extractText]] + [[graft.operators.Html.
     * dropShortLines]]): each document is wrapped into a deterministic
