@@ -2874,8 +2874,12 @@ object PipelineQueries {
         did.cast("string"), lit("?utm_source=x&b=2"))
       val page = concat(lit("<html><body><p>"), esc(col("txt")),
         lit("</p></body></html>"))
+      // spread the gzip-member writes (one deflater init per record)
+      // across tasks; the gate output is content-keyed (orderBy
+      // doc_id), so record→part-file assignment is free to vary
       df.select(url.as("url"), lit("text/html").as("content_type"),
         encode(page, "UTF-8").as("bytes")).as[WarcSource.WarcDoc]
+        .repartition(8)
     }
     def ingest(warcDir: String): DataFrame =
       WarcSource.readWarc(spark, warcDir, requireComplete = true)
@@ -2899,8 +2903,14 @@ object PipelineQueries {
     WarcSource.writeWarc(
       recs(docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("text").as("txt"))), warc1)
-    val t = VintageTable.create(spark, tableDir, ingest(warc1),
+    // one container parse: the create's write machinery evaluates its
+    // source more than once (schema, stats, data), and each pass would
+    // otherwise re-pay WARC parse + extraction + canonicalization
+    val snap1 = ingest(warc1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = try VintageTable.create(spark, tableDir, snap1,
       Map(graft.vintage.RowTracking.EnabledProp -> "true"))     // v0
+    finally snap1.unpersist(blocking = false)
     val seed = t.toDFAsOf(0).groupBy("domain")
       .agg(count(lit(1)).as("n0"), sum("n_chars").as("s0"))
     // snapshot 2: new odd pages + byte-identical re-crawls (%4==0) +
@@ -2915,15 +2925,23 @@ object PipelineQueries {
             concat(col("text"), lit(" refreshed content")).as("txt")))),
       warc2)
     // cross-snapshot exact dedup: a re-crawl with unchanged content is
-    // a no-op, not an update
-    val fresh = ingest(warc2).join(ingest(warc1)
-        .select("canonical_url", "content_hash"),
-      Seq("canonical_url", "content_hash"), "left_anti")
-    t.as("t").merge(fresh.as("s"),
-        "t.canonical_url = s.canonical_url")
-      .whenMatched().updateAll()
-      .whenNotMatched().insertAll()
-      .execute()                                                 // v1
+    // a no-op, not an update. The "what do we already have" side reads
+    // the TABLE's parquet (v0), not a re-parse of the snapshot-1
+    // container — at crawl scale the table is the cheap, indexed side.
+    // The survivor frame persists across the merge's passes (matching
+    // join + rewrite would otherwise each re-pay container parse +
+    // extraction + canonicalization).
+    val fresh = ingest(warc2).join(
+        t.toDFAsOf(0).select("canonical_url", "content_hash"),
+        Seq("canonical_url", "content_hash"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      t.as("t").merge(fresh.as("s"),
+          "t.canonical_url = s.canonical_url")
+        .whenMatched().updateAll()
+        .whenNotMatched().insertAll()
+        .execute()                                               // v1
+    } finally fresh.unpersist(blocking = false)
     // incremental refresh from the change feed — v0 is never rescanned
     val feed = t.changes(0, 1)
     val deltas = feed
