@@ -136,4 +136,29 @@ class RawSpanOpsSpec extends AnyFunSuite {
       .as[(Long, String, String)].collect()
       .foreach { case (id, a, b) => assert(a == b, s"doc $id: '$a' != '$b'") }
   }
+
+  test("raw span dedup: gram/span text never crosses an exchange") {
+    // the q107 100 TB rule carried over: decision stages shuffle only
+    // 8-byte hashed keys and skinny aggregates; the ONLY exchange
+    // allowed to carry a string is the one doc-keyed join of the
+    // corpus against its span starts
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d x y"))
+      .toDF("doc_id", "text")
+    Seq(
+      TextAnalysis.dropDuplicatedSpansRaw(docs, "doc_id", "text",
+        n = 4, minCount = 2),
+      TextAnalysis.dropDuplicatedSentenceSpansRaw(
+        Seq((1L, "A b. C d. E f."), (2L, "A b. C d. G h."))
+          .toDF("doc_id", "text"), "doc_id", "text",
+        spanLen = 2, minCount = 2)).foreach { out =>
+      val stringExchanges = out.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange
+            if e.output.exists(_.dataType ==
+              org.apache.spark.sql.types.StringType) => e
+      }
+      assert(stringExchanges.size <= 1,
+        s"corpus text crosses ${stringExchanges.size} exchanges:\n" +
+          out.queryExecution.sparkPlan)
+    }
+  }
 }
