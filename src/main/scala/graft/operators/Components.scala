@@ -105,34 +105,58 @@ object Components {
       cached.unpersist(blocking = false)
       return unionFind(local).toSeq.toDF("id", "component")
     }
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
-      val (next, nextCached) = hop(smallStar(largeStar(edges)))
-      val nextSum = checksum(next) // materializes nextCached
-      converged = nextSum == sum
-      cached.unpersist(blocking = false)
-      edges = next
-      cached = nextCached
-      sum = nextSum
-      rounds += 1
+    // Size the ROUND shuffles to the EDGE SET, not the session
+    // default: every exchange costs map-partitions × reduce-partitions
+    // shuffle-block lookups, so an iterative loop inheriting a
+    // corpus-sized spark.sql.shuffle.partitions (3,200 at the 50M
+    // soak) pays ~10M block lookups per exchange on a frame of a few
+    // million rows, times ~6 exchanges per round times O(log n)
+    // rounds — measured as the dominant cost of the r16 soak's graph
+    // legs. ~250k edges per task is the repo's standard row budget.
+    // The conf is session-scoped, so it is saved and restored in a
+    // finally; a concurrent query on the SAME session during this
+    // call would see the narrowed value — the standard caveat of
+    // session-conf scoping, irrelevant to batch pipelines that own
+    // their session.
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(confKey)
+    val roundParts = prevParts.toIntOption.map { prev =>
+      math.max(spark.sparkContext.defaultParallelism,
+        math.min(prev, (sum._1 / 250000L).toInt + 1))
     }
-    if (!converged) {
-      cached.unpersist(blocking = false)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxRounds rounds")
-    }
+    try {
+      roundParts.foreach(p => spark.conf.set(confKey, p))
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < maxRounds) {
+        val (next, nextCached) = hop(smallStar(largeStar(edges)))
+        val nextSum = checksum(next) // materializes nextCached
+        converged = nextSum == sum
+        cached.unpersist(blocking = false)
+        edges = next
+        cached = nextCached
+        sum = nextSum
+        rounds += 1
+      }
+      if (!converged) {
+        cached.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds")
+      }
 
-    // Converged edge set is a union of stars (v, center): every
-    // non-center node points at its component min. Centers are added
-    // back as their own component members. The result is materialized
-    // (see materializeSmall) so the last round's cache can be freed.
-    val out = Dedup.materializeSmall(
-      edges.select($"src".as("id"), $"dst".as("component"))
-        .union(edges.select($"dst".as("id"), $"dst".as("component")))
-        .groupBy("id").agg(min("component").as("component")))
-    cached.unpersist(blocking = false)
-    out
+      // Converged edge set is a union of stars (v, center): every
+      // non-center node points at its component min. Centers are added
+      // back as their own component members. The result is materialized
+      // (see materializeSmall) so the last round's cache can be freed —
+      // and so the narrowed shuffle conf never leaks into the CALLER's
+      // lazy evaluation of the result.
+      val out = Dedup.materializeSmall(
+        edges.select($"src".as("id"), $"dst".as("component"))
+          .union(edges.select($"dst".as("id"), $"dst".as("component")))
+          .groupBy("id").agg(min("component").as("component")))
+      cached.unpersist(blocking = false)
+      out
+    } finally roundParts.foreach(_ => spark.conf.set(confKey, prevParts))
   }
 
   /** Driver-side union-find with path compression for the small-graph

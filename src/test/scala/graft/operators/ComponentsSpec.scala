@@ -82,6 +82,24 @@ class ComponentsSpec extends AnyFunSuite {
     assert(local == components(edges))
   }
 
+  test("distributed loop narrows shuffle partitions to the edge set and restores the conf") {
+    import spark.implicits._
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "333") // a corpus-sized setting
+      val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      val got = Components.connectedComponents(
+          edges.toDF("a", "b"), "a", "b", localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the loop ran at an edge-sized partition count, but the
+      // session conf the caller owns is untouched afterwards
+      assert(spark.conf.get(key) == "333",
+        s"connectedComponents leaked its scoped shuffle conf: ${spark.conf.get(key)}")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("ids far above Int range keep exact component mins") {
     val big = 1L << 40
     val got = components(Seq((big + 5, big + 9), (big + 9, big + 1)))
