@@ -80,15 +80,18 @@ object Components {
     }
 
     // One round-hop: persist the edge set's RDD (materialized by the
-    // checksum job right after) and wrap it in a fresh leaf DataFrame.
+    // checksum job right after) and wrap it in a fresh leaf DataFrame
+    // bound to `sess` — the session whose conf governs the NEXT
+    // round's exchanges.
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("src",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("dst",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    def hop(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    def hop(df: DataFrame, sess: org.apache.spark.sql.SparkSession)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (spark.createDataFrame(rdd, schema), rdd)
+      (sess.createDataFrame(rdd, schema), rdd)
     }
 
     // Self-loops and duplicate edges are harmless to the algorithm but
@@ -97,7 +100,7 @@ object Components {
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .filter($"src" =!= $"dst")
       .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
-      .distinct())
+      .distinct(), spark)
 
     var sum = checksum(edges)
     if (sum._1 <= localThreshold) {
@@ -113,50 +116,62 @@ object Components {
     // million rows, times ~6 exchanges per round times O(log n)
     // rounds — measured as the dominant cost of the r16 soak's graph
     // legs. ~250k edges per task is the repo's standard row budget.
-    // The conf is session-scoped, so it is saved and restored in a
-    // finally; a concurrent query on the SAME session during this
-    // call would see the narrowed value — the standard caveat of
-    // session-conf scoping, irrelevant to batch pipelines that own
-    // their session.
+    // The narrowed value lives in a CLONED session (newSession shares
+    // the SparkContext, cached data, and the edge RDDs but owns its
+    // SQLConf), so a concurrent query on the caller's session can
+    // never observe it — no mutation of shared state, nothing to
+    // restore (the r16 session-conf-mutation wart, closed).
     val confKey = "spark.sql.shuffle.partitions"
-    val prevParts = spark.conf.get(confKey)
-    val roundParts = prevParts.toIntOption.map { prev =>
-      math.max(spark.sparkContext.defaultParallelism,
-        math.min(prev, (sum._1 / 250000L).toInt + 1))
+    val loopSpark = spark.conf.get(confKey).toIntOption match {
+      case Some(prev) =>
+        val p = math.max(spark.sparkContext.defaultParallelism,
+          math.min(prev, (sum._1 / 250000L).toInt + 1))
+        val s = spark.newSession()
+        // newSession starts from builder-time options, not the
+        // caller's RUNTIME conf — copy the caller's settable conf so
+        // the loop differs in exactly one knob (static entries skip)
+        spark.conf.getAll.foreach { case (k, v) =>
+          try s.conf.set(k, v)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
+        }
+        s.conf.set(confKey, p)
+        s
+      case None => spark
     }
-    try {
-      roundParts.foreach(p => spark.conf.set(confKey, p))
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < maxRounds) {
-        val (next, nextCached) = hop(smallStar(largeStar(edges)))
-        val nextSum = checksum(next) // materializes nextCached
-        converged = nextSum == sum
-        cached.unpersist(blocking = false)
-        edges = next
-        cached = nextCached
-        sum = nextSum
-        rounds += 1
-      }
-      if (!converged) {
-        cached.unpersist(blocking = false)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxRounds rounds")
-      }
-
-      // Converged edge set is a union of stars (v, center): every
-      // non-center node points at its component min. Centers are added
-      // back as their own component members. The result is materialized
-      // (see materializeSmall) so the last round's cache can be freed —
-      // and so the narrowed shuffle conf never leaks into the CALLER's
-      // lazy evaluation of the result.
-      val out = Dedup.materializeSmall(
-        edges.select($"src".as("id"), $"dst".as("component"))
-          .union(edges.select($"dst".as("id"), $"dst".as("component")))
-          .groupBy("id").agg(min("component").as("component")))
+    // re-bind the materialized edge set to the loop session so round 1
+    // already runs at the edge-sized partition count
+    edges = loopSpark.createDataFrame(cached, schema)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val (next, nextCached) = hop(smallStar(largeStar(edges)), loopSpark)
+      val nextSum = checksum(next) // materializes nextCached
+      converged = nextSum == sum
       cached.unpersist(blocking = false)
-      out
-    } finally roundParts.foreach(_ => spark.conf.set(confKey, prevParts))
+      edges = next
+      cached = nextCached
+      sum = nextSum
+      rounds += 1
+    }
+    if (!converged) {
+      cached.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
+    }
+
+    // Converged edge set is a union of stars (v, center): every
+    // non-center node points at its component min. Centers are added
+    // back as their own component members. The result is materialized
+    // (see materializeSmall) so the last round's cache can be freed —
+    // then re-bound to the CALLER's session (one leaf-RDD wrap; the
+    // checkpointed data is not recomputed), so downstream evaluation
+    // runs under the caller's own conf.
+    val out = Dedup.materializeSmall(
+      edges.select($"src".as("id"), $"dst".as("component"))
+        .union(edges.select($"dst".as("id"), $"dst".as("component")))
+        .groupBy("id").agg(min("component").as("component")))
+    cached.unpersist(blocking = false)
+    spark.createDataFrame(out.rdd, out.schema)
   }
 
   /** Driver-side union-find with path compression for the small-graph

@@ -27,6 +27,33 @@ object PipelineQueries {
     .getInstance("MD5").digest(d.getBytes("UTF-8"))
     .map("%02x".format(_)).mkString
 
+  /** Per-corpus, PER-PROCESS fixture dir under `java.io.tmpdir`: the
+    * md5 corpus key keeps two corpora apart; the pid suffix keeps two
+    * CONCURRENT processes on the SAME corpus apart (a Verify and a
+    * Bench racing would otherwise share the dir, and the writers clear
+    * it at job start — mid-read of the other process). Stable WITHIN a
+    * process so repeated invocations reuse the container fixture; a
+    * single shutdown hook reclaims every registered tree so
+    * per-process dirs do not accumulate across runs.
+    */
+  private def fixtureDir(name: String, d: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-$name-${corpusKey(d)}-p${ProcessHandle.current().pid()}")
+    if (cleanupDirs.add(p.getPath)) cleanupHook // force hook registration
+    p.toString
+  }
+
+  private val cleanupDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => cleanupDirs.forEach(d => deleteTree(new java.io.File(d)))))
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete(); ()
+  }
+
   /** documents ∪ planted exact copies (doc_id+100000 for doc_id<25) —
     * gives the exact-dedup query something to collapse.
     */
@@ -1790,8 +1817,14 @@ object PipelineQueries {
        |  SELECT w, sg, np FROM seg WHERE pos = len(w)
        |  QUALIFY row_number() OVER (PARTITION BY w
        |    ORDER BY sc DESC, np ASC, sg ASC) = 1),
-       |j AS (SELECT words.doc_id, words.i, best.sg, best.np
-       |      FROM words JOIN best USING (w)),
+       |-- LEFT join mirrors the engine's OOV contract: a word no piece
+       |-- set covers passes through whole as ONE out-of-vocabulary
+       |-- piece (Unigram.encode), so a fixture corpus gaining an
+       |-- uncovered character cannot silently diverge the gate
+       |j AS (SELECT words.doc_id, words.i,
+       |        coalesce(best.sg, words.w) AS sg,
+       |        coalesce(best.np, 1) AS np
+       |      FROM words LEFT JOIN best USING (w)),
        |agg AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
        |    string_agg(sg, ' ' ORDER BY i) AS piece_text
        |  FROM j GROUP BY doc_id)
@@ -2889,12 +2922,14 @@ object PipelineQueries {
           Url.registrableDomain(col("url")).as("domain"),
           md5(col("txt")).as("content_hash"),
           length(col("txt")).cast("long").as("n_chars"))
-    val warc1 = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q125-warc1-${corpusKey(d)}").toString
-    val warc2 = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q125-warc2-${corpusKey(d)}").toString
-    val tableDir = java.nio.file.Files
-      .createTempDirectory("graft-q125").toString + "/t"
+    val warc1 = fixtureDir("q125-warc1", d)
+    val warc2 = fixtureDir("q125-warc2", d)
+    // fixed per-corpus-per-process dir, CLEARED here: a fresh temp dir
+    // per invocation would leak one table tree (parquet + log) per
+    // Verify/Bench run; the shutdown hook reclaims this one too
+    val tableRoot = fixtureDir("q125-table", d)
+    deleteTree(new java.io.File(tableRoot))
+    val tableDir = tableRoot + "/t"
     // snapshot 1: the even documents, as crawled. Row tracking on:
     // the change feed classifies a MERGE-rewritten row as
     // update_pre/postimage only when a stable row id survives the
@@ -3555,11 +3590,9 @@ object PipelineQueries {
       .select(url.as("url"), lit("text/html").as("content_type"),
         encode(page, "UTF-8").as("bytes"))
       .as[WarcSource.WarcDoc]
-    // a FIXED per-corpus fixture dir (writeWarc clears it first):
-    // fresh temp dirs would accumulate one 500-5000-file tree per
-    // Verify/Bench invocation and never be reclaimed
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q114-warc-${corpusKey(d)}").toString
+    // per-corpus-per-process fixture dir (writeWarc clears it first;
+    // the shutdown hook reclaims the tree)
+    val dir = fixtureDir("q114-warc", d)
     WarcSource.writeWarc(recs, dir)
     WarcSource.readWarc(spark, dir, requireComplete = true)
       .select(
@@ -4192,11 +4225,9 @@ object PipelineQueries {
       .select(url.as("url"), lit("text/html").as("content_type"),
         encode(page, "UTF-8").as("bytes"))
       .as[WarcSource.WarcDoc]
-    // fixed per-corpus fixture dirs, same rationale as q114
-    val warcDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q120-warc-${corpusKey(d)}").toString
-    val wetDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q120-wet-${corpusKey(d)}").toString
+    // per-corpus-per-process fixture dirs, same rationale as q114
+    val warcDir = fixtureDir("q120-warc", d)
+    val wetDir = fixtureDir("q120-wet", d)
     WarcSource.writeWarc(recs, warcDir)
     WarcSource.warcToWet(spark, warcDir, wetDir, requireComplete = true)
     WarcSource.readWarc(spark, wetDir, requireComplete = true)
@@ -4313,11 +4344,9 @@ object PipelineQueries {
     val recs = Tables.documents(spark, d).select(col("doc_id"), col("text"))
       .select(url.as("url"), ctype.as("content_type"), bytes.as("bytes"))
       .as[WarcSource.WarcDoc]
-    // fixed per-corpus fixture dirs, same rationale as q114
-    val warcDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q121-warc-${corpusKey(d)}").toString
-    val wetDir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft-q121-wet-${corpusKey(d)}").toString
+    // per-corpus-per-process fixture dirs, same rationale as q114
+    val warcDir = fixtureDir("q121-warc", d)
+    val wetDir = fixtureDir("q121-wet", d)
     WarcSource.writeWarc(recs, warcDir)
     WarcSource.warcToWet(spark, warcDir, wetDir, requireComplete = true)
     WarcSource.readWarc(spark, wetDir, requireComplete = true)

@@ -83,12 +83,12 @@ object WarcSource {
     *     attempts of the same partition never share a file;
     *   - on task success the temp file RENAMES to
     *     `<dir>/part-<pid>.warc.gz` (atomic on HDFS-compatible
-    *     stores; a zombie attempt's earlier commit is replaced whole,
-    *     never appended to — both attempts carry identical rows, so
-    *     whichever rename lands last the file is exactly one
-    *     attempt's complete member set). On a rename-less object
-    *     store front this with the store's committer, same as any
-    *     Hadoop v1-style sink;
+    *     stores). The final path is NEVER deleted: if the rename is
+    *     refused because a twin attempt already committed, the commit
+    *     is treated as success (both attempts carry identical rows),
+    *     so a zombie can neither clobber a committed file nor fail
+    *     spuriously. On a rename-less object store front this with
+    *     the store's committer, same as any Hadoop v1-style sink;
     *   - a failed task deletes its temp file and rethrows;
     *   - after ALL tasks commit, the driver drops `_temporary` and
     *     writes the [[SuccessMarker]] — the job-level commit a reader
@@ -132,11 +132,31 @@ object WarcSource {
       throw e
     }
     out.close()
-    // task commit: replace-then-rename — the final path only ever
-    // holds ONE attempt's complete member set
-    if (tfs.exists(fin)) tfs.delete(fin, false)
-    if (!tfs.rename(tmp, fin)) throw new java.io.IOException(
-      s"WARC task commit failed: could not rename $tmp to $fin")
+    commitTask(tfs, tmp, fin)
+  }
+
+  /** Task commit: ONE rename, never a delete of the final path. The
+    * pre-r17 delete-then-rename had a check-then-act window — a
+    * zombie attempt could delete its twin's already-committed part
+    * file and then die before renaming, leaving the job's `_SUCCESS`
+    * over a MISSING part file (a silent under-read). Both attempts
+    * carry identical rows, so commit is idempotent by construction:
+    *  - rename lands → this attempt's complete member set is the file
+    *    (on a POSIX local FS an existing destination is atomically
+    *    replaced whole — never appended to);
+    *  - rename refused (HDFS semantics: destination exists) → the
+    *    twin already committed an identical file; drop the temp and
+    *    report success instead of throwing a spurious task failure;
+    *  - rename refused and NO final file → a real commit failure,
+    *    thrown loudly.
+    */
+  private[sources] def commitTask(tfs: FileSystem, tmp: Path,
+      fin: Path): Unit = {
+    if (!tfs.rename(tmp, fin)) {
+      if (tfs.exists(fin)) tfs.delete(tmp, false)
+      else throw new java.io.IOException(
+        s"WARC task commit failed: could not rename $tmp to $fin")
+    }
   }
 
   /** WARC → WET: read the response records under `warcDir`, extract

@@ -82,21 +82,26 @@ class ComponentsSpec extends AnyFunSuite {
     assert(local == components(edges))
   }
 
-  test("distributed loop narrows shuffle partitions to the edge set and restores the conf") {
+  test("distributed loop narrows shuffle partitions without touching the caller's session") {
     import spark.implicits._
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "333") // a corpus-sized setting
       val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
-      val got = Components.connectedComponents(
-          edges.toDF("a", "b"), "a", "b", localThreshold = 0L)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
-      // the loop ran at an edge-sized partition count, but the
-      // session conf the caller owns is untouched afterwards
+      val result = Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", localThreshold = 0L)
+      // the round loop runs at an edge-sized partition count inside a
+      // CLONED session (r17: no session-conf mutation at all — a
+      // concurrent query on this session can never observe the
+      // narrowed value), and the result is re-bound to the caller's
+      // session for downstream evaluation
+      assert(result.sparkSession eq spark,
+        "result must be bound to the caller's session")
       assert(spark.conf.get(key) == "333",
-        s"connectedComponents leaked its scoped shuffle conf: ${spark.conf.get(key)}")
+        s"connectedComponents mutated the caller's conf: ${spark.conf.get(key)}")
+      val got = result.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     } finally spark.conf.set(key, prev)
   }
 

@@ -183,6 +183,39 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(back == docs.map(_.url).sorted, "exactly one copy of each record")
   }
 
+  test("a refused commit rename with the final file present does not throw") {
+    // HDFS-semantics stores refuse a rename onto an existing
+    // destination (the local FS falls back to a copy instead, so the
+    // refusal is stubbed). The LOSER attempt must treat "rename
+    // refused, final path present" as a successful (idempotent)
+    // commit — not a spurious task failure — and clean up its own
+    // temp file; the final path is NEVER deleted (the pre-r17
+    // delete-then-rename let a zombie delete its twin's committed
+    // file and die before renaming).
+    import org.apache.hadoop.fs.Path
+    val refusing = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      setConf(new org.apache.hadoop.conf.Configuration())
+      override def rename(src: Path, dst: Path): Boolean = false
+    }
+    val dir = newDir()
+    val tmp = new java.io.File(dir, "attempt-9.warc.gz")
+    val fin = new java.io.File(dir, "part-0.warc.gz")
+    Files.write(tmp.toPath, Array[Byte](1, 2))
+    Files.write(fin.toPath, Array[Byte](3, 4, 5))
+    WarcSource.commitTask(refusing,
+      new Path(tmp.toString), new Path(fin.toString)) // must not throw
+    assert(!tmp.exists(), "loser cleans up its temp file")
+    assert(Files.readAllBytes(fin.toPath).toSeq == Seq[Byte](3, 4, 5),
+      "the committed final file is untouched")
+    // refusal with NO final file is a real commit failure
+    Files.write(tmp.toPath, Array[Byte](1, 2))
+    assert(fin.delete())
+    intercept[java.io.IOException] {
+      WarcSource.commitTask(refusing,
+        new Path(tmp.toString), new Path(fin.toString))
+    }
+  }
+
   test("writeWarc publishes _SUCCESS, clears _temporary; reader skips markers and debris") {
     val dir = newDir()
     WarcSource.writeWarc(spark.createDataset(Seq(
