@@ -458,6 +458,88 @@ object Dedup {
     }
   }
 
+  /** Banded MinHash signature rows for PERSISTENCE: `(idCol, band,
+    * bucket)` for EVERY band of every doc — the LSH index of a corpus,
+    * stored alongside it (as a versioned table in the incremental
+    * crawl-refresh composition, q126) and joined against by
+    * [[nearDupAgainstIndex]] without ever re-reading the corpus text.
+    * The bucket hash is bit-identical to [[bandedBuckets]]'s
+    * (IndexedNearDupSpec pins the equality), so an index built today
+    * joins candidates tomorrow. No size filter here — persistence
+    * wants every row; the degenerate-bucket caps apply at JOIN time,
+    * where the corpus actually pays for them.
+    */
+  def signatureBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    signatures(df, idCol, textCol, shingleSize, numHashes)
+      .select(col("__id").as(idCol), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"xxhash64(concat_ws(',', b, slice(__sig, b * $r + 1, $r))))"))
+        .as(Seq("band", "bucket")))
+  }
+
+  /** Incremental cross-corpus near-duplicates: new docs vs a STORED
+    * LSH index — the refresh-time sibling of [[nearDupAgainst]], for
+    * the standing pipeline where the reference corpus is too large to
+    * re-shingle per batch. `index` is a [[signatureBuckets]] table
+    * (`indexIdCol, band, bucket`); `storedDocs` maps `indexIdCol` to
+    * `storedTextCol` and is consulted ONLY for candidate verification
+    * (a candidate-bounded semi-join, never a full re-shingle).
+    * Returns `(new_id, stored_id, jaccard)` with jaccard >= threshold.
+    *
+    * Skew guards at 100 TB, one per side:
+    *  - the NEW side caps through [[bandedBuckets]]'s window count —
+    *    batch-sized, cheap;
+    *  - the INDEX side must NOT be pushed through a window (that
+    *    shuffles the whole corpus-sized index): oversized buckets are
+    *    found with one map-side-combinable groupBy — the result is
+    *    TINY (only degenerate keys) — and removed with a broadcast
+    *    anti-join, so the index scan itself stays shuffle-free.
+    */
+  def nearDupAgainstIndex(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, indexIdCol: String, storedDocs: DataFrame,
+      storedTextCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.8, maxBucketSize: Int = 10000,
+      materialize: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val nSh0 = signatures(newDocs, idCol, textCol, shingleSize, numHashes)
+    val nSh =
+      if (materialize) nSh0.persist(StorageLevel.MEMORY_AND_DISK) else nSh0
+    val nB = bandedBuckets(nSh, bands, r, minSize = 1, maxBucketSize)
+    val oversized = index.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select("band", "bucket")
+    val sB = index
+      .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      .select(col(indexIdCol).as("stored_id"), col("band"), col("bucket"))
+    val cands = nB
+      .join(sB, nB("__band") === sB("band") && nB("__bucket") === sB("bucket"))
+      .select(col("__id").as("new_id"), col("stored_id"))
+      .distinct()
+    val verified = cands
+      .join(nSh.select(col("__id").as("new_id"), col("__sh").as("__sh_a")),
+        "new_id")
+      .join(storedDocs.select(col(indexIdCol).as("stored_id"),
+        shingles(storedTextCol, shingleSize).as("__sh_b")), "stored_id")
+      .withColumn("jaccard", exactJaccard)
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("stored_id"), col("jaccard"))
+    if (!materialize) verified
+    else {
+      val out = materializeSmall(verified)
+      nSh.unpersist(blocking = false)
+      out
+    }
+  }
+
   /** Decontaminate: corpus minus every doc that near-duplicates any
     * reference doc (anti-join on [[nearDupAgainst]] hits).
     */

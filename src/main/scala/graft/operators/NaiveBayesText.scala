@@ -56,12 +56,50 @@ object NaiveBayesText {
 
   private def lnE4(c: Column): Column = round(log(c) * 10000).cast("long")
 
+  /** Character n-grams of the lowercased, whitespace-collapsed text —
+    * the fastText/CLD-class feature for LANGUAGE identification, where
+    * token features fail (an unseen language shares few whole words
+    * with the training corpus but its character statistics are
+    * stable). NON-distinct (multinomial NB counts occurrences), with
+    * the same short-text clamp as the shingle tier: text shorter than
+    * `n` yields itself as the single gram. Portable: DuckDB replays as
+    * `substring(s, i, n)` over `generate_series(1,
+    * greatest(length(s)-n+1, 1))` on the identically normalized
+    * string.
+    */
+  def charGrams(textCol: Column, n: Int): Column = {
+    val s = regexp_replace(lower(trim(textCol)), "\\s+", " ")
+    // SQL substring is codepoint-indexed on both engines
+    transform(
+      sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
+      i => substring_expr(s, i, n))
+  }
+
+  /** `substring(col, pos, len)` with a COLUMN position (the functions
+    * API only takes literal ints).
+    */
+  private def substring_expr(s: Column, pos: Column, len: Int): Column =
+    s.substr(pos, lit(len))
+
   def train(df: DataFrame, labelCol: String, textCol: String,
-      numBuckets: Int = 1024): Model = {
+      numBuckets: Int = 1024): Model =
+    trainFeatures(df, labelCol,
+      TextAnalysis.tokens(col(textCol)), numBuckets)
+
+  /** NB over character n-gram features — the trained LANGUAGE-ID tier
+    * (q127), next to the heuristic stopword tier
+    * ([[TextAnalysis.langId]]). Same one-pass training shape; state is
+    * still classes × numBuckets.
+    */
+  def trainCharGrams(df: DataFrame, labelCol: String, textCol: String,
+      n: Int = 3, numBuckets: Int = 256): Model =
+    trainFeatures(df, labelCol, charGrams(col(textCol), n), numBuckets)
+
+  private def trainFeatures(df: DataFrame, labelCol: String,
+      features: Column, numBuckets: Int): Model = {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     val feat = df
-      .select(col(labelCol).as("__lbl"),
-        explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col(labelCol).as("__lbl"), explode(features).as("__tok"))
       .select(col("__lbl"), bucket(col("__tok"), numBuckets).as("__f"))
     val counts = feat.groupBy("__lbl", "__f").agg(count(lit(1)).as("__n"))
     val totals = counts.groupBy("__lbl").agg(sum("__n").as("__tc"))
@@ -92,9 +130,24 @@ object NaiveBayesText {
     * tokens score on priors alone.
     */
   def classify(df: DataFrame, idCol: String, textCol: String,
-      model: Model): DataFrame = {
+      model: Model): DataFrame =
+    classifyFeatures(df, idCol, TextAnalysis.tokens(col(textCol)), model)
+      .select(col(idCol), col("pred"), col("score_e4"))
+
+  /** Char-n-gram classification with the top-2 MARGIN — the
+    * language-ID confidence signal a gating pipeline thresholds on
+    * (a low margin means "ambiguous, route to the fallback"). Returns
+    * `(idCol, pred, score_e4, margin_e4)`; margin is the exact integer
+    * gap to the runner-up (0 when the top two scores tie).
+    */
+  def classifyCharGramsWithMargin(df: DataFrame, idCol: String,
+      textCol: String, model: Model, n: Int = 3): DataFrame =
+    classifyFeatures(df, idCol, charGrams(col(textCol), n), model)
+
+  private def classifyFeatures(df: DataFrame, idCol: String,
+      features: Column, model: Model): DataFrame = {
     val db = df
-      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), explode(features).as("__tok"))
       .select(col(idCol), bucket(col("__tok"), model.numBuckets).as("__f"))
       .groupBy(col(idCol), col("__f")).agg(count(lit(1)).as("__c"))
     val partial = db
@@ -110,8 +163,14 @@ object NaiveBayesText {
         (coalesce(col("__sum"), lit(0L)) + col("prior_e4")).as("score_e4"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("score_e4").desc, col("__lbl").asc)
-    full.withColumn("__rk", row_number().over(w))
+    // one window pass yields both the argmax and the runner-up score
+    // (margin): `classes` rows per doc, never corpus-wide state
+    full
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__second", lead(col("score_e4"), 1).over(w))
       .filter(col("__rk") === 1)
-      .select(col(idCol), col("__lbl").as("pred"), col("score_e4"))
+      .select(col(idCol), col("__lbl").as("pred"), col("score_e4"),
+        (col("score_e4") - coalesce(col("__second"), col("score_e4")))
+          .as("margin_e4"))
   }
 }

@@ -179,16 +179,23 @@ object WarcSource {
     *     convention): the block IS the HTML; a charset parameter on
     *     the WARC Content-Type is honored the same way.
     *
-    * Charset contract: an absent charset defaults to UTF-8;
-    * `utf-8`/`iso-8859-1`(`latin-1`)/`us-ascii` decode natively
-    * (undecodable byte sequences become replacement characters, the
-    * `new String(bytes, charset)` semantics — a crawl is full of
+    * Charset contract (r17 — widened from the r16
+    * utf-8/latin-1/ascii allowlist, which silently LOST every
+    * windows-1252 page, the web's single most common non-UTF-8
+    * declared charset): an absent charset defaults to UTF-8; any
+    * charset the running JDK supports decodes —
+    * windows-1252 (≠ latin-1 exactly in the 0x80-0x9F range),
+    * shift_jis, gb2312/gbk/gb18030, euc-jp/euc-kr, big5, the
+    * iso-8859 family, … — with replacement semantics for bad bytes
+    * (the `new String(bytes, charset)` contract — a crawl is full of
     * mis-declared pages and a loud failure per bad byte would convert
-    * nothing); any OTHER declared charset (shift_jis, gb2312, …)
-    * marks the record non-convertible and it is SKIPPED, like non-HTML
-    * and non-200 records — the standard WET generator behavior
-    * (conversion is best-effort filtering, not container corruption,
-    * which still fails loudly in the reader).
+    * nothing). A charset the JDK does NOT know marks the record
+    * non-convertible and it is SKIPPED, like non-HTML and non-200
+    * records — the standard WET generator behavior (conversion is
+    * best-effort filtering, not container corruption, which still
+    * fails loudly in the reader). The decode is the codegen'd
+    * [[graft.functions.DecodeCharset]] — per-ROW charsets in one
+    * compiled pass, no session-global legacy-charset conf flipped.
     *
     * Mechanics: the envelope split is one byte-preserving
     * `ISO-8859-1` decode (1:1 byte↔char, so `substr`/`instr` offsets
@@ -231,12 +238,12 @@ object WarcSource {
             length(col("__raw")) - col("__he") - 3), "ISO-8859-1"))
           .otherwise(col("bytes")))
       .withColumn("__text",
-        when(col("__charset").isin("", "utf-8", "utf8"),
-          decode(col("__body"), "UTF-8"))
-          .when(col("__charset").isin("iso-8859-1", "latin-1", "latin1",
-            "iso8859-1"), decode(col("__body"), "ISO-8859-1"))
-          .when(col("__charset").isin("us-ascii", "ascii"),
-            decode(col("__body"), "US-ASCII")))
+        org.apache.spark.sql.graftshim.ColumnExpr.column(
+          graft.functions.DecodeCharset(
+            org.apache.spark.sql.graftshim.ColumnExpr.expr(col("__body")),
+            org.apache.spark.sql.graftshim.ColumnExpr.expr(
+              when(col("__charset") === "", lit("UTF-8"))
+                .otherwise(col("__charset"))))))
     val recs = enveloped
       .filter(col("__mime") === "text/html" && col("__text").isNotNull &&
         (!col("__is_http") || (col("__he") > 0 && col("__status") === 200)))
@@ -321,32 +328,83 @@ object WarcSource {
               "under-read a partial corpus")
       }
     }
-    paths.mapPartitions { it =>
-      val conf = new Configuration()
-      // the parser closes its stream at EOF, but a downstream operator
-      // that short-circuits (limit, take) abandons the iterator mid-
-      // file — the task-completion hook closes whatever is still open
-      val open = new java.util.ArrayList[InputStream]()
-      Option(org.apache.spark.TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit] { _ =>
-          open.forEach { s =>
-            try s.close() catch { case _: java.io.IOException => () }
-          }
-        })
-      it.flatMap { p =>
-        val fs = FileSystem.get(new URI(p), conf)
-        val raw = fs.open(new Path(new URI(p)))
-        val head = new Array[Byte](2)
-        val n = raw.read(head)
-        raw.seek(0)
-        val gzipped = n == 2 &&
-          (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
-        val in = new BufferedInputStream(
-          if (gzipped) new GZIPInputStream(raw) else raw, 1 << 16)
-        open.add(in)
-        parseWarcStream(p, in)
-      }
-    }.toDF()
+    paths.mapPartitions(openAndParse).toDF()
+  }
+
+  /** Streaming WARC source: incremental file discovery over a growing
+    * crawl directory — the standing-pipeline sibling of [[readWarc]],
+    * so a live crawl's new segments feed a refresh continuously
+    * instead of by batch replay. Spark's file-stream machinery does
+    * the hard part (exactly-once discovery through the checkpoint log,
+    * `maxFilesPerTrigger` batching, glob paths); the scan is the same
+    * metadata-only `binaryFile` listing as the batch reader (contents
+    * are never materialized into rows — the pruned-ReadSchema
+    * contract), and each task streams and parses its files with the
+    * identical record iterator. Committer markers and `_temporary`
+    * debris are excluded exactly as in [[readWarc]].
+    *
+    * Restart/refresh semantics: with a persistent `checkpointLocation`
+    * a later run (e.g. `Trigger.AvailableNow` fired per crawl drop)
+    * processes ONLY files the checkpoint has not seen — pair with
+    * [[graft.streaming.VintageStreaming.appendSink]]'s transaction
+    * watermark for an end-to-end exactly-once standing refresh (q129).
+    */
+  def readWarcStream(spark: SparkSession, path: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    // binaryFile's FIXED schema, stated explicitly (streaming file
+    // sources refuse inference); only `path` is ever selected — the
+    // content column stays pruned out of the scan, as in the batch
+    // reader
+    val reader = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    reader.load(path)
+      .select("path").as[String]
+      .filter(!element_at(split(col("path"), "/"), -1).startsWith("_") &&
+        !element_at(split(col("path"), "/"), -1).startsWith(".") &&
+        !col("path").contains("/_temporary/"))
+      .mapPartitions(openAndParse)
+      .toDF()
+  }
+
+  /** Per-task open+parse over a partition of container paths — shared
+    * by the batch and streaming readers.
+    */
+  private def openAndParse(it: Iterator[String]): Iterator[WarcRecord] = {
+    val conf = new Configuration()
+    // the parser closes its stream at EOF, but a downstream operator
+    // that short-circuits (limit, take) abandons the iterator mid-
+    // file — the task-completion hook closes whatever is still open
+    val open = new java.util.ArrayList[InputStream]()
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        open.forEach { s =>
+          try s.close() catch { case _: java.io.IOException => () }
+        }
+      })
+    it.flatMap { p =>
+      val fs = FileSystem.get(new URI(p), conf)
+      val raw = fs.open(new Path(new URI(p)))
+      val head = new Array[Byte](2)
+      val n = raw.read(head)
+      raw.seek(0)
+      val gzipped = n == 2 &&
+        (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b
+      val in = new BufferedInputStream(
+        if (gzipped) new GZIPInputStream(raw) else raw, 1 << 16)
+      open.add(in)
+      parseWarcStream(p, in)
+    }
   }
 
   /** Streaming record iterator over one decompressed WARC byte stream.

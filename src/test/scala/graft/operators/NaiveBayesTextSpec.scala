@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestSession
@@ -56,5 +57,43 @@ class NaiveBayesTextSpec extends AnyFunSuite {
     assert(p1.getAs[String]("pred") == "good" &&
       p2.getAs[String]("pred") == "good",
       s"empty-doc tie must break to the smallest label: $p1 / $p2")
+  }
+
+  test("charGrams: non-distinct trigrams, whitespace-collapsed, short-text clamp") {
+    import spark.implicits._
+    val got = Seq(Tuple1("ABA  aba"), Tuple1("ab"), Tuple1("")).toDF("t")
+      .select(NaiveBayesText.charGrams(col("t"), 3).as("g"))
+      .as[Seq[String]].collect().toSeq
+    // lowercased, "  " collapsed to one space; trigram "a a" repeats
+    // via the collapse — NON-distinct (multinomial counts need it)
+    assert(got(0) == Seq("aba", "ba ", "a a", " ab", "aba"))
+    assert(got(1) == Seq("ab"), "short text yields itself as one gram")
+    assert(got(2) == Seq(""), "empty text yields the empty gram")
+  }
+
+  test("char-gram lang-ID: held-out docs classify by character statistics, margin exact") {
+    import spark.implicits._
+    // two 'languages' with disjoint character distributions; train on
+    // ids < 30, classify ids >= 30 (held out — word overlap with the
+    // training rows is partial, character statistics decide)
+    val rows = (0L until 40L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val text = if (i % 2 == 0) s"alpha gamma delta item$i alpha gamma"
+        else s"zzyzx qqwqq xxkxx unit$i zzyzx qqwqq"
+      (i, lang, text)
+    }
+    val df = rows.toDF("doc_id", "lang", "text")
+    val model = NaiveBayesText.trainCharGrams(
+      df.filter(col("doc_id") < 30), "lang", "text")
+    val out = NaiveBayesText.classifyCharGramsWithMargin(
+        df, "doc_id", "text", model)
+      .join(df.select("doc_id", "lang"), "doc_id").collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      assert(r.getAs[String]("pred") == r.getAs[String]("lang"),
+        s"misclassified: $r")
+      assert(r.getAs[Long]("margin_e4") > 0L,
+        s"two disjoint alphabets must separate with positive margin: $r")
+    }
   }
 }

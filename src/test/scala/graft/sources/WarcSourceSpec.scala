@@ -280,9 +280,23 @@ class WarcSourceSpec extends AnyFunSuite {
       WarcDoc("https://h.com/plain", httpCt,
         http("200 OK", "Content-Type: text/plain",
           "<html>not html</html>".getBytes(UTF_8))),
-      // unsupported declared charset: skipped, not mojibaked
+      // shift_jis CONVERTS (r17: any JDK-supported charset decodes) —
+      // real multi-byte Japanese, 93FA 967B 8CEA = 日本語
       WarcDoc("https://h.com/sjis", httpCt,
         http("200 OK", "Content-Type: text/html; charset=shift_jis",
+          "<html><p>".getBytes(UTF_8) ++
+            Array[Byte](0x93.toByte, 0xFA.toByte, 0x96.toByte, 0x7B.toByte,
+              0x8C.toByte, 0xEA.toByte) ++ "</p></html>".getBytes(UTF_8))),
+      // windows-1252 high bytes decode to curly quotes + euro — NOT
+      // latin-1 C1 controls (the 0x80-0x9F divergence)
+      WarcDoc("https://h.com/cp1252", httpCt,
+        http("200 OK", "Content-Type: text/html; charset=windows-1252",
+          "<html><p>".getBytes(UTF_8) ++
+            Array[Byte](0x93.toByte, 'w', 0x80.toByte, 0x94.toByte) ++
+            "</p></html>".getBytes(UTF_8))),
+      // a charset the JDK does not know: skipped, not mojibaked
+      WarcDoc("https://h.com/unknowncs", httpCt,
+        http("200 OK", "Content-Type: text/html; charset=x-unknown-enc",
           "<html>x</html>".getBytes(UTF_8))),
       // malformed message (no header/body separator): skipped
       WarcDoc("https://h.com/broken", httpCt,
@@ -299,13 +313,15 @@ class WarcSourceSpec extends AnyFunSuite {
       .select("url", "bytes").as[(String, Array[Byte])].collect()
       .map { case (u, b) => (u, new String(b, UTF_8)) }.sortBy(_._1).toSeq
     assert(back.map(_._1) == Seq("https://h.com/bare",
-      "https://h.com/barelatin", "https://h.com/case", "https://h.com/latin",
-      "https://h.com/ok"))
+      "https://h.com/barelatin", "https://h.com/case", "https://h.com/cp1252",
+      "https://h.com/latin", "https://h.com/ok", "https://h.com/sjis"))
     val byUrl = back.toMap
     assert(byUrl("https://h.com/ok") == "hello & world")
     assert(byUrl("https://h.com/case") == "upper")
     assert(byUrl("https://h.com/latin") == "café")
     assert(byUrl("https://h.com/bare") == "bare")
     assert(byUrl("https://h.com/barelatin") == "café")
+    assert(byUrl("https://h.com/sjis") == "日本語")
+    assert(byUrl("https://h.com/cp1252") == "“w€”")
   }
 }
