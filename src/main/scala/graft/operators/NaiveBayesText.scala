@@ -69,17 +69,13 @@ object NaiveBayesText {
     */
   def charGrams(textCol: Column, n: Int): Column = {
     val s = regexp_replace(lower(trim(textCol)), "\\s+", " ")
-    // SQL substring is codepoint-indexed on both engines
-    transform(
-      sequence(lit(1), greatest(length(s) - (n - 1), lit(1))),
-      i => substring_expr(s, i, n))
+    // codegen'd one-codepoint-walk kernel — the declarative
+    // transform+substring form is O(len²) per doc (substring seeks
+    // from the start per window); bit-identical output, spec-pinned
+    org.apache.spark.sql.graftshim.ColumnExpr.column(
+      graft.functions.CharNGrams(
+        org.apache.spark.sql.graftshim.ColumnExpr.expr(s), n))
   }
-
-  /** `substring(col, pos, len)` with a COLUMN position (the functions
-    * API only takes literal ints).
-    */
-  private def substring_expr(s: Column, pos: Column, len: Int): Column =
-    s.substr(pos, lit(len))
 
   def train(df: DataFrame, labelCol: String, textCol: String,
       numBuckets: Int = 1024): Model =

@@ -71,6 +71,22 @@ class NaiveBayesTextSpec extends AnyFunSuite {
     assert(got(2) == Seq(""), "empty text yields the empty gram")
   }
 
+  test("CharNGrams kernel is bit-identical to the declarative transform form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // multi-byte codepoints included — the diacritic/CJK cases the
+    // fixture languages produce; the kernel walks UTF-8 lead bytes
+    val texts = Seq("ABA  aba", "ärger ëlf", "日本語のテスト", "ab", "a", "")
+    val df = texts.map(Tuple1(_)).toDF("raw")
+      .selectExpr("regexp_replace(lower(trim(raw)), '\\\\s+', ' ') AS s")
+    val kernel = df.select(NaiveBayesText.charGrams(col("s"), 3).as("g"))
+      .as[Seq[String]].collect().toSeq
+    val declarative = df.select(expr(
+      "transform(sequence(1, greatest(length(s) - 2, 1)), i -> substring(s, i, 3))"))
+      .as[Seq[String]].collect().toSeq
+    assert(kernel == declarative)
+  }
+
   test("char-gram lang-ID: held-out docs classify by character statistics, margin exact") {
     import spark.implicits._
     // two 'languages' with disjoint character distributions; train on
