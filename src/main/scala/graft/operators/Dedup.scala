@@ -499,6 +499,13 @@ object Dedup {
     *    found with one map-side-combinable groupBy — the result is
     *    TINY (only degenerate keys) — and removed with a broadcast
     *    anti-join, so the index scan itself stays shuffle-free.
+    *
+    * This entry point SCANS the whole `index` frame per batch (no
+    * shuffle, but a full read) — right when the batch is a sizable
+    * fraction of the corpus. For the standing-refresh shape (a small
+    * batch against a 100 TB corpus) use [[NearDupIndex.refresh]],
+    * which prunes the stored index to the files carrying the batch's
+    * bucket keys before this same join runs.
     */
   def nearDupAgainstIndex(
       newDocs: DataFrame, idCol: String, textCol: String,
@@ -513,6 +520,36 @@ object Dedup {
     val nSh =
       if (materialize) nSh0.persist(StorageLevel.MEMORY_AND_DISK) else nSh0
     val nB = bandedBuckets(nSh, bands, r, minSize = 1, maxBucketSize)
+    val verified = verifyAgainstIndex(nSh, nB, index, indexIdCol,
+      storedDocs, storedTextCol, shingleSize, threshold, maxBucketSize,
+      materialize)
+    if (!materialize) verified
+    else {
+      val out = materializeSmall(verified)
+      nSh.unpersist(blocking = false)
+      out
+    }
+  }
+
+  /** Shared core of the index-join tier: batch band-buckets `nB`
+    * (already window-capped) against an `index` frame — the FULL
+    * signature table for [[nearDupAgainstIndex]], a probe-key-PRUNED
+    * slice of it for [[NearDupIndex.refresh]]. Exactness under
+    * pruning: stats/bloom skipping is a superset filter, so every
+    * index row whose bucket is in the probe set survives into the
+    * pruned frame — the oversized-bucket groupBy here therefore sees
+    * the exact full-index count for every key the batch can touch,
+    * and the cap decision is identical to the full-scan path's.
+    *
+    * Verification is candidate-bounded on BOTH sides: the stored text
+    * is semi-joined down to the candidate ids (broadcast — candidates
+    * are batch-sized) BEFORE the shingle projection runs, so a
+    * refresh batch never re-shingles the stored corpus.
+    */
+  private[operators] def verifyAgainstIndex(nSh: DataFrame, nB: DataFrame,
+      index: DataFrame, indexIdCol: String, storedDocs: DataFrame,
+      storedTextCol: String, shingleSize: Int, threshold: Double,
+      maxBucketSize: Int, materialize: Boolean): DataFrame = {
     val oversized = index.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
@@ -520,24 +557,25 @@ object Dedup {
     val sB = index
       .join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
       .select(col(indexIdCol).as("stored_id"), col("band"), col("bucket"))
-    val cands = nB
+    val cands0 = nB
       .join(sB, nB("__band") === sB("band") && nB("__bucket") === sB("bucket"))
       .select(col("__id").as("new_id"), col("stored_id"))
       .distinct()
-    val verified = cands
+    // referenced twice below (candidate ids + verification rows):
+    // batch-bounded, so materialize instead of re-running the index join
+    val cands = if (materialize) materializeSmall(cands0) else cands0
+    val candIds = cands.select(col("stored_id").as("__cand_id")).distinct()
+    val storedCand = storedDocs
+      .join(broadcast(candIds), col(indexIdCol) === col("__cand_id"),
+        "left_semi")
+    cands
       .join(nSh.select(col("__id").as("new_id"), col("__sh").as("__sh_a")),
         "new_id")
-      .join(storedDocs.select(col(indexIdCol).as("stored_id"),
+      .join(storedCand.select(col(indexIdCol).as("stored_id"),
         shingles(storedTextCol, shingleSize).as("__sh_b")), "stored_id")
       .withColumn("jaccard", exactJaccard)
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("stored_id"), col("jaccard"))
-    if (!materialize) verified
-    else {
-      val out = materializeSmall(verified)
-      nSh.unpersist(blocking = false)
-      out
-    }
   }
 
   /** Decontaminate: corpus minus every doc that near-duplicates any

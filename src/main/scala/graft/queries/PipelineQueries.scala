@@ -3075,8 +3075,10 @@ object PipelineQueries {
     val s1p = s1.persist(StorageLevel.MEMORY_AND_DISK)
     val (t, sigT) = try {
       val t = VintageTable.create(spark, tableRoot + "/t", s1p)     // v0
-      val sigT = VintageTable.create(spark, sigRoot + "/t",
-        Dedup.signatureBuckets(s1p, "url", "text"))                 // v0
+      // range-clustered on bucket + per-file bucket bloom, so the
+      // refresh below probes files, not the whole index (r18)
+      val sigT = graft.operators.NearDupIndex.createIndex(spark,
+        sigRoot + "/t", s1p, "url", "text")                         // v0
       (t, sigT)
     } finally s1p.unpersist(blocking = false)
     val truncated = expr("substring(text, 1, greatest(length(text) - 6, 1))")
@@ -3096,10 +3098,13 @@ object PipelineQueries {
     // batch joins the STORED band-bucket index; candidate verification
     // reads stored text for the matched candidates alone.
     val newUrls = fresh.join(stored.select("url"), Seq("url"), "left_anti")
-    val nearHits = Dedup.nearDupAgainstIndex(
+    // O(touched-files) lookup: the batch's bucket keys prune the
+    // stored index scan (stats+bloom skipping); decisions stay pinned
+    // to v0, as before
+    val nearHits = graft.operators.NearDupIndex.refresh(
       newUrls, "url", "text",
-      sigT.toDFAsOf(0), "url", stored.select(col("url"), col("text")),
-      "text", threshold = 0.8)
+      sigT, "url", stored.select(col("url"), col("text")),
+      "text", threshold = 0.8, indexVersion = Some(0L))
     val dropNear = nearHits.select(col("new_id").as("url")).distinct()
     val survivors = fresh.join(dropNear, Seq("url"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)

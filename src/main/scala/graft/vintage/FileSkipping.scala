@@ -21,7 +21,198 @@ object FileSkipping {
   /** Files that may contain rows matching `cond`. */
   def candidates(schema: StructType, files: Seq[AddFile], cond: Expression): Seq[AddFile] = {
     val n = normalize(cond)
-    files.filter(f => mayMatch(schema, f, n))
+    val memo = buildInMemo(schema, n)
+    files.filter(f => mayMatch(schema, f, n, memo))
+  }
+
+  // ------------------------------------------------- large-IN fast path
+
+  /** Probe-set pruning is the hot driver loop of the indexed-lookup
+    * tier (a refresh batch's tens of thousands of LSH bucket keys
+    * against a corpus-sized file list): the naive `In` check is
+    * O(keys) range tests PER FILE. Lists past this size are pre-sorted
+    * once per [[candidates]] call so each file pays one binary search
+    * plus blooms for only the keys inside its [min, max] range.
+    */
+  private val FastInThreshold = 64
+
+  /** Per-file bloom probes are capped: a file whose range admits more
+    * candidate keys than this is simply scanned (returning true is
+    * always sound) — keeps the driver's prune pass O(keys), not
+    * O(keys × files), even for wide-range (uncompacted) files.
+    */
+  private val BloomProbeCap = 4096
+
+  /** One pre-sorted `In` literal list: `longs` for integral columns
+    * (natural order — the order [[cmp]]'s BigDecimal path induces on
+    * same-unit integrals), `strs` for string columns (cpCompare
+    * order). Exactly one of the two arrays is non-null.
+    */
+  private final class SortedInLits(val colType: DataType,
+      val litType: DataType, val longs: Array[Long],
+      val strs: Array[String])
+
+  private val cpOrdering: Ordering[String] =
+    (a: String, b: String) => ParquetStats.cpCompare(a, b)
+
+  /** Collect the large all-literal `In` nodes of a normalized
+    * predicate into an identity-keyed memo of pre-sorted value
+    * arrays. Only the shapes the indexed-lookup probes take — an
+    * integral or string column against same-typed literals — get the
+    * fast path; everything else keeps the linear check.
+    */
+  private def buildInMemo(schema: StructType, e: Expression)
+      : java.util.IdentityHashMap[Expression, SortedInLits] = {
+    var memo: java.util.IdentityHashMap[Expression, SortedInLits] = null
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def visit(x: Expression): Unit = x match {
+      case i @ In(a, list) if list.length >= FastInThreshold &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        for (c <- attr(a);
+             ct <- schema.fields.collectFirst {
+               case f if f.name.equalsIgnoreCase(c) => f.dataType
+             }) {
+          val lits = list.asInstanceOf[Seq[Literal]].filter(_.value != null)
+          val litTypes = lits.map(_.dataType).distinct
+          if (litTypes.length == 1) {
+            val lt = litTypes.head
+            val prepared =
+              if (integral(ct) && integral(lt)) {
+                val arr = lits.map(_.value.asInstanceOf[Number].longValue())
+                  .toArray
+                java.util.Arrays.sort(arr)
+                Some(new SortedInLits(ct, lt, arr, null))
+              } else if (ct == StringType && lt == StringType) {
+                val arr = lits.map(_.value.toString).toArray
+                java.util.Arrays.sort(arr, cpOrdering)
+                Some(new SortedInLits(ct, lt, null, arr))
+              } else None
+            prepared.foreach { p =>
+              if (memo == null)
+                memo = new java.util.IdentityHashMap[Expression, SortedInLits]
+              memo.put(i, p)
+            }
+          }
+        }
+      case _ => x.children.foreach(visit)
+    }
+    visit(e)
+    memo
+  }
+
+  /** Fast `attr IN (sorted keys)` file test: binary-search the range
+    * overlap, then bloom-probe only the in-range keys (capped). Same
+    * soundness contract as the linear path — missing stats, unparsable
+    * stat strings, or an over-cap range degrade to true (scan).
+    */
+  private def fastInMayMatch(f: AddFile, c: String,
+      s: SortedInLits): Boolean = {
+    val st = stats(f, c) match {
+      case Some(v) => v
+      case None => return true
+    }
+    // mirror rangeContains' missing-range semantics: min/max absent
+    // means "match unless the file is provably relevant-stat-free of
+    // non-null rows" — i.e. only the nullCount-known all-null shape
+    // can never satisfy an equality
+    def inRangeCount: Int =
+      if (s.longs != null) {
+        (st.min, st.max) match {
+          case (Some(mnS), Some(mxS)) =>
+            val (mn, mx) =
+              try ((BigDecimal(mnS), BigDecimal(mxS)))
+              catch { case _: NumberFormatException => return -1 }
+            // lowest index with v >= mn, first index with v > mx
+            var lo = lowerBoundLong(s.longs, mn)
+            val hi = upperBoundLong(s.longs, mx)
+            hi - lo
+          case _ => if (st.nullCount.isEmpty) -1 else 0
+        }
+      } else {
+        (st.min, st.max) match {
+          case (Some(mn), Some(mx)) =>
+            val lo = lowerBoundStr(s.strs, mn)
+            val hi = upperBoundStr(s.strs, mx)
+            hi - lo
+          case _ => if (st.nullCount.isEmpty) -1 else 0
+        }
+      }
+    val n = inRangeCount
+    if (n == 0) return false // no key inside the file's range: prune
+    if (n < 0) return true   // range unknowable: scan
+    st.bloom match {
+      case Some(b) if n <= BloomProbeCap =>
+        if (s.longs != null) {
+          val mn = BigDecimal(st.min.get)
+          var i = lowerBoundLong(s.longs, mn)
+          val end = i + n
+          while (i < end) {
+            StatsBloom.renderLiteral(s.colType,
+                java.lang.Long.valueOf(s.longs(i)), LongType) match {
+              case Some(r) => if (StatsBloom.mightContain(b, r)) return true
+              case None => return true // unrenderable: cannot prune
+            }
+            i += 1
+          }
+          false
+        } else {
+          val mn = st.min.get
+          var i = lowerBoundStr(s.strs, mn)
+          val end = i + n
+          while (i < end) {
+            StatsBloom.renderLiteral(s.colType, s.strs(i), StringType) match {
+              case Some(r) => if (StatsBloom.mightContain(b, r)) return true
+              case None => return true
+            }
+            i += 1
+          }
+          false
+        }
+      case _ => true // no bloom (or too many probes): the range says scan
+    }
+  }
+
+  /** First index with arr(i) >= bound. */
+  private def lowerBoundLong(arr: Array[Long], bound: BigDecimal): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (BigDecimal(arr(mid)) < bound) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** First index with arr(i) > bound. */
+  private def upperBoundLong(arr: Array[Long], bound: BigDecimal): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (BigDecimal(arr(mid)) <= bound) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  private def lowerBoundStr(arr: Array[String], bound: String): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ParquetStats.cpCompare(arr(mid), bound) < 0) lo = mid + 1
+      else hi = mid
+    }
+    lo
+  }
+
+  private def upperBoundStr(arr: Array[String], bound: String): Int = {
+    var lo = 0; var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ParquetStats.cpCompare(arr(mid), bound) <= 0) lo = mid + 1
+      else hi = mid
+    }
+    lo
   }
 
   /** The Column DSL reaches Catalyst as `UnresolvedFunction("=",…)`
@@ -49,6 +240,13 @@ object FileSkipping {
         case ("startswith", Seq(l, r)) => StartsWith(l, r)
         case _ => f.copy(arguments = a)
       }
+    // the optimizer rewrites `In` past the inSetConversionThreshold
+    // (default 10) into `InSet` over internal values — exactly the
+    // shape a large probe-set lookup reaches the scan as. Rewrite it
+    // back to the literal-list `In` this module prunes with (internal
+    // values are valid `Literal(v, dt)` payloads).
+    case s: InSet if s.child.resolved =>
+      In(normalize(s.child), s.hset.toSeq.map(Literal(_, s.child.dataType)))
     case _ => e.mapChildren(normalize)
   }
 
@@ -106,9 +304,13 @@ object FileSkipping {
 
   // ------------------------------------------------------------------ core
 
-  private def mayMatch(schema: StructType, f: AddFile, e: Expression): Boolean = e match {
-    case And(l, r) => mayMatch(schema, f, l) && mayMatch(schema, f, r)
-    case Or(l, r) => mayMatch(schema, f, l) || mayMatch(schema, f, r)
+  private def mayMatch(schema: StructType, f: AddFile, e: Expression,
+      memo: java.util.IdentityHashMap[Expression, SortedInLits] = null)
+      : Boolean = e match {
+    case And(l, r) =>
+      mayMatch(schema, f, l, memo) && mayMatch(schema, f, r, memo)
+    case Or(l, r) =>
+      mayMatch(schema, f, l, memo) || mayMatch(schema, f, r, memo)
     case EqualTo(a, Literal(v, t)) => attr(a).forall(c => rangeContains(schema, f, c, v, t))
     case EqualTo(Literal(v, t), a) => attr(a).forall(c => rangeContains(schema, f, c, v, t))
     case EqualNullSafe(a, Literal(v, t)) =>
@@ -126,8 +328,11 @@ object FileSkipping {
     case LessThanOrEqual(Literal(v, t), a) => attr(a).forall(c => maxAbove(schema, f, c, v, t, strict = false))
     case GreaterThan(Literal(v, t), a) => attr(a).forall(c => minBelow(schema, f, c, v, t, strict = true))
     case GreaterThanOrEqual(Literal(v, t), a) => attr(a).forall(c => minBelow(schema, f, c, v, t, strict = false))
-    case In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
-      attr(a).forall(c => list.exists { case Literal(v, t) => rangeContains(schema, f, c, v, t) })
+    case i @ In(a, list) if list.forall(_.isInstanceOf[Literal]) =>
+      val fast = if (memo == null) null else memo.get(i)
+      if (fast != null) attr(a).forall(c => fastInMayMatch(f, c, fast))
+      else attr(a).forall(c =>
+        list.exists { case Literal(v, t) => rangeContains(schema, f, c, v, t) })
     case IsNull(a) => attr(a).forall(c => mayHaveNull(f, c))
     case IsNotNull(a) => attr(a).forall(c => mayHaveNotNull(f, c))
     case StartsWith(a, Literal(v, StringType)) if v != null =>

@@ -68,4 +68,103 @@ class IndexedNearDupSpec extends AnyFunSuite {
       threshold = 0.8, maxBucketSize = 10)
     assert(hits.count() == 0L)
   }
+
+  // ------------------------------------------------ stored-table tier
+
+  /** A corpus of `n` distinct synthetic docs — id'd, content varied
+    * enough that LSH buckets are essentially unique per (doc, band).
+    */
+  private def corpus(n: Int) = spark.range(0, n.toLong)
+    .select(col("id"), concat(lit("document number "), col("id"),
+      lit(" carries its own entirely distinct narrative payload about topic "),
+      col("id") * 7919, lit(" with sufficient length for shingling ")).as("text"))
+
+  test("refresh against the stored table finds exactly the full-scan path's hits") {
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val c = corpus(400).toDF()
+    val t = NearDupIndex.createIndex(spark, dir + "/sig", c, "id", "text",
+      clusterFiles = 64)
+    val batch = Seq(
+      // near-dup of stored 123 (tail perturbed)
+      (9001L, "document number 123 carries its own entirely distinct narrative payload about topic 974037 with sufficient length for shinglinX "),
+      // unrelated
+      (9002L, "no stored page shares anything with this novel streaming text"))
+      .toDF("id", "text")
+    val viaPruned = NearDupIndex.refresh(batch, "id", "text", t, "id",
+      c, "text").select("new_id", "stored_id")
+      .as[(Long, Long)].collect().toSet
+    val viaFull = Dedup.nearDupAgainstIndex(batch, "id", "text",
+      t.toDF, "id", c, "text").select("new_id", "stored_id")
+      .as[(Long, Long)].collect().toSet
+    assert(viaPruned == viaFull)
+    assert(viaPruned == Set((9001L, 123L)))
+  }
+
+  test("the probe scan touches O(batch-keys) files, not O(index)") {
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val c = corpus(500).toDF()
+    val t = NearDupIndex.createIndex(spark, dir + "/sig", c, "id", "text",
+      clusterFiles = 64)
+    val snap = t.snapshot
+    assert(snap.files.size >= 48, "range clustering must spread the index over many files")
+    // one probe doc = 16 band keys; each key lives in exactly one
+    // range-clustered file, so the candidate set is bounded by the KEY
+    // count — a fixed fraction of the index would scale with the corpus
+    val oneDoc = corpus(500).filter(col("id") === 250L).toDF()
+    val keys = Dedup.signatureBuckets(oneDoc, "id", "text")
+      .select("bucket").as[Long].collect().toIndexedSeq
+    assert(keys.size == 16)
+    val pruned = t.candidateFiles(snap,
+      col("bucket").isin(keys.map(java.lang.Long.valueOf): _*))
+    assert(pruned.size <= keys.size,
+      s"range-clustered probe must touch <= ${keys.size} files, touched ${pruned.size}")
+    assert(pruned.size < snap.files.size / 2,
+      s"probe touched ${pruned.size} of ${snap.files.size} files — not pruned")
+    // and END TO END: the executed scan (which receives the probe set
+    // as an optimizer-converted InSet) must open only the pruned files
+    val q = spark.read.format("vintage").load(t.path)
+      .filter(col("bucket").isin(keys.map(java.lang.Long.valueOf): _*))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a FileSourceScanExec over the vintage index"))
+    val numFiles = scan.metrics("numFiles").value
+    assert(numFiles <= keys.size.toLong,
+      s"executed scan opened $numFiles files for ${keys.size} probe keys")
+    assert(numFiles < snap.files.size / 2,
+      s"executed scan opened $numFiles of ${snap.files.size} files — InSet not pruned")
+  }
+
+  test("degenerate-bucket caps are exact through the pruned scan") {
+    // pruning is a superset filter, so per-key counts over the pruned
+    // frame equal full-index counts: a 50-copy boilerplate bucket is
+    // dropped by the cap even when probed through the stored table
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val degen = spark.range(0, 50)
+      .select(col("id"),
+        lit("the same degenerate boilerplate text repeated across the corpus here").as("text"))
+      .toDF()
+    val t = NearDupIndex.createIndex(spark, dir + "/sig", degen, "id", "text",
+      clusterFiles = 8)
+    val batch = Seq(
+      (900L, "the same degenerate boilerplate text repeated across the corpus here"))
+      .toDF("id", "text")
+    val hits = NearDupIndex.refresh(batch, "id", "text", t, "id",
+      degen, "text", threshold = 0.8, maxBucketSize = 10)
+    assert(hits.count() == 0L)
+    // with a cap that admits the bucket, the same probe must pair
+    val hits2 = NearDupIndex.refresh(batch, "id", "text", t, "id",
+      degen, "text", threshold = 0.8, maxBucketSize = 100)
+    assert(hits2.count() == 50L)
+  }
+
+  test("an empty refresh batch yields an empty, schema-correct result") {
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val c = corpus(20).toDF()
+    val t = NearDupIndex.createIndex(spark, dir + "/sig", c, "id", "text")
+    val out = NearDupIndex.refresh(c.filter(col("id") < 0), "id", "text",
+      t, "id", c, "text")
+    assert(out.columns.toSeq == Seq("new_id", "stored_id", "jaccard"))
+    assert(out.count() == 0L)
+  }
 }

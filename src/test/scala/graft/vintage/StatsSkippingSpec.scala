@@ -275,6 +275,58 @@ class StatsSkippingSpec extends AnyFunSuite {
       col("d") < java.time.LocalDateTime.of(2019, 1, 1, 0, 0)).isEmpty)
   }
 
+  test("large IN lists prune through the sorted fast path, identically to small ones") {
+    val t = threeFileTable()
+    val snap = t.snapshot
+    // 100 keys (>= the fast-path threshold of 64), all inside file 2's
+    // range plus a stretch of non-existent ids — must touch exactly the
+    // file whose [min,max] intersects the key set
+    val midOnly = (101L to 150L) ++ (5001L to 5050L)
+    assert(t.candidateFiles(snap, col("id").isin(midOnly: _*)).size == 1)
+    // keys spanning files 1 and 3 but not 2
+    val outer = (1L to 40L) ++ (251L to 290L)
+    assert(t.candidateFiles(snap, col("id").isin(outer: _*)).size == 2)
+    // entirely outside every range: zero files
+    val none = (9000L to 9100L)
+    assert(t.candidateFiles(snap, col("id").isin(none: _*)).isEmpty)
+    // fast path must agree with the linear path on a mixed probe set
+    val mixed = (90L to 120L) ++ (195L to 210L) ++ (7000L to 7050L)
+    val small = t.candidateFiles(snap, col("id").isin(90L, 120L, 195L, 210L))
+      .map(_.path).toSet
+    val large = t.candidateFiles(snap, col("id").isin(mixed: _*))
+      .map(_.path).toSet
+    assert(small == large, "sorted fast path diverged from the linear check")
+    // string columns take the cpCompare-sorted branch
+    val names = (101 to 180).map(i => s"name_$i")
+    assert(t.candidateFiles(snap, col("name").isin(names: _*)).nonEmpty)
+    val absent = (1 to 80).map(i => s"zzz_$i")
+    assert(t.candidateFiles(snap, col("name").isin(absent: _*)).isEmpty)
+  }
+
+  test("large IN pruning composes with per-file blooms") {
+    // two files with OVERLAPPING id ranges (evens vs odds): ranges
+    // alone cannot prune, the bloom must — including through a
+    // 100-key probe list that takes the sorted fast path
+    val dir = Files.createTempDirectory("vintage-skip").toString + "/b"
+    val t = VintageTable.create(spark, dir,
+      (1 to 200 by 2).map(i => (i.toLong, s"v$i")).toDF("id", "name").coalesce(1),
+      Map("vintage.bloom.columns" -> "id"))
+    t.append((2 to 200 by 2).map(i => (i.toLong, s"v$i")).toDF("id", "name").coalesce(1))
+    val snap = t.snapshot
+    assert(snap.files.size == 2)
+    // 64 even keys: the odd file's range [1,199] contains them all,
+    // but its bloom holds none — expect (at most) the even file; the
+    // bloom is probabilistic so only assert the sound direction plus
+    // agreement with the linear path
+    val evens = (2L to 128L by 2L)
+    val fast = t.candidateFiles(snap, col("id").isin(evens: _*)).map(_.path).toSet
+    val linearUnion = evens.map(k =>
+      t.candidateFiles(snap, col("id") === k).map(_.path).toSet)
+      .reduce(_ union _)
+    assert(fast == linearUnion,
+      "fast IN bloom pruning must equal the union of per-key equality prunes")
+  }
+
   test("update prunes: only the CHF-range file is rewritten") {
     val dir = Files.createTempDirectory("vintage-skip").toString + "/c"
     val t = VintageTable.create(spark, dir,
