@@ -68,21 +68,37 @@ case class DecodeCharset(left: Expression, right: Expression)
 
 object DecodeCharset {
 
+  /** The label cache is keyed on UNTRUSTED crawl content (Content-Type
+    * header parameters), so it is bounded: past the cap — far above
+    * the JDK's ~170 canonical names plus every alias a real crawl
+    * declares — new labels resolve uncached instead of growing
+    * executor memory on adversarial/garbage pages for the lifetime of
+    * the JVM.
+    */
+  private[functions] val CacheCap = 1024
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Charset]]()
+
+  private def resolve(n: String): Option[Charset] = n match {
+    case "latin-1" => Some(Charset.forName("ISO-8859-1"))
+    case _ =>
+      try { if (Charset.isSupported(n)) Some(Charset.forName(n)) else None }
+      catch { case _: java.nio.charset.IllegalCharsetNameException => None }
+  }
 
   /** Charset for a declared label, or None when the JDK cannot decode
     * it. Case-insensitive (Charset.forName already is); one extra
     * alias the web uses that the JDK does not register: `latin-1`
     * (with the dash) → ISO-8859-1.
     */
-  def charsetFor(name: String): Option[Charset] =
-    cache.computeIfAbsent(name.toLowerCase(java.util.Locale.ROOT), {
-      case "latin-1" => Some(Charset.forName("ISO-8859-1"))
-      case n =>
-        try { if (Charset.isSupported(n)) Some(Charset.forName(n)) else None }
-        catch { case _: java.nio.charset.IllegalCharsetNameException => None }
-    })
+  def charsetFor(name: String): Option[Charset] = {
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else if (cache.size < CacheCap) cache.computeIfAbsent(key, resolve)
+    else resolve(key) // cache full: correct, just uncached
+  }
 
   /** Shared by the interpreted path and the generated code. Null for
     * an unsupported/illegal charset name.

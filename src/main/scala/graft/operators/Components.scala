@@ -250,6 +250,79 @@ object Components {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** INCREMENTAL component maintenance: fold a batch of NEW edges
+    * into an existing `(id, component)` labeling without recomputing
+    * the graph — the group-maintenance step of the standing near-dup
+    * refresh (q132): each refresh emits its near-hit edges, and the
+    * stored group structure absorbs them at O(new edges) compute.
+    *
+    * Correctness rests on the quotient-graph argument: contracting
+    * every existing component to its label preserves connectivity, so
+    * components of (labels ∪ new edges) = components of the CONTRACTED
+    * graph (one node per touched component/new node, one edge per new
+    * edge) mapped back through the labeling. And because every
+    * existing label IS the min member id of its component, the min of
+    * merged labels is the min over all merged members — the output
+    * keeps [[connectedComponents]]'s min-id contract exactly
+    * (ComponentsSpec pins incremental == from-scratch).
+    *
+    * Scale shape: the contracted graph is O(new edges) — it goes
+    * through [[connectedComponents]], whose adaptive local path
+    * solves refresh-sized batches in one collect. The only work
+    * proportional to the EXISTING labeling is one broadcast hash join
+    * (relabel map is O(touched components), broadcast) — a scan, no
+    * shuffle, and with table-backed labels a MERGE on
+    * `component IN (touched)` prunes even the scan to the files
+    * carrying touched groups. Full recompute stays the on-demand
+    * path; this is the per-batch one.
+    */
+  def incrementalComponents(labels: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val spark = labels.sparkSession
+    import spark.implicits._
+    val edges = newEdges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // endpoint -> current component, ALL joins shaped so the existing
+    // labeling is only ever scanned (semi-join against the broadcast
+    // endpoint set), never shuffled: the left-outer "look up my label"
+    // join cannot broadcast its big right side, so the lookup is
+    // split into a broadcast semi-join (extract the touched label
+    // rows — O(new) result) and a broadcast left join against that
+    // small extract
+    val eps = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id"))).distinct()
+    val known = Dedup.materializeSmall(
+      labels.select(col("id"), col("component"))
+        .join(broadcast(eps), Seq("id"), "left_semi"))
+    val epLab = Dedup.materializeSmall(
+      eps.join(broadcast(known), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id")).as("lab")))
+    val contracted = edges
+      .join(broadcast(epLab.select(col("id").as("a"), col("lab").as("la"))),
+        "a")
+      .join(broadcast(epLab.select(col("id").as("b"), col("lab").as("lb"))),
+        "b")
+      .select(col("la"), col("lb")).filter(col("la") =!= col("lb"))
+      .distinct()
+    // components over the contracted graph: (old label -> new label).
+    // The contracted graph is O(new edges); refresh-sized batches take
+    // connectedComponents' one-collect local path.
+    val relabel = connectedComponents(contracted, "la", "lb")
+      .select(col("id").as("__old"), col("component").as("__new"))
+      .filter(col("__old") =!= col("__new"))
+    // endpoints not yet present enter as their own component; the
+    // relabel map then lands every merged row — old members and new
+    // nodes alike — on the min member id
+    val newNodes = eps
+      .join(broadcast(known.select("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.select(col("id"), col("component"))
+      .unionByName(newNodes)
+      .join(broadcast(relabel), col("component") === col("__old"), "left")
+      .select(col("id"),
+        coalesce(col("__new"), col("component")).as("component"))
+  }
+
   /** SYNCHRONOUS min-label propagation, a FIXED number of rounds:
     * every node starts labeled with its own id; each round it takes
     * the min of its label and its neighbors' labels (edges treated

@@ -513,12 +513,20 @@ object Dedup {
       storedTextCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.8, maxBucketSize: Int = 10000,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true,
+      signatureStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val nSh0 = signatures(newDocs, idCol, textCol, shingleSize, numHashes)
+    // `signatureStorage`: the signature frame carries the full shingle
+    // array per doc — columnar-cached it PINS the storage pool, and at
+    // a 1M-doc batch under a 2 GB heap that sustained pressure is a
+    // GC-overhead OOM (measured: the r18 50M IndexSoak's first run
+    // died exactly there). Corpus-scale batches pass DISK_ONLY —
+    // transient unroll buffers only, reads stream back from disk.
     val nSh =
-      if (materialize) nSh0.persist(StorageLevel.MEMORY_AND_DISK) else nSh0
+      if (materialize) nSh0.persist(signatureStorage) else nSh0
     val nB = bandedBuckets(nSh, bands, r, minSize = 1, maxBucketSize)
     val verified = verifyAgainstIndex(nSh, nB, index, indexIdCol,
       storedDocs, storedTextCol, shingleSize, threshold, maxBucketSize,

@@ -68,7 +68,16 @@ object NaiveBayesText {
     * string.
     */
   def charGrams(textCol: Column, n: Int): Column = {
-    val s = regexp_replace(lower(trim(textCol)), "\\s+", " ")
+    // whitespace is pinned to the EXPLICIT ASCII class, not `\s`:
+    // Java's \s includes \x0B (vertical tab) while DuckDB/RE2's does
+    // not, so a corpus document carrying \x0B would silently diverge
+    // engine from oracle under the shorthand. Both sides replay this
+    // exact class (q127/q128/q131 oracles). Unicode whitespace
+    // (U+00A0, U+3000 — common in CJK web text) deliberately SURVIVES
+    // into grams on both sides: it is signal for language
+    // identification, unlike the WhitespaceTokens tier where it would
+    // corrupt token boundaries.
+    val s = regexp_replace(lower(trim(textCol)), "[ \\t\\n\\x0B\\f\\r]+", " ")
     // codegen'd one-codepoint-walk kernel — the declarative
     // transform+substring form is O(len²) per doc (substring seeks
     // from the start per window); bit-identical output, spec-pinned
@@ -91,19 +100,34 @@ object NaiveBayesText {
       n: Int = 3, numBuckets: Int = 256): Model =
     trainFeatures(df, labelCol, charGrams(col(textCol), n), numBuckets)
 
-  private def trainFeatures(df: DataFrame, labelCol: String,
-      features: Column, numBuckets: Int): Model = {
-    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
-    val feat = df
-      .select(col(labelCol).as("__lbl"), explode(features).as("__tok"))
+  /** Per-(label, bucket) feature counts of a labeled corpus — the
+    * sufficient statistics of the classifier, and its PERSISTENCE
+    * format (the bundled language profiles,
+    * [[LangProfiles]], are exactly these rows rendered to a text
+    * resource).
+    */
+  private[graft] def featureCounts(df: DataFrame, labelCol: String,
+      features: Column, numBuckets: Int): DataFrame =
+    df.select(col(labelCol).as("__lbl"), explode(features).as("__tok"))
       .select(col("__lbl"), bucket(col("__tok"), numBuckets).as("__f"))
-    val counts = feat.groupBy("__lbl", "__f").agg(count(lit(1)).as("__n"))
+      .groupBy("__lbl", "__f").agg(count(lit(1)).as("__n"))
+
+  /** Build a [[Model]] from sufficient statistics — `counts` =
+    * `(__lbl, __f, __n)` per-(class, bucket) feature counts,
+    * `docCounts` = `(__lbl, __D)` per-class document counts. Training
+    * derives the statistics from a labeled corpus and routes through
+    * here; a STORED profile (the bundled language tier) loads its
+    * rows and routes through the same arithmetic — so pretrained ==
+    * retrained over the same text, bit for bit (LangProfilesSpec pins
+    * it).
+    */
+  def fromCounts(counts: DataFrame, docCounts: DataFrame,
+      numBuckets: Int): Model = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     val totals = counts.groupBy("__lbl").agg(sum("__n").as("__tc"))
     // class universe from the DOCS (a class whose docs are all empty
     // still gets a prior and a default weight), token totals joined in
-    val docCounts = df.groupBy(col(labelCol).as("__lbl"))
-      .agg(count(lit(1)).as("__D"))
-    val totalDocs = df.agg(count(lit(1)).as("__Dt"))
+    val totalDocs = docCounts.agg(sum("__D").as("__Dt"))
     val classes = docCounts
       .join(totals, Seq("__lbl"), "left")
       .withColumn("__tc", coalesce(col("__tc"), lit(0L)))
@@ -118,6 +142,15 @@ object NaiveBayesText {
         lnE4((col("__n") + 1).cast("double") /
           (col("__tc") + numBuckets).cast("double")).as("w_e4"))
     Model(weights, classes, numBuckets)
+  }
+
+  private def trainFeatures(df: DataFrame, labelCol: String,
+      features: Column, numBuckets: Int): Model = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val docCounts = df.groupBy(col(labelCol).as("__lbl"))
+      .agg(count(lit(1)).as("__D"))
+    fromCounts(featureCounts(df, labelCol, features, numBuckets),
+      docCounts, numBuckets)
   }
 
   /** Per-document argmax classification: (idCol, pred, score_e4) —

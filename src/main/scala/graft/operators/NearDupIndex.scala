@@ -46,9 +46,13 @@ import graft.vintage.VintageTable
   * MERGE maintenance (the q126 cadence — update matched `(id, band)`
   * rows, insert new ones) appends files that are NOT range-clustered;
   * they have wide min/max and are touched by every probe until
-  * `OPTIMIZE` / [[VintageTable.compact]] restores clustering. The
-  * bloom still applies to them. Run compaction on the index at the
-  * same cadence you compact the corpus.
+  * re-clustering. Plain `OPTIMIZE`/compaction bin-packs WITHOUT
+  * sorting — it cannot narrow the ranges; the restore operation is
+  * `table.cluster(numFiles, "bucket")` (SQL: `OPTIMIZE t ZORDER BY
+  * (bucket)` — single-column z-order IS a range sort), run on the
+  * index at the same cadence you compact the corpus
+  * (IndexedNearDupSpec pins the widen-then-restore cycle). The
+  * per-file bloom still applies to unclustered files meanwhile.
   */
 object NearDupIndex {
 
@@ -121,6 +125,28 @@ object NearDupIndex {
       indexVersion: Option[Long] = None,
       maxProbeKeys: Int = DefaultMaxProbeKeys): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the NATIVE scan, not `toDF`: only the connector path routes
+    // pushed filters through SnapshotPruning/FileSkipping, which is
+    // where the probe-set file pruning actually happens
+    val spark = newDocs.sparkSession
+    val reader = spark.read.format("vintage")
+    val idx0 = indexVersion
+      .map(v => reader.option("versionAsOf", v.toString))
+      .getOrElse(reader)
+      .load(sigTable.path)
+    // path decision BEFORE any persist: the corpus-scale branch must
+    // never pin a batch-sized signature cache or materialize the
+    // exploded band frame (the r18 50M soak's first run OOM'd on
+    // exactly that — ScaleSoak's proven legs hold NO corpus-sized
+    // persists). `bands × docs` bounds the probe-key count from one
+    // cheap count job, no signature work.
+    val nDocs = newDocs.count()
+    if (bands.toLong * nDocs > maxProbeKeys.toLong)
+      // full-scan join, disk-spilled signatures, band frame streamed
+      return Dedup.nearDupAgainstIndex(newDocs, idCol, textCol,
+        idx0, indexIdCol, storedDocs, storedTextCol,
+        shingleSize, numHashes, bands, threshold, maxBucketSize,
+        materialize = true, signatureStorage = StorageLevel.DISK_ONLY)
     val r = numHashes / bands
     val nSh = Dedup.signatures(newDocs, idCol, textCol, shingleSize,
       numHashes).persist(StorageLevel.MEMORY_AND_DISK)
@@ -128,23 +154,11 @@ object NearDupIndex {
       val nB = Dedup.materializeSmall(
         Dedup.bandedBuckets(nSh, bands, r, minSize = 1, maxBucketSize))
       val keys = nB.select(col("__bucket")).distinct()
-        .limit(maxProbeKeys + 1)
         .collect().map(_.getLong(0))
-      // the NATIVE scan, not `toDF`: only the connector path routes
-      // pushed filters through SnapshotPruning/FileSkipping, which is
-      // where the probe-set file pruning actually happens
-      val spark = newDocs.sparkSession
-      val reader = spark.read.format("vintage")
-      val idx0 = indexVersion
-        .map(v => reader.option("versionAsOf", v.toString))
-        .getOrElse(reader)
-        .load(sigTable.path)
       val idx =
         if (keys.isEmpty) idx0.limit(0) // empty batch: schema-only
-        else if (keys.length <= maxProbeKeys)
-          idx0.filter(col("bucket").isin(keys.map(java.lang.Long.valueOf)
-            .toIndexedSeq: _*))
-        else idx0 // corpus-scale batch: the full scan is the honest plan
+        else idx0.filter(col("bucket").isin(keys.map(java.lang.Long.valueOf)
+          .toIndexedSeq: _*))
       Dedup.materializeSmall(
         Dedup.verifyAgainstIndex(nSh, nB, idx, indexIdCol, storedDocs,
           storedTextCol, shingleSize, threshold, maxBucketSize,

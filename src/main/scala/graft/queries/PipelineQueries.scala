@@ -3312,7 +3312,7 @@ object PipelineQueries {
       |  FROM documents),
       |norm AS (
       |  SELECT doc_id, actual, trn,
-      |    regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS s
+      |    regexp_replace(lower(trim(t)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS s
       |  FROM corpus),
       |grams AS (
       |  SELECT doc_id, actual, trn,
@@ -3464,7 +3464,7 @@ object PipelineQueries {
       |  FROM documents),
       |norm AS (
       |  SELECT doc_id, actual, trn,
-      |    regexp_replace(lower(trim(t)), '\s+', ' ', 'g') AS s
+      |    regexp_replace(lower(trim(t)), '[ \t\n\x0B\f\r]+', ' ', 'g') AS s
       |  FROM corpus),
       |grams AS (
       |  SELECT doc_id, actual, trn,
@@ -3572,11 +3572,20 @@ object PipelineQueries {
     // one AvailableNow drain: discover-what's-new → parse → extract →
     // exactly-once append (txn watermark dedups a replayed batch)
     def drainOnce(): Unit = {
+      // the streamed path honors declared charsets like the batch
+      // path (r18; this fixture declares none → UTF-8, so the decode
+      // equals the former cast and the gate hash is unchanged)
+      val charset = regexp_extract(col("content_type"),
+        "(?i)charset=\"?([a-zA-Z0-9_\\-]+)", 1)
+      val decoded = org.apache.spark.sql.graftshim.ColumnExpr.column(
+        graft.functions.DecodeCharset(
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(col("bytes")),
+          org.apache.spark.sql.graftshim.ColumnExpr.expr(
+            when(charset === "", lit("UTF-8")).otherwise(charset))))
       val parsed = WarcSource
         .readWarcStream(spark, root + "/seg*", maxFilesPerTrigger = 2)
         .filter(col("warc_type") === "response")
-        .select(col("url"),
-          Html.extractText(col("bytes").cast("string")).as("text_doc"))
+        .select(col("url"), Html.extractText(decoded).as("text_doc"))
         .select(col("url"),
           regexp_extract(col("url"), "https://([^/]+)/", 1).as("domain"),
           length(col("text_doc")).cast("long").as("n_chars"))
@@ -5029,4 +5038,436 @@ object PipelineQueries {
       |  CAST(length(text_wet) AS BIGINT) AS n_chars,
       |  text_wet
       |FROM x ORDER BY doc_id""".stripMargin
+
+  /** The STANDING near-dup crawl refresh
+    * ([[graft.streaming.CrawlRefresh]], r18): q126's tiers — exact →
+    * indexed-near → corpus MERGE + signature maintenance — run PER
+    * MICRO-BATCH over the streaming WARC source, two AvailableNow
+    * drains through one checkpoint — one micro-batch per drain: the
+    * documents fixture carries PLANTED same-parity near-dup pairs,
+    * and with a within-drain file split their drop/keep outcome would
+    * depend on which micro-batch each file landed in (the composition
+    * supports that operationally; a hash gate needs the deterministic
+    * batch-vs-stored semantics — the multi-batch cadence is spec'd in
+    * CrawlRefreshSpec instead). Drain 1 bootstraps corpus + clustered
+    * index from segment 1;
+    * segment 2 lands between drains carrying new docs, exact
+    * re-crawls (dropped), near-dups of DRAIN-1 content under fresh
+    * urls (dropped via the STORED index), and same-url updates.
+    * Charsets flow the batch path's rules: pages with `charset=
+    * windows-1252` carry 0x80-0x9F bytes (' “w€”') that a blind UTF-8
+    * cast would mangle — [[graft.streaming.CrawlRefresh.docsOf]]
+    * routes the streamed bytes through the codegen'd `DecodeCharset`,
+    * and the oracle pins the decoded text into `sum_chars`. The
+    * exactly-once story is the MERGE transaction watermark
+    * (`withTxn`) plus corpus-state-derived index maintenance; the
+    * oracle replays the final corpus relationally (q126's all-pairs
+    * Jaccard idiom) — a double-merged batch, a missed drop, an
+    * un-decoded cp1252 page, or a broken bands×corpus invariant each
+    * breaks the hash.
+    */
+  def q130CrawlRefreshStream(spark: SparkSession, d: String): DataFrame = {
+    import graft.sources.WarcSource
+    import graft.vintage.VintageTable
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .filter(col("doc_id") < 300).select(col("doc_id"), col("text"))
+    val did = col("doc_id")
+    val host = when(did % 3 === 0, lit("refresh-a.example.com"))
+      .when(did % 3 === 1, lit("refresh-b.example.org"))
+      .otherwise(lit("refresh-c.example.net"))
+    def esc(t: Column) = Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(t) { case (acc, (k, v)) =>
+        org.apache.spark.sql.functions.replace(acc, lit(k), lit(v)) }
+    // cp1252 branch: one even family (stored at drain 1, updated at
+    // drain 2) and one odd family (inserted at drain 2) — the suffix
+    // bytes live in 0x80-0x9F, exactly where cp1252 diverges from
+    // latin-1 (the q121 divergence-visibility rule)
+    val isCp = did % 10 === 2 || did % 10 === 7
+    def recs(df: DataFrame, urlKey: Column, txt: Column)
+        : org.apache.spark.sql.Dataset[WarcSource.WarcDoc] =
+      df.select(
+        concat(lit("https://"), host, lit("/doc/"), urlKey.cast("string"))
+          .as("url"),
+        when(isCp, lit("text/html; charset=windows-1252"))
+          .otherwise(lit("text/html")).as("content_type"),
+        concat(
+          encode(concat(lit("<html><body><p>"), esc(txt)), "UTF-8"),
+          when(isCp, unhex(lit("2093778094"))).otherwise(unhex(lit(""))),
+          encode(lit("</p></body></html>"), "UTF-8")).as("bytes"))
+        .as[WarcSource.WarcDoc].repartition(4)
+    val root = fixtureDir("q130-crawl", d)
+    val tableRoot = fixtureDir("q130-table", d)
+    val sigRoot = fixtureDir("q130-sig", d)
+    val cp = fixtureDir("q130-cp", d)
+    Seq(root, tableRoot, sigRoot, cp)
+      .foreach(p => deleteTree(new java.io.File(p)))
+    val tablePath = tableRoot + "/t"
+    val sigPath = sigRoot + "/t"
+    def drainOnce(): Unit = {
+      val q = graft.streaming.CrawlRefresh.start(spark, root + "/seg*",
+        tablePath, sigPath, cp, txnAppId = "q130")
+      q.awaitTermination()
+    }
+    WarcSource.writeWarc(recs(docs.filter(did % 2 === 0), did, col("text")),
+      root + "/seg1")
+    drainOnce()
+    val truncated = expr("substring(text, 1, greatest(length(text) - 6, 1))")
+    // seg2: new odds; exact re-crawls (minus the update family, so no
+    // url appears twice in the segment and the state is deterministic
+    // under any micro-batch split); near-dups of drain-1 content under
+    // fresh urls; same-url updates
+    val s2 = recs(docs.filter(did % 2 === 1), did, col("text"))
+      .unionByName(recs(docs.filter(did % 4 === 0 && did % 20 =!= 12),
+        did, col("text")))
+      .unionByName(recs(docs.filter(did % 20 === 6), did + 500000, truncated))
+      .unionByName(recs(docs.filter(did % 20 === 12), did,
+        concat(col("text"), lit(" refreshed content"))))
+    WarcSource.writeWarc(s2, root + "/seg2")
+    drainOnce()
+    val t = VintageTable.forPath(spark, tablePath)
+    val sigT = VintageTable.forPath(spark, sigPath)
+    val fin = t.toDF.groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"))
+    val sigRows = sigT.toDF
+      .join(t.toDF.select("url", "domain"), Seq("url"))
+      .groupBy("domain").agg(count(lit(1)).as("sig_rows"))
+    fin.join(sigRows, Seq("domain"), "left")
+      .select(col("domain"), col("n_docs"), col("sum_chars"),
+        coalesce(col("sig_rows"), lit(0L)).as("sig_rows"))
+      .orderBy("domain")
+  }
+
+  /** Relational replay of the final corpus across both drains: the
+    * cp1252 suffix decoded (' “w€”' — 0x93/0x80/0x94 through
+    * windows-1252), the exact tier (re-crawls vanish), the all-pairs
+    * shingle-Jaccard near tier for fresh-url docs against the drain-1
+    * snapshot, the update family's final text, and the bands×corpus
+    * index invariant.
+    */
+  val q130Sql: String =
+    """WITH ev AS (
+      |  SELECT doc_id, text,
+      |    CASE doc_id % 3 WHEN 0 THEN 'refresh-a.example.com'
+      |      WHEN 1 THEN 'refresh-b.example.org'
+      |      ELSE 'refresh-c.example.net' END AS domain
+      |  FROM documents WHERE doc_id < 300),
+      |t1 AS (
+      |  SELECT doc_id, domain,
+      |    text || CASE WHEN doc_id % 10 IN (2, 7) THEN ' “w€”'
+      |                 ELSE '' END AS text
+      |  FROM ev),
+      |s1 AS (
+      |  SELECT 'https://' || domain || '/doc/' || CAST(doc_id AS VARCHAR)
+      |      AS url, domain, text, doc_id
+      |  FROM t1 WHERE doc_id % 2 = 0),
+      |newu AS (
+      |  SELECT 'https://' || domain || '/doc/' || CAST(doc_id AS VARCHAR)
+      |      AS url, domain, text
+      |  FROM t1 WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT 'https://' || domain || '/doc/' ||
+      |      CAST(doc_id + 500000 AS VARCHAR), domain,
+      |    substring(text, 1, greatest(length(text) - 6, 1))
+      |  FROM ev WHERE doc_id % 20 = 6),
+      |shn AS (SELECT DISTINCT url, substring(text, i, 5) AS s
+      |        FROM (SELECT url, text,
+      |                unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      |              FROM newu)),
+      |shs AS (SELECT DISTINCT url, substring(text, i, 5) AS s
+      |        FROM (SELECT url, text,
+      |                unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      |              FROM s1)),
+      |cn AS (SELECT url, count(*) AS c FROM shn GROUP BY 1),
+      |cs AS (SELECT url, count(*) AS c FROM shs GROUP BY 1),
+      |inter AS (SELECT a.url AS nu, b.url AS su, count(*) AS i
+      |          FROM shn a JOIN shs b ON a.s = b.s GROUP BY 1, 2),
+      |neardrop AS (
+      |  SELECT DISTINCT nu AS url FROM inter
+      |  JOIN cn ON cn.url = inter.nu
+      |  JOIN cs ON cs.url = inter.su
+      |  WHERE inter.i * 1.0 / (cn.c + cs.c - inter.i) >= 0.8),
+      |ins AS (
+      |  SELECT u.url, u.domain, u.text FROM newu u
+      |  WHERE NOT EXISTS (SELECT 1 FROM neardrop n WHERE n.url = u.url)),
+      |upd AS (
+      |  SELECT 'https://' || domain || '/doc/' || CAST(doc_id AS VARCHAR)
+      |      AS url,
+      |    text || ' refreshed content' ||
+      |      CASE WHEN doc_id % 10 IN (2, 7) THEN ' “w€”' ELSE '' END
+      |      AS text
+      |  FROM ev WHERE doc_id % 20 = 12),
+      |fin AS (
+      |  SELECT s1.url, s1.domain, coalesce(upd.text, s1.text) AS text
+      |  FROM s1 LEFT JOIN upd ON upd.url = s1.url
+      |  UNION ALL
+      |  SELECT url, domain, text FROM ins)
+      |SELECT domain,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(count(*) * 16 AS BIGINT) AS sig_rows
+      |FROM fin GROUP BY domain ORDER BY domain""".stripMargin
+
+  /** INCREMENTAL near-dup group maintenance
+    * ([[graft.operators.Components.incrementalComponents]], r18): the
+    * refresh story's missing fold — snapshot 1 mines near-dup pairs
+    * (q33's planted-truncation fixture) and stores the transitive
+    * group labeling as a vintage table; the refresh batch brings
+    * fresh truncations of stored content plus genuinely new docs, its
+    * near-hits against the STORED corpus become NEW EDGES, and the
+    * stored labeling absorbs them incrementally — O(new edges)
+    * contracted-graph components + a broadcast relabel, then a MERGE
+    * of ONLY the changed/new rows (ComponentsSpec pins incremental ==
+    * from-scratch; this gate pins the composed two-snapshot story
+    * against a relational replay of components over the union edge
+    * set, with the edge universe restricted exactly as the engine
+    * restricts it: within-snapshot-1 pairs plus cross refresh×stored
+    * pairs, never new×new).
+    */
+  def q132IncrementalGroupRefresh(spark: SparkSession, d: String): DataFrame = {
+    import graft.vintage.VintageTable
+    val docs = Tables.documents(spark, d)
+    val did = col("doc_id")
+    def trunc(n: Int) =
+      expr(s"substring(text, 1, greatest(length(text) - $n, 1))")
+    val s1 = docs.filter(did < 40).select(did.as("doc_id"), col("text"))
+      .unionByName(docs.filter(did < 20)
+        .select((did + 100000).as("doc_id"), trunc(6).as("text")))
+      .unionByName(docs.filter(did < 10)
+        .select((did + 200000).as("doc_id"), trunc(12).as("text")))
+    val pairs1 = Dedup.nearDupPairs(s1, "doc_id", "text", threshold = 0.8)
+    val labels1 = graft.operators.Components
+      .connectedComponents(pairs1, "id_a", "id_b")
+    val root = fixtureDir("q132-groups", d)
+    deleteTree(new java.io.File(root))
+    val t = VintageTable.create(spark, root + "/t", labels1)      // v0
+    // refresh: deeper truncations of stored families + new content
+    val newDocs = docs.filter(did < 12)
+      .select((did + 300000).as("doc_id"), trunc(18).as("text"))
+      .unionByName(docs.filter(did >= 40 && did < 50)
+        .select((did + 400000).as("doc_id"), col("text")))
+    val newEdges = Dedup.nearDupAgainst(newDocs, s1, "doc_id", "text",
+      threshold = 0.8)
+    val labels2 = graft.operators.Components
+      .incrementalComponents(t.toDF, newEdges, "corpus_id", "ref_id")
+    // fold ONLY the delta into the stored table — at scale the MERGE
+    // touches the files carrying changed groups, not the labeling
+    val changed = labels2.join(t.toDF, Seq("id", "component"), "left_anti")
+    t.as("t").merge(changed.as("s"), "t.id = s.id")
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()                                                  // v1
+    t.toDF
+      .select(col("id").as("doc_id"), col("component").as("group_id"))
+      .orderBy("doc_id")
+  }
+
+  /** q33's recursive-components replay over the UNION edge set, with
+    * the engine's edge universe: snapshot-1 internal pairs plus
+    * refresh-cross pairs only.
+    */
+  val q132Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         substring(text, 1, greatest(length(text) - 6, 1)) AS text
+      |  FROM documents WHERE doc_id < 20
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |         substring(text, 1, greatest(length(text) - 12, 1)) AS text
+      |  FROM documents WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id,
+      |         substring(text, 1, greatest(length(text) - 18, 1)) AS text
+      |  FROM documents WHERE doc_id < 12
+      |  UNION ALL
+      |  SELECT doc_id + 400000 AS doc_id, text
+      |  FROM documents WHERE doc_id >= 40 AND doc_id < 50
+      |),
+      |sh AS (SELECT DISTINCT doc_id, substring(text, i, 5) AS s
+      |       FROM (SELECT doc_id, text,
+      |               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      |             FROM d)),
+      |card AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN card ca ON ca.doc_id = id_a
+      |  JOIN card cb ON cb.doc_id = id_b
+      |  WHERE i * 1.0 / (ca.c + cb.c - i) >= 0.8
+      |    -- the engine's edge universe: snapshot-1 internal pairs
+      |    -- (both ids < 300000) or cross pairs (exactly one id from
+      |    -- the refresh batch); the refresh never pairs its own docs
+      |    AND NOT (id_a >= 300000 AND id_b >= 300000)
+      |    -- and the +400000 tier is genuinely new content: it can
+      |    -- only appear through a cross pair, which the text
+      |    -- construction never produces
+      |),
+      |edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs
+      |),
+      |reach(id, r) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, t.r FROM edges e JOIN reach t ON t.id = e.v
+      |)
+      |SELECT id AS doc_id, min(r) AS group_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Language ID via the BUNDLED profiles
+    * ([[graft.operators.LangProfiles]], r18): no training pass —
+    * the model loads from the shipped char-trigram counts (UDHR
+    * Article 1 samples, provenance in the resource header) and
+    * classifies text across 9 scripts / 23 languages out of the box.
+    * Test docs are word-rotations of the per-language samples keyed
+    * by doc_id (held-out-ish: gram statistics survive rotation, exact
+    * gram sequences do not), plus empty docs every 29th — the
+    * AMBIGUOUS case whose top-2 margin (a few hundred e4, vs >200k
+    * for every real rotation — LangProfilesSpec pins the gap) falls
+    * under the routing threshold and hands the prediction to the
+    * heuristic stopword tier (`'und'` on empty text). The oracle
+    * rebuilds the model RELATIONALLY from the same sample literals
+    * (q127's training-replay idiom), so a drifted profile file, a
+    * broken loader, a changed margin, or a mis-routed tier each
+    * breaks the hash.
+    */
+  def q131BundledLangId(spark: SparkSession, d: String): DataFrame = {
+    import graft.operators.{LangProfiles, NaiveBayesText, TextAnalysis}
+    val samples = LangProfiles.samples
+    val L = samples.size
+    val did = col("doc_id")
+    val langArr = typedLit(samples.map(_._1))
+    val base = Tables.documents(spark, d).filter(did < 230).select(did)
+      .withColumn("lang_expected",
+        element_at(langArr, (did % L).cast("int") + 1))
+      .join(LangProfiles.samplesDF(spark)
+        .withColumnRenamed("label", "lang_expected"), Seq("lang_expected"))
+    val w = split(col("text"), " ")
+    val kk = pmod((did % 7).cast("int"), greatest(size(w), lit(1)))
+    val rotated = array_join(
+      concat(slice(w, kk + 1, size(w) - kk), slice(w, lit(1), kk)), " ")
+    val docs = base.select(did, col("lang_expected"),
+      when(did % 29 === 0, lit("")).otherwise(rotated).as("t"))
+    val m = LangProfiles.bundledModel(spark)
+    NaiveBayesText.classifyCharGramsWithMargin(docs, "doc_id", "t", m)
+      .join(docs, "doc_id")
+      .select(did, col("lang_expected"), col("pred").as("pred_nb"),
+        col("margin_e4"),
+        when(col("margin_e4") >= 1500, lit("nb"))
+          .otherwise(lit("heuristic")).as("tier"),
+        when(col("margin_e4") >= 1500, col("pred"))
+          .otherwise(TextAnalysis.langId(col("t"))).as("pred_final"),
+        (col("pred") === col("lang_expected")).cast("long").as("is_correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the sample passages as literals, model trained
+    * relationally from them (q127's idiom), identical doc
+    * construction (rotation + empty-ambiguous), identical integer
+    * scoring/margins, and the margin-threshold routing — routed docs
+    * are exactly the empty ones, whose heuristic tier answers 'und'
+    * (LangProfilesSpec pins that every real rotation clears the
+    * threshold by two orders of magnitude, so the routing replay is
+    * closed-form).
+    */
+  val q131Sql: String = {
+    val values = graft.operators.LangProfiles.samples
+      .map { case (l, t) => s"('$l', '${t.replace("'", "''")}')" }
+      .mkString(",\n      |    ")
+    val L = graft.operators.LangProfiles.samples.size
+    s"""WITH samples(label, st) AS (VALUES
+      |    $values),
+      |langs AS (
+      |  SELECT label, st,
+      |    row_number() OVER (ORDER BY label) - 1 AS idx
+      |  FROM samples),
+      |base AS (
+      |  SELECT d.doc_id, l.label AS lang_expected, l.st
+      |  FROM documents d JOIN langs l ON l.idx = d.doc_id % $L
+      |  WHERE d.doc_id < 230),
+      |docs AS (
+      |  SELECT doc_id, lang_expected,
+      |    CASE WHEN doc_id % 29 = 0 THEN ''
+      |      ELSE array_to_string(list_concat(
+      |        list_slice(w, kk + 1, len(w)), list_slice(w, 1, kk)), ' ')
+      |    END AS t
+      |  FROM (SELECT doc_id, lang_expected,
+      |          string_split(st, ' ') AS w,
+      |          CAST(doc_id % 7 AS INT) %
+      |            greatest(len(string_split(st, ' ')), 1) AS kk
+      |        FROM base)),
+      |norm AS (
+      |  SELECT label AS lbl,
+      |    regexp_replace(lower(trim(st)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS s
+      |  FROM samples),
+      |tg AS (
+      |  SELECT lbl,
+      |    CAST(('0x' || substr(md5(substring(s, i, 3)), 1, 6)) AS BIGINT)
+      |      % 256 AS f
+      |  FROM (SELECT lbl, s,
+      |          unnest(generate_series(1, greatest(length(s) - 2, 1))) AS i
+      |        FROM norm)),
+      |counts AS (SELECT lbl, f, count(*)::BIGINT AS n FROM tg GROUP BY 1, 2),
+      |totals AS (SELECT lbl, CAST(sum(n) AS BIGINT) AS N
+      |           FROM counts GROUP BY 1),
+      |classes AS (
+      |  SELECT l.label AS lbl, coalesce(totals.N, 0) AS N,
+      |    CAST(round(ln(1.0 / $L) * 10000) AS BIGINT) AS prior_e4,
+      |    CAST(round(ln(1.0 / CAST(coalesce(totals.N, 0) + 256 AS DOUBLE))
+      |               * 10000) AS BIGINT) AS default_e4
+      |  FROM langs l LEFT JOIN totals ON l.label = totals.lbl),
+      |weights AS (
+      |  SELECT counts.lbl, counts.f,
+      |    CAST(round(ln(CAST(counts.n + 1 AS DOUBLE)
+      |                  / CAST(totals.N + 256 AS DOUBLE))
+      |               * 10000) AS BIGINT) AS w_e4
+      |  FROM counts JOIN totals USING (lbl)),
+      |dn AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(trim(t)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS s
+      |  FROM docs),
+      |dg AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(substring(s, i, 3)), 1, 6)) AS BIGINT)
+      |      % 256 AS f
+      |  FROM (SELECT doc_id, s,
+      |          unnest(generate_series(1, greatest(length(s) - 2, 1))) AS i
+      |        FROM dn)),
+      |db AS (SELECT doc_id, f, count(*)::BIGINT AS c FROM dg GROUP BY 1, 2),
+      |ps AS (
+      |  SELECT db.doc_id, cl.lbl,
+      |    CAST(sum(db.c * coalesce(w.w_e4, cl.default_e4)) AS BIGINT) AS s
+      |  FROM db CROSS JOIN classes cl
+      |    LEFT JOIN weights w ON w.lbl = cl.lbl AND w.f = db.f
+      |  GROUP BY 1, 2),
+      |fs AS (
+      |  SELECT d.doc_id, cl.lbl,
+      |    coalesce(p.s, 0) + cl.prior_e4 AS score_e4
+      |  FROM docs d CROSS JOIN classes cl
+      |    LEFT JOIN ps p ON p.doc_id = d.doc_id AND p.lbl = cl.lbl),
+      |rk AS (
+      |  SELECT doc_id, lbl, score_e4,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score_e4 DESC, lbl ASC) AS r,
+      |    lead(score_e4) OVER (PARTITION BY doc_id
+      |                         ORDER BY score_e4 DESC, lbl ASC) AS second
+      |  FROM fs)
+      |SELECT rk.doc_id, d.lang_expected, rk.lbl AS pred_nb,
+      |  CAST(rk.score_e4 - coalesce(rk.second, rk.score_e4) AS BIGINT)
+      |    AS margin_e4,
+      |  CASE WHEN rk.score_e4 - coalesce(rk.second, rk.score_e4) >= 1500
+      |       THEN 'nb' ELSE 'heuristic' END AS tier,
+      |  CASE WHEN rk.score_e4 - coalesce(rk.second, rk.score_e4) >= 1500
+      |       THEN rk.lbl ELSE 'und' END AS pred_final,
+      |  CAST(CASE WHEN rk.lbl = d.lang_expected THEN 1 ELSE 0 END AS BIGINT)
+      |    AS is_correct
+      |FROM rk JOIN docs d USING (doc_id)
+      |WHERE rk.r = 1
+      |ORDER BY doc_id""".stripMargin
+  }
 }

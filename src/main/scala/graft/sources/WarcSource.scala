@@ -348,9 +348,47 @@ object WarcSource {
     * processes ONLY files the checkpoint has not seen — pair with
     * [[graft.streaming.VintageStreaming.appendSink]]'s transaction
     * watermark for an end-to-end exactly-once standing refresh (q129).
+    *
+    * LISTING LIFECYCLE — the operational cost model of Spark's file
+    * stream source, which this reader inherits: every trigger LISTS
+    * the watched glob, and the seen-files map in the checkpoint grows
+    * with every file ever processed — both are O(all-files-ever), not
+    * O(new). A crawl directory accumulating millions of segments
+    * makes each trigger's listing (and the checkpoint compact files)
+    * the bottleneck long before parsing does. Deployments bound it
+    * with the source's own lifecycle `options`, forwarded verbatim:
+    *  - `cleanSource=archive` + `sourceArchiveDir=...` (or
+    *    `cleanSource=delete`): processed files are moved out of the
+    *    watched tree a few triggers after commit, so the LISTING
+    *    stays O(unprocessed). The archive dir must be outside the
+    *    watched glob's depth or the source refuses it.
+    *  - `maxFileAge=7d`: files older than the age (relative to the
+    *    newest file) are ignored AND aged out of the seen-map, so the
+    *    CHECKPOINT stays bounded on a rolling-window crawl dir. (The
+    *    default is already 7d; it only disables when
+    *    `latestFirst=true` with a trigger cap.)
+    *  - date-bucketed segment dirs with a moving glob bound the
+    *    listing without either option, at the cost of re-pointing the
+    *    query per window (new glob = new source = fresh seen-map).
+    * WarcStreamSpec exercises the archive path end to end.
+    *
+    * `requireComplete` is the streaming sibling of [[readWarc]]'s
+    * gate, with per-TASK enforcement (streaming discovery has no
+    * batch-front-door to check at): each task verifies its files'
+    * container directories carry [[SuccessMarker]] BEFORE parsing —
+    * one metadata call per distinct directory per task — and fails
+    * the micro-batch loudly otherwise. A drain racing a mid-write
+    * segment therefore ERRORS instead of silently ingesting the part
+    * files committed so far; the failed batch was never committed, so
+    * re-draining after the writer's job-level commit processes the
+    * complete segment (offsets are replayed from the checkpoint).
+    * Sequence drains after writer commits to avoid the error path
+    * entirely.
     */
   def readWarcStream(spark: SparkSession, path: String,
-      maxFilesPerTrigger: Int = 0): DataFrame = {
+      maxFilesPerTrigger: Int = 0,
+      requireComplete: Boolean = false,
+      options: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     // binaryFile's FIXED schema, stated explicitly (streaming file
     // sources refuse inference); only `path` is ever selected — the
@@ -368,13 +406,42 @@ object WarcSource {
           org.apache.spark.sql.types.BinaryType))))
     if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-    reader.load(path)
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val paths = reader.load(path)
       .select("path").as[String]
       .filter(!element_at(split(col("path"), "/"), -1).startsWith("_") &&
         !element_at(split(col("path"), "/"), -1).startsWith(".") &&
         !col("path").contains("/_temporary/"))
-      .mapPartitions(openAndParse)
-      .toDF()
+    val parse: Iterator[String] => Iterator[WarcRecord] =
+      if (requireComplete) openAndParseComplete else openAndParse
+    paths.mapPartitions(parse).toDF()
+  }
+
+  /** [[openAndParse]] behind the per-task completeness gate: every
+    * distinct container directory in the partition must carry
+    * [[SuccessMarker]] before any of its files is parsed. The
+    * verified-dir cache is per task, so the cost is one `exists` per
+    * directory per task — metadata-bounded, like the batch reader's
+    * front-door check.
+    */
+  private def openAndParseComplete(it: Iterator[String])
+      : Iterator[WarcRecord] = {
+    val conf = new Configuration()
+    val verified = scala.collection.mutable.HashSet[String]()
+    openAndParse(it.map { p =>
+      val dir = p.substring(0, p.lastIndexOf('/'))
+      if (verified.add(dir)) {
+        val fs = FileSystem.get(new URI(dir), conf)
+        if (!fs.exists(new Path(dir, SuccessMarker)))
+          throw new java.io.IOException(
+            s"incomplete WARC directory (no $SuccessMarker): $dir — " +
+              "the write job has not committed; failing this drain " +
+              "rather than silently under-reading a partial segment " +
+              "(re-drain after the writer commits: the batch was not " +
+              "committed, so its files replay)")
+      }
+      p
+    })
   }
 
   /** Per-task open+parse over a partition of container paths — shared

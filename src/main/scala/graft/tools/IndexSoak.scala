@@ -98,6 +98,9 @@ object IndexSoak {
     val idxFiles = snap.files.size
     val (idxRows, secCount) = timed { t.toDF.count() }
     require(idxRows == 16L * n, s"index rows $idxRows != ${16L * n}")
+    // per-leg progress: a failed later leg must still leave evidence
+    // of what passed (run 1 died in leg 3 and left nothing)
+    println(s"INDEXSOAK_LEG build rows=$idxRows files=$idxFiles sec=${r1s(secBuild)}")
 
     // the stored corpus frame the verification tier reads text from
     val stored = ScaleSoak.corpus(spark, n)
@@ -125,6 +128,8 @@ object IndexSoak {
         t, "id", stored, "text").count()
     }
     require(smallHits == 30L, s"small refresh hits $smallHits != 30")
+    println(s"INDEXSOAK_LEG small keys=${smallKeys.length} touched=$touched " +
+      s"hits=$smallHits sec=${r1s(secSmall)}")
 
     // ---- leg 3: big-batch refresh (fallback full-scan join) ---------
     val bigN = math.max(10000L, n / 50L)
@@ -142,6 +147,7 @@ object IndexSoak {
     }
     require(bigHits == bigN * 9L / 10L,
       s"big refresh hits $bigHits != ${bigN * 9L / 10L}")
+    println(s"INDEXSOAK_LEG big batch=$bigN hits=$bigHits sec=${r1s(secBig)}")
 
     val json =
       s"""{"rows":$n,"partitions":$partitions,"index_rows":$idxRows,""" +

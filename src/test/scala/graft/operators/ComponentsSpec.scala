@@ -151,4 +151,75 @@ class ComponentsSpec extends AnyFunSuite {
     assert(labels(5).values.toSet == Set(1L, 10L))
     assert(labels(5).count(_._2 == 1L) == 6)
   }
+
+  // ------------------------------------------- incremental maintenance
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("incrementalComponents == from-scratch across every merge shape") {
+    import spark.implicits._
+    // base: {1,2,3}, {10,11}, {20,21}, singleton-free node 30 via edge (30,31)
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (30L, 31L))
+      .toDF("a", "b")
+    val labels = Components.connectedComponents(base, "a", "b")
+    // new edges exercise: bridge two existing components (3-10), attach
+    // a brand-new node to an existing component (21-40), connect two
+    // brand-new nodes (50-51), an intra-component no-op (1-3), and a
+    // NEW node with a SMALLER id than its component's min (0-20: the
+    // merged component must relabel to 0)
+    val fresh = Seq((3L, 10L), (21L, 40L), (50L, 51L), (1L, 3L), (0L, 20L))
+      .toDF("a", "b")
+    val inc = labelMap(
+      Components.incrementalComponents(labels, fresh, "a", "b"))
+    val scratch = labelMap(
+      Components.connectedComponents(base.unionByName(fresh), "a", "b"))
+    assert(inc == scratch)
+    assert(inc(10L) == 1L, "bridged component takes the global min")
+    assert(inc(40L) == 0L && inc(20L) == 0L && inc(21L) == 0L,
+      "smaller-id newcomer relabels the whole merged component")
+    assert(inc(50L) == 50L && inc(51L) == 50L)
+  }
+
+  test("incrementalComponents: chained batches equal one-shot recompute") {
+    import spark.implicits._
+    // three successive refreshes over a growing graph, each folded
+    // incrementally; the final labeling must equal the from-scratch
+    // answer over the union — the q132 standing-refresh contract
+    val batches = Seq(
+      Seq((5L, 6L), (7L, 8L), (100L, 101L)),
+      Seq((6L, 7L), (102L, 100L)),
+      Seq((8L, 100L), (1L, 200L)))
+    var labels = Components.connectedComponents(
+      batches.head.toDF("a", "b"), "a", "b")
+    for (b <- batches.tail)
+      labels = Components.incrementalComponents(labels, b.toDF("a", "b"),
+        "a", "b")
+    val all = batches.flatten.toDF("a", "b")
+    assert(labelMap(labels) ==
+      labelMap(Components.connectedComponents(all, "a", "b")))
+  }
+
+  test("incrementalComponents leaves untouched components untouched and scans, never shuffles, the stored labeling") {
+    import spark.implicits._
+    val base = (0L until 400L by 2L).map(i => (i, i + 1L)).toDF("a", "b")
+    val labels = Components.connectedComponents(base, "a", "b")
+      .persist()
+    labels.count()
+    val out = Components.incrementalComponents(labels,
+      Seq((1L, 2L)).toDF("a", "b"), "a", "b")
+    val m = labelMap(out)
+    assert(m(0L) == 0L && m(1L) == 0L && m(2L) == 0L && m(3L) == 0L)
+    assert((4L until 400L).filter(_ % 2 == 0).forall(i => m(i) == i),
+      "unrelated pairs must keep their labels")
+    // plan audit: the stored labeling must not be exchanged — every
+    // join against it is broadcast-shaped
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s
+    }
+    assert(exchanges.isEmpty,
+      s"incremental relabel must not shuffle the labeling:\n$plan")
+    labels.unpersist(blocking = false)
+  }
 }

@@ -158,6 +158,53 @@ class IndexedNearDupSpec extends AnyFunSuite {
     assert(hits2.count() == 50L)
   }
 
+  test("merge-appended files widen the probe; cluster(bucket) restores O(keys) pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
+    val c = corpus(500).toDF()
+    val t = NearDupIndex.createIndex(spark, dir + "/sig", c, "id", "text",
+      clusterFiles = 64)
+    val oneDoc = corpus(500).filter(col("id") === 123L).toDF()
+    val keys = Dedup.signatureBuckets(oneDoc, "id", "text")
+      .select("bucket").as[Long].collect().toIndexedSeq
+    def touched(): Int = t.candidateFiles(t.snapshot,
+      col("bucket").isin(keys.map(java.lang.Long.valueOf): _*)).size
+    val before = touched()
+    assert(before <= keys.size)
+    // the q126/q130 maintenance cadence: a refresh batch's signature
+    // rows MERGE in — the insert lands in UNCLUSTERED file(s) whose
+    // bucket range spans the whole domain, so every probe now touches
+    // them too. (The appended batch must be big enough to saturate
+    // the wide files' 1024-bit blooms — a 20-doc append was measured
+    // bloom-invisible to a 16-key probe, which is itself the layout
+    // working as designed.)
+    val extra = corpus(2500).filter(col("id") >= 500).toDF()
+    val sigExtra = Dedup.signatureBuckets(extra, "id", "text")
+    t.as("t").merge(sigExtra.as("s"), "t.id = s.id AND t.band = s.band")
+      .whenMatched().updateAll().whenNotMatched().insertAll()
+      .execute()
+    val widened = touched()
+    assert(widened > before,
+      s"the wide-range merge file must be probed too ($before -> $widened)")
+    // restore: single-column range clustering (the ZORDER BY (bucket)
+    // path); plain bin-pack compaction cannot narrow ranges
+    t.cluster(64, "bucket")
+    val restored = touched()
+    assert(restored <= keys.size,
+      s"after cluster(bucket) the probe must touch <= ${keys.size} files, got $restored")
+    // and the planted near-dup still resolves through the maintained index
+    val batch = Seq((9001L,
+      "document number 123 carries its own entirely distinct narrative payload about topic 974037 with sufficient length for shinglinX "))
+      .toDF("id", "text")
+    // threshold 0.9: at 2500 template docs, id-prefix cousins (1230,
+    // 1233, …) sit just over 0.8 against the probe — real matches of
+    // the template fixture, not index errors; the planted copy is ~1.0
+    val hits = NearDupIndex.refresh(batch, "id", "text", t, "id",
+      corpus(2500).toDF(), "text", threshold = 0.9)
+      .select("new_id", "stored_id")
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((9001L, 123L)))
+  }
+
   test("an empty refresh batch yields an empty, schema-correct result") {
     val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
     val c = corpus(20).toDF()

@@ -95,4 +95,143 @@ class WarcStreamSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     assert(got.asScala.toSeq.sorted == Seq("https://s.com/0", "https://s.com/1"))
   }
+
+  test("cleanSource=archive bounds the watched tree: processed files leave it") {
+    // the listing-lifecycle story: a long-lived crawl dir grows the
+    // per-trigger listing without bound; the archive option moves
+    // committed files OUT of the watched glob, keeping it O(unprocessed)
+    val root = newDir()
+    val cp = newDir()
+    val archive = newDir() // outside the watched glob, as required
+    WarcSource.writeWarc(
+      spark.createDataset(docsFor(0 until 4)).repartition(2), s"$root/seg1")
+    val got = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    def drain(): Unit = {
+      val q = WarcSource.readWarcStream(spark, s"$root/seg*",
+          maxFilesPerTrigger = 1,
+          options = Map(
+            "cleanSource" -> "archive",
+            "sourceArchiveDir" -> archive,
+            // archival runs on the cleanup thread a couple of triggers
+            // behind the commit; force it eager for the assertion
+            "spark.sql.streaming.fileSource.cleaner.numThreads" -> "1"))
+        .select("url")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[String].collect().foreach(u => got.add(u)): Unit
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // second segment + second drain: the cleaner archives files whose
+    // batch is committed while later triggers run
+    WarcSource.writeWarc(
+      spark.createDataset(docsFor(10 until 12)).coalesce(1), s"$root/seg2")
+    drain()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted ==
+      ((0 until 4) ++ (10 until 12)).map(i => s"https://s.com/$i").sorted,
+      "archival must never lose or duplicate records")
+    def warcsUnder(d: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(f: java.io.File): Unit = {
+        val fs = Option(f.listFiles).getOrElse(Array.empty)
+        fs.foreach { c =>
+          if (c.isDirectory) walk(c)
+          else if (c.getName.endsWith(".warc.gz")) out += c.getPath: Unit
+        }
+      }
+      walk(new java.io.File(d)); out.toSeq
+    }
+    val watchedLeft = warcsUnder(root)
+    val archived = warcsUnder(archive)
+    assert(archived.nonEmpty,
+      s"cleaner must have archived processed files; watched=$watchedLeft")
+    assert(watchedLeft.size + archived.size == 3,
+      s"every part file is exactly one of watched/archived: " +
+        s"$watchedLeft / $archived")
+    assert(watchedLeft.size < 3,
+      "the watched tree must be strictly smaller after archival")
+  }
+
+  test("maxFileAge is forwarded: files older than the window age out of discovery") {
+    // the seen-map's age boundary is relative to the NEWEST timestamp
+    // already observed — the first listing of a fresh checkpoint takes
+    // everything (there is no boundary yet), and files landing LATER
+    // with ancient mtimes are ignored. That is the rolling-window
+    // crawl-dir shape the option exists for: the checkpoint stays
+    // bounded because entries (and late stragglers) past the window
+    // are dropped.
+    val root = newDir()
+    val cp = newDir()
+    val got = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    def drain(): Unit = {
+      val q = WarcSource.readWarcStream(spark, s"$root/seg*",
+          options = Map("maxFileAge" -> "1h"))
+        .select("url")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[String].collect().foreach(u => got.add(u)): Unit
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    WarcSource.writeWarc(
+      spark.createDataset(docsFor(5 until 7)).coalesce(1), s"$root/seg2")
+    drain() // establishes the window's upper edge
+    // a straggler segment materializes with mtimes far outside the
+    // window (e.g. restored from cold storage): discovery must skip it
+    WarcSource.writeWarc(
+      spark.createDataset(docsFor(0 until 2)).coalesce(1), s"$root/seg1")
+    new java.io.File(s"$root/seg1").listFiles()
+      .foreach(f => f.setLastModified(1000L): Unit)
+    drain()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted == Seq("https://s.com/5", "https://s.com/6"),
+      s"aged-out seg1 must be ignored, got ${got.asScala.toSeq.sorted}")
+  }
+
+  test("requireComplete fails a drain over an uncommitted segment, loudly; succeeds after commit") {
+    val root = newDir()
+    val cp = newDir()
+    WarcSource.writeWarc(
+      spark.createDataset(docsFor(0 until 2)).coalesce(1), s"$root/seg1")
+    // simulate a mid-write segment: part files present, no _SUCCESS
+    new java.io.File(s"$root/seg1/${WarcSource.SuccessMarker}").delete()
+    val got = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    def drain(): Unit = {
+      val q = WarcSource.readWarcStream(spark, s"$root/seg*",
+          requireComplete = true)
+        .select("url")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.as[String].collect().foreach(u => got.add(u)): Unit
+        }
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("incomplete WARC directory"))),
+      s"expected the loud completeness error, got: $e")
+    // writer commits; the failed batch was never committed, so the
+    // files replay and the drain now succeeds exactly-once
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(
+      s"$root/seg1/${WarcSource.SuccessMarker}"))
+    got.clear()
+    drain()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted == Seq("https://s.com/0", "https://s.com/1"))
+  }
 }
