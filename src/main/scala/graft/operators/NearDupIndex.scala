@@ -165,4 +165,59 @@ object NearDupIndex {
           materialize = true))
     } finally nSh.unpersist(blocking = false)
   }
+
+  /** How "wide" the index's physical layout currently is: the expected
+    * number of FILES whose `[min, max]` bucket range contains a
+    * uniformly-random point key. Computed from log stats only (no data
+    * read): `Σ_file rangeWidth / globalWidth`. A freshly
+    * range-clustered table scores ~1 (disjoint slices that tile the
+    * domain); every wide merge-appended file adds ~1 (its range spans
+    * the domain, so every probe touches it). Files with no `bucket`
+    * stats count as full-width — they genuinely cannot be range-pruned.
+    * BigInt arithmetic: bucket is a 64-bit hash, so widths overflow
+    * Long.
+    */
+  def rangeOverlapFactor(snap: graft.vintage.Snapshot): Double = {
+    // statFiles, not files: under column mapping the stats are keyed by
+    // physical names; statFiles remaps once to logical space
+    val ranges = snap.statFiles.map { f =>
+      f.stats.get("bucket").flatMap(s => for (mn <- s.min; mx <- s.max)
+        yield (BigInt(mn.toLong), BigInt(mx.toLong)))
+    }
+    if (ranges.isEmpty) return 0.0
+    val present = ranges.flatten
+    val full = (BigInt(Long.MaxValue) - BigInt(Long.MinValue),
+      ranges.size - present.size)
+    val globalWidth =
+      if (present.isEmpty) full._1
+      else (present.map(_._2).max - present.map(_._1).min) + 1
+    val covered = present.map { case (mn, mx) => mx - mn + 1 }.sum +
+      full._1 * full._2 // statless files span the whole domain
+    (BigDecimal(covered) / BigDecimal(globalWidth max 1)).toDouble
+  }
+
+  /** Turnkey maintenance for the q126/q130 MERGE cadence: when enough
+    * wide-range merge files have accumulated that a point probe is
+    * expected to touch more than `maxOverlapFactor` files
+    * ([[rangeOverlapFactor]]), restore the range clustering with
+    * `cluster(bucket)` (plain compaction bin-packs without sorting and
+    * cannot narrow ranges — see the class doc). Returns true when a
+    * re-cluster ran. The default threshold 2.0 fires after roughly one
+    * domain-spanning file's worth of appends — each probe key was
+    * reading ~2× the files it needs; below it, the per-file bloom
+    * keeps unclustered files cheap enough to leave alone.
+    *
+    * Run it after the refresh MERGE commits, at whatever cadence you
+    * compact the corpus; the check itself is O(files) driver work on
+    * log stats, so calling it every batch is fine.
+    */
+  def maintain(sigTable: VintageTable, maxOverlapFactor: Double = 2.0,
+      clusterFiles: Int = 0): Boolean = {
+    val snap = sigTable.snapshot
+    if (snap.files.isEmpty || rangeOverlapFactor(snap) <= maxOverlapFactor)
+      return false
+    val n = if (clusterFiles > 0) clusterFiles else snap.files.size
+    sigTable.cluster(n, "bucket")
+    true
+  }
 }

@@ -170,6 +170,12 @@ class IndexedNearDupSpec extends AnyFunSuite {
       col("bucket").isin(keys.map(java.lang.Long.valueOf): _*)).size
     val before = touched()
     assert(before <= keys.size)
+    // a freshly range-clustered index tiles the bucket domain with
+    // disjoint slices: expected files-per-point-probe ~1
+    val freshFactor = NearDupIndex.rangeOverlapFactor(t.snapshot)
+    assert(freshFactor < 1.5, s"fresh clustered index overlap $freshFactor")
+    assert(!NearDupIndex.maintain(t, maxOverlapFactor = 1.5),
+      "maintain must be a no-op on a freshly clustered index")
     // the q126/q130 maintenance cadence: a refresh batch's signature
     // rows MERGE in — the insert lands in UNCLUSTERED file(s) whose
     // bucket range spans the whole domain, so every probe now touches
@@ -185,9 +191,19 @@ class IndexedNearDupSpec extends AnyFunSuite {
     val widened = touched()
     assert(widened > before,
       s"the wide-range merge file must be probed too ($before -> $widened)")
-    // restore: single-column range clustering (the ZORDER BY (bucket)
-    // path); plain bin-pack compaction cannot narrow ranges
-    t.cluster(64, "bucket")
+    // the log-stats drift detector sees the domain-spanning insert
+    // file(s) — each adds ~1 to the expected files-per-probe
+    val widenedFactor = NearDupIndex.rangeOverlapFactor(t.snapshot)
+    assert(widenedFactor > 1.5,
+      s"wide merge files must raise the overlap factor, got $widenedFactor")
+    // restore via the maintenance hook: single-column range clustering
+    // (the ZORDER BY (bucket) path); plain bin-pack compaction cannot
+    // narrow ranges
+    assert(NearDupIndex.maintain(t, maxOverlapFactor = 1.5,
+      clusterFiles = 64), "maintain must re-cluster past the threshold")
+    val restoredFactor = NearDupIndex.rangeOverlapFactor(t.snapshot)
+    assert(restoredFactor < 1.5,
+      s"re-cluster must restore ~1 file per probe, got $restoredFactor")
     val restored = touched()
     assert(restored <= keys.size,
       s"after cluster(bucket) the probe must touch <= ${keys.size} files, got $restored")
