@@ -528,9 +528,20 @@ object Dedup {
     val nSh =
       if (materialize) nSh0.persist(signatureStorage) else nSh0
     val nB = bandedBuckets(nSh, bands, r, minSize = 1, maxBucketSize)
+    // corpusScaleBatch: this entry point's contract is a batch that is
+    // a sizable fraction of the corpus, where a planner-chosen
+    // broadcast of a shingle-bearing join side is catastrophic —
+    // Catalyst estimates the signature frame from its source stats
+    // (e.g. spark.range → a few MB) and cannot see the ~KB-per-row
+    // shingle arrays, so a 1M-doc batch "estimated 8 MB, actually
+    // 3+ GB" gets broadcast and OOMs the driver/executors (measured:
+    // the r18 50M IndexSoak, leg 3 — heap full of serialized
+    // signature-row chunks mid-broadcast-build). Small standing
+    // refreshes go through [[NearDupIndex.refresh]], which keeps the
+    // planner's broadcast freedom on its pruned path.
     val verified = verifyAgainstIndex(nSh, nB, index, indexIdCol,
       storedDocs, storedTextCol, shingleSize, threshold, maxBucketSize,
-      materialize)
+      materialize, corpusScaleBatch = true)
     if (!materialize) verified
     else {
       val out = materializeSmall(verified)
@@ -553,11 +564,20 @@ object Dedup {
     * is semi-joined down to the candidate ids (broadcast — candidates
     * are batch-sized) BEFORE the shingle projection runs, so a
     * refresh batch never re-shingles the stored corpus.
+    *
+    * `corpusScaleBatch` pins the two shingle-bearing verification
+    * joins to sort-merge (spillable, no driver-side materialization):
+    * the planner's size estimate for a signature frame comes from its
+    * SOURCE's stats and misses the per-row shingle arrays, so on a
+    * corpus-scale batch it happily broadcasts gigabytes. False (the
+    * pruned small-refresh path) leaves the planner free — there a
+    * broadcast of the batch-sized side is exactly right.
     */
   private[operators] def verifyAgainstIndex(nSh: DataFrame, nB: DataFrame,
       index: DataFrame, indexIdCol: String, storedDocs: DataFrame,
       storedTextCol: String, shingleSize: Int, threshold: Double,
-      maxBucketSize: Int, materialize: Boolean): DataFrame = {
+      maxBucketSize: Int, materialize: Boolean,
+      corpusScaleBatch: Boolean = false): DataFrame = {
     val oversized = index.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
@@ -576,11 +596,12 @@ object Dedup {
     val storedCand = storedDocs
       .join(broadcast(candIds), col(indexIdCol) === col("__cand_id"),
         "left_semi")
+    val nSide = nSh.select(col("__id").as("new_id"), col("__sh").as("__sh_a"))
+    val sSide = storedCand.select(col(indexIdCol).as("stored_id"),
+      shingles(storedTextCol, shingleSize).as("__sh_b"))
     cands
-      .join(nSh.select(col("__id").as("new_id"), col("__sh").as("__sh_a")),
-        "new_id")
-      .join(storedCand.select(col(indexIdCol).as("stored_id"),
-        shingles(storedTextCol, shingleSize).as("__sh_b")), "stored_id")
+      .join(if (corpusScaleBatch) nSide.hint("merge") else nSide, "new_id")
+      .join(if (corpusScaleBatch) sSide.hint("merge") else sSide, "stored_id")
       .withColumn("jaccard", exactJaccard)
       .filter(col("jaccard") >= threshold)
       .select(col("new_id"), col("stored_id"), col("jaccard"))

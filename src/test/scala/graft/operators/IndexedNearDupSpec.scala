@@ -221,6 +221,33 @@ class IndexedNearDupSpec extends AnyFunSuite {
     assert(hits == Set((9001L, 123L)))
   }
 
+  test("corpus-scale verification joins are pinned to sort-merge, never broadcast") {
+    // the planner's estimate of a signature frame misses the ~KB
+    // per-row shingle arrays (it derives from the SOURCE's stats), so
+    // on nearDupAgainstIndex's corpus-scale contract it would broadcast
+    // gigabytes — the r18 50M soak OOM. The merge hint must hold even
+    // though this fixture is tiny and broadcast-eligible.
+    val c = corpus(200).toDF()
+    val index = Dedup.signatureBuckets(c, "id", "text")
+    val batch = Seq((9001L,
+      "document number 123 carries its own entirely distinct narrative payload about topic 974037 with sufficient length for shinglinX "))
+      .toDF("id", "text")
+    val out = Dedup.nearDupAgainstIndex(batch, "id", "text", index, "id",
+      c, "text", materialize = false)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    def joins(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.map(_.verboseString(3))
+    val shingleBroadcasts = joins(plan).filter(s =>
+      s.contains("__sh_a") || s.contains("__sh_b"))
+    assert(shingleBroadcasts.isEmpty,
+      s"shingle-bearing side must not be broadcast:\n${shingleBroadcasts.mkString}")
+    assert(plan.toString.contains("SortMergeJoin"),
+      "verification joins must be sort-merge under the corpus-scale contract")
+  }
+
   test("an empty refresh batch yields an empty, schema-correct result") {
     val dir = java.nio.file.Files.createTempDirectory("ndidx").toString
     val c = corpus(20).toDF()
