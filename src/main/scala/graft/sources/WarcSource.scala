@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{BufferedInputStream, EOFException, InputStream, OutputStream}
 import java.net.URI
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPInputStream
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -125,14 +125,63 @@ object WarcSource {
     val tmp = new Path(s"$dir/_temporary/part-$pid-attempt-$attemptId.warc.gz")
     val fin = new Path(s"$dir/part-$pid.warc.gz")
     val out = tfs.create(tmp, true)
-    try it.foreach(r => writeMember(out, r, warcType))
+    // ONE native deflater + ONE digest for the whole task, reset per
+    // member — a fresh GZIPOutputStream/MessageDigest per record is
+    // pure allocator churn (zlib state is ~256 KB a member) and at
+    // crawl scale the per-record init dominates the actual compress
+    val gz = new MemberGzip(out)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    try it.foreach(r => writeMember(gz, md, r, warcType))
     catch { case e: Throwable =>
       try { out.close(); tfs.delete(tmp, false) }
       catch { case _: java.io.IOException => () }
+      gz.end()
       throw e
     }
     out.close()
+    gz.end()
     commitTask(tfs, tmp, fin)
+  }
+
+  /** Reusable single-member gzip encoder: emits members byte-identical
+    * to `new GZIPOutputStream(out).{write…; finish()}` at the default
+    * level — the fixed 10-byte header (no mtime, OS 0xff), one DEFLATE
+    * stream (output depends only on input bytes + level, not on write
+    * chunking), CRC32 + ISIZE little-endian trailer — but with the
+    * native zlib state allocated ONCE and `reset()` between members.
+    */
+  private[sources] final class MemberGzip(out: OutputStream) {
+    private val deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    private val crc = new java.util.zip.CRC32
+    private val buf = new Array[Byte](8192)
+    private val header = Array[Byte](0x1f.toByte, 0x8b.toByte, 8,
+      0, 0, 0, 0, 0, 0, 0xff.toByte) // OS=0xff (unknown), as the JDK writes
+    private def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    /** Write `chunks` as one complete gzip member. */
+    def writeMember(chunks: Array[Byte]*): Unit = {
+      out.write(header)
+      deflater.reset(); crc.reset()
+      chunks.foreach { c =>
+        crc.update(c)
+        deflater.setInput(c)
+        while (!deflater.needsInput()) {
+          val n = deflater.deflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+        }
+      }
+      deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+      }
+      le32(crc.getValue); le32(deflater.getBytesRead)
+    }
+    /** Release the native zlib state (idempotent). */
+    def end(): Unit = deflater.end()
   }
 
   /** Task commit: ONE rename, never a delete of the final path. The
@@ -254,10 +303,11 @@ object WarcSource {
     writeWarc(recs, wetDir, warcType = "conversion")
   }
 
-  private def writeMember(out: OutputStream, r: WarcDoc,
-      warcType: String): Unit = {
-    def md5Of(s: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(s.getBytes(UTF_8))
+  private def writeMember(gz: MemberGzip, md: java.security.MessageDigest,
+      r: WarcDoc, warcType: String): Unit = {
+    // digest() resets the instance, so one MessageDigest serves every
+    // record of the task
+    def md5Of(s: String): String = md.digest(s.getBytes(UTF_8))
       .map("%02x".format(_)).mkString
     // record IDs are deterministic md5s: the response's is md5(target
     // URI); a conversion record gets its own distinct ID and a
@@ -278,15 +328,7 @@ object WarcSource {
       s"WARC-Target-URI: ${r.url}\r\n" +
       s"Content-Type: ${r.content_type}\r\n" +
       s"Content-Length: ${r.bytes.length}\r\n\r\n"
-    // finish() flushes this member's gzip trailer WITHOUT closing the
-    // underlying stream, so the next record starts a fresh member
-    val gz = new GZIPOutputStream(new java.io.FilterOutputStream(out) {
-      override def close(): Unit = () // member end must not close the file
-    })
-    gz.write(header.getBytes(UTF_8))
-    gz.write(r.bytes)
-    gz.write("\r\n\r\n".getBytes(UTF_8))
-    gz.finish()
+    gz.writeMember(header.getBytes(UTF_8), r.bytes, "\r\n\r\n".getBytes(UTF_8))
   }
 
   /** Read WARC containers under `path` (glob ok): `binaryFile` lists

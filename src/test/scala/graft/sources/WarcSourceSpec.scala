@@ -164,6 +164,29 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(raw.contains("WARC-Refers-To: <urn:md5:"))
   }
 
+  test("MemberGzip emits bytes identical to GZIPOutputStream per member") {
+    // the r18 write-path optimization reuses ONE native deflater per
+    // task; its framing must stay bit-for-bit what the per-record
+    // GZIPOutputStream produced (fixture determinism + any external
+    // gunzip). Three members of varied content through one reused
+    // encoder, each compared against a fresh reference stream.
+    val chunks = Seq(
+      Seq("WARC/1.0\r\n".getBytes(UTF_8), "hello".getBytes(UTF_8)),
+      Seq(Array.fill[Byte](70000)(42), "\r\n\r\n".getBytes(UTF_8)),
+      Seq(("mixed é 日本 " * 1000).getBytes(UTF_8)))
+    val ours = new java.io.ByteArrayOutputStream()
+    val gz = new WarcSource.MemberGzip(ours)
+    val ref = new java.io.ByteArrayOutputStream()
+    chunks.foreach { member =>
+      gz.writeMember(member: _*)
+      val g = new java.util.zip.GZIPOutputStream(ref)
+      member.foreach(g.write)
+      g.finish()
+    }
+    gz.end()
+    assert(ours.toByteArray.sameElements(ref.toByteArray))
+  }
+
   test("task commit: two attempts of the same pid leave exactly one member set") {
     val dir = newDir()
     val docs = (0 until 5).map(i =>
