@@ -175,31 +175,39 @@ object NaiveBayesText {
 
   private def classifyFeatures(df: DataFrame, idCol: String,
       features: Column, model: Model): DataFrame = {
+    // explode_outer keeps zero-feature docs in the frame as one
+    // null-bucket row (scored 0 below, so they land on priors alone) —
+    // the doc universe never needs the separate df×classes crossJoin +
+    // re-join the previous shape paid (one whole exchange + a second
+    // source scan, guide §2.4)
     val db = df
-      .select(col(idCol), explode(features).as("__tok"))
+      .select(col(idCol), explode_outer(features).as("__tok"))
       .select(col(idCol), bucket(col("__tok"), model.numBuckets).as("__f"))
       .groupBy(col(idCol), col("__f")).agg(count(lit(1)).as("__c"))
-    val partial = db
+    // prior folded into the per-(doc, class) aggregation: it is
+    // constant within the group, so `max` re-attaches it for free
+    val scores = db
       .crossJoin(broadcast(model.classes))
       .join(broadcast(model.weights), Seq("__lbl", "__f"), "left")
-      .select(col(idCol), col("__lbl"),
-        (col("__c") * coalesce(col("w_e4"), col("default_e4"))).as("__s"))
-      .groupBy(col(idCol), col("__lbl")).agg(sum("__s").as("__sum"))
-    val full = df.select(col(idCol))
-      .crossJoin(broadcast(model.classes.select(col("__lbl"), col("prior_e4"))))
-      .join(partial, Seq(idCol, "__lbl"), "left")
-      .select(col(idCol), col("__lbl"),
-        (coalesce(col("__sum"), lit(0L)) + col("prior_e4")).as("score_e4"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score_e4").desc, col("__lbl").asc)
-    // one window pass yields both the argmax and the runner-up score
-    // (margin): `classes` rows per doc, never corpus-wide state
-    full
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__second", lead(col("score_e4"), 1).over(w))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("__lbl").as("pred"), col("score_e4"),
-        (col("score_e4") - coalesce(col("__second"), col("score_e4")))
-          .as("margin_e4"))
+      .select(col(idCol), col("__lbl"), col("prior_e4"),
+        when(col("__f").isNull, lit(0L))
+          .otherwise(col("__c") * coalesce(col("w_e4"), col("default_e4")))
+          .as("__s"))
+      .groupBy(col(idCol), col("__lbl"))
+      .agg((sum("__s") + max("prior_e4")).as("score_e4"))
+    // argmax + runner-up from ONE aggregation over the `classes` rows
+    // per doc — sorting the (−score, label) structs replays the exact
+    // (score DESC, label ASC) tie-break the old window used, without
+    // the window's extra exchange + sort (the groupBy above hashes on
+    // (id, label), so the window re-shuffled on id every time)
+    scores
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        (-col("score_e4")).as("n"), col("__lbl").as("l")))).as("__a"))
+      .select(col(idCol),
+        col("__a")(0).getField("l").as("pred"),
+        (-col("__a")(0).getField("n")).as("score_e4"),
+        coalesce(col("__a")(1).getField("n") - col("__a")(0).getField("n"),
+          lit(0L)).as("margin_e4"))
   }
 }

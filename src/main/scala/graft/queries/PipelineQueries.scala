@@ -3073,10 +3073,13 @@ object PipelineQueries {
     // one evaluation of the snapshot across both creates (create's
     // write machinery evaluates its source more than once)
     val s1p = s1.persist(StorageLevel.MEMORY_AND_DISK)
+    val sc = spark.sparkContext
     val (t, sigT) = try {
+      sc.setJobDescription("q126:create-corpus")
       val t = VintageTable.create(spark, tableRoot + "/t", s1p)     // v0
       // range-clustered on bucket + per-file bucket bloom, so the
       // refresh below probes files, not the whole index (r18)
+      sc.setJobDescription("q126:create-index")
       val sigT = graft.operators.NearDupIndex.createIndex(spark,
         sigRoot + "/t", s1p, "url", "text")                         // v0
       (t, sigT)
@@ -3101,6 +3104,7 @@ object PipelineQueries {
     // O(touched-files) lookup: the batch's bucket keys prune the
     // stored index scan (stats+bloom skipping); decisions stay pinned
     // to v0, as before
+    sc.setJobDescription("q126:near-refresh")
     val nearHits = graft.operators.NearDupIndex.refresh(
       newUrls, "url", "text",
       sigT, "url", stored.select(col("url"), col("text")),
@@ -3108,23 +3112,38 @@ object PipelineQueries {
     val dropNear = nearHits.select(col("new_id").as("url")).distinct()
     val survivors = fresh.join(dropNear, Seq("url"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // decision counts BEFORE the merges mutate the table
-    val exactDropped = s2.join(stored.select("url", "content_hash"),
-        Seq("url", "content_hash"), "left_semi")
-      .groupBy("domain").agg(count(lit(1)).as("n_exact_dropped"))
-    val nearDropped = newUrls.join(dropNear, Seq("url"), "left_semi")
-      .groupBy("domain").agg(count(lit(1)).as("n_neardup_dropped"))
-    val inserted = survivors.join(stored.select("url"), Seq("url"), "left_anti")
-      .groupBy("domain").agg(count(lit(1)).as("n_inserted"))
-    val updated = survivors.join(stored.select("url"), Seq("url"), "left_semi")
-      .groupBy("domain").agg(count(lit(1)).as("n_updated"))
-    val decisions = exactDropped
-      .join(nearDropped, Seq("domain"), "full_outer")
-      .join(inserted, Seq("domain"), "full_outer")
-      .join(updated, Seq("domain"), "full_outer")
+    // decision counts BEFORE the merges mutate the table — ONE pass:
+    // per-row flags from two lookups (stored urls are unique, so the
+    // left joins cannot multiply rows), then a single conditional
+    // aggregation. The previous shape (4 semi/anti-join + groupBy
+    // legs stitched with 3 full-outer joins) re-read the batch four
+    // times and shuffled seven times for the same four counts
+    // (guide §2.3/§2.4); the flag algebra is unchanged:
+    //   exact   = (url, content_hash) ∈ stored
+    //   fresh   = ¬exact;   known = url ∈ stored (any hash)
+    //   near    = fresh ∧ ¬known ∧ url ∈ dropNear (dropNear ⊆ new urls)
+    //   survivor= fresh ∧ ¬near;  inserted/updated split on known
+    val flags = s2
+      .join(stored.select(col("url"), col("content_hash").as("__st_hash")),
+        Seq("url"), "left")
+      .join(dropNear.withColumn("__nd", lit(1)), Seq("url"), "left")
+      .select(col("domain"),
+        (col("__st_hash") === col("content_hash")).as("__exact"),
+        col("__st_hash").isNotNull.as("__known"),
+        col("__nd").isNotNull.as("__near"))
+    val decisions = flags.groupBy("domain").agg(
+      sum(when(col("__exact"), 1L).otherwise(0L)).as("n_exact_dropped"),
+      sum(when(!coalesce(col("__exact"), lit(false)) && col("__near"), 1L)
+        .otherwise(0L)).as("n_neardup_dropped"),
+      sum(when(!coalesce(col("__exact"), lit(false)) && !col("__near") &&
+        !col("__known"), 1L).otherwise(0L)).as("n_inserted"),
+      sum(when(!coalesce(col("__exact"), lit(false)) && !col("__near") &&
+        col("__known"), 1L).otherwise(0L)).as("n_updated"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    sc.setJobDescription("q126:decisions")
     decisions.count() // materialize against v0 before the merges
     try {
+      sc.setJobDescription("q126:merge-corpus")
       t.as("t").merge(survivors.as("s"), "t.url = s.url")
         .whenMatched().updateAll()
         .whenNotMatched().insertAll()
@@ -3134,6 +3153,7 @@ object PipelineQueries {
       val survSig = Dedup.signatureBuckets(survivors, "url", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
+        sc.setJobDescription("q126:merge-sig")
         sigT.as("t").merge(survSig.as("s"),
             "t.url = s.url AND t.band = s.band")
           .whenMatched().updateAll()
@@ -3143,20 +3163,26 @@ object PipelineQueries {
     } finally {
       fresh.unpersist(blocking = false)
       survivors.unpersist(blocking = false)
+      sc.setJobDescription(null)
     }
-    val fin = t.toDF.groupBy("domain").agg(count(lit(1)).as("n_docs"))
-    val sigRows = sigT.toDF
-      .join(t.toDF.select("url", "domain"), Seq("url"))
-      .groupBy("domain").agg(count(lit(1)).as("sig_rows"))
+    // final state in ONE corpus scan: per-url signature counts joined
+    // to the corpus (sig urls outside the corpus drop, corpus urls
+    // with no sig rows count 0 — identical to the old inner-join +
+    // per-leg groupBy shape, minus a second t.toDF scan and two
+    // domain-keyed exchanges)
+    val sigPerUrl = sigT.toDF.groupBy("url").agg(count(lit(1)).as("__sig_n"))
+    val fin = t.toDF.select(col("url"), col("domain"))
+      .join(sigPerUrl, Seq("url"), "left")
+      .groupBy("domain").agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__sig_n"), lit(0L))).as("sig_rows"))
     val out = fin
       .join(decisions, Seq("domain"), "left")
-      .join(sigRows, Seq("domain"), "left")
       .select(col("domain"), col("n_docs"),
         coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
         coalesce(col("n_updated"), lit(0L)).as("n_updated"),
         coalesce(col("n_exact_dropped"), lit(0L)).as("n_exact_dropped"),
         coalesce(col("n_neardup_dropped"), lit(0L)).as("n_neardup_dropped"),
-        coalesce(col("sig_rows"), lit(0L)).as("sig_rows"))
+        col("sig_rows"))
       .orderBy("domain")
     decisions.unpersist(blocking = false)
     out
@@ -5127,15 +5153,15 @@ object PipelineQueries {
     drainOnce()
     val t = VintageTable.forPath(spark, tablePath)
     val sigT = VintageTable.forPath(spark, sigPath)
-    val fin = t.toDF.groupBy("domain")
+    // one corpus scan (the q126 shape): per-url sig counts left-joined
+    // in, so the second t.toDF scan and the domain-keyed join go away
+    val sigPerUrl = sigT.toDF.groupBy("url").agg(count(lit(1)).as("__sig_n"))
+    t.toDF.select(col("url"), col("domain"), length(col("text")).as("__len"))
+      .join(sigPerUrl, Seq("url"), "left")
+      .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).cast("long").as("sum_chars"))
-    val sigRows = sigT.toDF
-      .join(t.toDF.select("url", "domain"), Seq("url"))
-      .groupBy("domain").agg(count(lit(1)).as("sig_rows"))
-    fin.join(sigRows, Seq("domain"), "left")
-      .select(col("domain"), col("n_docs"), col("sum_chars"),
-        coalesce(col("sig_rows"), lit(0L)).as("sig_rows"))
+        sum(col("__len")).cast("long").as("sum_chars"),
+        sum(coalesce(col("__sig_n"), lit(0L))).as("sig_rows"))
       .orderBy("domain")
   }
 
