@@ -216,11 +216,30 @@ object Similarity {
       .fit(fitInput)
   }
 
+  /** Fit the IVF coarse quantizer once for reuse across several
+    * [[ivfTopK]] searches (different `nprobe`/`k` settings probe the
+    * SAME cell structure — q28 runs a full-probe exactness check and a
+    * partial-probe recall check against one index; refitting KMeans
+    * per search would double the training passes for bit-identical
+    * centers, since the fit is fully determined by (corpus, numCells,
+    * seed, sample bounds)).
+    */
+  def ivfQuantizer(corpus: DataFrame, idCol: String, vecCol: String,
+      numCells: Int = 16, seed: Long = 42L, maxFitRows: Long = 100000L,
+      fitFraction: Double = 0.0): org.apache.spark.ml.clustering.KMeansModel = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("__feat"))
+    fitQuantizer(corpusVec, numCells, seed, maxFitRows, fitFraction, "__cell")
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       numCells: Int = 16, nprobe: Int = 6, seed: Long = 42L,
-      maxFitRows: Long = 100000L, fitFraction: Double = 0.0): DataFrame = {
+      maxFitRows: Long = 100000L, fitFraction: Double = 0.0,
+      quantizer: Option[org.apache.spark.ml.clustering.KMeansModel] = None)
+      : DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     require(k > 0, s"k must be positive, got $k")
     require(numCells > 0 && nprobe > 0 && nprobe <= numCells,
@@ -229,8 +248,8 @@ object Similarity {
 
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), array_to_vector(col(vecCol)).as("__feat"))
-    val model = fitQuantizer(corpusVec, numCells, seed, maxFitRows,
-      fitFraction, "__cell")
+    val model = quantizer.getOrElse(fitQuantizer(corpusVec, numCells, seed,
+      maxFitRows, fitFraction, "__cell"))
     val assigned = model.transform(corpusVec)
       .select(col("neighbor_id"), col("__cv"), col("__cell"))
 

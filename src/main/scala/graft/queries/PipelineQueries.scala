@@ -454,9 +454,20 @@ object PipelineQueries {
   def q28AnnIvf(spark: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(spark, d)
     val queries = emb.filter(col("vec_id") < 10)
+    // localCheckpoint: the exact pair set feeds THREE flag legs below
+    // (symmetric-difference join, recall join, recall denominator) —
+    // without materialization each leg re-runs the corpus-wide
+    // brute-force scoring (the q103/q104 idiom, applied here r18)
     val floatExact = Similarity.bruteForceTopK(queries, emb, "vec_id",
         "embedding", k = 5)
-      .select(col("query_id"), col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+      .localCheckpoint()
+    // ONE coarse-quantizer fit feeds both IVF searches: full-probe and
+    // nprobe=6 probe the same cell structure, and the fit is fully
+    // determined by (corpus, numCells, seed) — the second KMeans fit
+    // was pure duplicate work
+    val quant = Similarity.ivfQuantizer(emb, "vec_id", "embedding",
+      numCells = 16)
     // full-probe contract = SET equality of distinct (query, neighbor)
     // pairs, not a bare inner-join count against a literal 50: a
     // duplicated IVF candidate plus one missed neighbor could total 50,
@@ -465,10 +476,10 @@ object PipelineQueries {
     // counts the symmetric difference — 0 iff the sets are identical —
     // and derives the expected size from the data itself.
     val fullProbeFlag = Similarity.ivfTopK(queries, emb, "vec_id",
-        "embedding", k = 5, nprobe = 16)
+        "embedding", k = 5, nprobe = 16, quantizer = Some(quant))
       .select(col("query_id"), col("neighbor_id")).distinct()
       .withColumn("__l", lit(1))
-      .join(floatExact.distinct().withColumn("__r", lit(1)),
+      .join(floatExact.withColumn("__r", lit(1)),
         Seq("query_id", "neighbor_id"), "full_outer")
       .agg(sum(when(col("__l").isNull || col("__r").isNull, 1L)
         .otherwise(0L)).as("__diff"))
@@ -478,12 +489,11 @@ object PipelineQueries {
     // size (≡ 5 per query on any corpus with >5 vectors) instead of the
     // literal 50, for the same corpus-independence reason
     val recallFlag = Similarity.ivfTopK(queries, emb, "vec_id", "embedding",
-        k = 5, nprobe = 6)
+        k = 5, nprobe = 6, quantizer = Some(quant))
       .select(col("query_id"), col("neighbor_id")).distinct()
-      .join(floatExact.distinct(), Seq("query_id", "neighbor_id"))
+      .join(floatExact, Seq("query_id", "neighbor_id"))
       .agg(count(lit(1)).as("__m"))
-      .crossJoin(broadcast(
-        floatExact.distinct().agg(count(lit(1)).as("__exp"))))
+      .crossJoin(broadcast(floatExact.agg(count(lit(1)).as("__exp"))))
       .select((col("__m") * 100L >= col("__exp") * 70L).cast("long")
         .as("recall_floor_ok"))
     def dot(a: Column, b: Column): Column =
