@@ -595,10 +595,15 @@ object PipelineQueries {
       "vec_id", "embedding", threshold = 0.999, numClusters = 16)
     val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("__ea"))
     val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("__eb"))
+    // localCheckpoint: referenced by the flag aggregate AND the output
+    // (the q28/q103 idiom) — unmaterialized, the two corpus joins above
+    // would run twice
     val exact = pairs.join(ea, "id_a").join(eb, "id_b")
       .filter(col("__ea") === col("__eb"))
       .withColumn("is_planted",
         (col("id_b") - col("id_a") === 1000000L).cast("long"))
+      .select(col("id_a"), col("id_b"), col("is_planted"))
+      .localCheckpoint()
     val total = exact.agg(sum(col("is_planted")).cast("long")
       .as("planted_found"))
     exact.crossJoin(broadcast(total))

@@ -2241,6 +2241,15 @@ object VintageTable {
 
   private[vintage] val FileCol = "__vintage_file"
 
+  /** Staged-file count at or below which a commit finalizes its
+    * renames + footer-stat reads on the DRIVER instead of a Spark job
+    * (see writeFiles): the distributed wave exists for corpus-scale
+    * commits staging hundreds of files, where per-file footer reads
+    * dominate; below this the job fixed cost (schedule + conf
+    * broadcast + collect) exceeds the work by an order of magnitude.
+    */
+  private[vintage] val DriverCommitFiles = 8
+
   /** Open an existing table (README.md:125 `DeltaTable.forPath`). */
   def forPath(spark: SparkSession, path: String): VintageTable = {
     require(VintageLog.exists(path), s"not a vintage table: $path")
@@ -2574,37 +2583,52 @@ object VintageTable {
     val bloomBits = props.getOrElse("vintage.bloom.bits",
       StatsBloom.DefaultBits.toString).toInt
     val tableDirStr = tableDir
-    // ship the session Hadoop conf to the executors: object stores and
-    // custom filesystems are configured there (credentials, fs.* impls),
-    // so a default Configuration() would break the rename/footer tasks
-    val confBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
+    // rename one staged file into place and read back its footer
+    // stats; runs on the driver or in an executor task with the same
+    // (session) Hadoop conf — object stores and custom filesystems are
+    // configured there (credentials, fs.* impls), so a default
+    // Configuration() would break either path
+    def commitOne(conf: Configuration)(move: (String, String)): AddFile = {
+      val (src, name) = move
+      val srcPath = new HPath(src)
+      val efs = srcPath.getFileSystem(conf)
+      val target = new HPath(tableDirStr, name)
+      if (name.contains('/')) efs.mkdirs(target.getParent)
+      if (!efs.rename(srcPath, target))
+        throw new java.io.IOException(s"rename $srcPath -> $target failed")
+      val (numRecords, stats) = ParquetStats.read(target, conf, statCols)
+      val blooms =
+        if (bloomPhysCols.isEmpty) Map.empty[String, String]
+        else ParquetStats.bloomStats(target, conf, bloomPhysCols, bloomBits)
+      val withBlooms = blooms.foldLeft(stats) { case (m, (c, b)) =>
+        m.updated(c, m.getOrElse(c, ColStats(None, None, None))
+          .copy(bloom = Some(b)))
+      }
+      val st = efs.getFileStatus(target)
+      AddFile(name, st.getLen, st.getModificationTime, dataChange,
+        Some(numRecords), withBlooms,
+        PartitionPaths.parsePartitionValues(name))
+    }
     try {
       if (moves.isEmpty) Nil
-      else spark.sparkContext
-        .parallelize(moves, math.min(moves.size, 256))
-        .map { case (src, name) =>
-          val conf = confBc.value.value
-          val srcPath = new HPath(src)
-          val efs = srcPath.getFileSystem(conf)
-          val target = new HPath(tableDirStr, name)
-          if (name.contains('/')) efs.mkdirs(target.getParent)
-          if (!efs.rename(srcPath, target))
-            throw new java.io.IOException(s"rename $srcPath -> $target failed")
-          val (numRecords, stats) = ParquetStats.read(target, conf, statCols)
-          val blooms =
-            if (bloomPhysCols.isEmpty) Map.empty[String, String]
-            else ParquetStats.bloomStats(target, conf, bloomPhysCols, bloomBits)
-          val withBlooms = blooms.foldLeft(stats) { case (m, (c, b)) =>
-            m.updated(c, m.getOrElse(c, ColStats(None, None, None))
-              .copy(bloom = Some(b)))
-          }
-          val st = efs.getFileStatus(target)
-          AddFile(name, st.getLen, st.getModificationTime, dataChange,
-            Some(numRecords), withBlooms,
-            PartitionPaths.parsePartitionValues(name))
-        }.collect().toSeq
+      // a one-digit file count as a distributed job is pure fixed cost
+      // (schedule + conf broadcast + collect, ~100-300 ms, for a few
+      // sub-ms renames and footer reads): finalize on the driver. The
+      // threshold is per-COMMIT file count, not cluster size — a
+      // corpus-scale rewrite stages hundreds+ of files and keeps the
+      // parallel wave below; a 3-row MERGE or streaming epoch commits
+      // in driver time on any cluster.
+      else if (moves.size <= VintageTable.DriverCommitFiles)
+        moves.map(commitOne(spark.sessionState.newHadoopConf()))
+      else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        spark.sparkContext
+          .parallelize(moves, math.min(moves.size, 256))
+          .map(m => commitOne(confBc.value.value)(m))
+          .collect().toSeq
+      }
       // a failure mid-rename-wave leaves already-renamed files at final
       // part-* paths: never committed → vacuum reclaims them by age
     } finally fs.delete(tmp, true)
