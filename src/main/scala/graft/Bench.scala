@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private def r3(v: Double): Double = math.rint(v * 1000) / 1000
 
+  private def deleteTreeQuiet(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteTreeQuiet))
+    f.delete(): Unit
+  }
+
   /** Host-contention evidence: 1/5/15-min loadavg + available memory
     * (GiB), captured before and after the timed suite. Bench totals on
     * a shared box vary ±30% run-to-run (BASELINE.md documents 67.6 to
@@ -66,6 +71,24 @@ object Bench {
         "sum(size(regexp_extract_all(text, '[A-Za-z]+', 0)))",
         "count(distinct md5(text))")
       .collect()
+    // the vintage write/commit/scan path (r18): a third of the suite
+    // creates or mutates vintage tables, and without this the FIRST
+    // such query absorbs the connector's classloading + codegen
+    // (attributed to whichever name sorts first, q100). 3 rows in a
+    // temp dir — same spirit as the lines above: warm the CODE PATHS,
+    // never precompute any query's data.
+    try {
+      val warmDir = java.nio.file.Files.createTempDirectory("graft-bench-warm")
+      val t = graft.vintage.VintageTable.create(spark, s"$warmDir/t",
+        spark.range(3).selectExpr("id", "cast(id as string) as v"))
+      t.as("t").merge(
+          spark.range(2, 5).selectExpr("id", "'m' as v").as("s"), "t.id = s.id")
+        .whenMatched().updateAll().whenNotMatched().insertAll().execute()
+      t.toDF.count()
+      deleteTreeQuiet(warmDir.toFile)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] vintage warmup skipped: ${e.getMessage}")
+    }
     // Targeted re-measure: SPARK_GRAFT_BENCH_ONLY=q68,q82 times just the
     // queries whose name starts with a listed prefix — the adjudication
     // loop for a single out-of-band number shouldn't pay the full suite.
