@@ -1029,16 +1029,12 @@ object Analytics {
     */
   def q96HistQuantiles(spark: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy("bin")
-    // localCheckpoint: the binned histogram feeds the total aggregate
-    // AND the probe join — unmaterialized, the orders scan + groupBy +
-    // running-sum window ran twice (r18)
     val bins = Tables.orders(spark, d)
       .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
       .select(expr("cents div 1000000L").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .withColumn("cum", sum("n").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint()
     val total = bins.agg(sum("n").as("total"))
     val probes = spark.range(1).select(
       explode(array(lit(25), lit(50), lit(75), lit(90), lit(99))).as("q_pct"))

@@ -2218,15 +2218,10 @@ object PipelineQueries {
     val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
     val nDocs = docs.select(countDistinct("doc_id").as("n"))
-    // localCheckpoint: w feeds the norm aggregate AND both sides of the
-    // term self-join — unmaterialized, the tokenize+explode+tf+df
-    // pipeline ran three times (r18; the persist-before-self-join rule
-    // every pair pipeline here follows)
     val w = posts.join(dfs, "term").crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         (col("tf") * round(log(col("n").cast("double") / col("df").cast("double"))
           * 10000).cast("long")).as("w"))
-      .localCheckpoint()
     val norms = w.groupBy("doc_id")
       .agg(sum((col("w") * col("w")).cast("decimal(38,0)")).as("nrm"))
     val pairs = w.select(col("doc_id").as("id_a"), col("term"), col("w").as("wa"))
