@@ -22,13 +22,24 @@ def main():
     base_p, out_p, *run_ps = sys.argv[1:]
     base = load(base_p)
     runs = [load(p) for p in run_ps]
-    best = {k: min(r[k] for r in runs if k in r) for k in runs[0]}
+    # union of keys across ALL runs (not runs[0] only): a query missing
+    # from the first run must not silently vanish from the artifact
+    keys = sorted({k for r in runs for k in r})
+    partial = [k for k in keys if any(k not in r for r in runs)]
+    if partial:
+        print(f"WARNING: {len(partial)} queries missing from some runs: "
+              f"{', '.join(partial)}")
+    best = {k: min(r[k] for r in runs if k in r) for k in keys}
     total = round(sum(best.values()), 3)
     json.dump({"metric": "best_of_%d_runs" % len(runs), "value": total,
                "unit": "sec", "queries": best,
                "runs": run_ps, "baseline": base_p},
               open(out_p, "w"), indent=1)
-    common = [k for k in base if k in best]
+    dropped = [k for k in base if k in best and base[k] <= 0]
+    if dropped:
+        print(f"WARNING: skipping ratio for non-positive baselines: "
+              f"{', '.join(dropped)}")
+    common = [k for k in base if k in best and base[k] > 0]
     ratios = sorted((best[k] / base[k], k) for k in common)
     med = statistics.median(r for r, _ in ratios)
     p10 = ratios[int(0.10 * len(ratios))][0]

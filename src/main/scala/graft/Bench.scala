@@ -150,7 +150,17 @@ object Bench {
       try {
         val p = java.nio.file.Paths.get(out)
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-        java.nio.file.Files.writeString(p, fileJson + "\n")
+        // atomic write (temp + rename): a reader polling the file mid-run
+        // must never see a half-written JSON (VERDICT r18 #7)
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        java.nio.file.Files.writeString(tmp, fileJson + "\n")
+        try java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch { case _: java.lang.UnsupportedOperationException =>
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
       } catch { case _: java.io.IOException => () }
     }
     // Every BENCH_rN.json to date had `parsed: null`: the big JSON line
