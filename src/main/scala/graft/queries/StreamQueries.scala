@@ -53,7 +53,8 @@ object StreamQueries {
     * scale-correct provider costs nothing here. State CONTENT is
     * provider-independent — the gate hashes are unchanged.
     */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+  private def withStatePartitions[T](spark: SparkSession, n: Int,
+      noDataBatches: Boolean = true)(body: => T): T = {
     val keys = Seq(
       "spark.sql.shuffle.partitions" -> n.toString,
       "spark.sql.streaming.stateStore.providerClass" ->
@@ -62,7 +63,19 @@ object StreamQueries {
       // full snapshot — the difference between O(state) and O(changed)
       // per micro-batch once state is GBs per partition
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
-      "spark.sql.streaming.minBatchesToRetain" -> "2")
+      "spark.sql.streaming.minBatchesToRetain" -> "2",
+      // No-data micro-batches exist to emit results that only a
+      // watermark advance can release (stream-stream OUTER rows,
+      // operator timeouts) when no further data batch would do it.
+      // Each one is a FULL micro-batch — planning + WAL + a state-store
+      // open/commit per partition per operator (StreamProfile r19:
+      // 600–850 ms here with ZERO input rows, on any cluster a real
+      // per-batch cluster cost) — and the gates that flush via
+      // far-future SENTINEL DATA batches (watermark advance is applied
+      // in the NEXT batch; timeouts and outer-row eviction run in data
+      // batches too) get the identical output without them. Gates that
+      // DO rely on a trailing watermark-only batch keep the default.
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> noDataBatches.toString)
     val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
     keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try body finally prev.foreach {
@@ -151,7 +164,11 @@ object StreamQueries {
     * session times out and emits.
     */
   def q50StreamSessionize(spark: SparkSession, d: String): DataFrame =
-    withStatePartitions(spark, 4)(q50Body(spark, d))
+    // no-data batches off: every timeout this gate needs fires inside
+    // the two sentinel DATA batches (sentinel 1 advances the watermark,
+    // sentinel 2 processes the expired groups) — that two-batch design
+    // predates this conf and never relied on watermark-only batches
+    withStatePartitions(spark, 4, noDataBatches = false)(q50Body(spark, d))
 
   private def q50Body(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -212,7 +229,10 @@ object StreamQueries {
     * pays a fixed state-store cost the gate should not multiply.
     */
   def q52StreamDedup(spark: SparkSession, d: String): DataFrame =
-    withStatePartitions(spark, 4)(q52Body(spark, d))
+    // no-data batches off: dropDuplicatesWithinWatermark emits each
+    // first-seen key in its DATA batch; watermark-only batches can only
+    // evict state, and the 400-day delay means nothing evicts mid-feed
+    withStatePartitions(spark, 4, noDataBatches = false)(q52Body(spark, d))
 
   private def q52Body(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -298,7 +318,10 @@ object StreamQueries {
     * the DuckDB oracle recomputes the whole thing as one SQL join.
     */
   def q58StreamBandJoin(spark: SparkSession, d: String): DataFrame =
-    withStatePartitions(spark, 4)(q58Body(spark, d))
+    // no-data batches off: a stream-stream INNER join emits pairs in
+    // the DATA batch where both sides are present; watermark-only
+    // batches evict already-unmatchable state and emit nothing
+    withStatePartitions(spark, 4, noDataBatches = false)(q58Body(spark, d))
 
   private def q58Body(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -399,7 +422,11 @@ object StreamQueries {
     * (-1 when none) must equal the batch LEFT JOIN bit-for-bit.
     */
   def q78StreamOuterJoin(spark: SparkSession, d: String): DataFrame =
-    withStatePartitions(spark, 4)(q78Body(spark, d))
+    // no-data batches off: outer NULL rows need a batch that RUNS with
+    // the advanced watermark — the second sentinel DATA batch below is
+    // that batch (the same two-step flush q50 uses), so the trailing
+    // watermark-only machinery batches are pure per-batch fixed cost
+    withStatePartitions(spark, 4, noDataBatches = false)(q78Body(spark, d))
 
   private def q78Body(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -440,9 +467,17 @@ object StreamQueries {
       }
       // watermark flush: a far-future sentinel on BOTH streams (the
       // query watermark is the min across inputs) releases every
-      // pending outer NULL row; user -1 matches nothing
+      // pending outer NULL row; user -1 matches nothing. The watermark
+      // a batch advances applies to the NEXT batch, so a SECOND, even
+      // later sentinel batch performs the actual eviction — a data
+      // batch doing the work a trailing no-data batch used to do
+      // (noDataMicroBatches is off for this gate).
       pMem.addData((-1L, -1L, flushTs))
       eMem.addData((-1L, -1L, flushTs))
+      q.processAllAvailable()
+      val flushTs2 = new Timestamp(flushTs.getTime + 86400000L)
+      pMem.addData((-1L, -1L, flushTs2))
+      eMem.addData((-1L, -1L, flushTs2))
       q.processAllAvailable()
     } finally q.stop()
 
