@@ -338,19 +338,36 @@ object Components {
   def minLabelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
+    // Materialize the undirected EDGE frame once (guide §5 / §3.3): the
+    // unrolled loop otherwise re-embeds the edge derivation (for the
+    // q100 gate, a lineitem scan + distinct) per round per reference —
+    // a 122-Exchange plan at 3 rounds — and a deep-round run amplifies
+    // every stage retry. Labels stay LAZY round-to-round (a per-round
+    // eager checkpoint was measured slower at fixture scale than the
+    // reused-exchange job tree) and are truncated every
+    // `LabelCheckpointEvery` rounds so deep iteration counts keep a
+    // bounded plan — the Pregel cadence.
     val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = und.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lab"))
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val fromNbrs = und
         .join(labels.select(col("v").as("src"), col("lab")), Seq("src"))
         .groupBy(col("dst").as("v")).agg(min("lab").as("nlab"))
       labels = labels.join(fromNbrs, Seq("v"), "left")
         .select(col("v"), least(col("lab"), coalesce(col("nlab"), col("lab")))
           .as("lab"))
+      if (i % LabelCheckpointEvery == 0 && i < rounds)
+        labels = labels.localCheckpoint()
     }
     labels
   }
+
+  /** Lineage-truncation cadence for deep round counts (see
+    * [[minLabelPropagation]]).
+    */
+  private val LabelCheckpointEvery = 10
 }

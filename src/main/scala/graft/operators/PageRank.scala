@@ -35,14 +35,27 @@ object PageRank {
     */
   def ranks(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
+    // Materialize the EDGE LIST once (guide §5 / §3.3): the unrolled
+    // relational iteration otherwise re-embeds the full edge derivation
+    // (for the q76 gate, a 4-way lineitem join) once per reference per
+    // round — a 488-Exchange, 6000-line physical plan at 5 iterations
+    // whose optimizer time dominates and whose stage-retry
+    // recomputation amplification is the real 100 TB risk. Only the
+    // edge frame is checkpointed eagerly: per-round rank checkpoints
+    // were measured SLOWER at fixture scale (each eager materialization
+    // costs ~8 broadcast/AQE-stage jobs that one reused-exchange job
+    // tree avoids), so ranks stay lazy and are truncated every
+    // `CheckpointEvery` rounds — free at shallow iteration counts, a
+    // bounded-plan guarantee for deep ones (the Pregel cadence).
     val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     val nn = nodes.agg(count(lit(1)).as("n"))
     val outw = e.groupBy("src").agg(sum("w").as("ow"))
     var r = nodes.crossJoin(nn)
       .select(col("v"), expr(s"$E12 div n").as("r"))
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(r.withColumnRenamed("v", "src"), "src")
         .join(outw, "src")
         .select(col("dst").as("v"), expr("(r * w) div ow").as("c"))
@@ -51,7 +64,14 @@ object PageRank {
         .select(col("v"),
           (expr(s"(15 * $E12) div (100 * n)")
             + expr("(85 * coalesce(m, 0L)) div 100")).as("r"))
+      if (i % CheckpointEvery == 0 && i < iters) r = r.localCheckpoint()
     }
     r.select(col("v"), col("r").as("rank_e12"))
   }
+
+  /** Lineage-truncation cadence for deep iteration counts: the rank
+    * table is materialized every this-many rounds so the unrolled plan
+    * stays bounded without paying a per-round checkpoint job.
+    */
+  private val CheckpointEvery = 10
 }
