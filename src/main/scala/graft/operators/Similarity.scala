@@ -535,15 +535,20 @@ object Similarity {
       .orderBy(col("__h"), col("__id"))
       .limit(numPivots)
       .select(col("__id").as("__pid"), col("__qv").as("__pv"))
-    val assign = c.crossJoin(broadcast(pivots))
-      .select(col("__id"), col("__pid"),
-        dist(col("__qv"), col("__pv")).as("__dist"))
-    val wNear = Window.partitionBy(col("__id"))
-      .orderBy(col("__dist"), col("__pid"))
-    val cellOf = assign
-      .withColumn("__rn", row_number().over(wNear))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("__pid").as("__cell"))
+    // cell routing fused into ONE corpus projection (guide §2.3/§2.4;
+    // the annIvfPqPortable idiom): pivots ride as a broadcast 1-row
+    // array and `array_min` over (dist, pid) structs replaces the old
+    // corpus × numPivots explode + row_number window (a full shuffle
+    // of the exploded frame) — and because __qv rides along, the later
+    // re-join of the corpus by __id to fetch vectors is gone too.
+    val pivArr = pivots
+      .agg(collect_list(struct(col("__pid").as("pid"), col("__pv").as("pv")))
+        .as("__ps"))
+    val cellExpr = array_min(transform(col("__ps"), p =>
+      struct(dist(col("__qv"), p.getField("pv")).as("d"),
+        p.getField("pid").as("pid")))).getField("pid")
+    val cellOf = c.crossJoin(broadcast(pivArr))
+      .select(col("__id"), col("__qv"), cellExpr.as("__cell"))
     val probes = queries.select(col(idCol).as("__qid"), qv.as("__qqv"))
       .crossJoin(broadcast(pivots))
       .select(col("__qid"), col("__qqv"), col("__pid"),
@@ -552,10 +557,9 @@ object Similarity {
         Window.partitionBy(col("__qid")).orderBy(col("__dist"), col("__pid"))))
       .filter(col("__rn") <= nprobe)
       .select(col("__qid"), col("__qqv"), col("__pid").as("__cell"))
-    val scored = probes
-      .join(cellOf, Seq("__cell"))
+    val scored = cellOf
+      .join(broadcast(probes), Seq("__cell"))
       .filter(col("__id") =!= col("__qid"))
-      .join(c.select(col("__id"), col("__qv")), Seq("__id"))
       .select(col("__qid"), col("__id"),
         dist(col("__qqv"), col("__qv")).as("__dist"))
     scored
@@ -1390,17 +1394,25 @@ object Similarity {
       .orderBy(col("__h"), col("__id"))
       .limit(numPivots)
       .select(col("__id").as("__pid"), col("__qv").as("__pv"))
-    val cellOf = c.crossJoin(broadcast(pivots))
-      .select(col("__id"), col("__pid"),
-        dist(col("__qv"), col("__pv")).as("__dist"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__id").orderBy(col("__dist"), col("__pid"))))
-      .filter(col("__rn") === 1)
-      .select(col("__id").as("neighbor_id"), col("__pid").as("__cell"))
-    val enc = c
-      .withColumn("__codes", portableCodes(cb, m, dsub, col("__qv")))
-      .select(col("__id").as("neighbor_id"), col("__codes"))
-      .join(cellOf, "neighbor_id")
+    // cell routing + codes in ONE corpus projection (guide §2.3/§2.4):
+    // the pivots ride along as a broadcast 1-row array and the argmin
+    // is an expression — `array_min` over (dist, pid) structs is
+    // exactly the old window's ORDER BY (__dist, __pid) rn=1 (ties to
+    // the lower pivot id). The previous shape exploded the corpus ×
+    // numPivots through a row_number window (a full shuffle of the
+    // exploded frame) and then equi-joined the cell table back to the
+    // codes table corpus-wide — two corpus shuffles and an extra
+    // corpus pass that this projection simply doesn't have.
+    val pivArr = pivots
+      .agg(collect_list(struct(col("__pid").as("pid"), col("__pv").as("pv")))
+        .as("__ps"))
+    val cellExpr = array_min(transform(col("__ps"), p =>
+      struct(dist(col("__qv"), p.getField("pv")).as("d"),
+        p.getField("pid").as("pid")))).getField("pid")
+    val enc = c.crossJoin(broadcast(pivArr))
+      .select(col("__id").as("neighbor_id"),
+        portableCodes(cb, m, dsub, col("__qv")).as("__codes"),
+        cellExpr.as("__cell"))
     val probes = queries.select(col(idCol).as("__qid"), qv.as("__qqv"))
       .crossJoin(broadcast(pivots))
       .select(col("__qid"), col("__qqv"), col("__pid"),
