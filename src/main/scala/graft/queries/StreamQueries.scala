@@ -63,6 +63,10 @@ object StreamQueries {
       // full snapshot — the difference between O(state) and O(changed)
       // per micro-batch once state is GBs per partition
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      // metrics-only: maintaining numRowsTotal costs a RocksDB get()
+      // per put/delete — the documented knob for update-heavy state
+      // (the metric reads -1; nothing the gates hash depends on it)
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" -> "false",
       "spark.sql.streaming.minBatchesToRetain" -> "2",
       // No-data micro-batches exist to emit results that only a
       // watermark advance can release (stream-stream OUTER rows,
