@@ -80,6 +80,25 @@ class VintageMergeBuilder private[vintage] (
     if (txnAction.exists(x => snap.txns.get(x.appId).exists(_ >= x.version)))
       return // this (appId, version) already committed — exactly-once skip
 
+    // MERGE SOURCE MATERIALIZATION (the Delta idiom): the source frame
+    // is evaluated up to three times below — the key-range stats agg,
+    // the touched-file semi join, and the rewrite full-outer join — so
+    // an unpersisted source re-runs its whole derivation thrice and
+    // re-embeds it in every phase's plan. Persist it (lazily — the
+    // stats agg is the materializing action) for the duration of the
+    // merge unless the caller already holds its own persist. Scale
+    // shape: a merge source is the batch-sized message side, and
+    // MEMORY_AND_DISK spills rather than OOMs if it is not.
+    val materializeSource =
+      source.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (materializeSource)
+      source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try executeInner(spark, snap, txnAction)
+    finally if (materializeSource) source.unpersist(blocking = false)
+  }
+
+  private def executeInner(spark: org.apache.spark.sql.SparkSession,
+      snap: Snapshot, txnAction: Option[Txn]): Unit = {
     // identity columns: no clause may assign a GENERATED ALWAYS id —
     // not SET (matched or insert), and not UPDATE ALL/INSERT ALL when
     // the SOURCE carries the column (that is an explicit value too).
