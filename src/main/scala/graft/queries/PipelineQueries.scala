@@ -3100,12 +3100,16 @@ object PipelineQueries {
       (t, sigT)
     } finally s1p.unpersist(blocking = false)
     val truncated = expr("substring(text, 1, greatest(length(text) - 6, 1))")
+    // persisted for the same reason as s1p: the batch is referenced by
+    // the exact-tier anti-join AND the decision flags, and each
+    // evaluation re-runs its four document-scan union legs
     val s2 = shape(docs.filter(did % 2 === 1), did, col("text"))
       .unionByName(shape(docs.filter(did % 4 === 0), did, col("text")))
       .unionByName(shape(docs.filter(did % 20 === 6),
         did + 500000, truncated))
       .unionByName(shape(docs.filter(did % 20 === 12), did,
         concat(col("text"), lit(" refreshed content"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val stored = t.toDFAsOf(0)
     // EXACT tier: a re-crawl with unchanged content is a no-op. The
     // "what do we have" side reads the TABLE's parquet, not a re-parse.
@@ -3176,6 +3180,7 @@ object PipelineQueries {
           .execute()                                                // v1
       } finally survSig.unpersist(blocking = false)
     } finally {
+      s2.unpersist(blocking = false)
       fresh.unpersist(blocking = false)
       survivors.unpersist(blocking = false)
       sc.setJobDescription(null)
