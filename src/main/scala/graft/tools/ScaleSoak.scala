@@ -193,6 +193,41 @@ object ScaleSoak {
       s""""lsh_candidates":$nCand,"""
     }
 
+    // SHARED-FRAME PERSIST LEG (GRAFT_SOAK_SHARED=1, r19 — the q95/q96
+    // re-apply condition VERDICT r18 recorded): the q95 tf-idf weight
+    // frame shape (tokenize → explode → per-(doc,term) counts → df
+    // join) consumed by THREE downstream aggregates, A/B'd unpersisted
+    // (each consumer re-runs the derivation — today's fixture-path
+    // shape, which measured FASTER at sf0.1) vs persisted (one
+    // evaluation + two cache reads — the shape the same pipeline needs
+    // once the shared frame is corpus-sized). The leg prints both
+    // timings so the dial is a measured size threshold, not a guess.
+    val sharedLeg = if (!sys.env.get("GRAFT_SOAK_SHARED").contains("1")) ""
+    else {
+      def weights: DataFrame = {
+        val posts = corpus(spark, n)
+          .select(col("id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+        val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 200)
+        posts.join(dfs, "term")
+          .select(col("id"), col("term"), (col("tf") * col("df")).as("w"))
+      }
+      def consumeThrice(w: DataFrame): Long = {
+        val a = w.agg(sum(col("w"))).first().getLong(0)
+        val b = w.filter(col("w") > 1).count()
+        val c = w.select(col("id")).distinct().count()
+        a + b + c
+      }
+      val (s1, tUnpersisted) = timed(consumeThrice(weights))
+      val wP = weights.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (s2, tPersisted) = timed(consumeThrice(wP))
+      wP.unpersist(blocking = false)
+      require(s1 == s2, s"shared-frame leg result drift: $s1 != $s2")
+      s""""shared_sec_unpersisted":${r1s(tUnpersisted)},""" +
+      s""""shared_sec_persisted":${r1s(tPersisted)},"""
+    }
+
     // The pair frame is ~3·n/100 rows (tiny next to the corpus) but
     // costs the full LSH pipeline to produce — persist it so the
     // GROUPS leg below consumes the SAME pairs instead of re-paying
@@ -374,7 +409,7 @@ object ScaleSoak {
 
     val json =
       s"""{"rows":$n,"partitions":$partitions,"dedup_survivors":$survivors,""" +
-      s""""verified_pairs":$pairs,$lshProfile""" +
+      s""""verified_pairs":$pairs,$lshProfile$sharedLeg""" +
       s""""bucket_join_rows":$bucketRows,"img_rows":$imgN,""" +
       s""""img_pairs":$imgPairs,"sec_imghash":${r1s(secImg)},""" +
       s""""img128_rows":$img128N,"img128_pairs":$img128Pairs,""" +
